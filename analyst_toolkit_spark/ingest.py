@@ -1,0 +1,68 @@
+"""Ingest layer: table loading + row-identity discipline.
+
+The reference's semantics lean on the pandas RangeIndex (keep-first dedup,
+row-level diffs, example ordering — reference m00_utils/report_tables.py:92-94,
+m04_duplicates/handle_dupes.py:25-28). Spark has no implicit row id, so we mint
+``_row_id`` at ingest.
+
+Scale note: ``monotonically_increasing_id`` is partition-local and encodes
+(partition index << 33 | offset); for file sources whose splits enumerate in
+file/byte order this is a faithful, *shuffle-free* encoding of ingest order —
+the right 100 TB default. Operators that need a *cross-engine reproducible*
+order (oracle checks) instead take an explicit deterministic key ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROW_ID = "_row_id"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def with_row_id(df: DataFrame) -> DataFrame:
+    """Mint the stable, order-preserving row id (no shuffle, no window)."""
+    if ROW_ID in df.columns:
+        return df
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def drop_row_id(df: DataFrame) -> DataFrame:
+    return df.drop(ROW_ID) if ROW_ID in df.columns else df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
+    """Read one parquet table from a testdata scale-factor directory."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return with_row_id(df) if row_id else df
+
+
+def load_csv(spark: SparkSession, path: str, infer_schema: bool = True, row_id: bool = False) -> DataFrame:
+    """CSV scan with header + dtype inference (reference m00_utils/load_data.py:27-37).
+
+    Production mode should pass an explicit schema instead; inference costs an
+    extra pass and is unsafe at 100 TB (Spark samples, pandas reads all).
+    """
+    df = spark.read.option("header", "true").option("inferSchema", str(infer_schema).lower()).csv(path)
+    return with_row_id(df) if row_id else df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

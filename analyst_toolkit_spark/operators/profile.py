@@ -1,0 +1,177 @@
+"""M01 diagnostics → single-pass distributed profiler.
+
+The reference computes nulls, nunique, describe(), skew, kurt, duplicate counts
+with ~a dozen separate eager pandas calls over the whole table
+(reference m01_diagnostics/data_diag.py:46-113). A naive translation would be a
+dozen full scans of 100 TB. Here every requested metric compiles into ONE
+``df.agg(...)`` pass (all metrics for all columns are independent aggregate
+expressions, fused by whole-stage codegen into a single scan), plus one
+optional groupBy-all-columns pass for the duplicate-row count.
+
+Output is a *long* profile table (one row per column) — small, deterministic,
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from analyst_toolkit_spark.functions.stats import kurtosis_g2, percentile_exact, skewness_g1
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """select_dtypes("number") equivalent (reference data_diag.py:46)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NUMERIC_TYPES)]
+
+
+def categorical_columns(df: DataFrame) -> list[str]:
+    """select_dtypes(["object","category"]) equivalent."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
+    """Single-pass column profile.
+
+    Per column: row count, non-null count, null count, null %, distinct count;
+    numerics additionally get mean, stddev (ddof=1), min, max, q25/q50/q75
+    (exact linear interpolation), bias-corrected skewness and kurtosis —
+    pandas/DuckDB parity (see functions/stats.py).
+
+    ``exact=False`` switches distinct→approx_count_distinct and
+    percentiles→approx_percentile: the 100 TB fast path (t-digest / HLL sketch,
+    mergeable map-side, no sort).
+
+    Returns a long DataFrame:
+      column, count, nulls, null_pct, n_unique, mean, stddev, min, max,
+      q25, q50, q75, skewness, kurtosis
+    """
+    cols = columns or df.columns
+    num = set(numeric_columns(df))
+    aggs: list = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__count"))
+        if exact:
+            aggs.append(F.countDistinct(col).alias(f"{c}__nunique"))
+        else:
+            aggs.append(F.approx_count_distinct(col, approx_rsd).alias(f"{c}__nunique"))
+        if c in num:
+            aggs += [
+                F.avg(col).alias(f"{c}__mean"),
+                F.stddev_samp(col).alias(f"{c}__std"),
+                F.min(col).cast("double").alias(f"{c}__min"),
+                F.max(col).cast("double").alias(f"{c}__max"),
+                skewness_g1(col).alias(f"{c}__skew"),
+                kurtosis_g2(col).alias(f"{c}__kurt"),
+            ]
+            if exact:
+                aggs.append(percentile_exact(col, [0.25, 0.5, 0.75]).alias(f"{c}__q"))
+            else:
+                aggs.append(
+                    F.percentile_approx(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias(f"{c}__q")
+                )
+
+    wide = df.agg(*aggs)
+
+    # Pivot the single wide row to long form IN-PLAN (no driver collect):
+    # one struct per column, then inline explode. The wide row is 1 row, so this
+    # stage is trivially cheap; the heavy lifting stays in the single agg scan.
+    structs = []
+    for c in cols:
+        is_num = c in num
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__rows").cast("long").alias("count"),
+                (F.col("__rows") - F.col(f"{c}__count")).cast("long").alias("nulls"),
+                F.when(
+                    F.col("__rows") > 0,
+                    (F.col("__rows") - F.col(f"{c}__count")) / F.col("__rows"),
+                )
+                .cast("double")
+                .alias("null_pct"),
+                F.col(f"{c}__nunique").cast("long").alias("n_unique"),
+                (F.col(f"{c}__mean").cast("double") if is_num else F.lit(None).cast("double")).alias("mean"),
+                (F.col(f"{c}__std").cast("double") if is_num else F.lit(None).cast("double")).alias("stddev"),
+                (F.col(f"{c}__min") if is_num else F.lit(None).cast("double")).alias("min"),
+                (F.col(f"{c}__max") if is_num else F.lit(None).cast("double")).alias("max"),
+                (F.col(f"{c}__q")[0].cast("double") if is_num else F.lit(None).cast("double")).alias("q25"),
+                (F.col(f"{c}__q")[1].cast("double") if is_num else F.lit(None).cast("double")).alias("q50"),
+                (F.col(f"{c}__q")[2].cast("double") if is_num else F.lit(None).cast("double")).alias("q75"),
+                (F.col(f"{c}__skew").cast("double") if is_num else F.lit(None).cast("double")).alias("skewness"),
+                (F.col(f"{c}__kurt").cast("double") if is_num else F.lit(None).cast("double")).alias("kurtosis"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Count of duplicated rows, pandas ``duplicated(keep=False).sum()`` parity
+    (reference data_diag.py:94, m04_duplicates/detect_dupes.py:32): every member
+    of a >1 group counts. One groupBy (map-side partial agg) + tiny final agg.
+    """
+    keys = subset or df.columns
+    return (
+        df.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("dup_rows"),
+            F.count(F.lit(1)).cast("long").alias("dup_groups"),
+        )
+    )
+
+
+def value_counts(df: DataFrame, column: str, dropna: bool = False, top_n: int | None = None) -> DataFrame:
+    """pandas ``value_counts`` parity (reference report_tables.py:41-42):
+    includes the null bucket when ``dropna=False``; descending count, then value
+    ascending for a deterministic, hash-stable order."""
+    out = df.groupBy(F.col(column).alias("value")).agg(F.count(F.lit(1)).alias("count"))
+    if dropna:
+        out = out.filter(F.col("value").isNotNull())
+    out = out.orderBy(F.desc("count"), F.asc_nulls_last("value"))
+    return out.limit(top_n) if top_n else out
+
+
+def correlation_matrix(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Pairwise Pearson correlation, long form (col_x, col_y, corr), upper
+    triangle incl. diagonal (reference m08_visuals/summary_plots.py:60).
+
+    All C(k,2) ``F.corr`` aggregates fuse into ONE scan — for profile-sized
+    column counts this beats assembling an MLlib vector + Correlation.corr
+    (which shuffles a vector copy of the table).
+    """
+    cols = columns or numeric_columns(df)
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.corr(a, b).alias(f"{a}||{b}"))
+    wide = df.agg(*aggs)
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col(f"`{a}||{b}`").cast("double").alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
