@@ -46,9 +46,31 @@ def drop_row_id(df: DataFrame) -> DataFrame:
     return df.drop(ROW_ID) if ROW_ID in df.columns else df
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we convert to µs timestamps at
+    ingest. Footer-only check, no data read."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if pa.types.is_timestamp(typ) and typ.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
     """Read one parquet table from a testdata scale-factor directory."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        # ns → µs truncation matches what µs-native engines (DuckDB) do
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
     return with_row_id(df) if row_id else df
 
 

@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-aware:
+
+- exact: groupBy on content hash — one shuffle on a short hash key.
+- normalized-exact: same after text canonicalization (llm/text.normalize_text).
+- MinHash + LSH: shingle → k minhashes → b bands → bucket join. Candidate
+  generation is a self-join on (band, band_hash) — i.e. only rows that collide
+  in some band ever meet, which is what makes near-dup feasible at 100 TB.
+- SimHash: 64-bit signature via per-token hash bit-voting; near-dups = equal
+  signatures (or small hamming distance via band trick on the signature).
+
+Everything below uses Spark higher-order functions (transform / aggregate /
+zip_with / filter) — JVM expressions, NO Python UDFs, no per-row Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.llm.text import normalize_text
+
+
+def exact_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content duplicate clusters: (content hash, size, member ids).
+    md5 keeps the shuffle key short regardless of document size."""
+    return (
+        df.select(F.md5(F.col(key)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list(id_col)).alias("members"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def normalized_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup via canonicalized content (case/punct/whitespace-insensitive)."""
+    return (
+        df.select(F.md5(normalize_text(F.col(key))).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list(id_col)).alias("members"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
+    """k-permutation MinHash signature: min over shingles of xxhash64(shingle, seed_i).
+
+    Single fold over the shingle array (aggregate + zip_with(least)) — ONE pass
+    per row and a compact expression tree. The naive form (k separate
+    transform+array_min expressions) blows up codegen and runs ~50× slower.
+    Empty input → all-max sentinel (callers filter size==0 first).
+    """
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    init = F.transform(seeds, lambda i: F.lit((1 << 63) - 1).cast("long"))
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(acc, F.transform(seeds, lambda i: F.xxhash64(s, i)), lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) that collide in >= 1 band.
+
+    Plan shape: map-only signature pass → explode to b rows/doc → shuffle on
+    (band, band_hash) via the self-join → distinct pairs. With r = k/b rows per
+    band, collision prob ≈ 1-(1-j^r)^b for Jaccard j (the standard S-curve).
+    """
+    r = k // bands
+    sig_df = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(key, n_shingle), k).alias("sig"),
+    )
+    banded = sig_df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    # bucket members per (band, band_hash), pairs expanded IN the bucket —
+    # signatures are computed once (no self-join recompute) and only colliding
+    # rows ever meet. max_bucket caps quadratic blowup on degenerate buckets
+    # (e.g. empty docs all sharing the sentinel signature).
+    max_bucket = 1000
+    members = F.sort_array(F.collect_list(id_col))
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(members.alias("m"))
+        .filter((F.size("m") > 1) & (F.size("m") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.*").distinct()
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Re-rank LSH candidates with the exact shingle Jaccard; keeps pairs >=
+    threshold. Joins shingle sets onto the (small) candidate set — broadcast
+    when candidates are few."""
+    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(df: DataFrame, key: str = "text", id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify."""
+    cands = minhash_candidates(df, key, id_col)
+    return jaccard_verify(df, cands, key, id_col, threshold=threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, key: str = "text", id_col: str = "doc_id", n_shingle: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Brute-force n-gram Jaccard similarity join (the small-data baseline the
+    LSH path approximates; quadratic — gate behind small inputs)."""
+    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "jaccard")
+    )
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, sign → bit.
+    Pure expression via aggregate over a 64-slot counter array; emitted as a
+    64-char '0'/'1' string (bit 63 first) — equality-comparable and avoids
+    signed-long packing edge cases."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    # bit i's vote for token t = sign of xxhash64(t, i): 64 independent hash
+    # functions (equivalent simhash family; avoids bit-shift-by-column, which
+    # Spark's shiftright doesn't support)
+    counters = F.aggregate(
+        toks,
+        F.transform(bit_idx, lambda i: F.lit(0).cast("long")),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda i: F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1).cast("long")),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.concat_ws("", F.transform(counters, lambda cnt: F.when(cnt > 0, "1").otherwise("0")))
+
+
+def simhash_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical 64-bit SimHash (strong near-dup signal)."""
+    return (
+        df.select(simhash64(F.col(key)).alias("simhash"), F.col(id_col))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list(id_col)).alias("members"))
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. Dot products via F.zip_with +
+  F.aggregate — JVM expressions, vectorized by codegen, no Python.
+- LSH-bucketed ANN (random hyperplanes): the scale path. Sign bits of r random
+  projections → bucket key; only same-bucket vectors are compared, turning the
+  O(N) scan per query into a bucket lookup. Multi-probe = union over tables.
+
+At 100 TB the corpus side stays partitioned by bucket; queries broadcast.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_lit(col: Column, vec: list[float]) -> Column:
+    """Dot product between an array column and a literal query vector.
+    Elements cast to double BEFORE multiply: float32 math would diverge from
+    any double-precision oracle."""
+    lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, lit_vec, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_cols(a: Column, b: Column) -> Column:
+    """Dot product of two array columns in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(col: Column) -> Column:
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_lit(col: Column, vec: list[float]) -> Column:
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+    return dot_lit(col, vec) / (norm(col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    One map-only pass + a global top-k (Spark's TakeOrdered — no full sort
+    shuffle). Deterministic tie-break on id."""
+    return (
+        df.select(F.col(id_col), F.round(cosine_lit(F.col(vec_col), query_vec), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.9) -> DataFrame:
+    """All-pairs cosine >= threshold (embedding near-dup detection).
+    Brute-force self-join baseline; use lsh_bucketed_pairs at scale."""
+    d = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dot = dot_cols(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", F.round(dot / (F.col("a.n") * F.col("b.n")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane packed to a long."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot_lit(col, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN near-pair search: compare only vectors sharing a hyperplane bucket.
+    Recall grows with fewer planes / multiple tables; this single-table variant
+    is the building block."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dot = dot_cols(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cosine", F.round(dot / (F.col("a.n") * F.col("b.n")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+) -> DataFrame:
+    """Top-k corpus neighbors for every query row (brute force, broadcast the
+    smaller side). Window top-k per query avoids a global sort."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn"))
+    c = corpus.select(F.col(c_id).alias("corpus_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn"))
+    dot = dot_cols(F.col("qv"), F.col("cv"))
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

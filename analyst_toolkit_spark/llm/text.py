@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines.
+
+All metrics are pure Column expressions over ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen'd, no Python in the hot path. They scale to
+100 TB as a single map-only pass (no shuffle until the caller aggregates).
+
+Surface: token counting (whitespace + BPE-ish regex), quality scoring
+(length / punctuation / digit / whitespace ratios, mean word length),
+document fingerprinting (normalized-text hash), language ID (common-word
+n-gram heuristic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace tokenization count (\\S+ runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0)))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs, and individual
+    punctuation marks — the tokenizer-free approximation used for budget
+    estimates (≈ GPT-style pre-tokenizer word split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(None))
+
+
+def digit_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_dig = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(F.length(c) > 0, n_dig / F.length(c)).otherwise(F.lit(None))
+
+
+def mean_word_length(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(None))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite 0-1 heuristic quality score: penalizes very short docs,
+    extreme punctuation/digit density, and abnormal word lengths. Deterministic
+    and cheap; a filter like ``quality_score(text) > 0.5`` prunes low-quality
+    docs in the same scan that reads them."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    p = F.coalesce(punct_ratio(c), F.lit(0.0))
+    punct_score = F.when(p < 0.25, F.lit(1.0)).otherwise(F.greatest(F.lit(0.0), 1 - (p - 0.25) * 2))
+    d = F.coalesce(digit_ratio(c), F.lit(0.0))
+    digit_score = F.when(d < 0.3, F.lit(1.0)).otherwise(F.greatest(F.lit(0.0), 1 - (d - 0.3) * 2))
+    mwl = F.coalesce(mean_word_length(c), F.lit(0.0))
+    wl_score = F.when((mwl >= 2.5) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_score + digit_score + wl_score) / 4, 6)
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    out = F.regexp_replace(out, r"[!-/:-@\[-`{-~]", " ")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Normalized-content fingerprint (md5 of canonical text) — the key for
+    exact near-normalization dedup; cross-engine reproducible."""
+    return F.md5(normalize_text(col))
+
+
+# Tiny common-word profiles for the n-gram/common-word language heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+}
+
+
+def lang_scores(col: str | Column) -> Column:
+    """Map of language -> count of marker-word hits (higher = stronger)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z']+"), F.lit(0))
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        entries += [F.lit(lang), score]
+    return F.create_map(*entries)
+
+
+def detect_language(col: str | Column, min_hits: int = 1) -> Column:
+    """Argmax language over the marker profile; 'und' (undetermined) when no
+    profile reaches ``min_hits``. Pure expression: map_entries → argmax via
+    aggregate, deterministic tie-break by language code."""
+    scores = lang_scores(col)
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(0).alias("value")),
+        lambda acc, e: F.when(
+            (e["value"] > acc["value"]) | ((e["value"] == acc["value"]) & (acc["key"] != "und") & (e["key"] < acc["key"])),
+            e,
+        ).otherwise(acc),
+    )
+    return F.when(best["value"] >= min_hits, best["key"]).otherwise(F.lit("und"))
+
+
+def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document metric columns appended in one map-only pass."""
+    return (
+        df.withColumn("n_chars_m", char_count(col))
+        .withColumn("n_tokens", token_count(col))
+        .withColumn("n_subtokens", bpe_ish_token_count(col))
+        .withColumn("punct_ratio", F.round(punct_ratio(col), 6))
+        .withColumn("digit_ratio", F.round(digit_ratio(col), 6))
+        .withColumn("mean_word_len", F.round(mean_word_length(col), 6))
+        .withColumn("quality", quality_score(col))
+        .withColumn("fingerprint", fingerprint(col))
+    )

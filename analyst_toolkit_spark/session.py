@@ -33,6 +33,9 @@ def get_spark(app_name: str = "analyst_toolkit_spark", master: str | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # nanosecond parquet timestamps (e.g. pandas-written event streams)
+        # read as long; ingest.load_table converts them to µs timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

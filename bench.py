@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the full module suite (profile → validate → normalize →
+dedup → outliers → impute) plus the LLM-pipeline operators — the BASELINE.md
+protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "profile_lineitem",
+    "profile_customer",
+    "dup_count_lineitem",
+    "corr_lineitem",
+    "validation_summary_orders",
+    "dedup_keep_first_lineitem",
+    "outlier_iqr_lineitem",
+    "outlier_clip_lineitem",
+    "impute_mean_customer",
+    "impute_mode_customer",
+    "normalize_text_customer",
+    "datetime_parse_orders",
+    "pricing_summary",
+    "join_region_revenue",
+    "window_running_total",
+    "events_daily",
+    "text_stats_documents",
+    "exact_dup_docs",
+    "fingerprint_dup_docs",
+    "minhash_pairs_docs",
+    "quality_docs",
+    "embedding_topk",
+    "embedding_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry_mod
+    from analyst_toolkit_spark.session import get_spark
+
+    spark = get_spark("analyst_toolkit_spark_bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    qs["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "module_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

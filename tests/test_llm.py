@@ -1,0 +1,141 @@
+import pytest
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.llm import dedup as D
+from analyst_toolkit_spark.llm import similarity as S
+from analyst_toolkit_spark.llm import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog!"),  # normalized dup of 1
+        (4, "A completely different document about Spark engines."),
+        (5, "The quick brown fox jumps over the sleepy dog"),  # near dup of 1
+        (6, "der hund und die katze sind nicht da"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world  foo",), ("",), ("a-b c3",)], ["text"])
+    out = df.select(
+        T.token_count("text").alias("t"), T.bpe_ish_token_count("text").alias("s")
+    ).collect()
+    assert [r["t"] for r in out] == [3, 0, 2]
+    assert [r["s"] for r in out] == [3, 0, 5]  # a,-,b | c,3
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame([("Good plain text with several words here ok",), ("!!!???...",)], ["text"])
+    rows = df.select(T.quality_score("text").alias("q"), T.punct_ratio("text").alias("p")).collect()
+    assert rows[0]["q"] > rows[1]["q"]
+    assert rows[1]["p"] == 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello,   World!",), ("hello world",)], ["text"])
+    fps = [r[0] for r in df.select(T.fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog in the house",), ("der hund und die katze sind nicht da",), ("zzz qqq",)],
+        ["text"],
+    )
+    langs = [r[0] for r in df.select(T.detect_language("text")).collect()]
+    assert langs == ["en", "de", "und"]
+
+
+def test_exact_and_normalized_dedup(spark, docs):
+    exact = D.exact_dup_groups(docs).collect()
+    assert len(exact) == 1 and exact[0]["members"] == [1, 2]
+    norm = D.normalized_dup_groups(docs).collect()
+    assert len(norm) == 1 and norm[0]["members"] == [1, 2, 3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], ["text"])
+    rows = df.select(D.shingles("text", 2).alias("sh")).collect()
+    assert sorted(rows[0]["sh"]) == ["a b", "b c", "c d"]
+    assert rows[1]["sh"] == []
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found  # exact + normalized dups always collide
+    assert (1, 5) in found or (2, 5) in found  # near-dup should be caught at 0.5
+    assert all({a, b} != {4, 6} for a, b in found)
+
+
+def test_ngram_jaccard_ground_truth(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] < 1.0
+
+
+def test_simhash_groups(spark, docs):
+    groups = D.simhash_dup_groups(docs).collect()
+    # exact duplicates share a simhash; singleton docs form no group
+    assert any(set(g["members"]) >= {1, 2} for g in groups)
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = S.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == 1.0
+
+
+def test_knn_join(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    q = df.filter("vec_id < 2")
+    c = df.filter("vec_id >= 2")
+    out = S.knn_join(q, c, k=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 queries × 3
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_lsh_bucket_recall_vs_brute(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = []
+    for i in range(30):
+        jitter = 0.05 if i % 2 == 0 else 2.0
+        rows.append((i, [b + rng.gauss(0, jitter) for b in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs(df, threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in S.lsh_bucketed_pairs(df, 8, n_planes=4, threshold=0.95).collect()}
+    assert lsh <= brute  # LSH must never invent pairs
+    if brute:
+        assert len(lsh) / len(brute) > 0.3  # single-table recall is partial but nonzero
+
+
+def test_multimodal_plumbing(spark):
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0AAAA")), (2, bytearray(b"\x89PNG\r\n\x1a\nBB")), (3, None)],
+        "id long, content binary",
+    )
+    stats = {r["id"]: (r["blob_bytes"], r["blob_format"]) for r in MM.binary_stats(df).collect()}
+    assert stats[1][1] == "jpeg" and stats[2][1] == "png" and stats[3] == (None, "unknown")
+
+    meta = {r["id"]: (r["img_width"], r["img_height"]) for r in MM.extract_image_meta(df).collect()}
+    assert meta[3] == (None, None)
+    assert meta[1][0] is not None and 1 <= meta[1][0] <= 1920
+
+    with pytest.raises(MM.DecoderUnavailable):
+        MM.extract_image_meta(df, deterministic_fake=False)

@@ -1,0 +1,84 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.operators.validation import ValidationConfig
+from analyst_toolkit_spark.streaming.rules import (
+    foreach_batch_runner,
+    validate_stream,
+    windowed_profile,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, sf_dir):
+    """Stage the events table as a file-source stream (one parquet = one batch)."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    src = os.path.join(sf_dir, "events.parquet")
+    # rewrite through spark so the schema matches the converted µs timestamps
+    from analyst_toolkit_spark.ingest import load_table
+
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_validate_stream_flags(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    cfg = ValidationConfig(
+        categorical_values={"event_type": ["click", "view", "purchase"]},
+        numeric_ranges={"value": {"min": 0, "max": 1000}},
+    )
+    flagged = validate_stream(stream, cfg)
+    assert flagged.isStreaming
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.append(batch_df.agg(F.sum(F.col("any_violation").cast("long"))).collect()[0][0])
+
+    q = foreach_batch_runner(flagged, sink, ckpt)
+    q.awaitTermination(120)
+    assert collected, "stream produced no batches"
+
+    # must equal the batch engine's answer on the same data
+    from analyst_toolkit_spark.operators.validation import violating_rows
+
+    expected = violating_rows(static, cfg).count()
+    assert sum(c or 0 for c in collected) == expected
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_windowed_profile(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    prof = windowed_profile(stream, ts_col="ts", window="1 day", watermark="2 days")
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    out: list = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    q = prof.writeStream.foreachBatch(sink).outputMode("update").option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert out
+    total_rows = sum(r["rows"] for r in out)
+    assert total_rows == static.count()
+    # spot-check one window against the batch engine
+    day = out[0]["window_start"]
+    batch_mean = (
+        static.filter((F.col("ts") >= F.lit(day)) & (F.col("ts") < F.date_add(F.lit(day), 1)))
+        .agg(F.round(F.avg("value"), 6))
+        .collect()[0][0]
+    )
+    assert out[0]["mean"] == pytest.approx(batch_mean, abs=1e-6)
+    shutil.rmtree(ckpt, ignore_errors=True)
