@@ -16,10 +16,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from analyst_toolkit_spark.ingest import load_table
+from analyst_toolkit_spark.ingest import ROW_ID, load_table
 from analyst_toolkit_spark.llm import dedup as L_dedup
 from analyst_toolkit_spark.llm import similarity as L_sim
 from analyst_toolkit_spark.llm import text as L_text
+from analyst_toolkit_spark.operators import diff as M_diff
 from analyst_toolkit_spark.operators import drift as M_drift
 from analyst_toolkit_spark.operators import duplicates as M_dup
 from analyst_toolkit_spark.operators import impute as M_imp
@@ -286,6 +287,41 @@ def q_events_daily(spark, sf):
     )
 
 
+def _orders_before_after(spark, sf):
+    """Deterministic before/after pair keyed by o_orderkey (cross-engine row id)."""
+    before = load_table(spark, sf, "orders").withColumn(ROW_ID, F.col("o_orderkey"))
+    after = before.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("URGENT")).otherwise(F.col("o_orderpriority")),
+    ).withColumn(
+        "o_custkey",
+        F.when(F.col("o_custkey") % 100 == 0, F.col("o_custkey") + 1).otherwise(F.col("o_custkey")),
+    )
+    return before, after
+
+
+def q_row_diff_orders(spark, sf):
+    b, a = _orders_before_after(spark, sf)
+    return M_diff.row_diff(b, a, ["o_orderpriority", "o_custkey"])
+
+
+def q_change_summary_orders(spark, sf):
+    b, a = _orders_before_after(spark, sf)
+    return M_diff.change_summary(b, a, ["o_orderpriority", "o_custkey"])
+
+
+def q_dropped_rows_orders(spark, sf):
+    b, _ = _orders_before_after(spark, sf)
+    a = b.filter(F.col("o_totalprice") <= 200000)
+    return M_diff.dropped_rows(b, a).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_value_audit_orders(spark, sf):
+    b, _ = _orders_before_after(spark, sf)
+    a = M_norm.remap_values(b, "o_orderpriority", {"5-LOW": "null"})
+    return M_diff.value_audit(b, a, "o_orderpriority")
+
+
 def q_drift_orders(spark, sf):
     df = load_table(spark, sf, "orders")
     base = df.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
@@ -428,6 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_parts": q_topn_parts,
         "window_running_total": q_window_running_total,
         "events_daily": q_events_daily,
+        "row_diff_orders": q_row_diff_orders,
+        "change_summary_orders": q_change_summary_orders,
+        "dropped_rows_orders": q_dropped_rows_orders,
+        "value_audit_orders": q_value_audit_orders,
         "drift_orders": q_drift_orders,
         "text_stats_documents": q_text_stats_documents,
         "token_totals_documents": q_token_totals_documents,
@@ -588,6 +628,47 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_daily"] = """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+    _BA = """
+        b AS (SELECT o_orderkey AS _row_id, o_orderpriority AS bp, o_custkey AS bc FROM orders),
+        a AS (SELECT o_orderkey AS _row_id,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT' ELSE o_orderpriority END AS ap,
+                     CASE WHEN o_custkey % 100 = 0 THEN o_custkey + 1 ELSE o_custkey END AS ac
+              FROM orders)
+    """
+    sqls["row_diff_orders"] = f"""
+        WITH {_BA}
+        SELECT _row_id, 'o_orderpriority' AS "column", bp AS "before", ap AS "after"
+        FROM b JOIN a USING (_row_id) WHERE bp IS DISTINCT FROM ap
+        UNION ALL
+        SELECT _row_id, 'o_custkey', CAST(bc AS VARCHAR), CAST(ac AS VARCHAR)
+        FROM b JOIN a USING (_row_id) WHERE bc IS DISTINCT FROM ac
+    """
+    sqls["change_summary_orders"] = f"""
+        WITH {_BA},
+        j AS (SELECT bp, ap, bc, ac FROM b JOIN a USING (_row_id))
+        SELECT 'o_orderpriority' AS "column",
+               sum(CASE WHEN bp IS DISTINCT FROM ap THEN 1 ELSE 0 END) AS cells_changed FROM j
+        UNION ALL
+        SELECT 'o_custkey', sum(CASE WHEN bc IS DISTINCT FROM ac THEN 1 ELSE 0 END) FROM j
+        UNION ALL
+        SELECT '__rows_changed__',
+               sum(CASE WHEN (bp IS DISTINCT FROM ap) OR (bc IS DISTINCT FROM ac) THEN 1 ELSE 0 END) FROM j
+    """
+    sqls["dropped_rows_orders"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        WHERE NOT (o_totalprice <= 200000)
+    """
+    sqls["value_audit_orders"] = """
+        WITH b AS (SELECT o_orderpriority AS value, count(*) AS count_before FROM orders GROUP BY 1),
+             a AS (SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END AS value,
+                          count(*) AS count_after
+                   FROM orders GROUP BY 1)
+        SELECT coalesce(b.value, a.value) AS value,
+               coalesce(count_before, 0) AS count_before,
+               coalesce(count_after, 0) AS count_after,
+               coalesce(count_after, 0) - coalesce(count_before, 0) AS delta
+        FROM b FULL OUTER JOIN a ON b.value = a.value
     """
     sqls["drift_orders"] = """
         WITH lng AS (
