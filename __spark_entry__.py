@@ -21,6 +21,7 @@ from analyst_toolkit_spark.llm import dedup as L_dedup
 from analyst_toolkit_spark.llm import similarity as L_sim
 from analyst_toolkit_spark.llm import text as L_text
 from analyst_toolkit_spark.operators import diff as M_diff
+from analyst_toolkit_spark.operators import final_audit as M_fa
 from analyst_toolkit_spark.operators import drift as M_drift
 from analyst_toolkit_spark.operators import duplicates as M_dup
 from analyst_toolkit_spark.operators import impute as M_imp
@@ -330,6 +331,13 @@ def q_drift_orders(spark, sf):
     return _round(out, ["base_mean", "target_mean"])
 
 
+def q_null_audit_orders(spark, sf):
+    df = load_table(spark, sf, "orders").withColumn(
+        "o_orderstatus", F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(F.col("o_orderstatus"))
+    )
+    return M_fa.null_audit(df, ["o_custkey", "o_orderstatus"])
+
+
 # --- LLM-pipeline extensions ------------------------------------------------
 
 
@@ -469,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropped_rows_orders": q_dropped_rows_orders,
         "value_audit_orders": q_value_audit_orders,
         "drift_orders": q_drift_orders,
+        "null_audit_orders": q_null_audit_orders,
         "text_stats_documents": q_text_stats_documents,
         "token_totals_documents": q_token_totals_documents,
         "exact_dup_docs": q_exact_dup_docs,
@@ -628,6 +637,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_daily"] = """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+    sqls["null_audit_orders"] = """
+        SELECT 'o_custkey' AS "column", sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_count FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END) FROM orders
     """
     _BA = """
         b AS (SELECT o_orderkey AS _row_id, o_orderpriority AS bp, o_custkey AS bc FROM orders),
