@@ -331,6 +331,39 @@ def q_drift_orders(spark, sf):
     return _round(out, ["base_mean", "target_mean"])
 
 
+def q_pipeline_orders(spark, sf):  # NON-SQL (multi-module orchestration)
+    from analyst_toolkit_spark.plans import config as C
+    from analyst_toolkit_spark.plans.pipeline import run_pipeline
+
+    master = {
+        "run_id": "entry",
+        "modules": {
+            "diagnostics": {"run": True},
+            "validation": {
+                "run": True,
+                "config": {"validation": {"schema_validation": {"rules": {
+                    "categorical_values": {"o_orderstatus": ["O", "F", "P"]},
+                    "numeric_ranges": {"o_totalprice": {"min": 0}},
+                }}}},
+            },
+            "duplicates": {"run": True, "config": {"duplicates": {"subset_columns": ["o_custkey"], "mode": "flag"}}},
+            "outlier_detection": {"run": True, "config": {"outlier_detection": {
+                "detection_specs": {"o_totalprice": {"method": "iqr", "iqr_multiplier": 1.5}},
+                "exclude_columns": ["o_orderkey", "o_custkey", "_row_id"],
+            }}},
+            "outlier_handling": {"run": True, "config": {"outlier_handling": {
+                "handling_specs": {"o_totalprice": {"strategy": "clip"}},
+            }}},
+        },
+    }
+    run = run_pipeline(spark, C.pipeline_config(master), load_table(spark, sf, "orders"))
+    return run.df.agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_clipped_price"),
+        F.count(F.lit(1)).alias("rows"),
+        F.lit(run.health["overall_score"]).alias("health_score"),
+    )
+
+
 def q_null_audit_orders(spark, sf):
     df = load_table(spark, sf, "orders").withColumn(
         "o_orderstatus", F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(F.col("o_orderstatus"))
@@ -478,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_audit_orders": q_value_audit_orders,
         "drift_orders": q_drift_orders,
         "null_audit_orders": q_null_audit_orders,
+        "pipeline_orders": q_pipeline_orders,
         "text_stats_documents": q_text_stats_documents,
         "token_totals_documents": q_token_totals_documents,
         "exact_dup_docs": q_exact_dup_docs,
