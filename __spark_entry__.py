@@ -364,6 +364,13 @@ def q_pipeline_orders(spark, sf):  # NON-SQL (multi-module orchestration)
     )
 
 
+def q_data_dictionary_customer(spark, sf):
+    from analyst_toolkit_spark.operators import dictionary as M_dict
+
+    out = M_dict.data_dictionary(load_table(spark, sf, "customer"), include_examples=False)
+    return out.select("column", "semantic_type", "count", "null_count", "n_unique")
+
+
 def q_null_audit_orders(spark, sf):
     df = load_table(spark, sf, "orders").withColumn(
         "o_orderstatus", F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(F.col("o_orderstatus"))
@@ -512,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders": q_drift_orders,
         "null_audit_orders": q_null_audit_orders,
         "pipeline_orders": q_pipeline_orders,
+        "data_dictionary_customer": q_data_dictionary_customer,
         "text_stats_documents": q_text_stats_documents,
         "token_totals_documents": q_token_totals_documents,
         "exact_dup_docs": q_exact_dup_docs,
@@ -671,6 +679,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_daily"] = """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+    # semantic types are the F11 heuristic applied to the (static) customer
+    # schema: *key ints -> integer, double -> numeric, 5-value segment ->
+    # categorical, high-cardinality name -> text; the SQL checks the counts.
+    sqls["data_dictionary_customer"] = """
+        SELECT 'c_custkey' AS "column", 'integer' AS semantic_type, count(*) AS count,
+               count(*) - count(c_custkey) AS null_count, count(DISTINCT c_custkey) AS n_unique FROM customer
+        UNION ALL
+        SELECT 'c_name', 'text', count(*), count(*) - count(c_name), count(DISTINCT c_name) FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', 'integer', count(*), count(*) - count(c_nationkey), count(DISTINCT c_nationkey) FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', 'numeric', count(*), count(*) - count(c_acctbal), count(DISTINCT c_acctbal) FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', 'categorical', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer
     """
     sqls["null_audit_orders"] = """
         SELECT 'o_custkey' AS "column", sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_count FROM orders

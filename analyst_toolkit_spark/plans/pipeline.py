@@ -227,3 +227,26 @@ def run_pipeline(spark: SparkSession, cfg: C.PipelineConfig, df: DataFrame | Non
     run.df = df
     run.health = calculate_health_score(metrics_from_history(run.history))
     return run
+
+
+def auto_heal(spark: SparkSession, df: DataFrame, run_id: str = "auto_heal") -> PipelineRun:
+    """Autonomous heal chain (reference mcp_server/tools/auto_heal.py:64-325):
+    infer configs for normalization + imputation, then run those two modules
+    over the inferred YAML. The inferred configs ride through the same config
+    plane a user-authored YAML would."""
+    import yaml as _yaml
+
+    from analyst_toolkit_spark.operators.infer import infer_configs
+
+    configs = infer_configs(df, modules=["normalization", "imputation"])
+    master = {
+        "run_id": run_id,
+        "modules": {
+            name: {"run": True, "config": _yaml.safe_load(configs[name])}
+            for name in ("normalization", "imputation")
+            if name in configs
+        },
+    }
+    run = run_pipeline(spark, C.pipeline_config(master), df)
+    run.reports["inferred_configs"] = configs
+    return run
