@@ -1,0 +1,90 @@
+"""Sources/sinks + session store tests (S6-S10)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from analyst_toolkit_spark.sources import io as M_io
+from analyst_toolkit_spark.state import SessionStore
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+
+
+def test_save_and_load_roundtrip(spark, small, tmp_path):
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / f"out_{fmt}")
+        M_io.save_output(small, path, fmt=fmt)
+        back = M_io.load_any(spark, path, fmt=fmt)
+        assert back.count() == 2
+        assert sorted(back.columns) == ["a", "b"]
+
+
+def test_checkpoint_breaks_lineage(spark, small, tmp_path):
+    ck = M_io.checkpoint(small, str(tmp_path / "ck.parquet"))
+    assert ck.count() == 2
+    # a checkpoint read plans as a fresh scan, not the original lineage
+    assert "Scan parquet" in ck._jdf.queryExecution().executedPlan().toString()
+
+
+def test_export_report_csv_and_html(small, tmp_path):
+    reports = {
+        "profile": small,
+        "summary": {"rows": 2, "status": "ok"},
+        "log": [{"action": "drop", "n": 1}],
+    }
+    written = M_io.export_report(reports, str(tmp_path / "rep"))
+    names = {os.path.basename(p) for p in written}
+    assert names == {"profile.csv", "summary.csv", "log.csv"}
+
+    html_path = M_io.export_html_report(reports, str(tmp_path / "rep.html"), title="QA <Run>")
+    text = open(html_path).read()
+    assert "QA &lt;Run&gt;" in text and "profile" in text and "<table" in text
+
+
+def test_session_store_basic(spark, small):
+    store = SessionStore(spark, max_entries=2, ttl_sec=3600)
+    store.save("s1", small, metadata={"source": "test"})
+    assert store.get("s1").count() == 2
+    # temp view registered for the SQL surface
+    assert spark.sql("SELECT count(*) AS n FROM session_s1").first()["n"] == 2
+    store.save_config("s1", "validation", "validation: {}")
+    assert store.get_config("s1", "validation") == "validation: {}"
+
+
+def test_session_store_lru_eviction(spark, small):
+    store = SessionStore(spark, max_entries=2, ttl_sec=3600)
+    store.save("a", small)
+    store.save("b", small)
+    store.get("a")  # refresh a -> b is LRU
+    store.save("c", small)
+    assert {s["session_id"] for s in store.list_sessions()} == {"a", "c"}
+    with pytest.raises(KeyError):
+        store.get("b")
+
+
+def test_session_store_ttl(spark, small):
+    store = SessionStore(spark, ttl_sec=0.0001)
+    store.save("old", small)
+    import time
+
+    time.sleep(0.01)
+    with pytest.raises(KeyError):
+        store.get("old")
+
+
+def test_session_store_persistence(spark, small, tmp_path):
+    store = SessionStore(spark, persist_dir=str(tmp_path))
+    store.save("dur", small)
+    # a fresh store (new session lifecycle) restores from parquet
+    store2 = SessionStore(spark, persist_dir=str(tmp_path))
+    assert store2.get("dur").count() == 2
+
+
+def test_invalid_session_id(spark, small):
+    store = SessionStore(spark)
+    with pytest.raises(ValueError):
+        store.save("../evil", small)
