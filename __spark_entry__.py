@@ -364,6 +364,20 @@ def q_pipeline_orders(spark, sf):  # NON-SQL (multi-module orchestration)
     )
 
 
+def q_histogram_price(spark, sf):
+    from analyst_toolkit_spark.operators import visuals as M_vis
+
+    out = M_vis.histogram(load_table(spark, sf, "lineitem"), "l_extendedprice", bins=30)
+    return out.withColumn("lo", F.round("lo", 6)).withColumn("hi", F.round("hi", 6))
+
+
+def q_boxplot_lineitem(spark, sf):
+    from analyst_toolkit_spark.operators import visuals as M_vis
+
+    out = M_vis.boxplot_stats(load_table(spark, sf, "lineitem"), ["l_quantity", "l_extendedprice"])
+    return _round(out, ["min", "q1", "median", "q3", "max", "lo_whisker", "hi_whisker"])
+
+
 def q_data_dictionary_customer(spark, sf):
     from analyst_toolkit_spark.operators import dictionary as M_dict
 
@@ -520,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_audit_orders": q_null_audit_orders,
         "pipeline_orders": q_pipeline_orders,
         "data_dictionary_customer": q_data_dictionary_customer,
+        "histogram_price": q_histogram_price,
+        "boxplot_lineitem": q_boxplot_lineitem,
         "text_stats_documents": q_text_stats_documents,
         "token_totals_documents": q_token_totals_documents,
         "exact_dup_docs": q_exact_dup_docs,
@@ -679,6 +695,38 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_daily"] = """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+    sqls["histogram_price"] = """
+        WITH mm AS (SELECT min(l_extendedprice) AS vlo, max(l_extendedprice) AS vhi,
+                           (max(l_extendedprice) - min(l_extendedprice)) / 30.0 AS w
+                    FROM lineitem),
+             c AS (SELECT least(CAST(floor((l_extendedprice - vlo) / w) AS INT), 29) AS bin,
+                          count(*) AS count
+                   FROM lineitem, mm WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+        SELECT g.i AS bin,
+               round(vlo + g.i * w, 6) AS lo,
+               round(vlo + (g.i + 1) * w, 6) AS hi,
+               coalesce(c.count, 0) AS count
+        FROM range(30) g(i) CROSS JOIN mm LEFT JOIN c ON c.bin = g.i
+    """
+    sqls["boxplot_lineitem"] = """
+        WITH ql AS (SELECT quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.5) AS med,
+                           quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem),
+             qe AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1, quantile_cont(l_extendedprice, 0.5) AS med,
+                           quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+        SELECT 'l_quantity' AS "column", round(min(l_quantity), 6) AS min, round(q1, 6) AS q1,
+               round(med, 6) AS median, round(q3, 6) AS q3, round(max(l_quantity), 6) AS max,
+               round(min(CASE WHEN l_quantity BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1) THEN l_quantity END), 6) AS lo_whisker,
+               round(max(CASE WHEN l_quantity BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1) THEN l_quantity END), 6) AS hi_whisker,
+               sum(CASE WHEN l_quantity < q1 - 1.5*(q3-q1) OR l_quantity > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS n_outliers
+        FROM lineitem, ql GROUP BY q1, med, q3
+        UNION ALL
+        SELECT 'l_extendedprice', round(min(l_extendedprice), 6), round(q1, 6), round(med, 6), round(q3, 6),
+               round(max(l_extendedprice), 6),
+               round(min(CASE WHEN l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1) THEN l_extendedprice END), 6),
+               round(max(CASE WHEN l_extendedprice BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1) THEN l_extendedprice END), 6),
+               sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1) OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END)
+        FROM lineitem, qe GROUP BY q1, med, q3
     """
     # semantic types are the F11 heuristic applied to the (static) customer
     # schema: *key ints -> integer, double -> numeric, 5-value segment ->
