@@ -323,6 +323,20 @@ def q_value_audit_orders(spark, sf):
     return M_diff.value_audit(b, a, "o_orderpriority")
 
 
+def q_events_sessions(spark, sf):
+    from analyst_toolkit_spark.streaming.sessions import sessionize
+
+    return sessionize(load_table(spark, sf, "events"), gap="30 minutes")
+
+
+def q_events_json_props(spark, sf):
+    df = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return df.groupBy((k % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
 def q_drift_orders(spark, sf):
     df = load_table(spark, sf, "orders")
     base = df.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
@@ -526,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_parts": q_topn_parts,
         "window_running_total": q_window_running_total,
         "events_daily": q_events_daily,
+        "events_sessions": q_events_sessions,
+        "events_json_props": q_events_json_props,
         "row_diff_orders": q_row_diff_orders,
         "change_summary_orders": q_change_summary_orders,
         "dropped_rows_orders": q_dropped_rows_orders,
@@ -788,6 +804,23 @@ def oracle_sql() -> dict[str, str]:
                coalesce(count_after, 0) AS count_after,
                coalesce(count_after, 0) - coalesce(count_before, 0) AS delta
         FROM b FULL OUTER JOIN a ON b.value = a.value
+    """
+    sqls["events_sessions"] = """
+        WITH o AS (SELECT user_id, ts, value,
+                          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_s
+                   FROM events),
+             s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid
+    """
+    sqls["events_json_props"] = """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+               count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1
     """
     sqls["drift_orders"] = """
         WITH lng AS (

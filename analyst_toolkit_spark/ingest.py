@@ -69,8 +69,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
-        # ns → µs truncation matches what µs-native engines (DuckDB) do
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # ns → µs truncation matches what µs-native engines (DuckDB) do.
+        # Integer `div`, NOT `/`: float division of epoch-nanos (≈1.7e18)
+        # exceeds double precision and rounds the microsecond.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return with_row_id(df) if row_id else df
 
 

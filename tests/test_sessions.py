@@ -1,0 +1,97 @@
+"""Sessionization + stateful streaming operator tests."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from analyst_toolkit_spark.streaming.sessions import dedup_stream, sessionize, stateful_running_stats
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions (gap > 30 min between #2 and #3)
+        Row(event_id=1, user_id=1, ts="2024-01-01 10:00:00", value=1.0),
+        Row(event_id=2, user_id=1, ts="2024-01-01 10:10:00", value=2.0),
+        Row(event_id=3, user_id=1, ts="2024-01-01 12:00:00", value=3.0),
+        # user 2: one session
+        Row(event_id=4, user_id=2, ts="2024-01-01 09:00:00", value=4.0),
+        Row(event_id=5, user_id=2, ts="2024-01-01 09:29:00", value=5.0),
+    ]
+    return spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_sessionize_batch(events):
+    out = sessionize(events, gap="30 minutes").orderBy("user_id", "session_start").collect()
+    assert [(r["user_id"], r["n_events"], r["session_value"]) for r in out] == [
+        (1, 2, 3.0), (1, 1, 3.0), (2, 2, 9.0),
+    ]
+    first = out[0]
+    assert str(first["session_start"]) == "2024-01-01 10:00:00"
+    # session_end = last event + gap (Spark session_window semantics)
+    assert str(first["session_end"]) == "2024-01-01 10:40:00"
+
+
+def _stage_stream(spark, df):
+    d = tempfile.mkdtemp(prefix="sess_src_")
+    df.write.mode("overwrite").parquet(d)
+    return d, spark.readStream.schema(df.schema).parquet(d)
+
+
+def _drain(stream_writer_df, mode="update"):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    q = (
+        stream_writer_df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def test_sessionize_stream_matches_batch(spark, events):
+    d, stream = _stage_stream(spark, events)
+    try:
+        # session-window streaming aggs only support append/complete modes
+        got = _drain(sessionize(stream, gap="30 minutes", watermark="1 hour"), mode="complete")
+        batch = sessionize(events, gap="30 minutes").collect()
+        key = lambda r: (r["user_id"], r["session_start"])
+        assert sorted(((r["user_id"], str(r["session_start"]), r["n_events"]) for r in got)) == sorted(
+            ((r["user_id"], str(r["session_start"]), r["n_events"]) for r in batch)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream(spark, events):
+    dup = events.union(events)  # every event twice
+    d, stream = _stage_stream(spark, dup)
+    try:
+        got = _drain(dedup_stream(stream, ["event_id"], watermark="1 hour"), mode="append")
+        assert sorted(r["event_id"] for r in got) == [1, 2, 3, 4, 5]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_running_stats(spark, events):
+    d, stream = _stage_stream(spark, events)
+    try:
+        got = _drain(stateful_running_stats(stream))
+        by_user = {r["user_id"]: r for r in got}  # last batch wins per key
+        assert by_user[1]["events_total"] == 3
+        assert by_user[1]["value_sum"] == pytest.approx(6.0)
+        assert by_user[1]["value_max"] == pytest.approx(3.0)
+        assert by_user[2]["events_total"] == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
