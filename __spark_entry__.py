@@ -498,6 +498,13 @@ def q_embedding_knn(spark, sf):
     return L_sim.knn_join(queries, corpus, k=3)
 
 
+def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
+    df = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = L_sim.ivf_build(df.filter(F.col("vec_id") != 0), nlist=8)
+    return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).drop("__ivf_cluster")
+
+
 def q_embedding_lsh_pairs(spark, sf):  # NON-SQL (seeded hyperplanes)
     df = load_table(spark, sf, "embeddings")
     dim = len(df.select("embedding").first()[0])
@@ -564,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 

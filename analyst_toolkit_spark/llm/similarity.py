@@ -128,6 +128,63 @@ def lsh_bucketed_pairs(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF (inverted-file) index: k-means coarse quantizer + cluster
+    assignment column.
+
+    Returns (df + ``__ivf_cluster``, centroid list). At scale: train on a
+    sample (``sample_fraction``), assignment is a map-only pass, and the
+    assigned table should be WRITTEN partitioned by cluster
+    (``.write.partitionBy('__ivf_cluster')``) so a probe reads only
+    nprobe/nlist of the data — that is the IVF win on 100 TB of vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = df.sample(False, sample_fraction, seed=seed) if sample_fraction else df
+    km = KMeans(k=nlist, seed=seed, featuresCol="__vec", predictionCol="__ivf_cluster")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("__vec")))
+    assigned = (
+        model.transform(df.withColumn("__vec", array_to_vector(F.col(vec_col).cast("array<double>"))))
+        .drop("__vec")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k through the IVF index: rank centroids against the query on
+    the driver (nlist dot products), then run exact cosine top-k over only the
+    ``nprobe`` nearest clusters. The cluster filter is a pushdown-able
+    predicate — on a cluster-partitioned layout it prunes whole partitions."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def _cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, query_vec)) / (cn * qn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i]))[:nprobe]
+    return cosine_topk(
+        assigned.filter(F.col("__ivf_cluster").isin(probes)), query_vec, k, vec_col, id_col
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

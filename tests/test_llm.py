@@ -139,3 +139,24 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(MM.DecoderUnavailable):
         MM.extract_image_meta(df, deterministic_fake=False)
+
+
+def test_ivf_topk_recall(spark, oracle_sf_dir):
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    df = load_table(spark, oracle_sf_dir, "embeddings")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    corpus = df.filter("vec_id != 0")
+
+    assigned, centroids = S.ivf_build(corpus, nlist=8)
+    assert len(centroids) == 8
+
+    exact = [r["vec_id"] for r in S.cosine_topk(corpus, qvec, k=10).collect()]
+    # all probes == exhaustive: must match brute force exactly
+    full = [r["vec_id"] for r in S.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).collect()]
+    assert full == exact
+    # partial probes: high recall on clustered data
+    approx = [r["vec_id"] for r in S.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).collect()]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.5
