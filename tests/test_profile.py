@@ -41,10 +41,14 @@ def test_profile_matches_pandas_semantics(spark):
     assert s["nulls"] == 1 and s["n_unique"] == 2 and s["mean"] is None
 
 
-def test_profile_is_single_pass(spark, sf_dir):
+def test_profile_scan_count(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem")
+    # exact mode: two scans — stats agg + distinct-count agg (kept apart so
+    # countDistinct's EXPAND rewrite never multiplies the percentile inputs)
     plan = profile(df, exact=True)._jdf.queryExecution().executedPlan().toString()
-    # one scan of the parquet source only
+    assert plan.count("Scan parquet") == 2
+    # approx mode (sketch aggregates, no EXPAND): single scan
+    plan = profile(df, exact=False)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
 
 
