@@ -476,6 +476,37 @@ def q_lang_detect_docs(spark, sf):  # NON-SQL (argmax over map aggregate)
     )
 
 
+def q_fuzzy_correction_customer(spark, sf):
+    # inject deterministic typos, then fuzzy-correct against the master list;
+    # a correct map restores the original distribution (oracle = plain counts)
+    df = load_table(spark, sf, "customer")
+    master = [r[0] for r in df.select("c_mktsegment").distinct().collect() if r[0]]
+    typod = df.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.lower("c_mktsegment"), F.lit("x"))).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    corrected, _map = M_norm.apply_fuzzy_correction(typod, "c_mktsegment", master, cutoff=80.0)
+    return corrected.groupBy(F.col("c_mktsegment").alias("seg")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_binary_stats_docs(spark, sf):
+    from analyst_toolkit_spark.llm import multimodal as L_mm
+
+    df = load_table(spark, sf, "documents").withColumn("content", F.encode("text", "UTF-8"))
+    out = L_mm.binary_stats(df, "content")
+    return out.groupBy("blob_format").agg(
+        F.count(F.lit(1)).alias("n_blobs"), F.sum("blob_bytes").alias("total_bytes")
+    )
+
+
+def q_dtype_composition_lineitem(spark, sf):
+    from analyst_toolkit_spark.operators import visuals as M_vis
+
+    return M_vis.dtype_composition(load_table(spark, sf, "lineitem"))
+
+
 def q_quality_docs(spark, sf):
     df = load_table(spark, sf, "documents")
     return df.agg(
@@ -568,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lang_detect_docs": q_lang_detect_docs,
         "quality_docs": q_quality_docs,
+        "fuzzy_correction_customer": q_fuzzy_correction_customer,
+        "binary_stats_docs": q_binary_stats_docs,
+        "dtype_composition_lineitem": q_dtype_composition_lineitem,
         "embedding_topk": q_embedding_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -877,6 +911,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5({_NORM_SQL.format(col="text")}) AS content_hash, count(*) AS cluster_size,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+    sqls["fuzzy_correction_customer"] = (
+        "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer GROUP BY 1"
+    )
+    sqls["binary_stats_docs"] = """
+        SELECT 'unknown' AS blob_format, count(*) AS n_blobs,
+               sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        FROM documents
+    """
+    # Spark dtypes of the (static) lineitem schema: 3 bigint, 1 int, 4 double,
+    # 2 string, 1 timestamp_ntz — parquet µs with isAdjustedToUTC=false reads
+    # as NTZ (driver-side schema fold, counts are literal)
+    sqls["dtype_composition_lineitem"] = """
+        SELECT 'bigint' AS dtype, 3 AS n_columns UNION ALL
+        SELECT 'double', 4 UNION ALL
+        SELECT 'int', 1 UNION ALL
+        SELECT 'string', 2 UNION ALL
+        SELECT 'timestamp_ntz', 1
     """
     sqls["quality_docs"] = _quality_docs_sql()
     sqls["embedding_topk"] = """

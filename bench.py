@@ -27,10 +27,19 @@ HEADLINE = [
     "impute_mode_customer",
     "normalize_text_customer",
     "datetime_parse_orders",
+    "row_diff_orders",
+    "value_audit_orders",
+    "null_audit_orders",
+    "data_dictionary_customer",
+    "histogram_price",
+    "boxplot_lineitem",
+    "pipeline_orders",
     "pricing_summary",
     "join_region_revenue",
     "window_running_total",
     "events_daily",
+    "events_sessions",
+    "events_json_props",
     "text_stats_documents",
     "exact_dup_docs",
     "fingerprint_dup_docs",
@@ -38,6 +47,7 @@ HEADLINE = [
     "quality_docs",
     "embedding_topk",
     "embedding_knn",
+    "embedding_ivf_topk",
 ]
 
 
