@@ -1,0 +1,98 @@
+"""Property-based parity tests (hypothesis): Spark operators vs pandas
+semantics on randomized small frames — the testing dimension the reference
+lacks (SURVEY §5). Few examples + fixed deadline=None keep Spark latency sane.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from analyst_toolkit_spark.functions.stats import kurtosis_g2, percentile_exact, skewness_g1
+from analyst_toolkit_spark.ingest import ROW_ID
+from analyst_toolkit_spark.operators import duplicates as M_dup
+from analyst_toolkit_spark.operators import impute as M_imp
+
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+floats = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32)
+opt_floats = st.one_of(st.none(), floats)
+
+
+# integer-valued floats: keeps moments out of the regime where pandas'
+# _zero_out_fperr guard (|m3| < 1e-14 → skew 0) diverges from exact math
+int_floats = st.integers(min_value=-1000, max_value=1000).map(float)
+
+
+@given(vals=st.lists(int_floats, min_size=4, max_size=40))
+@SET
+def test_stats_match_pandas(spark, vals):
+    s = pd.Series(vals, dtype="float64")
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    row = df.agg(
+        skewness_g1(F.col("v")).alias("skew"),
+        kurtosis_g2(F.col("v")).alias("kurt"),
+        percentile_exact(F.col("v"), [0.25, 0.5, 0.75]).alias("q"),
+        F.stddev_samp("v").alias("std"),
+    ).first()
+    if s.nunique() > 1:  # pandas returns 0-division artifacts on constant series
+        assert row["skew"] == pytest.approx(s.skew(), rel=1e-6, abs=1e-9)
+        assert row["kurt"] == pytest.approx(s.kurt(), rel=1e-6, abs=1e-9)
+    assert list(row["q"]) == pytest.approx(list(s.quantile([0.25, 0.5, 0.75])), rel=1e-9)
+    assert row["std"] == pytest.approx(s.std(), rel=1e-9)  # ddof=1
+
+
+@given(vals=st.lists(st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])), min_size=1, max_size=30))
+@SET
+def test_mode_matches_pandas(spark, vals):
+    s = pd.Series(vals, dtype="object")
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    _, fills = M_imp.impute(df, [M_imp.ImputeSpec("v", "mode")])
+    modes = s.mode(dropna=True)
+    if len(modes):
+        assert fills["v"] == modes.iloc[0]  # pandas tie-break: smallest value
+    else:
+        assert fills.get("v") is None
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=30),
+    keep=st.sampled_from(["first", "last", False]),
+)
+@SET
+def test_duplicated_matches_pandas(spark, keys, keep):
+    pdf = pd.DataFrame({"k": keys})
+    df = spark.createDataFrame([(i, int(k)) for i, k in enumerate(keys)], f"{ROW_ID} long, k long")
+    flags = (
+        M_dup.flag_duplicates(df, ["k"], keep=keep)
+        .orderBy(ROW_ID)
+        .select("is_duplicate")
+        .collect()
+    )
+    expected = pdf["k"].duplicated(keep=keep).tolist()
+    assert [r[0] for r in flags] == expected
+
+
+@given(vals=st.lists(opt_floats, min_size=1, max_size=30))
+@SET
+def test_impute_mean_matches_pandas(spark, vals):
+    s = pd.Series(vals, dtype="float64")
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out, fills = M_imp.impute(df, [M_imp.ImputeSpec("v", "mean")])
+    expected = s.fillna(s.mean())
+    got = sorted((r[0] for r in out.select("v").collect()), key=lambda x: (x is None, x))
+    exp = sorted(
+        (None if (isinstance(v, float) and math.isnan(v)) else v for v in expected),
+        key=lambda x: (x is None, x),
+    )
+    if s.notna().any():
+        assert got == pytest.approx(exp, rel=1e-9)
+    else:
+        assert all(v is None for v in got)  # nothing to fill from
