@@ -119,9 +119,20 @@ def export_html_report(reports: dict[str, Any], path: str, title: str = "Report"
 def load_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Scheme- and format-dispatching reader (S1-S4): local or cloud URI,
     csv/parquet/json by extension unless forced."""
-    fmt = fmt or (
-        "csv" if path.endswith(".csv") else "json" if path.endswith(".json") else "parquet"
-    )
+    if fmt is None:
+        if path.endswith(".csv"):
+            fmt = "csv"
+        elif path.endswith(".json"):
+            fmt = "json"
+        elif path.endswith(".parquet") or path.endswith(".orc"):
+            fmt = "parquet"
+        elif os.path.isdir(path):
+            # distributed writers emit extension-less directories: sniff the
+            # part files
+            exts = {os.path.splitext(f)[1] for f in os.listdir(path) if f.startswith("part-")}
+            fmt = "csv" if ".csv" in exts else "json" if ".json" in exts else "parquet"
+        else:
+            fmt = "parquet"
     if fmt == "csv":
         return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt == "json":

@@ -1,0 +1,200 @@
+"""Tool facade — the reference's MCP tool surface, Spark-backed.
+
+The reference exposes each module as a JSON-RPC tool with in-memory session
+state and a JSON-lines run-history ledger (mcp_server/registry.py,
+mcp_server/tools/*, io.py append_to_run_history). The RPC/HTTP plumbing is
+control-plane and engine-agnostic; what this module provides is the same
+tool-call contract — ``call(name, session_id=..., config=...) → result dict``
+— over the SessionStore + operator layer, so any server (FastAPI, MCP, a
+notebook) can mount it.
+
+Every call: resolve input (session or path) → run the module → upsert the
+session → append a ledger record → return {status, module, summary,
+next_actions}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession
+
+from analyst_toolkit_spark import ingest
+from analyst_toolkit_spark.functions.scoring import calculate_health_score, metrics_from_history
+from analyst_toolkit_spark.operators import dictionary as M_dict
+from analyst_toolkit_spark.operators import drift as M_drift
+from analyst_toolkit_spark.operators import profile as M_prof
+from analyst_toolkit_spark.plans import config as C
+from analyst_toolkit_spark.plans.pipeline import auto_heal, run_pipeline
+from analyst_toolkit_spark.sources import io as S_io
+from analyst_toolkit_spark.state import SessionStore
+
+_MODULE_TOOLS = (
+    "diagnostics",
+    "validation",
+    "normalization",
+    "duplicates",
+    "outlier_detection",
+    "outlier_handling",
+    "imputation",
+    "final_audit",
+)
+
+
+class Toolkit:
+    """One engine instance: SparkSession + SessionStore + ledger path."""
+
+    def __init__(self, spark: SparkSession, ledger_path: str | None = None, **store_kwargs: Any):
+        self.spark = spark
+        self.store = SessionStore(spark, **store_kwargs)
+        self.ledger_path = ledger_path
+        self._history: list[dict] = []
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _resolve_input(self, session_id: str | None, input_path: str | None, df: DataFrame | None) -> DataFrame:
+        if df is not None:
+            return df
+        if session_id is not None:
+            try:
+                return self.store.get(session_id)
+            except KeyError:
+                if input_path is None:
+                    raise
+        if input_path is None:
+            raise ValueError("provide df, session_id, or input_path")
+        return S_io.load_any(self.spark, input_path)
+
+    def _record(self, module: str, status: str, summary: dict) -> None:
+        entry = {"ts": time.time(), "module": module, "status": status, "summary": summary}
+        self._history.append(entry)
+        if self.ledger_path:
+            os.makedirs(os.path.dirname(self.ledger_path) or ".", exist_ok=True)
+            with open(self.ledger_path, "a") as fh:
+                fh.write(json.dumps(entry, default=str) + "\n")
+
+    @staticmethod
+    def _coerce_config(config: Any) -> dict:
+        """Agent failure-mode tolerance (reference io.py:73-124): accept dict,
+        YAML string, or double-wrapped {'config': ...}."""
+        if config is None:
+            return {}
+        if isinstance(config, str):
+            config = yaml.safe_load(config) or {}
+        if isinstance(config, dict) and set(config) == {"config"}:
+            return Toolkit._coerce_config(config["config"])
+        return config if isinstance(config, dict) else {}
+
+    # -- tools --------------------------------------------------------------
+
+    def call(self, name: str, **kwargs: Any) -> dict:
+        fn: Callable | None = getattr(self, f"tool_{name}", None)
+        if fn is None and name in _MODULE_TOOLS:
+            return self._module_tool(name, **kwargs)
+        if fn is None:
+            raise KeyError(f"unknown tool {name!r}; available: {self.list_tools()}")
+        return fn(**kwargs)
+
+    def list_tools(self) -> list[str]:
+        extra = [m[5:] for m in dir(self) if m.startswith("tool_")]
+        return sorted(set(_MODULE_TOOLS) | set(extra))
+
+    def _module_tool(
+        self,
+        module: str,
+        session_id: str | None = None,
+        input_path: str | None = None,
+        df: DataFrame | None = None,
+        config: Any = None,
+        run_id: str = "tool",
+    ) -> dict:
+        src = self._resolve_input(session_id, input_path, df)
+        master = {
+            "run_id": run_id,
+            "modules": {module: {"run": True, "config": self._coerce_config(config)}},
+        }
+        if module == "outlier_handling":
+            # the M05→M06 edge: handling alone implies detection first with
+            # defaults so the flags exist (reference requires the results file)
+            master["modules"] = {
+                "outlier_detection": {
+                    "run": True,
+                    "config": {"outlier_detection": {"detection_specs": {"__default__": {"method": "iqr"}}}},
+                },
+                "outlier_handling": {"run": True, "config": self._coerce_config(config)},
+            }
+        run = run_pipeline(self.spark, C.pipeline_config(master), src)
+        if session_id is not None:
+            self.store.save(session_id, run.df)
+        for h in run.history:
+            self._record(h["module"], h["status"], h["summary"])
+        last = run.history[-1] if run.history else {"status": "completed", "summary": {}}
+        return {
+            "status": "pass" if last["status"] == "completed" else "fail",
+            "module": module,
+            "session_id": session_id,
+            "summary": last["summary"],
+            "reports": {k: v for k, v in run.reports.items()},
+        }
+
+    def tool_infer_configs(self, session_id=None, input_path=None, df=None, modules=None, **kw) -> dict:
+        from analyst_toolkit_spark.operators.infer import infer_configs
+
+        src = self._resolve_input(session_id, input_path, df)
+        configs = infer_configs(src, modules=modules, **kw)
+        if session_id is not None:
+            for mod, cfg in configs.items():
+                try:
+                    self.store.save_config(session_id, mod, cfg)
+                except KeyError:
+                    pass
+        self._record("infer_configs", "completed", {"modules": sorted(configs)})
+        return {"status": "pass", "module": "infer_configs", "configs": configs}
+
+    def tool_auto_heal(self, session_id=None, input_path=None, df=None, run_id="auto_heal") -> dict:
+        src = self._resolve_input(session_id, input_path, df)
+        run = auto_heal(self.spark, src, run_id=run_id)
+        if session_id is not None:
+            self.store.save(session_id, run.df)
+        for h in run.history:
+            self._record(h["module"], h["status"], h["summary"])
+        return {
+            "status": "pass",
+            "module": "auto_heal",
+            "health": run.health,
+            "inferred_configs": run.reports.get("inferred_configs", {}),
+        }
+
+    def tool_drift_detection(self, base_df=None, target_df=None, threshold: float = 0.1, **kw) -> dict:
+        if base_df is None or target_df is None:
+            raise ValueError("drift_detection needs base_df and target_df")
+        schema = M_drift.schema_drift(base_df, target_df)
+        numeric = [r.asDict() for r in M_drift.numeric_drift(base_df, target_df, threshold).collect()]
+        self._record("drift_detection", "completed", {"drifted": sum(1 for r in numeric if r["drifted"])})
+        return {"status": "pass", "module": "drift_detection", "schema": schema, "numeric": numeric}
+
+    def tool_data_dictionary(self, session_id=None, input_path=None, df=None, **kw) -> dict:
+        src = self._resolve_input(session_id, input_path, df)
+        rows = [r.asDict() for r in M_dict.data_dictionary(src, **kw).collect()]
+        self._record("data_dictionary", "completed", {"columns": len(rows)})
+        return {"status": "pass", "module": "data_dictionary", "columns": rows}
+
+    def tool_data_health(self, **kw) -> dict:
+        score = calculate_health_score(metrics_from_history(self._history))
+        return {"status": "pass", "module": "data_health", **score}
+
+    def tool_run_history(self, limit: int = 50, **kw) -> dict:
+        return {"status": "pass", "module": "run_history", "ledger": self._history[-limit:]}
+
+    def tool_load_session(self, session_id: str, input_path: str, fmt: str | None = None, **kw) -> dict:
+        df = S_io.load_any(self.spark, input_path, fmt=fmt)
+        df = ingest.with_row_id(df)
+        self.store.save(session_id, df, metadata={"source": input_path})
+        n = df.count()
+        self._record("load_session", "completed", {"session_id": session_id, "rows": n})
+        return {"status": "pass", "module": "load_session", "session_id": session_id, "rows": n}

@@ -1,0 +1,85 @@
+"""Tool facade tests — the MCP-tool-call contract over SessionStore."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from analyst_toolkit_spark.tools import Toolkit
+
+
+@pytest.fixture()
+def toolkit(spark, tmp_path):
+    return Toolkit(spark, ledger_path=str(tmp_path / "ledger.jsonl"))
+
+
+@pytest.fixture()
+def csv_path(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(id=i, seg=["A", "B"][i % 2], bal=float(i) if i % 5 else None) for i in range(20)]
+    )
+    p = str(tmp_path / "input_csv")
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(p)
+    return p
+
+
+def test_load_and_module_chain(toolkit, csv_path):
+    res = toolkit.call("load_session", session_id="s1", input_path=csv_path)
+    assert res["status"] == "pass" and res["rows"] == 20
+
+    res = toolkit.call("diagnostics", session_id="s1")
+    assert res["status"] == "pass"
+    assert res["summary"]["row_count"] == 20
+
+    res = toolkit.call(
+        "validation",
+        session_id="s1",
+        config={"validation": {"schema_validation": {"rules": {"categorical_values": {"seg": ["A", "B"]}}}}},
+    )
+    assert res["status"] == "pass" and res["summary"]["passed"]
+
+    res = toolkit.call("imputation", session_id="s1", config="imputation:\n  rules:\n    strategies:\n      bal: mean\n")
+    assert res["status"] == "pass"
+    healed = toolkit.store.get("s1")
+    assert healed.filter("bal IS NULL").count() == 0
+
+
+def test_yaml_and_double_wrapped_config(toolkit):
+    assert toolkit._coerce_config("a: 1") == {"a": 1}
+    assert toolkit._coerce_config({"config": {"a": 1}}) == {"a": 1}
+    assert toolkit._coerce_config({"config": "a: 1"}) == {"a": 1}
+    assert toolkit._coerce_config(None) == {}
+
+
+def test_infer_auto_heal_health(toolkit, csv_path):
+    toolkit.call("load_session", session_id="s2", input_path=csv_path)
+    res = toolkit.call("infer_configs", session_id="s2")
+    assert "validation" in res["configs"]
+    assert toolkit.store.get_config("s2", "validation")
+
+    res = toolkit.call("auto_heal", session_id="s2")
+    assert res["status"] == "pass" and "overall_score" in res["health"]
+
+    health = toolkit.call("data_health")
+    assert 0 <= health["overall_score"] <= 100
+
+    hist = toolkit.call("run_history")
+    assert any(e["module"] == "infer_configs" for e in hist["ledger"])
+
+
+def test_drift_tool(toolkit, spark):
+    base = spark.createDataFrame([Row(x=float(i)) for i in range(50)])
+    target = spark.createDataFrame([Row(x=float(i * 3)) for i in range(50)])
+    res = toolkit.call("drift_detection", base_df=base, target_df=target)
+    assert res["numeric"][0]["drifted"]
+
+
+def test_ledger_file_written(toolkit, csv_path, tmp_path):
+    toolkit.call("load_session", session_id="s3", input_path=csv_path)
+    lines = [json.loads(l) for l in open(toolkit.ledger_path)]
+    assert lines and lines[-1]["module"] == "load_session"
+
+
+def test_unknown_tool(toolkit):
+    with pytest.raises(KeyError, match="unknown tool"):
+        toolkit.call("nope")
