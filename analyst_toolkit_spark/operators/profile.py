@@ -131,6 +131,19 @@ def profile(
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def table_stats(df: DataFrame) -> dict:
+    """A21/A22 analogue: shape + size. pandas ``memory_usage(deep=True)`` has
+    no distributed equivalent; report the optimizer's size estimate
+    (``sizeInBytes`` from the logical plan — parquet footer/catalog stats, no
+    scan) plus rows × cols from one count."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return {
+        "rows": df.count(),
+        "columns": len(df.columns),
+        "estimated_bytes": size,
+    }
+
+
 def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Count of duplicated rows, pandas ``duplicated(keep=False).sum()`` parity
     (reference data_diag.py:94, m04_duplicates/detect_dupes.py:32): every member
