@@ -51,13 +51,16 @@ def semantic_type(name: str, dtype: str, n_nonnull: int, n_unique: int) -> str:
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None) -> list[dict]:
-    """Per-column count / nulls / distinct in ONE agg pass."""
+    """Per-column count / nulls / distinct. Null counts in one agg; distinct
+    counts in a second (keeping count_distinct separate avoids Catalyst's
+    EXPAND row-multiplication hitting the other aggregates — see
+    operators/profile.py)."""
     cols = columns or [c for c in df.columns if c != ROW_ID]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls::{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"uniq::{c}"))
-    row = df.agg(*aggs).first()
+    dist_aggs = [F.count_distinct(F.col(c)).alias(f"uniq::{c}") for c in cols]
+    row = df.agg(*aggs).crossJoin(df.agg(*dist_aggs)).first()
     n = row["__n"]
     dtypes = dict(df.dtypes)
     out = []

@@ -102,7 +102,8 @@ def null_audit(df: DataFrame, disallowed_columns: list[str]) -> DataFrame:
     cols = [c for c in disallowed_columns if c in df.columns]
     if not cols:
         return df.sparkSession.createDataFrame([], "column string, null_count long")
-    wide = df.agg(*[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols])
+    # coalesce: sum over an EMPTY frame is null, not 0
+    wide = df.agg(*[F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c) for c in cols])
     structs = [
         F.struct(F.lit(c).alias("column"), F.col(c).cast("long").alias("null_count")) for c in cols
     ]

@@ -95,9 +95,10 @@ def validation_summary(df: DataFrame, cfg: ValidationConfig) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__rows")]
     any_pred = F.lit(False)
     for name, p in preds.items():
-        aggs.append(F.sum(p.cast("long")).alias(f"v::{name}"))
+        # coalesce: sum over an EMPTY frame is null, not 0
+        aggs.append(F.coalesce(F.sum(p.cast("long")), F.lit(0)).alias(f"v::{name}"))
         any_pred = any_pred | F.coalesce(p, F.lit(False))
-    aggs.append(F.sum(any_pred.cast("long")).alias("__any"))
+    aggs.append(F.coalesce(F.sum(any_pred.cast("long")), F.lit(0)).alias("__any"))
     wide = df.agg(*aggs)
     structs = [
         F.struct(
