@@ -529,6 +529,11 @@ def q_embedding_knn(spark, sf):
     return L_sim.knn_join(queries, corpus, k=3)
 
 
+def q_embedding_near_dup(spark, sf):
+    df = load_table(spark, sf, "embeddings")
+    return L_sim.cosine_pairs(df, threshold=0.9)
+
+
 def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
     df = load_table(spark, sf, "embeddings")
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -606,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -962,6 +968,19 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """
+    sqls["embedding_near_dup"] = """
+        WITH v AS (SELECT vec_id, embedding,
+                          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (a.n * b.n), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (a.n * b.n), 6) >= 0.9
     """
     return sqls
 
