@@ -67,12 +67,15 @@ def validation_config(cfg: dict) -> tuple[ValidationConfig, bool]:
         root = _root(cfg, "certification")
     sv = root.get("schema_validation", root) or {}
     rules = sv.get("rules", sv) or {}
+    # golden-template shorthand (reference config_normalizers.py:302-340 /
+    # golden_templates/*.yaml): rules.range_checks ≡ numeric_ranges
+    numeric_ranges = dict(rules.get("numeric_ranges") or rules.get("range_checks") or {})
     return (
         ValidationConfig(
             expected_columns=list(rules.get("expected_columns") or []),
             expected_types={c: to_spark_type(t) for c, t in (rules.get("expected_types") or {}).items()},
             categorical_values=dict(rules.get("categorical_values") or {}),
-            numeric_ranges=dict(rules.get("numeric_ranges") or {}),
+            numeric_ranges=numeric_ranges,
             non_null_columns=list(rules.get("disallowed_null_columns") or []),
         ),
         bool(sv.get("fail_on_error", False)),
@@ -125,7 +128,26 @@ def outlier_specs(cfg: dict, numeric_cols: list[str]) -> list[OutlierSpec]:
     all numeric columns minus exclude_columns
     (config/outlier_config_template.yaml:23-41)."""
     root = _root(cfg, "outlier_detection")
-    det = root.get("detection_specs", root.get("specs", {})) or {}
+    if "outlier_detection" not in cfg and "outliers" in cfg:
+        root = _root(cfg, "outliers")
+    det = dict(root.get("detection_specs", root.get("specs", {})) or {})
+    # golden-template shorthand (config_normalizers.py:302-340):
+    # {method, iqr_multiplier|zscore_threshold, columns} → per-column specs
+    # (canonical per-column entries win), or __default__ when no columns given
+    method = root.get("method")
+    if isinstance(method, str) and method in ("iqr", "zscore"):
+        spec: dict = {"method": method}
+        if method == "iqr" and isinstance(root.get("iqr_multiplier"), (int, float)):
+            spec["iqr_multiplier"] = float(root["iqr_multiplier"])
+        if method == "zscore" and isinstance(root.get("zscore_threshold"), (int, float)):
+            spec["zscore_threshold"] = float(root["zscore_threshold"])
+        columns = root.get("columns")
+        if isinstance(columns, list) and columns:
+            for col in columns:
+                if isinstance(col, str) and col.strip():
+                    det[col.strip()] = {**spec, **(det.get(col.strip()) or {})}
+        elif "__default__" not in det:
+            det["__default__"] = spec
     exclude = set(root.get("exclude_columns") or [])
     default = det.get("__default__")
     specs: list[OutlierSpec] = []
