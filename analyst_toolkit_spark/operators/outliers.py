@@ -94,6 +94,35 @@ def detect_outliers(df: DataFrame, specs: list[OutlierSpec], exact: bool = True)
     return out, results
 
 
+def handle_outliers_per_column(
+    df: DataFrame,
+    detection_results: dict,
+    strategies: dict[str, dict],
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column handling strategies (reference handling_specs contract,
+    config/handling_config_template.yaml:24-40): ``strategies[col] =
+    {"strategy": ..., "fill_value": ...}`` with ``__default__``/``__global__``
+    fallbacks; ``none`` leaves values untouched.
+
+    Columns are grouped by (strategy, fill_value) so each replacement batch
+    shares one statistics pass — total scans stay O(strategies), not O(columns).
+    """
+    default = strategies.get("__default__", strategies.get("__global__", {"strategy": "none"}))
+    by_group: dict[tuple, dict] = {}
+    out = df
+    for col, info in detection_results.items():
+        s = strategies.get(col, default) or {}
+        strategy = s.get("strategy", "none")
+        if strategy in ("none", None):
+            out = out.drop(info["flag_col"])
+            continue
+        by_group.setdefault((strategy, s.get("fill_value")), {})[col] = info
+    for (strategy, fill_value), group in by_group.items():
+        out = handle_outliers(out, group, strategy, constant=fill_value, exact=exact)
+    return out
+
+
 def handle_outliers(
     df: DataFrame,
     detection_results: dict,

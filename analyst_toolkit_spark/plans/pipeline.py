@@ -191,22 +191,11 @@ def run_pipeline(spark: SparkSession, cfg: C.PipelineConfig, df: DataFrame | Non
     if cfg.enabled("outlier_handling") and detection_results:
         specs = C.handling_specs(cfg.module_config("outlier_handling"))
         default = specs.get("__default__", specs.get("__global__", {"strategy": "none"}))
-        by_group: dict[tuple, dict] = {}
-        for col, info in detection_results.items():
-            s = specs.get(col, default)
-            strategy = s.get("strategy", "none")
-            if strategy in ("none", None):
-                df = df.drop(info["flag_col"])
-                continue
-            key = (strategy, s.get("fill_value"))
-            by_group.setdefault(key, {})[col] = info
-        applied = {}
-        for (strategy, fill_value), group in by_group.items():
-            if strategy == "drop":
-                df = M_out.handle_outliers(df, group, "drop")
-            else:
-                df = M_out.handle_outliers(df, group, strategy, constant=fill_value)
-            applied.update({c: strategy for c in group})
+        applied = {
+            col: (specs.get(col, default) or {}).get("strategy", "none")
+            for col in detection_results
+        }
+        df = M_out.handle_outliers_per_column(df, detection_results, specs)
         df = _checkpoint(df, cfg, cfg.run_id, "outlier_handling")
         _record(run, "outlier_handling", {"strategies": applied})
 
