@@ -323,6 +323,15 @@ def q_value_audit_orders(spark, sf):
     return M_diff.value_audit(b, a, "o_orderpriority")
 
 
+def q_events_tumbling(spark, sf):
+    df = load_table(spark, sf, "events")
+    return (
+        df.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
 def q_events_sessions(spark, sf):
     from analyst_toolkit_spark.streaming.sessions import sessionize
 
@@ -583,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_parts": q_topn_parts,
         "window_running_total": q_window_running_total,
         "events_daily": q_events_daily,
+        "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "row_diff_orders": q_row_diff_orders,
@@ -852,6 +862,11 @@ def oracle_sql() -> dict[str, str]:
                coalesce(count_after, 0) AS count_after,
                coalesce(count_after, 0) - coalesce(count_before, 0) AS delta
         FROM b FULL OUTER JOIN a ON b.value = a.value
+    """
+    sqls["events_tumbling"] = """
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
     """
     sqls["events_sessions"] = """
         WITH o AS (SELECT user_id, ts, value,
