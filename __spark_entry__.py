@@ -242,6 +242,20 @@ def q_pricing_summary(spark, sf):
     )
 
 
+def q_forecast_revenue_change(spark, sf):
+    # Q6-style: pure filter+agg — every predicate reaches the parquet scan
+    df = load_table(spark, sf, "lineitem")
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
 def q_join_region_revenue(spark, sf):
     # multi-join: orders ⋈ customer ⋈ nation ⋈ region; dims broadcast
     o = load_table(spark, sf, "orders")
@@ -588,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_parse_orders": q_datetime_parse_orders,
         "coerce_numeric_orders": q_coerce_numeric_orders,
         "pricing_summary": q_pricing_summary,
+        "forecast_revenue_change": q_forecast_revenue_change,
         "join_region_revenue": q_join_region_revenue,
         "topn_parts": q_topn_parts,
         "window_running_total": q_window_running_total,
@@ -747,6 +762,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+    sqls["forecast_revenue_change"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """
     sqls["join_region_revenue"] = """
         SELECT r_name AS region, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
