@@ -176,21 +176,38 @@ def jaccard_verify(
     return out
 
 
-def minhash_dedup_pairs(df: DataFrame, key: str = "text", id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
+def minhash_dedup_pairs(
+    df: DataFrame, key: str = "text", id_col: str = "doc_id", threshold: float = 0.8, eager: bool = True
+) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
     The input is repartitioned to full parallelism first: document corpora
     often arrive as few large files, and a compute-heavy map stage must not
     inherit the file-count partitioning (1 file → 1 task → 1 busy core).
     Shingle arrays are never materialized corpus-wide (caching or shuffling
-    array<string> columns costs more than the codegen'd recompute): the
-    signature pass consumes them inline in one stage, and the verify pass
-    recomputes them only for candidate documents. Only the tiny candidate-pair
-    frame is cached (it feeds the id-collection and the verify join)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    array<string> columns costs more than the recompute): the signature pass
+    consumes them inline in one stage, and the verify pass recomputes them
+    only for candidate documents. Only the tiny candidate-pair frame is cached.
+
+    ``eager=True`` materializes the (small) result under
+    ``spark.sql.codegen.wholeStage=false``: these higher-order-function
+    expressions are interpreted either way, so whole-stage codegen only adds
+    Janino compile time around them (measured 2× wall on a one-shot run and
+    2× again on repeats)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
     cands = minhash_candidates(src, key, id_col).cache()
-    return jaccard_verify(src, cands, key, id_col, threshold=threshold)
+    out = jaccard_verify(src, cands, key, id_col, threshold=threshold)
+    if not eager:
+        return out
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+        cands.unpersist()
 
 
 def ngram_jaccard_pairs(
