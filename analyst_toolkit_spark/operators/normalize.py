@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import difflib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SQL_NULL_SENTINEL = "null"
@@ -100,6 +100,54 @@ def apply_fuzzy_correction(df: DataFrame, column: str, master: list[str], cutoff
     """Build + apply the correction map. Returns (df, corrections)."""
     corrections = build_fuzzy_map(df, column, master, cutoff)
     return remap_values(df, column, corrections) if corrections else df, corrections
+
+
+def fuzzy_correction_map_distributed(
+    df: DataFrame, column: str, master: list[str], cutoff: float = 80.0
+) -> DataFrame:
+    """F3's 100 TB path: the correction map as a DataFrame, built fully
+    in-plan — distinct values × (tiny, broadcast) master list scored with
+    normalized Levenshtein similarity; best master ≥ cutoff wins. No driver
+    collect of the distinct values (they may be millions at scale).
+
+    Scorer note: ``100·(1 − lev/max_len)`` is a public-domain similarity that
+    serves the same ≥-cutoff canonicalization contract as the reference's
+    WRatio (normalize_data.py:93); cutoffs tuned per scorer.
+
+    Output: value, corrected (one row per distinct out-of-list value that has
+    a qualifying match) — apply with ``apply_fuzzy_correction_distributed``.
+    """
+    spark = df.sparkSession
+    master_df = spark.createDataFrame([(m,) for m in master], "master string")
+    distinct = (
+        df.select(F.col(column).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .join(F.broadcast(master_df), F.col("value") == F.col("master"), "left_anti")
+    )
+    lv = F.levenshtein(F.lower("value"), F.lower("master")).cast("double")
+    max_len = F.greatest(F.length("value"), F.length("master")).cast("double")
+    score = (F.lit(100.0) * (F.lit(1.0) - lv / F.greatest(max_len, F.lit(1.0)))).alias("score")
+    scored = distinct.crossJoin(F.broadcast(master_df)).select("value", "master", score)
+    w = Window.partitionBy("value").orderBy(F.desc("score"), F.asc("master"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") >= F.lit(cutoff)))
+        .select("value", F.col("master").alias("corrected"))
+    )
+
+
+def apply_fuzzy_correction_distributed(
+    df: DataFrame, column: str, master: list[str], cutoff: float = 80.0
+) -> DataFrame:
+    """Apply the distributed correction map via a broadcast left join —
+    correction maps too large for a CASE WHEN chain stay on the cluster."""
+    cmap = fuzzy_correction_map_distributed(df, column, master, cutoff)
+    return (
+        df.join(F.broadcast(cmap), df[column] == cmap["value"], "left")
+        .withColumn(column, F.coalesce(F.col("corrected"), F.col(column)))
+        .drop("value", "corrected")
+    )
 
 
 def parse_datetime(

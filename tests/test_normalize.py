@@ -102,3 +102,34 @@ def test_datetime_parse_oracle(spark, oracle_sf_dir, con):
       FROM orders GROUP BY 1
     """
     compare(out, con, sql, "dt_parse")
+
+
+def test_fuzzy_distributed_matches_contract(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.operators.normalize import (
+        apply_fuzzy_correction_distributed,
+        fuzzy_correction_map_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=x) for x in ["Adelie", "Adeliee", "Gentoo", "gentooo", "Chinstrap", "zzzz", None]]
+    )
+    master = ["Adelie", "Gentoo", "Chinstrap"]
+    cmap = {r["value"]: r["corrected"] for r in fuzzy_correction_map_distributed(df, "v", master, 80).collect()}
+    assert cmap == {"Adeliee": "Adelie", "gentooo": "Gentoo"}  # zzzz below cutoff
+
+    out = apply_fuzzy_correction_distributed(df, "v", master, 80)
+    vals = sorted((r["v"] for r in out.collect()), key=lambda x: (x is None, str(x)))
+    assert vals == ["Adelie", "Adelie", "Chinstrap", "Gentoo", "Gentoo", "zzzz", None]
+
+
+def test_fuzzy_distributed_no_driver_collect_of_values(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.operators.normalize import fuzzy_correction_map_distributed
+
+    df = spark.createDataFrame([Row(v=f"val{i}") for i in range(100)])
+    plan = fuzzy_correction_map_distributed(df, "v", ["value1"])._jdf.queryExecution().executedPlan().toString()
+    # whole map builds in-plan: broadcast joins, no local (driver) relation of df values
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
