@@ -88,3 +88,21 @@ def test_invalid_session_id(spark, small):
     store = SessionStore(spark)
     with pytest.raises(ValueError):
         store.save("../evil", small)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.ingest import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    M_io.save_output(df, path, partition_by=["o_year"])
+
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the year predicate resolves against directory partitions, not data
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert back.count() == df.filter("o_year = 1995").count()
