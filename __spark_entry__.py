@@ -346,6 +346,16 @@ def q_events_tumbling(spark, sf):
     )
 
 
+def q_events_hopping(spark, sf):
+    # sliding window: every event lands in window_size/slide = 2 windows
+    df = load_table(spark, sf, "events")
+    return (
+        df.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
 def q_events_sessions(spark, sf):
     from analyst_toolkit_spark.streaming.sessions import sessionize
 
@@ -608,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_total": q_window_running_total,
         "events_daily": q_events_daily,
         "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "row_diff_orders": q_row_diff_orders,
@@ -888,6 +899,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total
         FROM events GROUP BY 1, 2
+    """
+    sqls["events_hopping"] = """
+        WITH assigned AS (
+          SELECT time_bucket(INTERVAL '12 hours', ts) AS window_start, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '12 hours', ts - INTERVAL '6 hours') + INTERVAL '6 hours', value
+          FROM events)
+        SELECT window_start, count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM assigned GROUP BY 1
     """
     sqls["events_sessions"] = """
         WITH o AS (SELECT user_id, ts, value,
