@@ -40,11 +40,14 @@ class DecoderUnavailable(NotImplementedError):
 
 def _decode_image_impl(content: bytes) -> tuple[int, int]:
     """STUB: real implementation would use PIL/turbojpeg. Deterministic fake:
-    derives (width, height) from the content hash so tests exercise the full
-    Arrow pipeline without a codec."""
+    derives (width, height) from a crc32 of the content — crc32, NOT Python
+    ``hash()``, which is salted per process and would differ between executors
+    — so tests exercise the full Arrow pipeline without a codec."""
+    import zlib
+
     if content is None:
         raise DecoderUnavailable("no content")
-    h = hash(bytes(content)) & 0xFFFFFFFF
+    h = zlib.crc32(bytes(content)) & 0xFFFFFFFF
     return (h % 1920) + 1, (h // 1920 % 1080) + 1
 
 
@@ -83,6 +86,58 @@ def frame_sample_plan(df: DataFrame, ts_col: str = "ts", every_n_seconds: int = 
     duration = F.coalesce(F.col("duration_s"), F.lit(0))
     sample_ts = F.sequence(F.lit(0), duration.cast("int"), F.lit(every_n_seconds))
     return df.withColumn("sample_ts", F.explode(sample_ts))
+
+
+def resize_images(df: DataFrame, blob_col: str = "content", max_side: int = 512) -> DataFrame:
+    """Resize seam (stub): in production the mapper re-encodes each blob with
+    a codec; here the plumbing is real — Arrow batches in, binary column out,
+    target size as typed metadata — and the pixel work raises through the
+    marked seam."""
+
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resized_max_side", T.IntegerType(), False),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            # STUB: passthrough bytes; a real impl decodes→resizes→re-encodes
+            pdf["resized"] = pdf[blob_col]
+            pdf["resized_max_side"] = max_side
+            yield pdf
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+def extract_audio_features(df: DataFrame, blob_col: str = "content", deterministic_fake: bool = True) -> DataFrame:
+    """Audio feature seam (stub): duration + RMS-energy columns from a
+    deterministic crc32 fake (librosa/ffmpeg not installed here); the
+    mapInPandas batch shape and output schema are the production contract."""
+    if not deterministic_fake:
+        raise DecoderUnavailable("audio codecs not installed in this environment")
+    import zlib
+
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("audio_seconds", T.DoubleType(), True),
+        T.StructField("audio_rms", T.DoubleType(), True),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            feats = [
+                (None, None) if b is None else (
+                    (zlib.crc32(bytes(b)) % 6000) / 10.0,
+                    ((zlib.crc32(bytes(b)) >> 8) % 1000) / 1000.0,
+                )
+                for b in pdf[blob_col]
+            ]
+            pdf["audio_seconds"] = [f[0] for f in feats]
+            pdf["audio_rms"] = [f[1] for f in feats]
+            yield pdf
+
+    return df.mapInPandas(mapper, schema=out_schema)
 
 
 def binary_stats(df: DataFrame, blob_col: str = "content") -> DataFrame:

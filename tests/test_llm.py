@@ -160,3 +160,28 @@ def test_ivf_topk_recall(spark, oracle_sf_dir):
     approx = [r["vec_id"] for r in S.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).collect()]
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.5
+
+
+def test_multimodal_resize_and_audio_seams(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    df = spark.createDataFrame(
+        [Row(id=1, content=bytes([0xFF, 0xD8, 1, 2, 3])), Row(id=2, content=None)]
+    )
+    resized = MM.resize_images(df).collect()
+    assert all(r["resized_max_side"] == 512 for r in resized)
+    assert resized[0]["resized"] == bytes([0xFF, 0xD8, 1, 2, 3])  # stub passthrough
+
+    audio = {r["id"]: (r["audio_seconds"], r["audio_rms"]) for r in MM.extract_audio_features(df).collect()}
+    assert audio[1][0] is not None and 0 <= audio[1][1] <= 1
+    assert audio[2] == (None, None)
+    # determinism across invocations (crc32, not salted hash)
+    again = {r["id"]: (r["audio_seconds"], r["audio_rms"]) for r in MM.extract_audio_features(df).collect()}
+    assert again == audio
+
+    import pytest as _pytest
+
+    with _pytest.raises(MM.DecoderUnavailable):
+        MM.extract_audio_features(df, deterministic_fake=False)
