@@ -271,6 +271,49 @@ def q_join_region_revenue(spark, sf):
     )
 
 
+def q_supplier_nation_balance(spark, sf):
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+def q_part_brand_stats(spark, sf):
+    df = load_table(spark, sf, "part")
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+def q_shipping_priority(spark, sf):
+    # Q3-shape: 3-way join, filter both sides, grouped revenue, top-10
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_value_counts_topn_priority(spark, sf):
+    return M_prof.value_counts(load_table(spark, sf, "orders"), "o_orderpriority", top_n=3)
+
+
 def q_topn_parts(spark, sf):
     df = load_table(spark, sf, "part")
     return (
@@ -615,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": q_forecast_revenue_change,
         "join_region_revenue": q_join_region_revenue,
         "topn_parts": q_topn_parts,
+        "supplier_nation_balance": q_supplier_nation_balance,
+        "part_brand_stats": q_part_brand_stats,
+        "shipping_priority": q_shipping_priority,
+        "value_counts_topn_priority": q_value_counts_topn_priority,
         "window_running_total": q_window_running_total,
         "events_daily": q_events_daily,
         "events_tumbling": q_events_tumbling,
@@ -787,6 +834,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1
+    """
+    sqls["supplier_nation_balance"] = """
+        SELECT n_name AS nation, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal, round(avg(s_acctbal), 6) AS avg_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1
+    """
+    sqls["part_brand_stats"] = """
+        SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price,
+               min(p_size) AS min_size, max(p_size) AS max_size
+        FROM part GROUP BY 1
+    """
+    sqls["shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """
+    sqls["value_counts_topn_priority"] = """
+        SELECT o_orderpriority AS value, count(*) AS count FROM orders
+        GROUP BY 1 ORDER BY count DESC, value ASC LIMIT 3
     """
     sqls["topn_parts"] = """
         SELECT p_partkey, p_name, p_retailprice FROM part
