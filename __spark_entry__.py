@@ -216,6 +216,22 @@ def q_datetime_parse_orders(spark, sf):
     return parsed.groupBy(F.year("d_parsed").alias("yr")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_datetime_cascade_orders(spark, sf):
+    # F4 format cascade: two date formats mixed in one column, coalesce-parsed
+    df = load_table(spark, sf, "orders").withColumn(
+        "d_str",
+        F.when(F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")).otherwise(
+            F.date_format("o_orderdate", "MM/dd/yyyy")
+        ),
+    )
+    parsed, _ = M_norm.parse_datetime(
+        df, "d_str", formats=["yyyy-MM-dd", "MM/dd/yyyy"], errors="coerce", target_col="d"
+    )
+    return parsed.groupBy(F.year("d").alias("yr"), F.month("d").alias("mo")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def q_coerce_numeric_orders(spark, sf):
     # string round-trip then all-or-nothing numeric coercion (F5 semantics)
     df = load_table(spark, sf, "orders").withColumn("p_str", F.col("o_totalprice").cast("string"))
@@ -653,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_customer": q_normalize_text_customer,
         "remap_values_orders": q_remap_values_orders,
         "datetime_parse_orders": q_datetime_parse_orders,
+        "datetime_cascade_orders": q_datetime_cascade_orders,
         "coerce_numeric_orders": q_coerce_numeric_orders,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue_change": q_forecast_revenue_change,
@@ -805,6 +822,14 @@ def oracle_sql() -> dict[str, str]:
     sqls["datetime_parse_orders"] = """
         SELECT year(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS yr, count(*) AS cnt
         FROM orders GROUP BY 1
+    """
+    sqls["datetime_cascade_orders"] = """
+        WITH s AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                      ELSE strftime(o_orderdate, '%m/%d/%Y') END AS d_str
+          FROM orders),
+        p AS (SELECT coalesce(try_strptime(d_str, '%Y-%m-%d'), try_strptime(d_str, '%m/%d/%Y')) AS d FROM s)
+        SELECT year(d) AS yr, month(d) AS mo, count(*) AS cnt FROM p GROUP BY 1, 2
     """
     sqls["coerce_numeric_orders"] = (
         "SELECT round(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)), 2) AS sum_price FROM orders"
