@@ -131,6 +131,82 @@ def profile(
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def diagnostics_report(
+    df: DataFrame,
+    skew_threshold: float = 2.0,
+    expected_dtypes: dict[str, str] | None = None,
+    high_cardinality_threshold: int = 50,
+    max_rows: int = 5,
+    exact: bool = True,
+) -> dict:
+    """The reference's full M01 report dict (data_diag.py:40-115), rebuilt
+    from ONE profile pass: schema table with audit remarks (unexpected dtype,
+    high |skew|), missing-value stats, high-cardinality string columns,
+    duplicate summary + example duplicated rows, describe table, preview,
+    shape, size. Every table is a small collected aggregate or a ``limit``
+    slice — nothing scans twice and nothing pulls the full frame.
+    """
+    expected_dtypes = expected_dtypes or {}
+    prof = {r["column"]: r.asDict() for r in profile(df, exact=exact).collect()}
+    dtypes = dict(df.dtypes)
+
+    schema_rows = []
+    for c in df.columns:
+        p = prof[c]
+        remarks = []
+        if c in expected_dtypes and dtypes[c] != expected_dtypes[c]:
+            remarks.append(f"Unexpected Type (Expected: {expected_dtypes[c]})")
+        skew = p.get("skewness")
+        if skew is not None and abs(skew) > skew_threshold:
+            remarks.append(f"High Skew ({skew:.2f})")
+        schema_rows.append(
+            {
+                "column": c,
+                "dtype": dtypes[c],
+                "n_unique": p["n_unique"],
+                "missing_count": p["nulls"],
+                "missing_pct": round(p["null_pct"] * 100, 2) if p["null_pct"] is not None else 0.0,
+                "audit_remarks": "; ".join(remarks) if remarks else "OK",
+            }
+        )
+
+    high_card = sorted(
+        (
+            {"column": r["column"], "n_unique": r["n_unique"]}
+            for r in schema_rows
+            if dtypes[r["column"]] == "string" and r["n_unique"] > high_cardinality_threshold
+        ),
+        key=lambda r: -r["n_unique"],
+    )
+
+    dup_row = duplicate_row_count(df).first()
+    n_rows = next(iter(prof.values()))["count"] if prof else 0
+    dup_summary = {
+        "duplicate_rows": int(dup_row["dup_rows"]),
+        "duplicate_pct": round(dup_row["dup_rows"] / n_rows * 100, 2) if n_rows else 0.0,
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*df.columns)
+    duplicated_preview = (
+        df.withColumn("__n", F.count(F.lit(1)).over(w)).filter("__n > 1").drop("__n").limit(max_rows)
+    )
+
+    describe = [p for p in prof.values() if p.get("mean") is not None or dtypes[p["column"]] in (
+        "bigint", "int", "double", "float", "smallint", "tinyint")]
+
+    return {
+        "schema": schema_rows,
+        "high_cardinality": high_card,
+        "duplicate_summary": dup_summary,
+        "duplicated_rows_preview": duplicated_preview,
+        "describe": describe,
+        "sample_head": df.limit(max_rows),
+        "shape": {"rows": n_rows, "columns": len(df.columns)},
+        "size": table_stats(df),
+    }
+
+
 def table_stats(df: DataFrame) -> dict:
     """A21/A22 analogue: shape + size. pandas ``memory_usage(deep=True)`` has
     no distributed equivalent; report the optimizer's size estimate

@@ -102,3 +102,24 @@ def test_correlation_oracle(spark, oracle_sf_dir, con):
         for a, b in pairs
     )
     compare(out, con, sql, "corr")
+
+
+def test_diagnostics_report_contract(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.operators.profile import diagnostics_report
+
+    rows = [Row(id=i, name=f"n{i}", seg=["A", "B"][i % 2], bal=float(i) if i % 4 else None) for i in range(60)]
+    rows += rows[:3]  # duplicates
+    df = spark.createDataFrame(rows)
+    rep = diagnostics_report(df, expected_dtypes={"id": "string"}, high_cardinality_threshold=10)
+
+    schema = {r["column"]: r for r in rep["schema"]}
+    assert "Unexpected Type" in schema["id"]["audit_remarks"]
+    assert schema["bal"]["missing_count"] == 15 + 1  # i%4==0 nulls incl dup of i=0
+    assert [h["column"] for h in rep["high_cardinality"]] == ["name"]
+    assert rep["duplicate_summary"]["duplicate_rows"] == 6  # 3 pairs, keep=False
+    assert rep["duplicated_rows_preview"].count() <= 5
+    assert rep["shape"] == {"rows": 63, "columns": 4}
+    assert {d["column"] for d in rep["describe"]} == {"id", "bal"}
+    assert rep["size"]["estimated_bytes"] > 0
