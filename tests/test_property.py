@@ -96,3 +96,47 @@ def test_impute_mean_matches_pandas(spark, vals):
         assert got == pytest.approx(exp, rel=1e-9)
     else:
         assert all(v is None for v in got)  # nothing to fill from
+
+
+@given(
+    vals=st.lists(st.one_of(st.none(), st.sampled_from(["a", "b", "c", "x"])), min_size=1, max_size=25),
+)
+@SET
+def test_remap_matches_pandas_replace(spark, vals):
+    from analyst_toolkit_spark.operators.normalize import remap_values
+
+    mapping = {"a": "A", "x": "null"}  # 'null' sentinel -> real null
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sorted((r[0] for r in remap_values(df, "v", mapping).collect()), key=lambda x: (x is None, x))
+    s = pd.Series(vals, dtype="object").replace({"a": "A", "x": None})
+    exp = sorted((None if v is None else v for v in s), key=lambda x: (x is None, x))
+    assert got == exp
+
+
+@given(vals=st.lists(st.one_of(st.none(), st.sampled_from("pqrs")), min_size=1, max_size=25))
+@SET
+def test_value_counts_matches_pandas(spark, vals):
+    from analyst_toolkit_spark.operators.profile import value_counts
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["value"]: r["count"] for r in value_counts(df, "v", dropna=False).collect()}
+    exp = pd.Series(vals, dtype="object").value_counts(dropna=False)
+    exp = {(None if (isinstance(k, float) or k is None) else k): int(n) for k, n in exp.items()}
+    assert got == exp
+
+
+@given(
+    before=st.lists(st.integers(0, 5), min_size=1, max_size=15),
+    edits=st.sets(st.integers(0, 14)),
+)
+@SET
+def test_row_diff_matches_pandas_compare(spark, before, edits):
+    from analyst_toolkit_spark.operators import diff as M_diff
+
+    after = [v + 100 if i in edits else v for i, v in enumerate(before)]
+    b = spark.createDataFrame([(i, v) for i, v in enumerate(before)], f"{ROW_ID} long, v long")
+    a = spark.createDataFrame([(i, v) for i, v in enumerate(after)], f"{ROW_ID} long, v long")
+    got = {r[ROW_ID] for r in M_diff.row_diff(b, a).collect()}
+    pb, pa = pd.DataFrame({"v": before}), pd.DataFrame({"v": after})
+    exp = set(pb.compare(pa).index.tolist())
+    assert got == exp
