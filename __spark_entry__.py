@@ -484,6 +484,19 @@ def q_boxplot_lineitem(spark, sf):
     return _round(out, ["min", "q1", "median", "q3", "max", "lo_whisker", "hi_whisker"])
 
 
+def q_infer_configs_customer(spark, sf):  # NON-SQL (YAML emission)
+    import yaml as _yaml
+
+    from analyst_toolkit_spark.operators.infer import infer_configs
+
+    configs = infer_configs(load_table(spark, sf, "customer"))
+    rows = []
+    for module, text in sorted(configs.items()):
+        parsed = _yaml.safe_load(text)
+        rows.append({"module": module, "top_key": next(iter(parsed)), "n_lines": len(text.splitlines())})
+    return spark.createDataFrame(rows, "module string, top_key string, n_lines int")
+
+
 def q_data_dictionary_customer(spark, sf):
     from analyst_toolkit_spark.operators import dictionary as M_dict
 
@@ -693,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_audit_orders": q_null_audit_orders,
         "pipeline_orders": q_pipeline_orders,
         "data_dictionary_customer": q_data_dictionary_customer,
+        "infer_configs_customer": q_infer_configs_customer,
         "histogram_price": q_histogram_price,
         "boxplot_lineitem": q_boxplot_lineitem,
         "text_stats_documents": q_text_stats_documents,
