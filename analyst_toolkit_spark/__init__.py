@@ -22,3 +22,19 @@ planning/pushdown/codegen, AQE handles shuffle sizing and skew.
 __version__ = "0.1.0"
 
 from analyst_toolkit_spark.session import get_spark  # noqa: F401
+
+
+def toolkit(spark=None, **kwargs):
+    """Convenience entry: a ready Toolkit (tool-call surface over a session
+    store) on the default SparkSession."""
+    from analyst_toolkit_spark.tools import Toolkit
+
+    return Toolkit(spark or get_spark(), **kwargs)
+
+
+def run_pipeline_from_yaml(config_path: str, spark=None, df=None):
+    """Convenience entry: run the full module chain from a master YAML."""
+    from analyst_toolkit_spark.plans import config as C
+    from analyst_toolkit_spark.plans.pipeline import run_pipeline
+
+    return run_pipeline(spark or get_spark(), C.pipeline_config(C.load_yaml(config_path)), df)
