@@ -25,6 +25,66 @@ def schema_drift(base: DataFrame, target: DataFrame) -> dict:
     }
 
 
+def psi(
+    base: DataFrame,
+    target: DataFrame,
+    column: str,
+    bins: int = 10,
+    min_fraction: float = 1e-4,
+) -> float:
+    """Population Stability Index — distribution-level drift the reference's
+    mean-only check misses (extension beyond drift.py:57-81).
+
+    Bins come from the BASE distribution's equal-width range; both sides are
+    bucketed with the same edges (one small agg per side), then
+    PSI = Σ (p_t − p_b)·ln(p_t / p_b) with fractions floored at
+    ``min_fraction`` so empty bins don't produce infinities.
+    Rule of thumb: <0.1 stable, 0.1-0.25 moderate shift, >0.25 major shift.
+    """
+    import math
+
+    mm = base.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+    if mm["lo"] is None:
+        return 0.0
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if lo == hi:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+
+    def fractions(df: DataFrame) -> dict[int, float]:
+        rows = (
+            df.filter(F.col(column).isNotNull())
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in rows) or 1
+        return {int(r["b"]): r["n"] / total for r in rows}
+
+    fb, ft = fractions(base), fractions(target)
+    out = 0.0
+    for b in range(bins):
+        pb = max(fb.get(b, 0.0), min_fraction)
+        pt = max(ft.get(b, 0.0), min_fraction)
+        out += (pt - pb) * math.log(pt / pb)
+    return out
+
+
+def psi_report(base: DataFrame, target: DataFrame, columns: list[str] | None = None, bins: int = 10) -> DataFrame:
+    """PSI per numeric column: column, psi, severity."""
+    cols = columns or [c for c in numeric_columns(base) if c in set(numeric_columns(target))]
+    rows = []
+    for c in cols:
+        v = psi(base, target, c, bins)
+        sev = "stable" if v < 0.1 else "moderate" if v < 0.25 else "major"
+        rows.append({"column": c, "psi": round(v, 6), "severity": sev})
+    return base.sparkSession.createDataFrame(rows, "column string, psi double, severity string")
+
+
 def numeric_drift(base: DataFrame, target: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Long report: column, base_mean, target_mean, rel_diff, drifted."""
     cols = [c for c in numeric_columns(base) if c in set(numeric_columns(target))]

@@ -100,3 +100,17 @@ def test_visuals_final_audit_edges(fixture, request):
 def test_drift_empty_target(spark, empty, one):
     res = M_drift.numeric_drift(one, empty).collect()
     assert all(r["target_mean"] is None for r in res)
+
+
+def test_psi_drift(spark):
+    from analyst_toolkit_spark.operators.drift import psi, psi_report
+
+    base = spark.range(0, 10000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = spark.range(0, 10000).selectExpr("CAST((id + 7) % 100 AS DOUBLE) AS v")
+    shifted = spark.range(0, 10000).selectExpr("CAST((id % 100) * 3 + 200 AS DOUBLE) AS v")
+
+    assert psi(base, same, "v") < 0.01  # identical distribution
+    assert psi(base, shifted, "v") > 0.25  # mass moved out of base's range
+
+    rep = {r["column"]: r["severity"] for r in psi_report(base, shifted).collect()}
+    assert rep["v"] == "major"
