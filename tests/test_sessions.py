@@ -95,3 +95,63 @@ def test_stateful_running_stats(spark, events):
         assert by_user[2]["events_total"] == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics: a row older than the watermark horizon arriving in
+    a later batch is dropped from the windowed aggregate (documented
+    Structured Streaming behavior, verified end-to-end with two file batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.streaming.rules import windowed_profile
+
+    d = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    try:
+        on_time = spark.createDataFrame(
+            [("2024-01-05 10:00:00", 1.0), ("2024-01-05 11:00:00", 2.0)], "ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        late = spark.createDataFrame(
+            [("2024-01-01 00:00:00", 100.0)], "ts string, value double"  # 4 days late
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+        on_time.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(on_time.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        prof = windowed_profile(stream, ts_col="ts", window="1 day", watermark="1 day")
+
+        results = []
+
+        def sink(batch_df, batch_id):
+            results.extend(batch_df.collect())
+            if batch_id == 0:
+                # first batch committed -> watermark advanced to Jan 4; now
+                # drop in the 4-days-late file for the next trigger
+                late.write.mode("append").parquet(d)
+
+        q = (
+            prof.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = 60
+        import time as _t
+
+        while q.isActive and deadline > 0:
+            progress = q.lastProgress
+            _t.sleep(2)
+            deadline -= 2
+            if progress and progress["numInputRows"] == 0 and len(results) >= 1 and deadline < 40:
+                break
+        q.stop()
+        q.awaitTermination(30)
+
+        windows = {str(r["window_start"]): r["rows"] for r in results}
+        # the on-time window aggregated; the late Jan-1 window never appears
+        assert any(w.startswith("2024-01-05") for w in windows)
+        assert not any(w.startswith("2024-01-01") for w in windows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
