@@ -45,6 +45,16 @@ _MODULE_TOOLS = (
     "final_audit",
 )
 
+# reference tool-name aliases (mcp_server registry names)
+_ALIASES = {
+    "outliers": "outlier_detection",
+    "get_run_history": "run_history",
+    "get_data_health_report": "data_health",
+    "get_capability_catalog": "capability_catalog",
+    "get_cockpit_dashboard": "dashboard",
+    "get_pipeline_dashboard": "dashboard",
+}
+
 
 class Toolkit:
     """One engine instance: SparkSession + SessionStore + ledger path."""
@@ -93,6 +103,7 @@ class Toolkit:
     # -- tools --------------------------------------------------------------
 
     def call(self, name: str, **kwargs: Any) -> dict:
+        name = _ALIASES.get(name, name)
         fn: Callable | None = getattr(self, f"tool_{name}", None)
         if fn is None and name in _MODULE_TOOLS:
             return self._module_tool(name, **kwargs)
@@ -190,6 +201,74 @@ class Toolkit:
 
     def tool_run_history(self, limit: int = 50, **kw) -> dict:
         return {"status": "pass", "module": "run_history", "ledger": self._history[-limit:]}
+
+    def tool_preflight_config(self, module: str, config: Any = None, **kw) -> dict:
+        """Parse + validate a module config WITHOUT running it (reference
+        preflight_config): reports whether it loads through the config plane
+        and what it compiled to."""
+        cfg = self._coerce_config(config)
+        try:
+            if module in ("validation", "validation_gatekeeper", "certification"):
+                vcfg, fail = C.validation_config(cfg)
+                compiled = {"rules": sum(map(len, [vcfg.categorical_values, vcfg.numeric_ranges])), "fail_on_error": fail}
+            elif module == "normalization":
+                n = C.normalization_rules(cfg)
+                compiled = {"actions": sum(map(len, [n.rename_columns, n.standardize_text_columns, n.value_mappings, n.parse_datetimes, n.coerce_dtypes, n.fuzzy_matching]))}
+            elif module == "duplicates":
+                d = C.duplicates_config(cfg)
+                compiled = {"subset": d.subset_columns, "keep": d.keep, "mode": d.mode}
+            elif module in ("outliers", "outlier_detection"):
+                compiled = {"specs": len(C.outlier_specs(cfg, ["__probe__"]))}
+            elif module == "outlier_handling":
+                compiled = {"strategies": len(C.handling_specs(cfg))}
+            elif module == "imputation":
+                compiled = {"strategies": len(C.impute_specs(cfg))}
+            elif module == "final_audit":
+                fa = C.final_audit_config(cfg)
+                compiled = {"drops": len(fa.drop_columns), "casts": len(fa.coerce_dtypes)}
+            else:
+                return {"status": "fail", "module": module, "error": f"unknown module {module!r}"}
+            return {"status": "pass", "module": module, "compiled": compiled}
+        except Exception as ex:  # config errors are the expected failure mode here
+            return {"status": "fail", "module": module, "error": str(ex)}
+
+    def tool_capability_catalog(self, **kw) -> dict:
+        """Static knob catalog (reference get_capability_catalog)."""
+        return {
+            "status": "pass",
+            "module": "capability_catalog",
+            "tools": self.list_tools(),
+            "modules": {
+                "validation": ["expected_columns", "expected_types", "categorical_values", "numeric_ranges", "disallowed_null_columns", "fail_on_error", "range_checks (shorthand)"],
+                "normalization": ["rename_columns", "standardize_text_columns", "value_mappings", "fuzzy_matching", "parse_datetimes", "coerce_dtypes"],
+                "duplicates": ["subset_columns", "keep", "mode"],
+                "outlier_detection": ["detection_specs", "__default__", "exclude_columns", "method/columns (shorthand)"],
+                "outlier_handling": ["handling_specs", "__default__", "__global__"],
+                "imputation": ["rules.strategies: mean|median|mode|constant"],
+                "final_audit": ["final_edits", "certification", "disallowed_null_columns"],
+            },
+        }
+
+    def tool_manage_session(self, action: str, session_id: str | None = None, **kw) -> dict:
+        """Session CRUD (reference manage_session): list | delete | info."""
+        if action == "list":
+            return {"status": "pass", "sessions": self.store.list_sessions()}
+        if action == "delete" and session_id:
+            self.store.delete(session_id)
+            return {"status": "pass", "deleted": session_id}
+        if action == "info" and session_id:
+            df = self.store.get(session_id)
+            return {"status": "pass", "session_id": session_id, "columns": df.columns}
+        return {"status": "fail", "error": f"unsupported action {action!r}"}
+
+    def tool_dashboard(self, **kw) -> dict:
+        """Cockpit summary: health + latest status per module (reference
+        get_cockpit_dashboard data payload)."""
+        latest: dict[str, dict] = {}
+        for e in self._history:
+            latest[e["module"]] = {"status": e["status"], "summary": e["summary"]}
+        score = calculate_health_score(metrics_from_history(self._history))
+        return {"status": "pass", "module": "dashboard", "health": score, "latest_status_by_module": latest}
 
     def tool_load_session(self, session_id: str, input_path: str, fmt: str | None = None, **kw) -> dict:
         df = S_io.load_any(self.spark, input_path, fmt=fmt)

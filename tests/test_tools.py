@@ -83,3 +83,38 @@ def test_ledger_file_written(toolkit, csv_path, tmp_path):
 def test_unknown_tool(toolkit):
     with pytest.raises(KeyError, match="unknown tool"):
         toolkit.call("nope")
+
+
+def test_preflight_config(toolkit):
+    res = toolkit.call("preflight_config", module="validation",
+                       config={"validation": {"schema_validation": {"rules": {"categorical_values": {"x": ["a"]}}}}})
+    assert res["status"] == "pass" and res["compiled"]["rules"] == 1
+    res = toolkit.call("preflight_config", module="imputation",
+                       config="imputation:\n  rules:\n    strategies:\n      a: mean\n")
+    assert res["status"] == "pass" and res["compiled"]["strategies"] == 1
+    assert toolkit.call("preflight_config", module="nope")["status"] == "fail"
+
+
+def test_aliases_and_catalog(toolkit, spark):
+    cat = toolkit.call("get_capability_catalog")
+    assert "validation" in cat["modules"] and "auto_heal" in cat["tools"]
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(x=1.0), Row(x=100.0)] * 10)
+    res = toolkit.call("outliers", df=df)  # reference alias for outlier_detection
+    assert res["module"] == "outlier_detection"
+
+
+def test_manage_session_and_dashboard(toolkit, spark):
+    from pyspark.sql import Row
+
+    toolkit.store.save("m1", spark.createDataFrame([Row(a=1)]))
+    assert any(s["session_id"] == "m1" for s in toolkit.call("manage_session", action="list")["sessions"])
+    assert toolkit.call("manage_session", action="info", session_id="m1")["columns"] == ["a"]
+    toolkit.call("manage_session", action="delete", session_id="m1")
+    assert not any(s["session_id"] == "m1" for s in toolkit.call("manage_session", action="list")["sessions"])
+
+    toolkit.call("diagnostics", df=spark.createDataFrame([(1, None)], "a long, b string"))
+    dash = toolkit.call("get_cockpit_dashboard")
+    assert "diagnostics" in dash["latest_status_by_module"]
+    assert 0 <= dash["health"]["overall_score"] <= 100
