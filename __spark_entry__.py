@@ -98,6 +98,12 @@ def q_profile_customer(spark, sf):
     return _round(out, _PROFILE_FLOATS)
 
 
+def q_profile_by_segment(spark, sf):
+    df = load_table(spark, sf, "customer")
+    out = M_prof.profile_by(df, ["c_mktsegment"], ["c_acctbal"])
+    return _round(out, ["mean", "stddev", "q50"])
+
+
 def q_dup_count_lineitem(spark, sf):
     return M_prof.duplicate_row_count(load_table(spark, sf, "lineitem"), ["l_orderkey", "l_partkey"])
 
@@ -665,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
         "profile_customer": q_profile_customer,
+        "profile_by_segment": q_profile_by_segment,
         "dup_count_lineitem": q_dup_count_lineitem,
         "value_counts_mktsegment": q_value_counts_mktsegment,
         "corr_lineitem": q_corr_lineitem,
@@ -739,6 +746,14 @@ def oracle_sql() -> dict[str, str]:
     sqls["profile_customer"] = _profile_sql(
         "customer", ["c_acctbal", "c_mktsegment", "c_nationkey"], {"c_acctbal", "c_nationkey"}
     )
+    sqls["profile_by_segment"] = """
+        SELECT c_mktsegment, 'c_acctbal' AS "column", count(c_acctbal) AS count,
+               count(*) - count(c_acctbal) AS nulls,
+               round(avg(c_acctbal), 6) AS mean, round(stddev_samp(c_acctbal), 6) AS stddev,
+               CAST(min(c_acctbal) AS DOUBLE) AS min, CAST(max(c_acctbal) AS DOUBLE) AS max,
+               round(quantile_cont(c_acctbal, 0.5), 6) AS q50
+        FROM customer GROUP BY 1
+    """
     sqls["dup_count_lineitem"] = """
         SELECT coalesce(sum(c), 0) AS dup_rows, count(*) AS dup_groups
         FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1)

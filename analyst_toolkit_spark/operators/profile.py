@@ -131,6 +131,48 @@ def profile(
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def profile_by(
+    df: DataFrame,
+    keys: list[str],
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Grouped profile: per-key count/mean/stddev/min/max/median for each
+    numeric column — segment-level diagnostics the reference can't express
+    without N pandas passes. One groupBy pass; exact grouped medians batch
+    into the same aggregation (percentile is partial-aggregable per group).
+
+    Output: keys..., column, count, nulls, mean, stddev, min, max, q50.
+    """
+    cols = columns or [c for c in numeric_columns(df) if c not in keys]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__count"),
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev_samp(col).alias(f"{c}__std"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            (percentile_exact(col, 0.5) if exact else F.percentile_approx(col, 0.5, 10000)).alias(f"{c}__q50"),
+        ]
+    wide = df.groupBy(*keys).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__count").cast("long").alias("count"),
+            (F.col("__rows") - F.col(f"{c}__count")).cast("long").alias("nulls"),
+            F.col(f"{c}__mean").cast("double").alias("mean"),
+            F.col(f"{c}__std").cast("double").alias("stddev"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__q50").cast("double").alias("q50"),
+        )
+        for c in cols
+    ]
+    return wide.select(*keys, F.explode(F.array(*structs)).alias("p")).select(*keys, "p.*")
+
+
 def diagnostics_report(
     df: DataFrame,
     skew_threshold: float = 2.0,
