@@ -618,6 +618,15 @@ def q_dtype_composition_lineitem(spark, sf):
     return M_vis.dtype_composition(load_table(spark, sf, "lineitem"))
 
 
+def q_stopword_vocab_docs(spark, sf):
+    df = load_table(spark, sf, "documents")
+    ratios = df.agg(F.round(F.avg(L_text.stopword_ratio("text")), 6).alias("avg_stopword_ratio"))
+    vocab = L_text.vocabulary(df).agg(
+        F.count(F.lit(1)).alias("vocab_size"), F.sum("total_freq").alias("total_words")
+    )
+    return ratios.crossJoin(vocab)
+
+
 def q_quality_docs(spark, sf):
     df = load_table(spark, sf, "documents")
     return df.agg(
@@ -725,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lang_detect_docs": q_lang_detect_docs,
         "quality_docs": q_quality_docs,
+        "stopword_vocab_docs": q_stopword_vocab_docs,
         "fuzzy_correction_customer": q_fuzzy_correction_customer,
         "binary_stats_docs": q_binary_stats_docs,
         "dtype_composition_lineitem": q_dtype_composition_lineitem,
@@ -1119,6 +1129,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'int', 1 UNION ALL
         SELECT 'string', 2 UNION ALL
         SELECT 'timestamp_ntz', 1
+    """
+    _SW = "['the','a','an','and','or','but','of','to','in','on','for','with','at','by','from','is','are','was','were','be','been','it','this','that','as','not','no','i','you','he','she','we','they']"
+    sqls["stopword_vocab_docs"] = f"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '[a-z'']+') AS ts,
+                 length(regexp_extract_all(text, '\\S+')) AS n_all
+          FROM documents)
+        SELECT (SELECT round(avg(CASE WHEN n_all > 0 THEN
+                   length(list_filter(ts, t -> list_contains({_SW}, t))) * 1.0 / n_all END), 6)
+                FROM toks) AS avg_stopword_ratio,
+               (SELECT count(DISTINCT t) FROM toks, unnest(ts) AS u(t)) AS vocab_size,
+               (SELECT sum(length(ts)) FROM toks) AS total_words
     """
     sqls["quality_docs"] = _quality_docs_sql()
     sqls["embedding_topk"] = """

@@ -48,6 +48,37 @@ def digit_ratio(col: str | Column) -> Column:
     return F.when(F.length(c) > 0, n_dig / F.length(c)).otherwise(F.lit(None))
 
 
+_STOPWORDS = (
+    "the a an and or but of to in on for with at by from is are was were be been "
+    "it this that as not no i you he she we they".split()
+)
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) English stopwords —
+    a core quality signal (high ratio ≈ natural prose, near-zero ≈ code/tables/
+    keyword spam). Pure expression: array_intersect-free token filter against a
+    literal array, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    sw = F.array(*[F.lit(w) for w in (stopwords or _STOPWORDS)])
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z']+"), F.lit(0))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_all = token_count(c)
+    return F.when(n_all > 0, n_stop.cast("double") / n_all).otherwise(F.lit(None))
+
+
+def vocabulary(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus vocabulary: distinct lowercase word tokens with document and
+    total frequencies. Shuffle key is the token — the classic word-count
+    shape, map-side combined. Output: token, doc_freq, total_freq."""
+    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"[a-z']+"), F.lit(0))
+    exploded = df.select(F.monotonically_increasing_id().alias("__doc"), F.explode(toks).alias("token"))
+    return (
+        exploded.groupBy("token")
+        .agg(F.count_distinct("__doc").alias("doc_freq"), F.count(F.lit(1)).alias("total_freq"))
+    )
+
+
 def mean_word_length(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))

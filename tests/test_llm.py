@@ -185,3 +185,26 @@ def test_multimodal_resize_and_audio_seams(spark):
 
     with _pytest.raises(MM.DecoderUnavailable):
         MM.extract_audio_features(df, deterministic_fake=False)
+
+
+def test_stopword_ratio_and_vocabulary(spark):
+    from pyspark.sql import Row, functions as F
+
+    from analyst_toolkit_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [
+            Row(text="the cat sat on the mat"),   # 3/6 stopwords (the, on, the)
+            Row(text="xyzzy qwerty"),             # 0/2
+            Row(text=""),                          # no tokens -> null ratio
+        ]
+    )
+    rows = df.select(T.stopword_ratio("text").alias("r")).collect()
+    assert rows[0]["r"] == pytest.approx(0.5)
+    assert rows[1]["r"] == 0.0
+    assert rows[2]["r"] is None
+
+    vocab = {r["token"]: (r["doc_freq"], r["total_freq"]) for r in T.vocabulary(df).collect()}
+    assert vocab["the"] == (1, 2)  # one doc, twice
+    assert vocab["cat"] == (1, 1)
+    assert len(vocab) == 7
