@@ -67,12 +67,21 @@ def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Col
     return F.when(n_all > 0, n_stop.cast("double") / n_all).otherwise(F.lit(None))
 
 
-def vocabulary(df: DataFrame, col: str = "text") -> DataFrame:
+def vocabulary(df: DataFrame, col: str = "text", id_col: str | None = None) -> DataFrame:
     """Corpus vocabulary: distinct lowercase word tokens with document and
     total frequencies. Shuffle key is the token — the classic word-count
-    shape, map-side combined. Output: token, doc_freq, total_freq."""
+    shape, map-side combined. Output: token, doc_freq, total_freq.
+
+    The doc id is minted in its OWN projection before the explode: a generator
+    and ``monotonically_increasing_id`` in one select would mint a fresh id
+    per exploded row (the nondeterministic expression blocks projection
+    collapse, so the two-step form is safe)."""
+    if id_col is None:
+        base = df.select(F.monotonically_increasing_id().alias("__doc"), F.col(col))
+    else:
+        base = df.select(F.col(id_col).alias("__doc"), F.col(col))
     toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"[a-z']+"), F.lit(0))
-    exploded = df.select(F.monotonically_increasing_id().alias("__doc"), F.explode(toks).alias("token"))
+    exploded = base.select("__doc", F.explode(toks).alias("token"))
     return (
         exploded.groupBy("token")
         .agg(F.count_distinct("__doc").alias("doc_freq"), F.count(F.lit(1)).alias("total_freq"))
