@@ -112,6 +112,10 @@ def q_value_counts_mktsegment(spark, sf):
     return M_prof.value_counts(load_table(spark, sf, "customer"), "c_mktsegment", dropna=False)
 
 
+def q_crosstab_lineitem(spark, sf):
+    return M_prof.crosstab_counts(load_table(spark, sf, "lineitem"), "l_returnflag", "l_linestatus")
+
+
 def q_corr_lineitem(spark, sf):
     out = M_prof.correlation_matrix(
         load_table(spark, sf, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -684,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_count_lineitem": q_dup_count_lineitem,
         "value_counts_mktsegment": q_value_counts_mktsegment,
         "corr_lineitem": q_corr_lineitem,
+        "crosstab_lineitem": q_crosstab_lineitem,
         "validation_summary_orders": q_validation_summary_orders,
         "validation_violations_orders": q_validation_violations_orders,
         "dupes_flag_lineitem": q_dupes_flag_lineitem,
@@ -771,6 +776,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["value_counts_mktsegment"] = (
         "SELECT c_mktsegment AS value, count(*) AS count FROM customer GROUP BY 1"
     )
+    sqls["crosstab_lineitem"] = """
+        SELECT l_returnflag AS row_value, l_linestatus AS col_value, count(*) AS count
+        FROM lineitem GROUP BY 1, 2
+    """
     _corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     sqls["corr_lineitem"] = " UNION ALL ".join(
         f"SELECT '{a}' AS col_x, '{b}' AS col_y, round(corr({a}, {b}), 6) AS corr FROM lineitem"

@@ -290,6 +290,19 @@ def value_counts(df: DataFrame, column: str, dropna: bool = False, top_n: int | 
     return out.limit(top_n) if top_n else out
 
 
+def crosstab_counts(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """pandas ``crosstab`` analogue in LONG form (row_value, col_value, count)
+    — one groupBy on both keys; long output keeps the result hash-stable and
+    avoids the wide-pivot column explosion at high cardinality. Null buckets
+    included (dropna=False parity). Pivot to wide with
+    ``.groupBy(row).pivot(col).sum("count")`` when a matrix is wanted."""
+    return (
+        df.groupBy(F.col(row_col).alias("row_value"), F.col(col_col).alias("col_value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("row_value", "col_value")
+    )
+
+
 def correlation_matrix(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Pairwise Pearson correlation, long form (col_x, col_y, corr), upper
     triangle incl. diagonal (reference m08_visuals/summary_plots.py:60).
