@@ -1,0 +1,48 @@
+"""Physical-plan invariants — the performance contract, enforced.
+
+Every driver-contract query must stay JVM-side (no row-at-a-time Python, no
+accidental pandas UDFs in the declarative surface), dimension joins must
+broadcast, and selective filters must reach the parquet scan. A regression
+that silently de-optimizes a plan fails here before it shows up in BENCH.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+# queries whose plan legitimately contains non-plan work (driver-side kmeans,
+# eager materialization): plan string inspected on their lazy prefix instead
+_SKIP_PLAN_SCAN = {"embedding_ivf_topk", "pipeline_orders", "minhash_pairs_docs", "infer_configs_customer"}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SKIP_PLAN_SCAN))
+def test_no_python_in_query_plans(name, spark, sf_dir):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    # BatchEvalPython = row-at-a-time Python UDF; ArrowEvalPython = pandas UDF.
+    # The declarative query surface must compile to pure JVM expressions.
+    assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses a pandas UDF"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["join_region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_selective_filter_pushes_down(spark, sf_dir):
+    plan = _plan(QUERIES["forecast_revenue_change"](spark, sf_dir))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_validation_summary_single_scan(spark, sf_dir):
+    assert _plan(QUERIES["validation_summary_orders"](spark, sf_dir)).count("Scan parquet") == 1
+
+
+def test_knn_broadcasts_corpus(spark, sf_dir):
+    assert "BroadcastNestedLoopJoin" in _plan(QUERIES["embedding_knn"](spark, sf_dir))
