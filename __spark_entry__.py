@@ -577,6 +577,10 @@ def q_simhash_groups_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
     )
 
 
+def q_simhash_near_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
+    return L_dedup.simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=3)
+
+
 def q_ngram_jaccard_docs(spark, sf):  # NON-SQL (quadratic shingle join)
     df = load_table(spark, sf, "documents")
     return L_dedup.ngram_jaccard_pairs(df, threshold=0.5)
@@ -736,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_docs": q_fingerprint_dup_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_groups_docs": q_simhash_groups_docs,
+        "simhash_near_docs": q_simhash_near_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lang_detect_docs": q_lang_detect_docs,
         "quality_docs": q_quality_docs,

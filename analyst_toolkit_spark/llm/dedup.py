@@ -255,6 +255,66 @@ def simhash64(col: str | Column) -> Column:
     return F.concat_ws("", F.transform(counters, lambda cnt: F.when(cnt > 0, "1").otherwise("0")))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit signature into ``max_hamming + 1``
+    segments — any pair within the distance budget must agree EXACTLY on at
+    least one segment, so candidates come from equi-joins on (segment index,
+    segment bits), never a full cross join. Verification packs the signature
+    into two longs and computes ``bit_count(xor)`` — one JVM instruction pair
+    per candidate. Output: id_a, id_b, hamming.
+    """
+    bands = max_hamming + 1
+    seg_len = 64 // bands
+    sig_df = df.select(F.col(id_col), simhash64(F.col(key)).alias("sig"))
+
+    # pack the '0'/'1' signature into two longs for cheap hamming verify
+    def _pack(start: int, length: int):
+        bits = F.substring("sig", start, length)
+        return F.aggregate(
+            F.split(bits, "", -1),
+            F.lit(0).cast("long"),
+            lambda acc, ch: acc * 2 + F.when(ch == "1", 1).otherwise(0).cast("long"),
+        )
+
+    packed = sig_df.select(
+        id_col, "sig", _pack(1, 32).alias("hi"), _pack(33, 32).alias("lo")
+    )
+    seg_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("sig", b * seg_len + 1, seg_len if b < bands - 1 else 64 - b * seg_len).alias("bits"),
+        )
+        for b in range(bands)
+    ]
+    banded = packed.select(id_col, "hi", "lo", F.explode(F.array(*seg_structs)).alias("s")).select(
+        id_col, "hi", "lo", "s.band", "s.bits"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "hamming")
+        .distinct()
+    )
+
+
 def simhash_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (strong near-dup signal)."""
     return (

@@ -208,3 +208,26 @@ def test_stopword_ratio_and_vocabulary(spark):
     assert vocab["the"] == (1, 2)  # one doc, twice
     assert vocab["cat"] == (1, 1)
     assert len(vocab) == 7
+
+
+def test_simhash_near_pairs(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # identical -> hamming 0
+            Row(doc_id=3, text=base.replace("lazy", "sleepy")),  # near
+            Row(doc_id=4, text="completely different content about spark catalyst optimizer internals"),
+        ]
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_pairs(df, max_hamming=12).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0
+    assert not any(4 in p for p in pairs)
+
+    # verification is exact: every reported pair's hamming really is <= budget
+    assert all(h <= 12 for h in pairs.values())
