@@ -64,16 +64,16 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     qs["pricing_summary"](spark, sf_dir).count()
 
-    # Best of 2 runs per query: the first run pays one-off codegen compile,
-    # and this box sees bursts of host-level CPU contention — the min is the
-    # reproducible, production-representative number.
+    # Best of 3 runs per query: the first run pays one-off codegen compile,
+    # and this box sees multi-second bursts of host-level CPU contention — the
+    # min is the reproducible, production-representative number.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # materialize
