@@ -67,12 +67,24 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
     """Read one parquet table from a testdata scale-factor directory."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # Must not assume the caller's session came from session.get_spark():
+        # a bare SparkSession throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        # unless this (runtime-settable) conf is on.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         # ns → µs truncation matches what µs-native engines (DuckDB) do.
         # Integer `div`, NOT `/`: float division of epoch-nanos (≈1.7e18)
-        # exceeds double precision and rounds the microsecond.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # exceeds double precision and rounds the microsecond. TIMESTAMP_NTZ
+        # arithmetic (not timestamp_micros) so the wall-clock value is
+        # independent of the caller session's spark.sql.session.timeZone —
+        # matching how naive-parquet readers (DuckDB, pandas) see the column.
+        df = df.withColumn(
+            c,
+            F.expr(f"timestampadd(MICROSECOND, `{c}` div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return with_row_id(df) if row_id else df
 
 

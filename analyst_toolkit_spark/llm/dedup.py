@@ -193,21 +193,42 @@ def minhash_dedup_pairs(
     ``spark.sql.codegen.wholeStage=false``: these higher-order-function
     expressions are interpreted either way, so whole-stage codegen only adds
     Janino compile time around them (measured 2× wall on a one-shot run and
-    2× again on repeats)."""
+    2× again on repeats). The flag is scoped to a THROWAWAY ``newSession()``
+    (independent SQLConf, shared SparkContext) so a concurrent query on the
+    caller's session can never observe mutated global conf; the plan crosses
+    sessions via a global temp view and the checkpointed result (a plain
+    LogicalRDD scan by then) is re-bound to the caller's session the same way.
+    """
+    import uuid
+
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
-    cands = minhash_candidates(src, key, id_col).cache()
-    out = jaccard_verify(src, cands, key, id_col, threshold=threshold)
     if not eager:
-        return out
-    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        # cache the (tiny) candidate frame: jaccard_verify references it three
+        # times (id extraction ×2 + the verify join) — uncached that triples
+        # the LSH banding stages. Lifecycle: lives until session end, bounded
+        # by the candidate-pair count, and the eager path unpersists properly.
+        cands = minhash_candidates(src, key, id_col).cache()
+        return jaccard_verify(src, cands, key, id_col, threshold=threshold)
+    tag = uuid.uuid4().hex[:12]
+    in_view, out_view = f"__mh_in_{tag}", f"__mh_out_{tag}"
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.codegen.wholeStage", "false")
+    src.createOrReplaceGlobalTempView(in_view)
     try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+        src2 = scoped.table(f"global_temp.{in_view}")
+        cands = minhash_candidates(src2, key, id_col).cache()
+        out = jaccard_verify(src2, cands, key, id_col, threshold=threshold)
+        ckpt = out.localCheckpoint(eager=True)
         cands.unpersist()
+        ckpt.createOrReplaceGlobalTempView(out_view)
+        result = spark.table(f"global_temp.{out_view}")
+        # materialized scan — safe to drop the view handles immediately
+        return result
+    finally:
+        spark.catalog.dropGlobalTempView(in_view)
+        spark.catalog.dropGlobalTempView(out_view)
 
 
 def ngram_jaccard_pairs(

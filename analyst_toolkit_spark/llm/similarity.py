@@ -196,15 +196,23 @@ def knn_join(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
 ) -> DataFrame:
-    """Top-k corpus neighbors for every query row (brute force, broadcast the
-    smaller side). Window top-k per query avoids a global sort."""
+    """Top-k corpus neighbors for every query row (exact brute force).
+
+    The CORPUS is the streamed/probe side and the QUERIES are broadcast: a knn
+    join's corpus is the 100 TB side (every executor scans its own corpus
+    partitions against the small in-memory query set), so the corpus must
+    never be the broadcast/build relation — that is an executor OOM at scale.
+    The per-query top-k is a window over (query_id); its shuffle carries
+    |Q|x|C| scored rows, which is inherent to the exact algorithm — for large
+    corpora use ivf_topk / lsh_bucketed_pairs, the bounded-candidate paths.
+    """
     from pyspark.sql import Window
 
     q = queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn"))
     c = corpus.select(F.col(c_id).alias("corpus_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn"))
     dot = dot_cols(F.col("qv"), F.col("cv"))
     scored = (
-        q.crossJoin(F.broadcast(c))
+        c.crossJoin(F.broadcast(q))
         .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))

@@ -32,27 +32,48 @@ class ImputeSpec:
 def mode_values(df: DataFrame, columns: list[str]) -> dict[str, Any]:
     """Modes for several columns in ONE job: unpivot the columns to
     (col, value) pairs, one groupBy, then per-column argmax with the pandas
-    tie-break (max count, then min value — values compared as strings for the
-    unpivot, cast back by the caller via column dtype)."""
+    tie-break (max count, then min value).
+
+    The unpivot stringifies values (one shared struct type), so ties must NOT
+    be ordered on the string form — numerically, '10' < '2' would invert
+    (pandas mode()[0] compares natively). Each numeric column therefore
+    carries a double sort key alongside the string; non-numeric columns tie-
+    break on the string, which IS their native order (ISO timestamps and
+    booleans included)."""
     if not columns:
         return {}
+    dtypes = dict(df.dtypes)
+    _NUMERIC = ("bigint", "int", "smallint", "tinyint", "double", "float")
+
+    def _num_key(c: str):
+        if dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal"):
+            return F.col(c).cast("double")
+        return F.lit(None).cast("double")
+
     pairs = df.select(
         F.explode(
-            F.array(*[F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("value")) for c in columns])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("value"),
+                        _num_key(c).alias("num_key"),
+                    )
+                    for c in columns
+                ]
+            )
         ).alias("p")
     ).select("p.*")
     counts = (
         pairs.filter(F.col("value").isNotNull())
-        .groupBy("col", "value")
+        .groupBy("col", "value", "num_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # argmax per col: max of struct(cnt, reverse-ordered value) — to get the
-    # SMALLEST value on count ties while taking a max, order value descending
-    # via a window-free trick: min_by over (neg cnt, value) not expressible;
-    # use window row_number instead (tiny input: distinct values only).
+    # argmax per col via window row_number (tiny input: distinct values only);
+    # numeric ties order on num_key, others fall through to the string form
     from pyspark.sql import Window
 
-    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("value"))
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("num_key"), F.asc("value"))
     winners = counts.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("col", "value")
     raw = {r["col"]: r["value"] for r in winners.collect()}
     # cast back to the column's dtype
@@ -103,12 +124,19 @@ def impute(df: DataFrame, specs: list[ImputeSpec], exact: bool = True):
 
     out = df
     dtypes = dict(df.dtypes)
+    _INT_TYPES = ("bigint", "int", "smallint", "tinyint")
     for s in specs:
         v = fills.get(s.column)
         if v is None:
             continue
+        target_type = dtypes[s.column]
+        if s.strategy in ("mean", "median") and target_type in _INT_TYPES:
+            # pandas/reference semantics: fillna(mean|median) on an integer
+            # column upcasts to float (a .5 median must not silently truncate)
+            target_type = "double"
+            out = out.withColumn(s.column, F.col(s.column).cast("double"))
         lit = F.lit(v)
-        if dtypes[s.column].startswith("timestamp") and isinstance(v, str):
+        if target_type.startswith("timestamp") and isinstance(v, str):
             lit = F.to_timestamp(F.lit(v))
-        out = out.withColumn(s.column, F.coalesce(F.col(s.column), lit.cast(dtypes[s.column])))
+        out = out.withColumn(s.column, F.coalesce(F.col(s.column), lit.cast(target_type)))
     return out, fills

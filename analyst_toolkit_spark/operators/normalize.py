@@ -169,10 +169,13 @@ def parse_datetime(
     """
     target = target_col or column
     src = F.col(column)
+    # Column API, not interpolated F.expr strings: column names needing
+    # backquotes (spaces/dots/hyphens) and quotes inside format strings must
+    # not break or inject into a SQL fragment.
     if formats:
-        parsed = F.coalesce(*[F.expr(f"try_to_timestamp({column}, '{fmt}')") for fmt in formats])
+        parsed = F.coalesce(*[F.try_to_timestamp(src, F.lit(fmt)) for fmt in formats])
     else:
-        parsed = F.expr(f"try_to_timestamp({column})")
+        parsed = F.try_to_timestamp(src)
 
     # NaT-added accounting is part of the changelog contract, so the failure
     # count is always computed (one small agg; src column only → column-pruned scan)

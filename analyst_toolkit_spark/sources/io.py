@@ -124,17 +124,21 @@ def load_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
             fmt = "csv"
         elif path.endswith(".json"):
             fmt = "json"
-        elif path.endswith(".parquet") or path.endswith(".orc"):
+        elif path.endswith(".parquet"):
             fmt = "parquet"
+        elif path.endswith(".orc"):
+            fmt = "orc"
         elif os.path.isdir(path):
             # distributed writers emit extension-less directories: sniff the
             # part files
             exts = {os.path.splitext(f)[1] for f in os.listdir(path) if f.startswith("part-")}
-            fmt = "csv" if ".csv" in exts else "json" if ".json" in exts else "parquet"
+            fmt = "csv" if ".csv" in exts else "json" if ".json" in exts else "orc" if ".orc" in exts else "parquet"
         else:
             fmt = "parquet"
     if fmt == "csv":
         return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt == "json":
         return spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     return spark.read.parquet(path)

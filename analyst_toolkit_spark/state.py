@@ -75,9 +75,24 @@ class SessionStore:
 
     def save(self, session_id: str, df: DataFrame, metadata: dict | None = None) -> None:
         session_id = self._check_id(session_id)
-        df = self._register(session_id, df, metadata)
         if self.persist_dir:
-            df.write.mode("overwrite").parquet(os.path.join(self.persist_dir, f"{session_id}.parquet"))
+            # Write to a TEMP path then swap: a session restored from
+            # `<id>.parquet` hands out DataFrames lazily reading that path, so
+            # a direct overwrite of it would be writing a path that is also
+            # being read (Spark refuses, or worse). After the swap, register
+            # a fresh read of the final path — truncated lineage, and no
+            # DataFrame left referencing a deleted directory.
+            import shutil
+            import uuid
+
+            final = os.path.join(self.persist_dir, f"{session_id}.parquet")
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            df = self.spark.read.parquet(final)
+        self._register(session_id, df, metadata)
 
     def get(self, session_id: str) -> DataFrame:
         session_id = self._check_id(session_id)

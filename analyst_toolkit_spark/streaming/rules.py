@@ -24,6 +24,16 @@ from pyspark.sql import functions as F
 from analyst_toolkit_spark.operators.validation import ValidationConfig, compile_rules
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (TZ-aware); naive-parquet sources read as
+    TIMESTAMP_NTZ (e.g. the events table). Cast at the streaming seam — the
+    wall-clock instant is interpreted in the session timezone, which is the
+    standard Spark semantic for NTZ→TZ promotion."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def validate_stream(stream_df: DataFrame, cfg: ValidationConfig) -> DataFrame:
     """Append one boolean flag column per rule + a row-level any-violation flag.
     Stateless — safe for append-mode sinks and watermark-free pipelines."""
@@ -48,7 +58,8 @@ def windowed_profile(
     max per window. Late rows beyond the watermark are dropped (documented
     streaming semantics, not a bug)."""
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        ensure_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("rows"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from analyst_toolkit_spark.streaming.rules import ensure_event_time
+
 
 def sessionize(
     df: DataFrame,
@@ -35,7 +37,7 @@ def sessionize(
     """Gap-based sessions per key: (key, session_start, session_end, n_events
     [, session_value]). ``session_end`` = last event + gap (Spark semantics).
     Pass ``watermark`` when ``df`` is a stream."""
-    src = df.withWatermark(ts_col, watermark) if watermark else df
+    src = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark) if watermark else df
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col:
         aggs.append(F.round(F.sum(value_col), 2).alias("session_value"))
@@ -55,7 +57,7 @@ def sessionize(
 def dedup_stream(stream_df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Exact streaming dedup on ``keys`` with state bounded by the watermark
     (events later than the horizon are dropped rather than re-deduped)."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return ensure_event_time(stream_df, ts_col).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stateful_running_stats(
@@ -96,7 +98,8 @@ def stateful_running_stats(
         )
 
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        ensure_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -36,23 +36,30 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_value(v):
+    """Type-strict canonicalization: int vs float is PRESERVED (tagged), because
+    the driver's value-hash distinguishes 110 from 110.0 (round-1 lesson: DuckDB
+    integer sum() -> HUGEINT -> float64 while Spark returns bigint)."""
+    import numpy as np
+
+    if v is None or (isinstance(v, (float, np.floating)) and math.isnan(v)) or v is pd.NaT:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        return ("f", round(float(v), 6))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or (type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0):
+        return tuple(_canon_value(x) for x in v)
+    return v
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)].copy()
-    rows = []
-    for tup in df.itertuples(index=False, name=None):
-        canon_row = []
-        for v in tup:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                canon_row.append(None)
-            elif isinstance(v, float):
-                canon_row.append(round(v, 6))
-            elif hasattr(v, "isoformat"):
-                canon_row.append(v.isoformat())
-            elif isinstance(v, (list, tuple)) or type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0:
-                canon_row.append(tuple(v))
-            else:
-                canon_row.append(v)
-        rows.append(tuple(canon_row))
+    rows = [tuple(_canon_value(v) for v in tup) for tup in df.itertuples(index=False, name=None)]
     rows.sort(key=repr)
     return rows
 

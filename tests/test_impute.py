@@ -36,6 +36,26 @@ def test_mode_tie_break_smallest(spark):
     assert mode_values(df, ["x"])["x"] == "a"
 
 
+def test_mode_tie_break_numeric_not_lexicographic(spark):
+    # numeric ties must compare NATIVELY: 2 < 10 even though '10' < '2'
+    df = spark.createDataFrame([(10,), (2,), (10,), (2,), (7,)], "x bigint")
+    assert mode_values(df, ["x"])["x"] == 2
+    dfd = spark.createDataFrame([(10.5,), (2.5,), (10.5,), (2.5,)], "x double")
+    assert mode_values(dfd, ["x"])["x"] == 2.5
+    # string columns that LOOK numeric keep lexicographic (pandas) order
+    dfs = spark.createDataFrame([("10",), ("2",), ("10",), ("2",)], "x string")
+    assert mode_values(dfs, ["x"])["x"] == "10"
+
+
+def test_impute_median_int_upcasts_to_double(spark):
+    # pandas fillna(median) upcasts int → float; a .5 median must not truncate
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,), (None,)], "x bigint")
+    out, fills = impute(df, [ImputeSpec("x", "median")])
+    assert fills["x"] == pytest.approx(2.5)
+    assert dict(out.dtypes)["x"] == "double"
+    assert out.filter("x = 2.5").count() == 1
+
+
 def test_impute_constant_timestamp(spark):
     df = spark.createDataFrame([("2020-01-01 00:00:00",), (None,)], ["ts"]).withColumn(
         "ts", F.col("ts").cast("timestamp")

@@ -71,8 +71,8 @@ def test_iqr_oracle(spark, oracle_sf_dir, con):
     sql = """
       WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
                         quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
-      SELECT sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
-                        OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS n_outliers
+      SELECT CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
+                        OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM lineitem, b
     """
     compare(out, con, sql, "iqr_oracle")

@@ -44,5 +44,14 @@ def test_validation_summary_single_scan(spark, sf_dir):
     assert _plan(QUERIES["validation_summary_orders"](spark, sf_dir)).count("Scan parquet") == 1
 
 
-def test_knn_broadcasts_corpus(spark, sf_dir):
-    assert "BroadcastNestedLoopJoin" in _plan(QUERIES["embedding_knn"](spark, sf_dir))
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    # the corpus is the 100 TB side of a knn join: it must be the STREAMED
+    # side, with the (small) query set as the broadcast build relation
+    plan = _plan(QUERIES["embedding_knn"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    broadcast_subtree = plan.split("BroadcastExchange", 1)[1][:2000]
+    # q_embedding_knn's query side is vec_id < 5; the corpus side is >= 5
+    assert "< 5" in broadcast_subtree, "broadcast side is not the query set"
+    assert ">= 5" not in broadcast_subtree.split("Scan parquet")[0], (
+        "corpus predicate found on the broadcast build side"
+    )

@@ -79,7 +79,7 @@ def test_duplicate_row_count_oracle(spark, oracle_sf_dir, con):
     df = load_table(spark, oracle_sf_dir, "lineitem")
     out = duplicate_row_count(df, ["l_orderkey", "l_partkey"])
     sql = """
-        SELECT coalesce(sum(c), 0) AS dup_rows, count(*) AS dup_groups
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_rows, count(*) AS dup_groups
         FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1)
     """
     compare(out, con, sql, "dup_count")

@@ -56,13 +56,13 @@ def test_validation_summary_oracle(spark, oracle_sf_dir, con):
       SELECT (o_orderstatus NOT IN ('O','F') AND o_orderstatus IS NOT NULL) AS cat_v,
              (NOT (o_totalprice BETWEEN 0 AND 300000) AND o_totalprice IS NOT NULL) AS rng_v
       FROM orders)
-    SELECT 'categorical:o_orderstatus' AS rule, sum(CASE WHEN cat_v THEN 1 ELSE 0 END) AS violations,
+    SELECT 'categorical:o_orderstatus' AS rule, CAST(sum(CASE WHEN cat_v THEN 1 ELSE 0 END) AS BIGINT) AS violations,
            count(*) AS rows, round(sum(CASE WHEN cat_v THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS coverage_pct FROM v
     UNION ALL
-    SELECT 'range:o_totalprice', sum(CASE WHEN rng_v THEN 1 ELSE 0 END), count(*),
+    SELECT 'range:o_totalprice', CAST(sum(CASE WHEN rng_v THEN 1 ELSE 0 END) AS BIGINT), count(*),
            round(sum(CASE WHEN rng_v THEN 1 ELSE 0 END) * 100.0 / count(*), 6) FROM v
     UNION ALL
-    SELECT '__any_rule__', sum(CASE WHEN cat_v OR rng_v THEN 1 ELSE 0 END), count(*),
+    SELECT '__any_rule__', CAST(sum(CASE WHEN cat_v OR rng_v THEN 1 ELSE 0 END) AS BIGINT), count(*),
            round(sum(CASE WHEN cat_v OR rng_v THEN 1 ELSE 0 END) * 100.0 / count(*), 6) FROM v
     """
     compare(out, con, sql, "validation_summary")
