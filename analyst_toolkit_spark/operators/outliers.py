@@ -76,14 +76,25 @@ def flag_expr(column: str, lo: float, hi: float) -> Column:
     return F.coalesce((c < F.lit(lo)) | (c > F.lit(hi)), F.lit(False))
 
 
-def detect_outliers(df: DataFrame, specs: list[OutlierSpec], exact: bool = True):
+def detect_outliers(
+    df: DataFrame,
+    specs: list[OutlierSpec],
+    exact: bool = True,
+    bounds: dict[str, tuple[float, float]] | None = None,
+):
     """Append one boolean ``<col>_<method>_outlier`` flag per spec.
 
     Returns (flagged_df, detection_results) — the results dict is the
     cross-module edge the handler consumes (reference run_detection_pipeline →
     outlier_handling in run_toolkit_pipeline.py:136-166).
+
+    ``bounds`` lets callers share one statistics pass across several
+    operators on the same table (IQR detect + clip + boxplot recompute
+    identical quartiles otherwise — the exact-percentile merge is the
+    expensive part at scale).
     """
-    bounds = compute_bounds(df, specs, exact=exact)
+    if bounds is None:
+        bounds = compute_bounds(df, specs, exact=exact)
     out = df
     results = {}
     for s in specs:

@@ -55,20 +55,37 @@ def histogram(df: DataFrame, column: str, bins: int = 30) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, "bin int, lo double, hi double, count long")
 
 
-def boxplot_stats(df: DataFrame, columns: list[str] | None = None, whisker: float = 1.5) -> DataFrame:
+def boxplot_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    whisker: float = 1.5,
+    precomputed: dict[str, dict] | None = None,
+) -> DataFrame:
     """Five-number summary + whiskers + outlier count per column, ONE agg pass
     for all columns (seaborn boxplot semantics: whiskers at the most extreme
     points within q1/q3 ± whisker*IQR; points beyond are fliers).
 
     Output: column, min, q1, median, q3, max, lo_whisker, hi_whisker, n_outliers.
+
+    ``precomputed`` (col -> {"q": [q1, med, q3], "min": .., "max": ..}) skips
+    the quartile pass — callers running detect/clip/boxplot over the same
+    table should compute those statistics once and share them.
     """
     cols = columns or numeric_columns(df)
-    aggs = []
-    for c in cols:
-        aggs.append(percentile_exact(F.col(c), [0.25, 0.5, 0.75]).alias(f"q::{c}"))
-        aggs.append(F.min(c).alias(f"min::{c}"))
-        aggs.append(F.max(c).alias(f"max::{c}"))
-    row = df.agg(*aggs).first()
+    if precomputed is not None:
+        row = {}
+        for c in cols:
+            p = precomputed[c]
+            row[f"q::{c}"] = p["q"]
+            row[f"min::{c}"] = p["min"]
+            row[f"max::{c}"] = p["max"]
+    else:
+        aggs = []
+        for c in cols:
+            aggs.append(percentile_exact(F.col(c), [0.25, 0.5, 0.75]).alias(f"q::{c}"))
+            aggs.append(F.min(c).alias(f"min::{c}"))
+            aggs.append(F.max(c).alias(f"max::{c}"))
+        row = df.agg(*aggs).first()
 
     # second pass batched for all columns: whisker ends (extremes within
     # fence) + flier counts — still one scan
