@@ -13,8 +13,60 @@ codegen'd aggregation pass; nothing here adds a scan or a shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Above this optimizer-estimated input size, ``quantile_strategy`` switches
+#: exact quantiles from the builtin ``percentile`` aggregate (value→count map,
+#: single-threaded final merge, memory O(distinct)) to the bounded-memory
+#: sample-bracket-then-refine path. Both are EXACT; only the execution shape
+#: differs, so the switch never changes results — it changes what survives a
+#: 100× scale-up. Override with $SPARK_GRAFT_QUANTILE_REFINE_BYTES.
+QUANTILE_REFINE_THRESHOLD_BYTES = int(
+    os.environ.get("SPARK_GRAFT_QUANTILE_REFINE_BYTES", str(4 << 30))
+)
+
+# Catalyst reports defaultSizeInBytes (~Long.MaxValue) when it has no stats —
+# an in-memory test relation, not a 8-EiB table. Treat those as "unknown".
+_SIZE_UNKNOWN_FLOOR = 1 << 60
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for the frame's input (parquet footers /
+    catalog stats propagated through the plan — no scan, no action).
+    Returns -1 when Spark has no estimate."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return -1
+    return -1 if size >= _SIZE_UNKNOWN_FLOOR else size
+
+
+def quantile_strategy(
+    df: DataFrame, exact: bool = True, threshold_bytes: int | None = None
+) -> str:
+    """Pick the quantile execution shape for this frame's size:
+
+    - ``"approx"``  — caller asked for ``exact=False``: t-digest sketch,
+      mergeable map-side, no sort. The non-oracle 100 TB fast path.
+    - ``"builtin"`` — exact ``percentile`` aggregate. Right below the
+      threshold: one fused agg pass, but its final merge is single-threaded
+      and memory is O(distinct values).
+    - ``"refined"`` — ``exact_quantiles_refined``: 3 bounded passes whose
+      memory is O(bracket), independent of table size. Same exact results;
+      the shape that survives 100 TB.
+
+    Unknown plan size (in-memory relations without stats) stays on
+    ``"builtin"`` — at cluster scale real lake tables always carry footer or
+    catalog stats, so unknown means a small local relation here.
+    """
+    if not exact:
+        return "approx"
+    thr = QUANTILE_REFINE_THRESHOLD_BYTES if threshold_bytes is None else threshold_bytes
+    size = plan_size_bytes(df)
+    return "refined" if 0 <= thr <= size else "builtin"
 
 
 def skewness_g1(col: str | Column) -> Column:

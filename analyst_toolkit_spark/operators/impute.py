@@ -19,7 +19,11 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from analyst_toolkit_spark.functions.stats import percentile_exact
+from analyst_toolkit_spark.functions.stats import (
+    exact_quantiles_refined,
+    percentile_exact,
+    quantile_strategy,
+)
 
 
 @dataclass
@@ -103,10 +107,15 @@ def impute(df: DataFrame, specs: list[ImputeSpec], exact: bool = True):
     mode_cols = [s.column for s in specs if s.strategy == "mode"]
 
     fills: dict[str, Any] = {}
+    refined: dict[str, list[float]] = {}
+    if median_cols and quantile_strategy(df, exact=exact) == "refined":
+        refined = exact_quantiles_refined(df, {c: [0.5] for c in median_cols})
     aggs = []
     for c in mean_cols:
         aggs.append(F.avg(F.col(c)).alias(f"mean::{c}"))
     for c in median_cols:
+        if c in refined:
+            continue
         stat = percentile_exact(F.col(c), 0.5) if exact else F.percentile_approx(F.col(c), 0.5, 10000)
         aggs.append(stat.alias(f"median::{c}"))
     if aggs:
@@ -114,7 +123,10 @@ def impute(df: DataFrame, specs: list[ImputeSpec], exact: bool = True):
         for c in mean_cols:
             fills[c] = row[f"mean::{c}"]
         for c in median_cols:
-            fills[c] = row[f"median::{c}"]
+            if c not in refined:
+                fills[c] = row[f"median::{c}"]
+    for c, q in refined.items():
+        fills[c] = q[0]
     fills.update(mode_values(df, mode_cols))
     for s in specs:
         if s.strategy == "constant":

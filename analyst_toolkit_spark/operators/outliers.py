@@ -22,7 +22,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from analyst_toolkit_spark.functions.stats import any_horizontal, percentile_exact
+from analyst_toolkit_spark.functions.stats import (
+    any_horizontal,
+    exact_quantiles_refined,
+    percentile_exact,
+    quantile_strategy,
+)
 
 
 @dataclass
@@ -34,11 +39,26 @@ class OutlierSpec:
 
 
 def compute_bounds(df: DataFrame, specs: list[OutlierSpec], exact: bool = True) -> dict[str, tuple[float, float]]:
-    """column -> (lower, upper) bound, all specs in one aggregation pass."""
+    """column -> (lower, upper) bound, all specs in one aggregation pass.
+
+    Above ``QUANTILE_REFINE_THRESHOLD_BYTES`` of estimated input the IQR
+    quartiles come from the bounded-memory refine path instead of the builtin
+    ``percentile`` aggregate (same exact values — see
+    ``functions.stats.quantile_strategy``); mean/stddev for z-score specs stay
+    in a plain streaming agg either way.
+    """
+    strategy = quantile_strategy(df, exact=exact)
+    refined: dict[str, list[float]] = {}
+    if strategy == "refined":
+        iqr_cols = {s.column: [0.25, 0.75] for s in specs if s.method == "iqr"}
+        if iqr_cols:
+            refined = exact_quantiles_refined(df, iqr_cols)
     aggs = []
     for s in specs:
         c = F.col(s.column)
         if s.method == "iqr":
+            if s.column in refined:
+                continue
             if exact:
                 aggs.append(percentile_exact(c, [0.25, 0.75]).alias(f"{s.column}__q"))
             else:
@@ -50,11 +70,11 @@ def compute_bounds(df: DataFrame, specs: list[OutlierSpec], exact: bool = True) 
             aggs.append(F.stddev_samp(c).alias(f"{s.column}__std"))
         else:
             raise ValueError(f"unknown outlier method {s.method!r}")
-    row = df.agg(*aggs).collect()[0]
+    row = df.agg(*aggs).collect()[0] if aggs else {}
     bounds: dict[str, tuple[float, float]] = {}
     for s in specs:
         if s.method == "iqr":
-            q = row[f"{s.column}__q"]
+            q = refined.get(s.column) or row[f"{s.column}__q"]
             if q is None or q[0] is None:
                 bounds[s.column] = (float("-inf"), float("inf"))
                 continue

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from analyst_toolkit_spark.functions.stats import kurtosis_g2, percentile_exact, skewness_g1
+from analyst_toolkit_spark.functions.stats import (
+    exact_quantiles_refined,
+    kurtosis_g2,
+    percentile_exact,
+    quantile_strategy,
+    skewness_g1,
+)
 
 NUMERIC_TYPES = (
     T.ByteType,
@@ -64,6 +70,15 @@ def profile(
     """
     cols = columns or df.columns
     num = set(numeric_columns(df))
+    # Above the size threshold the exact quartiles leave the fused agg for the
+    # bounded-memory refine path (same exact values; the builtin percentile's
+    # single-threaded merge / O(distinct) buffer is what breaks at 100 TB) and
+    # re-enter the output as literals.
+    refined_q: dict[str, list[float]] = {}
+    if quantile_strategy(df, exact=exact) == "refined":
+        targets = {c: [0.25, 0.5, 0.75] for c in cols if c in num}
+        if targets:
+            refined_q = exact_quantiles_refined(df, targets)
     aggs: list = [F.count(F.lit(1)).alias("__rows")]
     # Exact distinct counts go in a SEPARATE aggregation: mixing countDistinct
     # with TypedImperative aggs (percentile) triggers Catalyst's EXPAND
@@ -88,7 +103,9 @@ def profile(
                 skewness_g1(col).alias(f"{c}__skew"),
                 kurtosis_g2(col).alias(f"{c}__kurt"),
             ]
-            if exact:
+            if c in refined_q:
+                pass
+            elif exact:
                 aggs.append(percentile_exact(col, [0.25, 0.5, 0.75]).alias(f"{c}__q"))
             else:
                 aggs.append(
@@ -105,6 +122,14 @@ def profile(
     structs = []
     for c in cols:
         is_num = c in num
+
+        def _q(i: int, c: str = c, is_num: bool = is_num):
+            if not is_num:
+                return F.lit(None).cast("double")
+            if c in refined_q:
+                return F.lit(refined_q[c][i]).cast("double")
+            return F.col(f"{c}__q")[i].cast("double")
+
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -121,9 +146,9 @@ def profile(
                 (F.col(f"{c}__std").cast("double") if is_num else F.lit(None).cast("double")).alias("stddev"),
                 (F.col(f"{c}__min") if is_num else F.lit(None).cast("double")).alias("min"),
                 (F.col(f"{c}__max") if is_num else F.lit(None).cast("double")).alias("max"),
-                (F.col(f"{c}__q")[0].cast("double") if is_num else F.lit(None).cast("double")).alias("q25"),
-                (F.col(f"{c}__q")[1].cast("double") if is_num else F.lit(None).cast("double")).alias("q50"),
-                (F.col(f"{c}__q")[2].cast("double") if is_num else F.lit(None).cast("double")).alias("q75"),
+                _q(0).alias("q25"),
+                _q(1).alias("q50"),
+                _q(2).alias("q75"),
                 (F.col(f"{c}__skew").cast("double") if is_num else F.lit(None).cast("double")).alias("skewness"),
                 (F.col(f"{c}__kurt").cast("double") if is_num else F.lit(None).cast("double")).alias("kurtosis"),
             )

@@ -20,7 +20,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from analyst_toolkit_spark.functions.stats import percentile_exact
+from analyst_toolkit_spark.functions.stats import (
+    exact_quantiles_refined,
+    percentile_exact,
+    quantile_strategy,
+)
 from analyst_toolkit_spark.operators.profile import numeric_columns
 
 
@@ -79,6 +83,20 @@ def boxplot_stats(
             row[f"q::{c}"] = p["q"]
             row[f"min::{c}"] = p["min"]
             row[f"max::{c}"] = p["max"]
+    elif quantile_strategy(df) == "refined":
+        # big-input shape: quartiles via the bounded-memory refine path,
+        # min/max in a plain streaming agg (see functions.stats)
+        refined = exact_quantiles_refined(df, {c: [0.25, 0.5, 0.75] for c in cols})
+        mm = df.agg(
+            *[F.min(c).alias(f"min::{c}") for c in cols],
+            *[F.max(c).alias(f"max::{c}") for c in cols],
+        ).first()
+        row = {}
+        for c in cols:
+            q = refined[c]
+            row[f"q::{c}"] = None if q[0] is None else q
+            row[f"min::{c}"] = mm[f"min::{c}"]
+            row[f"max::{c}"] = mm[f"max::{c}"]
     else:
         aggs = []
         for c in cols:
