@@ -1,0 +1,339 @@
+"""MCP serving surface: JSON-RPC 2.0 over stdio lines and HTTP POST /rpc.
+
+The reference serves its tool registry two ways (mcp_server/server.py:194-206
+official MCP stdio; :276-onwards legacy HTTP ``/rpc``), both dispatching into
+the same tool functions. This module is the same thin control-plane over
+:class:`analyst_toolkit_spark.tools.Toolkit` — stdlib only (the ``mcp`` and
+FastAPI packages are not available here), matching the reference's
+request/response shapes (mcp_server/rpc_dispatch.py:53-135):
+
+- ``initialize``    → ``{"protocolVersion", "serverInfo", "capabilities"}``
+- ``tools/list``    → ``{"tools": [{"name", "description", "inputSchema"}]}``
+- ``tools/call``    → the tool's result dict with a ``trace_id`` attached
+- errors            → JSON-RPC error objects: -32700 parse, -32600 invalid,
+  -32601 unknown method/tool, -32602 bad params, -32603 internal
+  (``"Internal error: <msg> (trace_id=...)"``, rpc_dispatch.py:126-131).
+
+Everything data-plane stays in the Toolkit/operator layer; the wire layer only
+resolves path/session references into DataFrames and renders results
+JSON-safe (Row → dict, DataFrame → bounded preview — never a full collect).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import json
+import sys
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+from analyst_toolkit_spark.tools import Toolkit, _ALIASES, _MODULE_TOOLS
+
+PROTOCOL_VERSION = "2024-05-01"  # reference server.py:124
+SERVER_NAME = "analyst-toolkit-spark"
+SERVER_VERSION = "0.2.0"
+
+#: Wire preview bound for DataFrame-valued report entries. The serving layer
+#: must never become a driver-side full collect of a 100 TB frame.
+MAX_PREVIEW_ROWS = 100
+
+_SESSION_PARAMS = ("session_id", "input_path", "config", "run_id")
+
+_GENERIC_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "session_id": {"type": "string", "description": "toolkit session to read/write"},
+        "input_path": {"type": "string", "description": "server-visible csv/parquet/json/orc path"},
+        "config": {
+            "anyOf": [{"type": "object"}, {"type": "string"}],
+            "description": "module config (dict or YAML string)",
+        },
+        "run_id": {"type": "string"},
+    },
+}
+
+_TOOL_SCHEMAS: dict[str, dict] = {
+    "infer_configs": _GENERIC_SCHEMA,
+    "auto_heal": _GENERIC_SCHEMA,
+    "data_dictionary": _GENERIC_SCHEMA,
+    "data_health": {"type": "object", "properties": {}},
+    "run_history": {"type": "object", "properties": {"limit": {"type": "integer"}}},
+    "capability_catalog": {"type": "object", "properties": {}},
+    "dashboard": {"type": "object", "properties": {}},
+    "preflight_config": {
+        "type": "object",
+        "properties": {"module": {"type": "string"}, "config": _GENERIC_SCHEMA["properties"]["config"]},
+        "required": ["module"],
+    },
+    "manage_session": {
+        "type": "object",
+        "properties": {
+            "action": {"type": "string", "enum": ["list", "delete", "info"]},
+            "session_id": {"type": "string"},
+        },
+        "required": ["action"],
+    },
+    "load_session": {
+        "type": "object",
+        "properties": {
+            "session_id": {"type": "string"},
+            "input_path": {"type": "string"},
+            "fmt": {"type": "string"},
+        },
+        "required": ["session_id", "input_path"],
+    },
+    "drift_detection": {
+        "type": "object",
+        "properties": {
+            "base_path": {"type": "string"},
+            "target_path": {"type": "string"},
+            "base_session": {"type": "string"},
+            "target_session": {"type": "string"},
+            "threshold": {"type": "number"},
+        },
+    },
+}
+
+
+def json_safe(value: Any, max_rows: int = MAX_PREVIEW_ROWS) -> Any:
+    """Render a tool result JSON-encodable. DataFrames become a bounded
+    preview {rows, preview_truncated} — the wire never triggers an unbounded
+    collect; Rows become dicts; temporal/decimal scalars become strings/floats."""
+    if isinstance(value, DataFrame):
+        rows = [r.asDict(recursive=True) for r in value.limit(max_rows + 1).collect()]
+        return {
+            "rows": [json_safe(r) for r in rows[:max_rows]],
+            "preview_truncated": len(rows) > max_rows,
+        }
+    if isinstance(value, Row):
+        return json_safe(value.asDict(recursive=True))
+    if isinstance(value, dict):
+        return {str(k): json_safe(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple, set)):
+        return [json_safe(v) for v in value]
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, bytes):
+        return value.hex()
+    if isinstance(value, (str, int, float, bool)) or value is None:
+        return value
+    return str(value)
+
+
+def _rpc_ok(req_id: Any, result: Any) -> dict:
+    return {"jsonrpc": "2.0", "id": req_id, "result": result}
+
+
+def _rpc_error(req_id: Any, code: int, message: str, data: dict | None = None) -> dict:
+    err: dict[str, Any] = {"code": code, "message": message}
+    if data:
+        err["data"] = data
+    return {"jsonrpc": "2.0", "id": req_id, "error": err}
+
+
+class RpcServer:
+    """JSON-RPC dispatcher over a :class:`Toolkit`. Transport-agnostic:
+    ``handle`` takes/returns dicts; stdio and HTTP wrappers below feed it."""
+
+    def __init__(self, toolkit: Toolkit):
+        self.toolkit = toolkit
+
+    # -- tool surface -------------------------------------------------------
+
+    def list_tools(self) -> list[dict]:
+        out = []
+        for name in self.toolkit.list_tools():
+            out.append(
+                {
+                    "name": name,
+                    "description": _tool_description(name),
+                    "inputSchema": _TOOL_SCHEMAS.get(name, _GENERIC_SCHEMA),
+                }
+            )
+        return out
+
+    def call_tool(self, name: str, arguments: dict) -> dict:
+        arguments = dict(arguments or {})
+        resolved = _ALIASES.get(name, name)
+        if resolved == "drift_detection":
+            # wire adaptation: the in-process API takes DataFrames; over the
+            # wire they arrive as path/session references
+            from analyst_toolkit_spark.sources import io as S_io
+
+            for side in ("base", "target"):
+                if f"{side}_path" in arguments:
+                    arguments[f"{side}_df"] = S_io.load_any(self.toolkit.spark, arguments.pop(f"{side}_path"))
+                elif f"{side}_session" in arguments:
+                    arguments[f"{side}_df"] = self.toolkit.store.get(arguments.pop(f"{side}_session"))
+        return self.toolkit.call(name, **arguments)
+
+    # -- dispatch -----------------------------------------------------------
+
+    def handle(self, body: Any) -> dict | None:
+        """One JSON-RPC request → one response dict (None for notifications)."""
+        if not isinstance(body, dict) or "method" not in body:
+            return _rpc_error(body.get("id") if isinstance(body, dict) else None, -32600, "Invalid Request")
+        req_id = body.get("id")
+        method = body.get("method", "")
+        params = body.get("params") or {}
+        trace_id = uuid.uuid4().hex
+
+        if method == "initialize":
+            return _rpc_ok(
+                req_id,
+                {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "serverInfo": {"name": SERVER_NAME, "version": SERVER_VERSION},
+                    "capabilities": {"tools": {}, "resources": {}},
+                },
+            )
+        if method in ("notifications/initialized", "initialized"):
+            return None
+        if method == "tools/list":
+            return _rpc_ok(req_id, {"tools": self.list_tools()})
+        if method == "tools/call":
+            name = params.get("name")
+            if not name:
+                return _rpc_error(req_id, -32602, "Missing 'name' in params")
+            known = set(self.toolkit.list_tools()) | set(_ALIASES)
+            if name not in known:
+                return _rpc_error(req_id, -32601, f"Tool not found: {name}")
+            try:
+                result = self.call_tool(name, params.get("arguments", {}))
+                result = json_safe(result)
+                if isinstance(result, dict):
+                    result.setdefault("trace_id", trace_id)
+                return _rpc_ok(req_id, result)
+            except Exception as exc:
+                return _rpc_error(
+                    req_id,
+                    -32603,
+                    f"Internal error: {exc} (trace_id={trace_id})",
+                    data={"error": {"type": type(exc).__name__, "trace_id": trace_id}},
+                )
+        return _rpc_error(req_id, -32601, f"Method not found: {method}")
+
+    def handle_json(self, raw: str | bytes) -> dict | None:
+        try:
+            body = json.loads(raw)
+        except Exception:
+            return _rpc_error(None, -32700, "Parse error")
+        return self.handle(body)
+
+
+def _tool_description(name: str) -> str:
+    if name in _MODULE_TOOLS:
+        return f"Run the {name} module on a session or input path; returns status + summary + reports."
+    docs = {
+        "infer_configs": "Infer per-module configs from the data's shape.",
+        "auto_heal": "Infer configs then run the full cleaning pipeline.",
+        "drift_detection": "Schema + numeric drift between two tables (paths or sessions).",
+        "data_dictionary": "Semantic-typed data dictionary for a table.",
+        "data_health": "Health score aggregated from this server's run history.",
+        "run_history": "Recent ledger entries for this server.",
+        "preflight_config": "Validate a module config without running it.",
+        "capability_catalog": "Tools and config knobs this server understands.",
+        "manage_session": "List, inspect, or delete named sessions.",
+        "dashboard": "Cockpit summary: health + latest status per module.",
+        "load_session": "Load a file into a named session.",
+    }
+    return docs.get(name, f"{name} tool.")
+
+
+# -- transports --------------------------------------------------------------
+
+
+def serve_stdio(toolkit: Toolkit, stdin=None, stdout=None) -> None:
+    """Newline-delimited JSON-RPC over stdio — the official MCP transport
+    framing (one JSON object per line). Blocks until EOF."""
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    server = RpcServer(toolkit)
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        resp = server.handle_json(line)
+        if resp is not None:
+            stdout.write(json.dumps(resp, default=str) + "\n")
+            stdout.flush()
+
+
+class _RpcHTTPHandler(BaseHTTPRequestHandler):
+    server_version = f"{SERVER_NAME}/{SERVER_VERSION}"
+    rpc: RpcServer = None  # type: ignore[assignment]
+
+    def log_message(self, fmt, *args):  # quiet: ledger is the audit surface
+        pass
+
+    def do_POST(self):
+        if self.path != "/rpc":
+            self.send_error(404)
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+        except Exception:
+            raw = b""
+        resp = self.rpc.handle_json(raw) or {}
+        payload = json.dumps(resp, default=str).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_GET(self):
+        if self.path == "/health":
+            body = json.dumps({"status": "ok", "server": SERVER_NAME}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_error(404)
+
+
+def serve_http(toolkit: Toolkit, host: str = "127.0.0.1", port: int = 8765) -> ThreadingHTTPServer:
+    """Start the legacy-shape HTTP ``/rpc`` endpoint on a daemon thread and
+    return the server (call ``.shutdown()`` to stop). Spark job submission is
+    thread-safe, so concurrent tool calls interleave at the scheduler."""
+    rpc = RpcServer(toolkit)
+    handler = type("BoundHandler", (_RpcHTTPHandler,), {"rpc": rpc})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=httpd.serve_forever, name="rpc-http", daemon=True)
+    thread.start()
+    return httpd
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m analyst_toolkit_spark.server [--http PORT]``"""
+    import argparse
+
+    from analyst_toolkit_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--http", type=int, default=None, help="serve HTTP /rpc on this port (default: stdio)")
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args(argv)
+    toolkit = Toolkit(get_spark("analyst-toolkit-mcp"))
+    if args.http:
+        httpd = serve_http(toolkit, args.host, args.http)
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            httpd.shutdown()
+    else:
+        serve_stdio(toolkit)
+
+
+if __name__ == "__main__":
+    main()

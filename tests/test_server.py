@@ -1,0 +1,186 @@
+"""MCP serving surface: JSON-RPC dispatch shapes over stdio and HTTP,
+mirroring the reference's mcp_server request/response contract
+(rpc_dispatch.py: initialize / tools/list / tools/call, error codes)."""
+
+import io
+import json
+import urllib.request
+
+import pytest
+
+from analyst_toolkit_spark.server import RpcServer, json_safe, serve_http, serve_stdio
+from analyst_toolkit_spark.tools import Toolkit
+
+
+@pytest.fixture(scope="module")
+def toolkit(spark):
+    return Toolkit(spark)
+
+
+@pytest.fixture(scope="module")
+def rpc(toolkit):
+    return RpcServer(toolkit)
+
+
+def _lineitem(sf_dir):
+    return f"{sf_dir}/lineitem.parquet"
+
+
+def test_initialize_shape(rpc):
+    resp = rpc.handle({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}})
+    assert resp["jsonrpc"] == "2.0" and resp["id"] == 1
+    result = resp["result"]
+    assert result["protocolVersion"] == "2024-05-01"
+    assert result["serverInfo"]["name"] == "analyst-toolkit-spark"
+    assert "capabilities" in result
+
+
+def test_tools_list_shape(rpc):
+    resp = rpc.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/list"})
+    tools = resp["result"]["tools"]
+    names = {t["name"] for t in tools}
+    assert {"diagnostics", "validation", "imputation", "data_dictionary", "manage_session"} <= names
+    for t in tools:
+        assert set(t) == {"name", "description", "inputSchema"}
+        assert t["inputSchema"]["type"] == "object"
+
+
+def test_tools_call_diagnostics(rpc, sf_dir):
+    resp = rpc.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 3,
+            "method": "tools/call",
+            "params": {"name": "diagnostics", "arguments": {"input_path": _lineitem(sf_dir)}},
+        }
+    )
+    result = resp["result"]
+    assert result["status"] == "pass"
+    assert result["module"] == "diagnostics"
+    assert "trace_id" in result
+    json.dumps(result)  # wire-encodable end to end
+
+
+def test_tools_call_alias_and_session_roundtrip(rpc, sf_dir):
+    load = rpc.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 4,
+            "method": "tools/call",
+            "params": {
+                "name": "load_session",
+                "arguments": {"session_id": "s1", "input_path": _lineitem(sf_dir)},
+            },
+        }
+    )
+    assert load["result"]["status"] == "pass" and load["result"]["rows"] > 0
+    # reference alias name resolves ("outliers" -> outlier_detection)
+    out = rpc.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 5,
+            "method": "tools/call",
+            "params": {"name": "outliers", "arguments": {"session_id": "s1"}},
+        }
+    )
+    assert out["result"]["status"] == "pass"
+    info = rpc.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 6,
+            "method": "tools/call",
+            "params": {"name": "manage_session", "arguments": {"action": "info", "session_id": "s1"}},
+        }
+    )
+    assert "l_orderkey" in info["result"]["columns"]
+
+
+def test_drift_detection_wire_adaptation(rpc, sf_dir):
+    resp = rpc.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 7,
+            "method": "tools/call",
+            "params": {
+                "name": "drift_detection",
+                "arguments": {"base_path": _lineitem(sf_dir), "target_path": _lineitem(sf_dir)},
+            },
+        }
+    )
+    result = resp["result"]
+    assert result["status"] == "pass"
+    assert all(not r["drifted"] for r in result["numeric"])  # same table: no drift
+
+
+def test_error_codes(rpc):
+    assert rpc.handle_json(b"{not json")["error"]["code"] == -32700
+    assert rpc.handle({"id": 1})["error"]["code"] == -32600
+    assert rpc.handle({"id": 1, "method": "nope/nope"})["error"]["code"] == -32601
+    assert (
+        rpc.handle({"id": 1, "method": "tools/call", "params": {"name": "no_such_tool"}})["error"]["code"]
+        == -32601
+    )
+    assert rpc.handle({"id": 1, "method": "tools/call", "params": {}})["error"]["code"] == -32602
+    internal = rpc.handle(
+        {"id": 1, "method": "tools/call", "params": {"name": "manage_session", "arguments": {"action": "bogus"}}}
+    )
+    # unsupported action returns a fail status, not a crash
+    assert internal["result"]["status"] == "fail"
+
+
+def test_internal_error_envelope(rpc):
+    resp = rpc.handle(
+        {
+            "id": 9,
+            "method": "tools/call",
+            "params": {"name": "diagnostics", "arguments": {"input_path": "/nonexistent.parquet"}},
+        }
+    )
+    err = resp["error"]
+    assert err["code"] == -32603
+    assert "Internal error:" in err["message"] and "trace_id=" in err["message"]
+
+
+def test_stdio_roundtrip(toolkit):
+    reqs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},  # no response
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in reqs) + "\n")
+    stdout = io.StringIO()
+    serve_stdio(toolkit, stdin=stdin, stdout=stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert [l["id"] for l in lines] == [1, 2]  # notification produced no line
+    assert lines[1]["result"]["tools"]
+
+
+def test_http_roundtrip(toolkit, sf_dir):
+    httpd = serve_http(toolkit, port=0)  # ephemeral port
+    try:
+        port = httpd.server_address[1]
+        body = json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "id": 11,
+                "method": "tools/call",
+                "params": {"name": "run_history", "arguments": {"limit": 5}},
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rpc", data=body, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            resp = json.loads(r.read())
+        assert resp["id"] == 11 and resp["result"]["status"] == "pass"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        httpd.shutdown()
+
+
+def test_json_safe_dataframe_preview_is_bounded(spark):
+    df = spark.range(500).selectExpr("id", "id * 2 as v")
+    out = json_safe(df, max_rows=10)
+    assert len(out["rows"]) == 10 and out["preview_truncated"] is True
+    json.dumps(out)
