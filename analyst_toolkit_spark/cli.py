@@ -18,6 +18,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", required=True, help="master pipeline YAML (run_toolkit_config shape)")
     ap.add_argument("--output", help="write the certified DataFrame here (parquet/csv by extension)")
     ap.add_argument("--report-dir", help="export module reports as CSVs + an HTML dashboard")
+    ap.add_argument("--viz-columns", help="comma-separated numeric columns to chart in the dashboard")
     ap.add_argument("--sf-dir", help="read the input from a testdata scale-factor dir instead of pipeline_entry_path")
     ap.add_argument("--table", default="lineitem", help="table name when --sf-dir is used")
     args = ap.parse_args(argv)
@@ -36,11 +37,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         S_io.save_output(run.df, args.output)
     if args.report_dir:
+        from analyst_toolkit_spark.reporting import export_pipeline_dashboard
+
         reports = {"run_history": run.history, "health": run.health["breakdown"]}
         for name, rep in run.reports.items():
             reports[name] = rep
         S_io.export_report(reports, args.report_dir)
-        S_io.export_html_report(reports, f"{args.report_dir}/report.html", title=f"QA run {run.run_id}")
+        viz = [c.strip() for c in args.viz_columns.split(",")] if args.viz_columns else None
+        export_pipeline_dashboard(
+            run,
+            f"{args.report_dir}/report.html",
+            df=run.df if viz else None,
+            viz_columns=viz,
+            title=f"QA run {run.run_id}",
+        )
 
     print(json.dumps({"run_id": run.run_id, "health": run.health, "modules": [h["module"] for h in run.history]}))
     certified = all(h["status"] == "completed" for h in run.history)

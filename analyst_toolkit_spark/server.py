@@ -87,6 +87,17 @@ _TOOL_SCHEMAS: dict[str, dict] = {
         },
         "required": ["session_id", "input_path"],
     },
+    "export_dashboard": {
+        "type": "object",
+        "properties": {
+            "output_path": {"type": "string"},
+            "session_id": {"type": "string"},
+            "input_path": {"type": "string"},
+            "viz_columns": {"type": "array", "items": {"type": "string"}},
+            "title": {"type": "string"},
+        },
+        "required": ["output_path"],
+    },
     "drift_detection": {
         "type": "object",
         "properties": {
@@ -243,6 +254,7 @@ def _tool_description(name: str) -> str:
         "manage_session": "List, inspect, or delete named sessions.",
         "dashboard": "Cockpit summary: health + latest status per module.",
         "load_session": "Load a file into a named session.",
+        "export_dashboard": "Write a self-contained HTML dashboard (history + health + optional charts).",
     }
     return docs.get(name, f"{name} tool.")
 

@@ -270,6 +270,37 @@ class Toolkit:
         score = calculate_health_score(metrics_from_history(self._history))
         return {"status": "pass", "module": "dashboard", "health": score, "latest_status_by_module": latest}
 
+    def tool_export_dashboard(
+        self,
+        output_path: str,
+        session_id=None,
+        input_path=None,
+        df=None,
+        viz_columns: list[str] | None = None,
+        title: str = "Toolkit Dashboard",
+        **kw,
+    ) -> dict:
+        """Render this server's run history + health as a self-contained HTML
+        dashboard (reference get_pipeline_dashboard artifact); with a session
+        or path, also embeds histogram/box SVGs for the given columns (bounded
+        aggregate passes — the renderer never sees the distributed table)."""
+        from types import SimpleNamespace
+
+        from analyst_toolkit_spark.reporting import export_pipeline_dashboard
+
+        src = None
+        if df is not None or session_id is not None or input_path is not None:
+            src = self._resolve_input(session_id, input_path, df)
+        run = SimpleNamespace(
+            run_id=kw.get("run_id", "toolkit"),
+            history=self._history,
+            reports={},
+            health=calculate_health_score(metrics_from_history(self._history)),
+        )
+        path = export_pipeline_dashboard(run, output_path, df=src, viz_columns=viz_columns, title=title)
+        self._record("export_dashboard", "completed", {"path": path})
+        return {"status": "pass", "module": "export_dashboard", "path": path}
+
     def tool_load_session(self, session_id: str, input_path: str, fmt: str | None = None, **kw) -> dict:
         df = S_io.load_any(self.spark, input_path, fmt=fmt)
         df = ingest.with_row_id(df)
