@@ -23,6 +23,7 @@ from analyst_toolkit_spark.functions.stats import (
     exact_quantiles_refined,
     percentile_exact,
     quantile_strategy,
+    quantiles_driver,
 )
 
 
@@ -108,8 +109,12 @@ def impute(df: DataFrame, specs: list[ImputeSpec], exact: bool = True):
 
     fills: dict[str, Any] = {}
     refined: dict[str, list[float]] = {}
-    if median_cols and quantile_strategy(df, exact=exact) == "refined":
-        refined = exact_quantiles_refined(df, {c: [0.5] for c in median_cols})
+    if median_cols:
+        strategy = quantile_strategy(df, exact=exact)
+        if strategy == "refined":
+            refined = exact_quantiles_refined(df, {c: [0.5] for c in median_cols})
+        elif strategy == "driver":
+            refined = quantiles_driver(df, {c: [0.5] for c in median_cols})
     aggs = []
     for c in mean_cols:
         aggs.append(F.avg(F.col(c)).alias(f"mean::{c}"))

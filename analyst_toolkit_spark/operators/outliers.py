@@ -27,6 +27,7 @@ from analyst_toolkit_spark.functions.stats import (
     exact_quantiles_refined,
     percentile_exact,
     quantile_strategy,
+    quantiles_driver,
 )
 
 
@@ -49,10 +50,11 @@ def compute_bounds(df: DataFrame, specs: list[OutlierSpec], exact: bool = True) 
     """
     strategy = quantile_strategy(df, exact=exact)
     refined: dict[str, list[float]] = {}
-    if strategy == "refined":
-        iqr_cols = {s.column: [0.25, 0.75] for s in specs if s.method == "iqr"}
-        if iqr_cols:
-            refined = exact_quantiles_refined(df, iqr_cols)
+    iqr_cols = {s.column: [0.25, 0.75] for s in specs if s.method == "iqr"}
+    if iqr_cols and strategy == "refined":
+        refined = exact_quantiles_refined(df, iqr_cols)
+    elif iqr_cols and strategy == "driver":
+        refined = quantiles_driver(df, iqr_cols)
     aggs = []
     for s in specs:
         c = F.col(s.column)

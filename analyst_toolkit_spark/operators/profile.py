@@ -23,6 +23,7 @@ from analyst_toolkit_spark.functions.stats import (
     kurtosis_g2,
     percentile_exact,
     quantile_strategy,
+    quantiles_driver,
     skewness_g1,
 )
 
@@ -75,10 +76,15 @@ def profile(
     # single-threaded merge / O(distinct) buffer is what breaks at 100 TB) and
     # re-enter the output as literals.
     refined_q: dict[str, list[float]] = {}
-    if quantile_strategy(df, exact=exact) == "refined":
-        targets = {c: [0.25, 0.5, 0.75] for c in cols if c in num}
-        if targets:
-            refined_q = exact_quantiles_refined(df, targets)
+    driver_nu: dict[str, int] = {}
+    strategy = quantile_strategy(df, exact=exact)
+    targets = {c: [0.25, 0.5, 0.75] for c in cols if c in num}
+    if targets and strategy == "refined":
+        refined_q = exact_quantiles_refined(df, targets)
+    elif targets and strategy == "driver":
+        # the same collect also yields the numeric columns' exact distinct
+        # counts, shrinking the countDistinct EXPAND below to string columns
+        refined_q, driver_nu = quantiles_driver(df, targets, nunique=True)
     aggs: list = [F.count(F.lit(1)).alias("__rows")]
     # Exact distinct counts go in a SEPARATE aggregation: mixing countDistinct
     # with TypedImperative aggs (percentile) triggers Catalyst's EXPAND
@@ -90,7 +96,9 @@ def profile(
     for c in cols:
         col = F.col(c)
         aggs.append(F.count(col).alias(f"{c}__count"))
-        if exact:
+        if c in driver_nu:
+            pass
+        elif exact:
             dist_aggs.append(F.countDistinct(col).alias(f"{c}__nunique"))
         else:
             aggs.append(F.approx_count_distinct(col, approx_rsd).alias(f"{c}__nunique"))
@@ -141,7 +149,11 @@ def profile(
                 )
                 .cast("double")
                 .alias("null_pct"),
-                F.col(f"{c}__nunique").cast("long").alias("n_unique"),
+                (
+                    F.lit(driver_nu[c]).cast("long")
+                    if c in driver_nu
+                    else F.col(f"{c}__nunique").cast("long")
+                ).alias("n_unique"),
                 (F.col(f"{c}__mean").cast("double") if is_num else F.lit(None).cast("double")).alias("mean"),
                 (F.col(f"{c}__std").cast("double") if is_num else F.lit(None).cast("double")).alias("stddev"),
                 (F.col(f"{c}__min") if is_num else F.lit(None).cast("double")).alias("min"),

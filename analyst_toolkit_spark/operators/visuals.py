@@ -24,6 +24,7 @@ from analyst_toolkit_spark.functions.stats import (
     exact_quantiles_refined,
     percentile_exact,
     quantile_strategy,
+    quantiles_driver,
 )
 from analyst_toolkit_spark.operators.profile import numeric_columns
 
@@ -83,14 +84,20 @@ def boxplot_stats(
             row[f"q::{c}"] = p["q"]
             row[f"min::{c}"] = p["min"]
             row[f"max::{c}"] = p["max"]
-    elif quantile_strategy(df) == "refined":
-        # big-input shape: quartiles via the bounded-memory refine path,
-        # min/max in a plain streaming agg (see functions.stats)
-        refined = exact_quantiles_refined(df, {c: [0.25, 0.5, 0.75] for c in cols})
-        mm = df.agg(
-            *[F.min(c).alias(f"min::{c}") for c in cols],
-            *[F.max(c).alias(f"max::{c}") for c in cols],
-        ).first()
+    elif (strategy := quantile_strategy(df)) in ("refined", "driver"):
+        targets = {c: [0.25, 0.5, 0.75] for c in cols}
+        if strategy == "driver":
+            # tiny input: one Arrow collect covers quartiles AND min/max
+            refined, mm_d = quantiles_driver(df, targets, minmax=True)
+            mm = {f"{k}::{c}": v[i] for c, v in mm_d.items() for i, k in enumerate(("min", "max"))}
+        else:
+            # big-input shape: quartiles via the bounded-memory refine path,
+            # min/max in a plain streaming agg (see functions.stats)
+            refined = exact_quantiles_refined(df, targets)
+            mm = df.agg(
+                *[F.min(c).alias(f"min::{c}") for c in cols],
+                *[F.max(c).alias(f"max::{c}") for c in cols],
+            ).first()
         row = {}
         for c in cols:
             q = refined[c]

@@ -29,15 +29,44 @@ def _force_refined(monkeypatch):
     monkeypatch.setattr(S, "QUANTILE_REFINE_THRESHOLD_BYTES", 0)
 
 
+def _force_builtin(monkeypatch):
+    monkeypatch.setattr(S, "QUANTILE_DRIVER_THRESHOLD_BYTES", 0)
+
+
+def test_driver_tier_matches_builtin(spark, lineitem, monkeypatch):
+    cols_ps = {"l_extendedprice": [0.25, 0.5, 0.75], "l_quantity": [0.5]}
+    drv, mm = S.quantiles_driver(lineitem, cols_ps, minmax=True)
+    from pyspark.sql import functions as F
+
+    for c, ps in cols_ps.items():
+        row = lineitem.agg(
+            S.percentile_exact(F.col(c), ps).alias("q"),
+            F.min(c).cast("double").alias("mn"),
+            F.max(c).cast("double").alias("mx"),
+        ).first()
+        for a, b in zip(drv[c], row["q"]):
+            assert math.isclose(a, float(b), rel_tol=0, abs_tol=1e-9), (c, drv[c], row["q"])
+        assert mm[c] == (float(row["mn"]), float(row["mx"]))
+
+
+def test_driver_tier_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    qs, mm = S.quantiles_driver(df, {"x": [0.5]}, minmax=True)
+    assert qs["x"] == [None] and mm["x"] == (None, None)
+
+
 def test_strategy_picks_by_plan_size(spark, lineitem, monkeypatch):
-    # parquet scan carries footer stats -> size known and small at sf0.001
+    # parquet scan carries footer stats -> size known and tiny at sf0.001
     assert S.plan_size_bytes(lineitem) > 0
-    assert S.quantile_strategy(lineitem) == "builtin"
+    assert S.quantile_strategy(lineitem) == "driver"
     assert S.quantile_strategy(lineitem, exact=False) == "approx"
+    # between the driver gate and the refine gate: builtin
+    monkeypatch.setattr(S, "QUANTILE_DRIVER_THRESHOLD_BYTES", 0)
+    assert S.quantile_strategy(lineitem) == "builtin"
     _force_refined(monkeypatch)
     assert S.quantile_strategy(lineitem) == "refined"
     # explicit threshold overrides the global
-    assert S.quantile_strategy(lineitem, threshold_bytes=1 << 60) == "builtin"
+    assert S.quantile_strategy(lineitem, threshold_bytes=1 << 60) != "refined"
 
 
 def test_strategy_unknown_size_stays_builtin(spark):
@@ -49,7 +78,9 @@ def test_strategy_unknown_size_stays_builtin(spark):
 
 
 def test_profile_refined_matches_builtin(spark, lineitem, monkeypatch):
-    base = {r["column"]: r.asDict() for r in M_prof.profile(lineitem).collect()}
+    with monkeypatch.context() as m:
+        _force_builtin(m)
+        base = {r["column"]: r.asDict() for r in M_prof.profile(lineitem).collect()}
     _force_refined(monkeypatch)
     ref = {r["column"]: r.asDict() for r in M_prof.profile(lineitem).collect()}
     assert base.keys() == ref.keys()
@@ -67,7 +98,9 @@ def test_outlier_bounds_refined_match(spark, lineitem, monkeypatch):
         M_out.OutlierSpec("l_extendedprice", "iqr", 1.5),
         M_out.OutlierSpec("l_quantity", "zscore", threshold=3.0),
     ]
-    base = M_out.compute_bounds(lineitem, specs)
+    with monkeypatch.context() as m:
+        _force_builtin(m)
+        base = M_out.compute_bounds(lineitem, specs)
     _force_refined(monkeypatch)
     ref = M_out.compute_bounds(lineitem, specs)
     assert base.keys() == ref.keys()
@@ -78,15 +111,20 @@ def test_outlier_bounds_refined_match(spark, lineitem, monkeypatch):
 
 def test_boxplot_refined_matches(spark, lineitem, monkeypatch):
     cols = ["l_quantity", "l_extendedprice"]
-    base = {r["column"]: r.asDict() for r in M_vis.boxplot_stats(lineitem, cols).collect()}
+    with monkeypatch.context() as m:
+        _force_builtin(m)
+        base = {r["column"]: r.asDict() for r in M_vis.boxplot_stats(lineitem, cols).collect()}
+    drv = {r["column"]: r.asDict() for r in M_vis.boxplot_stats(lineitem, cols).collect()}
     _force_refined(monkeypatch)
     ref = {r["column"]: r.asDict() for r in M_vis.boxplot_stats(lineitem, cols).collect()}
-    assert base == ref
+    assert base == ref == drv
 
 
 def test_impute_median_refined_matches(spark, lineitem, monkeypatch):
     specs = [M_imp.ImputeSpec("l_discount", "median")]
-    _, base = M_imp.impute(lineitem, specs)
+    with monkeypatch.context() as m:
+        _force_builtin(m)
+        _, base = M_imp.impute(lineitem, specs)
     _force_refined(monkeypatch)
     _, ref = M_imp.impute(lineitem, specs)
     assert base.keys() == ref.keys()
