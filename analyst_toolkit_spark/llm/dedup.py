@@ -232,10 +232,28 @@ def minhash_dedup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, key: str = "text", id_col: str = "doc_id", n_shingle: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    threshold: float = 0.8,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Brute-force n-gram Jaccard similarity join (the small-data baseline the
-    LSH path approximates; quadratic — gate behind small inputs)."""
+    """n-gram Jaccard similarity join.
+
+    ``mode="exact"`` is the brute-force quadratic self-join baseline;
+    ``mode="minhash"`` routes to the banded-LSH candidates + exact-Jaccard
+    verify (:func:`minhash_dedup_pairs` — full precision on reported pairs,
+    sub-1 recall on bucketing). ``mode="auto"`` (default) picks by input size
+    via :func:`analyst_toolkit_spark.llm.scale.pair_strategy`, keeping exact
+    semantics while exact is affordable and the 100 TB shape beyond that.
+    """
+    if mode == "auto":
+        from analyst_toolkit_spark.llm.scale import pair_strategy
+
+        mode = "exact" if pair_strategy(df) == "exact" else "minhash"
+    if mode == "minhash":
+        return minhash_dedup_pairs(df, key=key, id_col=id_col, threshold=threshold)
     sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -67,9 +67,31 @@ def cosine_topk(
     )
 
 
-def cosine_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.9) -> DataFrame:
-    """All-pairs cosine >= threshold (embedding near-dup detection).
-    Brute-force self-join baseline; use lsh_bucketed_pairs at scale."""
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    mode: str = "auto",
+) -> DataFrame:
+    """Cosine >= threshold near-pair detection (embedding near-dup).
+
+    ``mode="exact"`` is the brute-force all-pairs self-join — O(n²), the
+    correct baseline while the input is small. ``mode="lsh"`` routes to
+    :func:`lsh_bucketed_pairs` (hyperplane buckets, exact cosine verified on
+    candidates — full precision, sub-1 recall). ``mode="auto"`` (default)
+    picks by input size via :func:`analyst_toolkit_spark.llm.scale.pair_strategy`,
+    so the operator keeps exact semantics at test scale and survives 100 TB.
+    """
+    if mode == "auto":
+        from analyst_toolkit_spark.llm.scale import pair_strategy
+
+        mode = "exact" if pair_strategy(df) == "exact" else "lsh"
+    if mode == "lsh":
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
+        return lsh_bucketed_pairs(
+            df, dim=int(dim["d"]) if dim else 0, vec_col=vec_col, id_col=id_col, threshold=threshold
+        )
     d = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
