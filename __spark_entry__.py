@@ -741,6 +741,56 @@ def q_embedding_lsh_pairs(spark, sf):  # NON-SQL (seeded hyperplanes)
     return L_sim.lsh_bucketed_pairs(df, dim, n_planes=6, threshold=0.5)
 
 
+def _docs_with_pii(spark, sf):
+    """documents + deterministic synthetic PII (the corpus itself is PII-free
+    word soup, so the redaction/URL operators need injected positives; both
+    engines build the same string from doc_id)."""
+    df = load_table(spark, sf, "documents")
+    return df.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1555-"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            F.lit(" see https://mirror"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+def q_pii_redact_docs(spark, sf):
+    red = L_text.redact_pii(_docs_with_pii(spark, sf), "text", out_col="redacted")
+    return red.agg(
+        F.sum("n_email").cast("long").alias("total_email"),
+        F.sum("n_phone").cast("long").alias("total_phone"),
+        F.sum("n_url").cast("long").alias("total_url"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("redacted")).cast("long").alias("total_redacted_chars"),
+    )
+
+
+def q_chunk_docs(spark, sf):
+    ch = L_text.chunk_documents(load_table(spark, sf, "documents"), chunk_size=32, stride=16)
+    return ch.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum("n_words").cast("long").alias("total_chunk_words"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.length("chunk")).cast("long").alias("total_chunk_chars"),
+    )
+
+
+def q_url_extract_docs(spark, sf):
+    urls = L_text.extract_urls(_docs_with_pii(spark, sf))
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -834,6 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_docs": q_simhash_near_docs,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "pii_redact_docs": q_pii_redact_docs,
+        "chunk_docs": q_chunk_docs,
+        "url_extract_docs": q_url_extract_docs,
     }
 
 
@@ -1335,6 +1388,54 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
               / (a.n * b.n), 6) >= 0.9
+    """
+    # PII / chunking / URL extraction — regexes mirror llm/text.py
+    # EMAIL_RE/PHONE_RE/URL_RE (RE2-compatible subset, identical in Java and
+    # DuckDB); synthetic positives injected from doc_id exactly as the Spark
+    # side's _docs_with_pii.
+    _PII_DOC_SQL = r"""
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1555-' ||
+               lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' see https://mirror' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    """
+    sqls["pii_redact_docs"] = rf"""
+        WITH d AS ({_PII_DOC_SQL}),
+        r AS (
+          SELECT len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+                 len(regexp_extract_all(text, '\+[0-9][0-9\-]{{7,14}}[0-9]')) AS n_phone,
+                 len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+                 length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\+[0-9][0-9\-]{{7,14}}[0-9]', '<PHONE>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g')) AS redacted_len
+          FROM d)
+        SELECT CAST(sum(n_email) AS BIGINT) AS total_email,
+               CAST(sum(n_phone) AS BIGINT) AS total_phone,
+               CAST(sum(n_url) AS BIGINT) AS total_url,
+               count(*) AS docs,
+               CAST(sum(redacted_len) AS BIGINT) AS total_redacted_chars
+        FROM r
+    """
+    sqls["chunk_docs"] = r"""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents),
+        c AS (
+          SELECT doc_id,
+                 least(len(words) - off, 32) AS n_words,
+                 array_to_string(list_slice(words, off + 1, off + 32), ' ') AS chunk
+          FROM w, UNNEST(generate_series(0, greatest(len(words) - 1, 0), 16)) AS t(off)
+        )
+        SELECT count(*) AS total_chunks, CAST(sum(n_words) AS BIGINT) AS total_chunk_words,
+               count(DISTINCT doc_id) AS docs, CAST(sum(length(chunk)) AS BIGINT) AS total_chunk_chars
+        FROM c WHERE n_words > 0
+    """
+    sqls["url_extract_docs"] = rf"""
+        WITH d AS ({_PII_DOC_SQL}),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM d)
+        SELECT regexp_extract(url, 'https?://([^/\s:@]+)', 1) AS domain,
+               count(*) AS n_urls, count(DISTINCT doc_id) AS docs
+        FROM u GROUP BY domain
     """
     return sqls
 

@@ -178,3 +178,85 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+# PII patterns shared with the oracle SQL: RE2-compatible (no lookarounds),
+# so DuckDB's regexp_* and Java's evaluate them identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9\-]{7,14}[0-9]"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact_pii(
+    df: DataFrame,
+    col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Training-data PII scrub: replace each pattern with its ``<TAG>`` and
+    append one ``n_<tag>`` match-count column per pattern.
+
+    Pure ``regexp_replace``/``regexp_extract_all`` expressions — map-only,
+    no shuffle, 100 TB-safe. Patterns must stay in the RE2-compatible subset
+    (no lookarounds) so any engine reproduces them.
+    """
+    patterns = patterns or {"email": EMAIL_RE, "phone": PHONE_RE, "url": URL_RE}
+    out_col = out_col or col
+    c = F.col(col)
+    redacted = c
+    out = df
+    for tag, pat in patterns.items():
+        out = out.withColumn(f"n_{tag}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+        redacted = F.regexp_replace(redacted, pat, f"<{tag.upper()}>")
+    return out.withColumn(out_col, redacted)
+
+
+def chunk_documents(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into fixed word-count windows with overlap — the
+    standard pretraining/RAG chunker, as a pure explode (no UDF, no shuffle):
+
+    words = whitespace split; chunk i covers words [i*stride, i*stride +
+    chunk_size); offsets advance while they still address at least one word.
+
+    Output: ``id_col``, ``chunk_id`` (0-based), ``chunk`` (space-rejoined),
+    ``n_words``. One row per chunk; downstream repartitions by chunk for
+    embedding/tokenization fan-out.
+    """
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    words = F.regexp_extract_all(F.col(col), F.lit(r"\S+"), F.lit(0))
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        offsets,
+        lambda off, i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(words, off + 1, chunk_size)).alias("chunk"),
+            F.least(F.size(words) - off, F.lit(chunk_size)).alias("n_words"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk", "c.n_words")
+        .filter(F.col("n_words") > 0)
+    )
+
+
+def extract_urls(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per URL occurrence: ``id_col``, ``url``, ``domain`` (authority
+    without credentials/port). Map-only explode; aggregate by domain for a
+    corpus-level source census."""
+    urls = F.regexp_extract_all(F.col(col), F.lit(URL_RE), F.lit(0))
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("url"))
+        .withColumn("domain", F.regexp_extract(F.col("url"), r"https?://([^/\s:@]+)", 1))
+    )

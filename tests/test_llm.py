@@ -231,3 +231,55 @@ def test_simhash_near_pairs(spark):
 
     # verification is exact: every reported pair's hamming really is <= budget
     assert all(h <= 12 for h in pairs.values())
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org or call +1555-0012345 via https://x.io/p?q=1 ok"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in T.redact_pii(df, "text", out_col="red").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_url"] == 1
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE> via <URL> ok"
+    assert out[2]["red"] == "no pii here"
+    assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_url"] == 0
+
+
+def test_chunk_documents_windows(spark):
+    words = " ".join(str(i) for i in range(10))  # 10 words
+    df = spark.createDataFrame([(1, words), (2, ""), (3, "solo")], ["doc_id", "text"])
+    out = T.chunk_documents(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: offsets 0,3,6,9 -> windows of 4,4,4,1 words
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_words"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk"] == "0 1 2 3" and c1[1]["chunk"] == "3 4 5 6" and c1[3]["chunk"] == "9"
+    assert 2 not in by_doc  # empty text yields no chunks
+    assert [r["chunk"] for r in by_doc[3]] == ["solo"]
+
+
+def test_chunk_documents_full_coverage(spark, sf_dir):
+    from analyst_toolkit_spark.ingest import load_table
+
+    docs_t = load_table(spark, sf_dir, "documents")
+    ch = T.chunk_documents(docs_t, chunk_size=32, stride=32)  # disjoint windows
+    # disjoint chunks partition every word exactly once
+    total = ch.agg(F.sum("n_words")).first()[0]
+    expect = docs_t.select(F.sum(T.token_count("text"))).first()[0]
+    assert total == expect
+
+
+def test_extract_urls(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://a.io/x and http://b.org ok"), (2, "none")], ["doc_id", "text"]
+    )
+    out = T.extract_urls(df).collect()
+    assert {(r["url"], r["domain"]) for r in out} == {
+        ("https://a.io/x", "a.io"),
+        ("http://b.org", "b.org"),
+    }
