@@ -648,8 +648,12 @@ def q_simhash_near_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
 
 
 def q_ngram_jaccard_docs(spark, sf):
+    # mode="exact" pinned: the oracle is the exact quadratic Jaccard join, so
+    # the registry entry must run the deterministic exact path regardless of
+    # input size. mode="auto" (the library default) is the production API and
+    # is covered by tests/test_pair_scale.py.
     df = load_table(spark, sf, "documents")
-    return L_dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    return L_dedup.ngram_jaccard_pairs(df, threshold=0.5, mode="exact")
 
 
 def q_lang_detect_docs(spark, sf):
@@ -801,47 +805,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the round-1 driver oracle-checked exactly the first 50
-    # dict entries. The first 50 below therefore carry one covering query per
-    # operator family (incl. every LLM-extension operator with an oracle);
-    # entries 51+ are same-operator variants (profile on a 2nd table, a 2nd
-    # impute strategy, redundant TPC-H-style joins) and the approximate /
-    # non-deterministic paths (LSH hyperplanes, IVF k-means, simhash) whose
-    # exact baselines ARE inside the window. Local tests cover all 67.
+    # Ordering policy (transparent, semantics-neutral): 64 of the 70 registry
+    # queries have DuckDB oracles but the driver verifies only the first 50
+    # dict entries per round, so full oracle coverage takes two rounds. Round 2
+    # verified 50 (all green, CORRECTNESS_r02.json); this round the first 50
+    # slots carry (a) the 14 oracle-backed queries that had NOT yet received a
+    # driver row, and (b) one covering query per operator family. The 14
+    # entries pushed past slot 50 to make room are same-operator near-
+    # duplicates, each already driver-green in CORRECTNESS_r02.json (noted
+    # inline). Every query — windowed or not — runs against the same oracle in
+    # the local test suite (tests/test_entry_contract.py) at sf0.01, so no
+    # deterministic query is ever unverified. The only entries with no oracle
+    # anywhere are the seeded/approximate paths (simhash, hyperplane LSH, IVF
+    # k-means) and driver-side orchestration (pipeline, infer_configs), whose
+    # exact deterministic baselines ARE oracle-checked.
     return {
         # -- profiling / stats ------------------------------------------------
         "profile_lineitem": q_profile_lineitem,
-        "profile_by_segment": q_profile_by_segment,
-        "dup_count_lineitem": q_dup_count_lineitem,
-        "value_counts_mktsegment": q_value_counts_mktsegment,
+        "profile_customer": q_profile_customer,
+        "dup_clusters_lineitem": q_dup_clusters_lineitem,
+        "value_counts_topn_priority": q_value_counts_topn_priority,
         "corr_lineitem": q_corr_lineitem,
         "crosstab_lineitem": q_crosstab_lineitem,
+        "dtype_composition_lineitem": q_dtype_composition_lineitem,
+        "histogram_price": q_histogram_price,
         # -- validation / duplicates / outliers / impute ----------------------
         "validation_summary_orders": q_validation_summary_orders,
-        "validation_violations_orders": q_validation_violations_orders,
         "dupes_flag_lineitem": q_dupes_flag_lineitem,
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,
-        "dup_clusters_lineitem": q_dup_clusters_lineitem,
         "outlier_iqr_lineitem": q_outlier_iqr_lineitem,
         "outlier_zscore_orders": q_outlier_zscore_orders,
         "outlier_clip_lineitem": q_outlier_clip_lineitem,
         "impute_median_customer": q_impute_median_customer,
-        "impute_mode_customer": q_impute_mode_customer,
+        "impute_mean_customer": q_impute_mean_customer,
         # -- normalization ----------------------------------------------------
         "normalize_text_customer": q_normalize_text_customer,
         "remap_values_orders": q_remap_values_orders,
         "datetime_cascade_orders": q_datetime_cascade_orders,
+        "datetime_parse_orders": q_datetime_parse_orders,
         "coerce_numeric_orders": q_coerce_numeric_orders,
+        "fuzzy_correction_customer": q_fuzzy_correction_customer,
         # -- SQL / join / window showcase -------------------------------------
         "pricing_summary": q_pricing_summary,
-        "forecast_revenue_change": q_forecast_revenue_change,
-        "join_region_revenue": q_join_region_revenue,
-        "topn_parts": q_topn_parts,
+        "supplier_nation_balance": q_supplier_nation_balance,
+        "part_brand_stats": q_part_brand_stats,
+        "shipping_priority": q_shipping_priority,
         "window_running_total": q_window_running_total,
         # -- events / streaming-parity ----------------------------------------
-        "events_daily": q_events_daily,
-        "events_tumbling": q_events_tumbling,
-        "events_hopping": q_events_hopping,
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         # -- diff / drift / audit ---------------------------------------------
@@ -852,41 +862,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders": q_drift_orders,
         "null_audit_orders": q_null_audit_orders,
         "data_dictionary_customer": q_data_dictionary_customer,
-        "boxplot_lineitem": q_boxplot_lineitem,
         # -- LLM-pipeline: text / dedup / embeddings --------------------------
         "text_stats_documents": q_text_stats_documents,
-        "token_totals_documents": q_token_totals_documents,
         "exact_dup_docs": q_exact_dup_docs,
-        "fingerprint_dup_docs": q_fingerprint_dup_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lang_detect_docs": q_lang_detect_docs,
         "quality_docs": q_quality_docs,
         "stopword_vocab_docs": q_stopword_vocab_docs,
         "binary_stats_docs": q_binary_stats_docs,
-        "embedding_topk": q_embedding_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_near_dup": q_embedding_near_dup,
-        # ---- entries below are outside the driver's 50-query oracle window --
-        "histogram_price": q_histogram_price,
-        "profile_customer": q_profile_customer,
-        "impute_mean_customer": q_impute_mean_customer,
-        "datetime_parse_orders": q_datetime_parse_orders,
-        "value_counts_topn_priority": q_value_counts_topn_priority,
-        "supplier_nation_balance": q_supplier_nation_balance,
-        "part_brand_stats": q_part_brand_stats,
-        "shipping_priority": q_shipping_priority,
-        "pipeline_orders": q_pipeline_orders,
-        "infer_configs_customer": q_infer_configs_customer,
-        "dtype_composition_lineitem": q_dtype_composition_lineitem,
-        "fuzzy_correction_customer": q_fuzzy_correction_customer,
-        "ngram_jaccard_docs": q_ngram_jaccard_docs,
-        "simhash_groups_docs": q_simhash_groups_docs,
-        "simhash_near_docs": q_simhash_near_docs,
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
         "pii_redact_docs": q_pii_redact_docs,
         "chunk_docs": q_chunk_docs,
         "url_extract_docs": q_url_extract_docs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        # ---- slots 51+: same-operator near-duplicates, every one already ----
+        # ---- driver-green in CORRECTNESS_r02.json (still oracle-checked  ----
+        # ---- locally each run), then the seeded/approximate paths.       ----
+        "profile_by_segment": q_profile_by_segment,        # r02 green
+        "dup_count_lineitem": q_dup_count_lineitem,        # r02 green
+        "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
+        "validation_violations_orders": q_validation_violations_orders,  # r02 green
+        "impute_mode_customer": q_impute_mode_customer,    # r02 green
+        "forecast_revenue_change": q_forecast_revenue_change,  # r02 green
+        "join_region_revenue": q_join_region_revenue,      # r02 green
+        "topn_parts": q_topn_parts,                        # r02 green
+        "events_daily": q_events_daily,                    # r02 green
+        "events_tumbling": q_events_tumbling,              # r02 green
+        "events_hopping": q_events_hopping,                # r02 green
+        "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
+        "token_totals_documents": q_token_totals_documents,  # r02 green
+        "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
+        "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
+        "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
+        "simhash_groups_docs": q_simhash_groups_docs,      # seeded (rows-only)
+        "simhash_near_docs": q_simhash_near_docs,          # seeded (rows-only)
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,      # seeded (rows-only)
+        "embedding_ivf_topk": q_embedding_ivf_topk,        # k-means (rows-only)
     }
 
 
@@ -1433,7 +1446,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["url_extract_docs"] = rf"""
         WITH d AS ({_PII_DOC_SQL}),
         u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM d)
-        SELECT regexp_extract(url, 'https?://([^/\s:@]+)', 1) AS domain,
+        SELECT regexp_extract(url, 'https?://(?:[^/\s@]*@)?([^/\s:@]+)', 1) AS domain,
                count(*) AS n_urls, count(DISTINCT doc_id) AS docs
         FROM u GROUP BY domain
     """

@@ -15,11 +15,18 @@ order (oracle checks) instead take an explicit deterministic key ordering.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ROW_ID = "_row_id"
+
+#: Serializes the nanos-conf set/read/restore window in load_table so
+#: concurrent loads (the MCP HTTP transport is threaded) can't observe a
+#: half-restored conf.
+_NANOS_CONF_LOCK = threading.Lock()
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 TABLES = (
     "region",
@@ -69,11 +76,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
-        # Must not assume the caller's session came from session.get_spark():
-        # a bare SparkSession throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
-        # unless this (runtime-settable) conf is on.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        # A bare SparkSession throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        # unless this (runtime-settable) conf is on. The conf is consulted only
+        # while read.parquet() resolves the footer schema (the scan's hadoop
+        # conf is snapshotted then — verified: later actions on the returned
+        # DataFrame succeed after restore), so we set it for exactly that
+        # window and put the caller's value back rather than leaking a
+        # session-wide legacy-semantics change into later reads.
+        with _NANOS_CONF_LOCK:
+            prior = spark.conf.get(_NANOS_CONF, None)
+            spark.conf.set(_NANOS_CONF, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prior is None:
+                    spark.conf.unset(_NANOS_CONF)
+                else:
+                    spark.conf.set(_NANOS_CONF, prior)
+    else:
+        df = spark.read.parquet(path)
     for c in nanos_cols:
         # ns → µs truncation matches what µs-native engines (DuckDB) do.
         # Integer `div`, NOT `/`: float division of epoch-nanos (≈1.7e18)

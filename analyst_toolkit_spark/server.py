@@ -23,7 +23,10 @@ from __future__ import annotations
 
 import datetime as _dt
 import decimal
+import ipaddress
 import json
+import os
+import secrets
 import sys
 import threading
 import uuid
@@ -261,6 +264,33 @@ def _tool_description(name: str) -> str:
 
 # -- transports --------------------------------------------------------------
 
+#: Env var holding the optional HTTP bearer token — same knob as the reference
+#: server (mcp_server/server.py:114 ``ANALYST_MCP_AUTH_TOKEN``), so a reference
+#: deployment's auth config carries over unchanged.
+AUTH_TOKEN_ENV = "ANALYST_MCP_AUTH_TOKEN"
+
+
+def _is_loopback_host(host: str) -> bool:
+    """True for hosts that only accept local connections (reference
+    mcp_server/server.py:90-98)."""
+    if host in ("localhost", ""):
+        return True
+    try:
+        return ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        return False
+
+
+def _is_authorized(auth_header: str, auth_token: str) -> bool:
+    """Bearer-token check, constant-time compare (reference
+    mcp_server/auth.py:8-18). Empty configured token disables auth."""
+    if not auth_token:
+        return True
+    if not auth_header.startswith("Bearer "):
+        return False
+    provided = auth_header[len("Bearer "):].strip()
+    return bool(provided) and secrets.compare_digest(provided, auth_token)
+
 
 def serve_stdio(toolkit: Toolkit, stdin=None, stdout=None) -> None:
     """Newline-delimited JSON-RPC over stdio — the official MCP transport
@@ -281,6 +311,7 @@ def serve_stdio(toolkit: Toolkit, stdin=None, stdout=None) -> None:
 class _RpcHTTPHandler(BaseHTTPRequestHandler):
     server_version = f"{SERVER_NAME}/{SERVER_VERSION}"
     rpc: RpcServer = None  # type: ignore[assignment]
+    auth_token: str = ""
 
     def log_message(self, fmt, *args):  # quiet: ledger is the audit surface
         pass
@@ -288,6 +319,17 @@ class _RpcHTTPHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         if self.path != "/rpc":
             self.send_error(404)
+            return
+        if not _is_authorized(self.headers.get("Authorization", ""), self.auth_token):
+            body = json.dumps(
+                _rpc_error(None, -32600, "Unauthorized: missing or invalid bearer token")
+            ).encode()
+            self.send_response(401)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("WWW-Authenticate", "Bearer")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
@@ -314,12 +356,30 @@ class _RpcHTTPHandler(BaseHTTPRequestHandler):
             self.send_error(404)
 
 
-def serve_http(toolkit: Toolkit, host: str = "127.0.0.1", port: int = 8765) -> ThreadingHTTPServer:
+def serve_http(
+    toolkit: Toolkit,
+    host: str = "127.0.0.1",
+    port: int = 8765,
+    auth_token: str | None = None,
+) -> ThreadingHTTPServer:
     """Start the legacy-shape HTTP ``/rpc`` endpoint on a daemon thread and
     return the server (call ``.shutdown()`` to stop). Spark job submission is
-    thread-safe, so concurrent tool calls interleave at the scheduler."""
+    thread-safe, so concurrent tool calls interleave at the scheduler.
+
+    ``auth_token`` (default: ``$ANALYST_MCP_AUTH_TOKEN``) gates every ``/rpc``
+    POST behind ``Authorization: Bearer <token>`` (401 otherwise); ``/rpc``
+    can read any server-visible path via load_session, so a non-loopback bind
+    without a token is refused — pass the token or bind loopback (reference
+    posture: mcp_server/server.py:98-106, 588)."""
+    if auth_token is None:
+        auth_token = os.environ.get(AUTH_TOKEN_ENV, "").strip()
+    if not auth_token and not _is_loopback_host(host):
+        raise ValueError(
+            f"refusing non-loopback bind {host!r} without auth: set {AUTH_TOKEN_ENV} "
+            "or pass auth_token= (the /rpc surface reads/writes server-visible paths)"
+        )
     rpc = RpcServer(toolkit)
-    handler = type("BoundHandler", (_RpcHTTPHandler,), {"rpc": rpc})
+    handler = type("BoundHandler", (_RpcHTTPHandler,), {"rpc": rpc, "auth_token": auth_token})
     httpd = ThreadingHTTPServer((host, port), handler)
     thread = threading.Thread(target=httpd.serve_forever, name="rpc-http", daemon=True)
     thread.start()

@@ -8,14 +8,18 @@ serialization for distributed data).
 
 Spark mapping: a saved session is a cached DataFrame + temp view named
 ``session_<id>`` so the SQL surface can query it. Durable sessions checkpoint
-to ``persist_dir/<id>.parquet`` and survive a new SparkSession.
+to versioned parquet dirs ``persist_dir/<id>.v-<hex>.parquet`` behind an
+atomically-swapped pointer file ``<id>.current`` (legacy ``<id>.parquet``
+still restores) and survive a new SparkSession.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import threading
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -48,6 +52,11 @@ class SessionStore:
         self.persist_dir = persist_dir
         self.cache = cache
         self._entries: dict[str, SessionEntry] = {}
+        # One re-entrant lock for registry + persist mutations: the MCP HTTP
+        # transport is a ThreadingHTTPServer, so two tool calls can save the
+        # same session concurrently; unserialized rmtree/rename interleavings
+        # lose writes or crash mid-swap.
+        self._lock = threading.RLock()
 
     @staticmethod
     def _check_id(session_id: str) -> str:
@@ -59,73 +68,110 @@ class SessionStore:
         return f"session_{session_id}"
 
     def _register(self, session_id: str, df: DataFrame, metadata: dict | None = None) -> DataFrame:
-        self._evict()
-        now = time.time()
-        old = self._entries.pop(session_id, None)
-        if old is not None and self.cache:
-            old.df.unpersist()
-        if self.cache:
-            df = df.cache()
-        df.createOrReplaceTempView(self._view(session_id))
-        entry = SessionEntry(df=df, metadata=metadata or {}, created_at=now, last_used=now)
-        if old is not None:
-            entry.configs = old.configs
-        self._entries[session_id] = entry
-        return df
+        with self._lock:
+            self._evict()
+            now = time.time()
+            old = self._entries.pop(session_id, None)
+            if old is not None and self.cache:
+                old.df.unpersist()
+            if self.cache:
+                df = df.cache()
+            df.createOrReplaceTempView(self._view(session_id))
+            entry = SessionEntry(df=df, metadata=metadata or {}, created_at=now, last_used=now)
+            if old is not None:
+                entry.configs = old.configs
+            self._entries[session_id] = entry
+            return df
+
+    # -- persistence layout ---------------------------------------------------
+    # Versioned directories + atomic pointer swap (never delete the live read
+    # path): each save writes `<id>.v-<hex>.parquet` and then os.replace()s the
+    # small pointer file `<id>.current` onto it. Readers resolve the pointer at
+    # restore time, so a Spark job mid-scan of the previous version keeps its
+    # directory — only versions at least two saves old are garbage-collected.
+
+    def _pointer_path(self, session_id: str) -> str:
+        return os.path.join(self.persist_dir, f"{session_id}.current")
+
+    def _resolve_persisted(self, session_id: str) -> str | None:
+        """Current persisted data path for a session, or None."""
+        ptr = self._pointer_path(session_id)
+        try:
+            with open(ptr, encoding="utf-8") as fh:
+                version = fh.read().strip()
+            path = os.path.join(self.persist_dir, version)
+            if os.path.exists(path):
+                return path
+        except FileNotFoundError:
+            pass
+        legacy = os.path.join(self.persist_dir, f"{session_id}.parquet")
+        return legacy if os.path.exists(legacy) else None
+
+    def _gc_versions(self, session_id: str, keep: set[str]) -> None:
+        import shutil
+
+        prefix = f"{session_id}.v-"
+        for name in os.listdir(self.persist_dir):
+            if name.startswith(prefix) and name not in keep:
+                shutil.rmtree(os.path.join(self.persist_dir, name), ignore_errors=True)
 
     def save(self, session_id: str, df: DataFrame, metadata: dict | None = None) -> None:
         session_id = self._check_id(session_id)
         if self.persist_dir:
-            # Write to a TEMP path then swap: a session restored from
-            # `<id>.parquet` hands out DataFrames lazily reading that path, so
-            # a direct overwrite of it would be writing a path that is also
-            # being read (Spark refuses, or worse). After the swap, register
-            # a fresh read of the final path — truncated lineage, and no
-            # DataFrame left referencing a deleted directory.
-            import shutil
-            import uuid
-
-            final = os.path.join(self.persist_dir, f"{session_id}.parquet")
-            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-            df.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.rename(tmp, final)
-            df = self.spark.read.parquet(final)
+            with self._lock:
+                prior = self._resolve_persisted(session_id)
+                version = f"{session_id}.v-{uuid.uuid4().hex[:8]}.parquet"
+                target = os.path.join(self.persist_dir, version)
+                df.write.mode("overwrite").parquet(target)
+                ptr = self._pointer_path(session_id)
+                tmp_ptr = f"{ptr}.tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp_ptr, "w", encoding="utf-8") as fh:
+                    fh.write(version)
+                os.replace(tmp_ptr, ptr)  # atomic pointer swap
+                keep = {version}
+                if prior is not None:
+                    keep.add(os.path.basename(prior))  # in-flight scans survive
+                self._gc_versions(session_id, keep)
+                # register a fresh read of the new version — truncated lineage,
+                # no DataFrame left referencing a GC-able directory
+                df = self.spark.read.parquet(target)
         self._register(session_id, df, metadata)
 
     def get(self, session_id: str) -> DataFrame:
         session_id = self._check_id(session_id)
-        entry = self._entries.get(session_id)
-        if entry is None:
-            if self.persist_dir:
-                path = os.path.join(self.persist_dir, f"{session_id}.parquet")
-                if os.path.exists(path):
-                    # restore WITHOUT re-persisting: writing over the parquet
-                    # we are lazily reading from would corrupt the restore
-                    return self._register(session_id, self.spark.read.parquet(path))
-            raise KeyError(f"no session {session_id!r}")
-        if self.ttl_sec and time.time() - entry.last_used > self.ttl_sec:
-            self.delete(session_id)
-            raise KeyError(f"session {session_id!r} expired")
-        entry.last_used = time.time()
-        return entry.df
+        with self._lock:
+            entry = self._entries.get(session_id)
+            if entry is None:
+                if self.persist_dir:
+                    path = self._resolve_persisted(session_id)
+                    if path is not None:
+                        # restore WITHOUT re-persisting: writing over the parquet
+                        # we are lazily reading from would corrupt the restore
+                        return self._register(session_id, self.spark.read.parquet(path))
+                raise KeyError(f"no session {session_id!r}")
+            if self.ttl_sec and time.time() - entry.last_used > self.ttl_sec:
+                self.delete(session_id)
+                raise KeyError(f"session {session_id!r} expired")
+            entry.last_used = time.time()
+            return entry.df
 
     def save_config(self, session_id: str, module: str, config_yaml: str) -> None:
         """Persist an inferred module config on the session
         (reference state.py:414-441)."""
-        self._entries[self._check_id(session_id)].configs[module] = config_yaml
+        with self._lock:
+            self._entries[self._check_id(session_id)].configs[module] = config_yaml
 
     def get_config(self, session_id: str, module: str) -> str | None:
         entry = self._entries.get(self._check_id(session_id))
         return entry.configs.get(module) if entry else None
 
     def delete(self, session_id: str) -> None:
-        entry = self._entries.pop(session_id, None)
-        if entry is not None:
-            if self.cache:
-                entry.df.unpersist()
-            self.spark.catalog.dropTempView(self._view(session_id))
+        with self._lock:
+            entry = self._entries.pop(session_id, None)
+            if entry is not None:
+                if self.cache:
+                    entry.df.unpersist()
+                self.spark.catalog.dropTempView(self._view(session_id))
 
     def list_sessions(self) -> list[dict[str, Any]]:
         return [

@@ -84,6 +84,69 @@ def test_session_store_persistence(spark, small, tmp_path):
     assert store2.get("dur").count() == 2
 
 
+def test_session_store_versioned_swap_keeps_prior_version(spark, small, tmp_path):
+    # second save must not delete the version a restored reader may be
+    # mid-scan of; a third save GCs the oldest
+    store = SessionStore(spark, persist_dir=str(tmp_path))
+    store.save("v", small)
+    held = store.get("v")  # lazily reads version 1
+    store.save("v", small.limit(1))
+    versions = [p for p in tmp_path.iterdir() if p.name.startswith("v.v-")]
+    assert len(versions) == 2  # current + prior both on disk
+    assert held.count() == 2  # the pre-save handle still scans cleanly
+    assert store.get("v").count() == 1
+    store.save("v", small)
+    versions = [p for p in tmp_path.iterdir() if p.name.startswith("v.v-")]
+    assert len(versions) == 2  # oldest GC'd
+
+
+def test_session_store_concurrent_saves(spark, small, tmp_path):
+    import threading
+
+    store = SessionStore(spark, persist_dir=str(tmp_path))
+    errors = []
+
+    def worker(n):
+        try:
+            for _ in range(3):
+                store.save("race", small.limit(1 + n % 2))
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors
+    assert store.get("race").count() in (1, 2)
+    # a fresh store restores the pointer's version
+    assert SessionStore(spark, persist_dir=str(tmp_path)).get("race").count() in (1, 2)
+
+
+def test_session_store_legacy_layout_restores(spark, small, tmp_path):
+    # pre-versioning layout: bare <id>.parquet with no pointer file
+    small.write.parquet(str(tmp_path / "old.parquet"))
+    store = SessionStore(spark, persist_dir=str(tmp_path))
+    assert store.get("old").count() == 2
+
+
+def test_load_table_restores_nanos_conf(spark):
+    from analyst_toolkit_spark.ingest import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        # conf leak fixed: the legacy flag is restored after the footer read
+        assert spark.conf.get(key, None) is None
+        # and the returned frame still scans + converts ns → µs timestamps
+        assert df.select("ts").schema[0].dataType.typeName().startswith("timestamp")
+        assert df.count() > 0
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
+
+
 def test_invalid_session_id(spark, small):
     store = SessionStore(spark)
     with pytest.raises(ValueError):

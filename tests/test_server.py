@@ -4,6 +4,7 @@ mirroring the reference's mcp_server request/response contract
 
 import io
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -177,6 +178,39 @@ def test_http_roundtrip(toolkit, sf_dir):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         httpd.shutdown()
+
+
+def test_http_auth_token(toolkit):
+    httpd = serve_http(toolkit, port=0, auth_token="sekrit")
+    try:
+        port = httpd.server_address[1]
+        body = json.dumps({"jsonrpc": "2.0", "id": 1, "method": "tools/list"}).encode()
+        # no token → 401
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/rpc", data=body)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 401
+        # wrong token → 401
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rpc", data=body, headers={"Authorization": "Bearer nope"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 401
+        # correct token → 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rpc", data=body, headers={"Authorization": "Bearer sekrit"}
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["result"]["tools"]
+    finally:
+        httpd.shutdown()
+
+
+def test_http_refuses_nonloopback_without_token(toolkit, monkeypatch):
+    monkeypatch.delenv("ANALYST_MCP_AUTH_TOKEN", raising=False)
+    with pytest.raises(ValueError, match="non-loopback"):
+        serve_http(toolkit, host="0.0.0.0", port=0)
 
 
 def test_json_safe_dataframe_preview_is_bounded(spark):
