@@ -37,6 +37,12 @@ QUANTILE_DRIVER_THRESHOLD_BYTES = int(
     os.environ.get("SPARK_GRAFT_QUANTILE_DRIVER_BYTES", str(128 << 20))
 )
 
+#: Row cap backstopping the driver tier against optimizer mis-estimates: the
+#: collect runs through limit(cap+1), so driver memory stays bounded even if
+#: plan bytes lied; overflow falls back to the builtin aggregate (same exact
+#: results). Override with $SPARK_GRAFT_QUANTILE_DRIVER_ROWS.
+QUANTILE_DRIVER_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_QUANTILE_DRIVER_ROWS", "4000000"))
+
 # Catalyst reports defaultSizeInBytes (~Long.MaxValue) when it has no stats —
 # an in-memory test relation, not a 8-EiB table. Treat those as "unknown".
 _SIZE_UNKNOWN_FLOOR = 1 << 60
@@ -93,7 +99,15 @@ def quantiles_driver(
     """Exact quantiles for TINY inputs: collect the needed columns once over
     Arrow, ``np.quantile`` (linear interpolation — same formula as the
     builtin aggregate and pandas) per column. Gated by ``quantile_strategy``
-    behind ``QUANTILE_DRIVER_THRESHOLD_BYTES``; never call on big frames.
+    behind ``QUANTILE_DRIVER_THRESHOLD_BYTES``.
+
+    Mis-estimate guard: the plan-bytes gate trusts the optimizer, and parquet
+    bytes under-estimate in-memory pandas footprint (dictionary-encoded
+    strings, many columns). The collect therefore goes through
+    ``limit(QUANTILE_DRIVER_MAX_ROWS + 1)`` — memory stays bounded no matter
+    how wrong the estimate was — and on overflow the function silently
+    computes the same answer with the distributed builtin aggregate instead.
+    Either way the caller gets exact results from one call.
 
     Returns ``{col: [q...]}``; with ``minmax`` and/or ``nunique`` set, a tuple
     appending ``{col: (min, max)}`` and/or ``{col: distinct_count}`` (pandas
@@ -102,7 +116,9 @@ def quantiles_driver(
     """
     import numpy as np
 
-    pdf = df.select(*cols_ps).toPandas()
+    pdf = df.select(*cols_ps).limit(QUANTILE_DRIVER_MAX_ROWS + 1).toPandas()
+    if len(pdf) > QUANTILE_DRIVER_MAX_ROWS:
+        return _quantiles_builtin_fallback(df, cols_ps, minmax, nunique)
     out: dict[str, list] = {}
     mm: dict[str, tuple] = {}
     nu: dict[str, int] = {}
@@ -121,6 +137,38 @@ def quantiles_driver(
         result += (mm,)
     if nunique:
         result += (nu,)
+    return result if len(result) > 1 else out
+
+
+def _quantiles_builtin_fallback(
+    df: DataFrame, cols_ps: dict[str, list[float]], minmax: bool, nunique: bool
+):
+    """quantiles_driver's overflow path: same result shape via distributed
+    aggregates. percentile+min/max fuse into one pass; countDistinct runs as
+    a second agg on purpose — fusing it would trigger Catalyst's EXPAND
+    rewrite, multiplying rows into the percentile buffers (see
+    operators/profile.py)."""
+    aggs = []
+    for c, ps in cols_ps.items():
+        aggs.append(percentile_exact(c, [float(p) for p in ps]).alias(f"q_{c}"))
+        if minmax:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+    row = df.agg(*aggs).first()
+    out = {}
+    mm = {}
+    for c, ps in cols_ps.items():
+        qs = row[f"q_{c}"]
+        out[c] = [None] * len(ps) if qs is None else [float(x) for x in qs]
+        if minmax:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            mm[c] = (None, None) if mn is None else (float(mn), float(mx))
+    result: tuple = (out,)
+    if minmax:
+        result += (mm,)
+    if nunique:
+        nu_row = df.agg(*[F.countDistinct(c).alias(c) for c in cols_ps]).first()
+        result += ({c: int(nu_row[c]) for c in cols_ps},)
     return result if len(result) > 1 else out
 
 

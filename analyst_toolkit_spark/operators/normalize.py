@@ -24,11 +24,36 @@ Spark design notes:
 from __future__ import annotations
 
 import difflib
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SQL_NULL_SENTINEL = "null"
+
+#: Above this optimizer-estimated input size, fuzzy correction's "auto" mode
+#: stops collecting distinct values to the driver and routes to the fully
+#: in-plan distributed map (mirrors llm/scale.py pair_strategy). Override
+#: with $SPARK_GRAFT_FUZZY_DRIVER_BYTES.
+FUZZY_DRIVER_THRESHOLD_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FUZZY_DRIVER_BYTES", str(256 << 20))
+)
+
+#: Hard cap on distinct values build_fuzzy_map will collect; beyond it the
+#: driver map would be unbounded — callers are pointed at the distributed
+#: variant instead of silently OOM-ing the driver.
+FUZZY_MAX_DISTINCT = int(os.environ.get("SPARK_GRAFT_FUZZY_MAX_DISTINCT", "100000"))
+
+
+def fuzzy_strategy(df: DataFrame) -> str:
+    """``"driver"`` (collect distinct values, difflib scorer) or
+    ``"distributed"`` (in-plan Levenshtein map) — by optimizer plan size,
+    exactly like :func:`analyst_toolkit_spark.llm.scale.pair_strategy`.
+    Unknown size (in-memory relation without stats) stays ``"driver"``."""
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    return "distributed" if 0 <= FUZZY_DRIVER_THRESHOLD_BYTES <= size else "driver"
 
 
 def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
@@ -77,10 +102,18 @@ def build_fuzzy_map(df: DataFrame, column: str, master: list[str], cutoff: float
     """F3 fuzzy correction map: distinct values not in the master list matched
     to their best master candidate at >= cutoff similarity.
 
-    Collects DISTINCT values only (cardinality-bounded). At extreme cardinality
-    switch to the distributed similarity join in llm/similarity.py.
+    Collects DISTINCT values only, hard-capped at FUZZY_MAX_DISTINCT — a
+    high-cardinality column raises instead of collecting unbounded data to
+    the driver; use :func:`fuzzy_correction_map_distributed` (or mode="auto"
+    on :func:`apply_fuzzy_correction`, which gates by plan size) there.
     """
-    distinct = [r[0] for r in df.select(column).distinct().collect() if r[0] is not None]
+    rows = df.select(column).distinct().limit(FUZZY_MAX_DISTINCT + 1).collect()
+    if len(rows) > FUZZY_MAX_DISTINCT:
+        raise ValueError(
+            f"build_fuzzy_map: >{FUZZY_MAX_DISTINCT} distinct values in {column!r}; "
+            "use fuzzy_correction_map_distributed (the in-plan 100 TB path)"
+        )
+    distinct = [r[0] for r in rows if r[0] is not None]
     master_set = set(master)
     corrections: dict[str, str] = {}
     for v in distinct:
@@ -96,8 +129,23 @@ def build_fuzzy_map(df: DataFrame, column: str, master: list[str], cutoff: float
     return corrections
 
 
-def apply_fuzzy_correction(df: DataFrame, column: str, master: list[str], cutoff: float = 80.0):
-    """Build + apply the correction map. Returns (df, corrections)."""
+def apply_fuzzy_correction(
+    df: DataFrame, column: str, master: list[str], cutoff: float = 80.0, mode: str = "auto"
+):
+    """Build + apply the correction map. Returns (df, corrections).
+
+    ``mode="driver"`` collects distinct values and remaps via a literal CASE
+    chain (difflib scorer — reference-parity semantics); ``"distributed"``
+    stays fully in-plan (Levenshtein scorer, broadcast map join — the 100 TB
+    shape; corrections returned as None since the map never leaves the
+    cluster). ``"auto"`` (default) picks by optimizer plan size via
+    :func:`fuzzy_strategy`, so profiling a huge table can't trigger an
+    unbounded driver collect.
+    """
+    if mode == "auto":
+        mode = fuzzy_strategy(df)
+    if mode == "distributed":
+        return apply_fuzzy_correction_distributed(df, column, master, cutoff), None
     corrections = build_fuzzy_map(df, column, master, cutoff)
     return remap_values(df, column, corrections) if corrections else df, corrections
 

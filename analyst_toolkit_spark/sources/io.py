@@ -118,7 +118,19 @@ def export_html_report(reports: dict[str, Any], path: str, title: str = "Report"
 
 def load_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Scheme- and format-dispatching reader (S1-S4): local or cloud URI,
-    csv/parquet/json by extension unless forced."""
+    csv/parquet/json by extension unless forced.
+
+    URIs whose scheme has a registered :class:`~analyst_toolkit_spark.sources.
+    storage.ObjectStore` (tests, fake schemes, SDK-backed stores) take the
+    staged list→cap→download→read path; everything else — local paths and
+    native Hadoop-connector schemes (``gs://``, ``s3a://``, …) — goes straight
+    to Spark's distributed reader.
+    """
+    if "://" in path:
+        from analyst_toolkit_spark.sources import storage
+
+        if storage.resolve_store(path) is not None:
+            return storage.load_uri(spark, path, fmt)
     if fmt is None:
         if path.endswith(".csv"):
             fmt = "csv"

@@ -298,8 +298,21 @@ class Toolkit:
             health=calculate_health_score(metrics_from_history(self._history)),
         )
         path = export_pipeline_dashboard(run, output_path, df=src, viz_columns=viz_columns, title=title)
-        self._record("export_dashboard", "completed", {"path": path})
-        return {"status": "pass", "module": "export_dashboard", "path": path}
+        # S11 artifact plane: mirror the rendered artifact to the configured
+        # report bucket (reference io_storage.py:280-329 upload path). No
+        # bucket configured → local-only, same soft-fail contract.
+        from analyst_toolkit_spark.sources.storage import ArtifactLedger, upload_artifact
+
+        uri = upload_artifact(
+            path,
+            run_id=run.run_id,
+            module="export_dashboard",
+            session_id=session_id,
+            ledger=ArtifactLedger(self.ledger_path) if self.ledger_path else None,
+        )
+        summary = {"path": path, **({"artifact_uri": uri} if uri else {})}
+        self._record("export_dashboard", "completed", summary)
+        return {"status": "pass", "module": "export_dashboard", **summary}
 
     def tool_load_session(self, session_id: str, input_path: str, fmt: str | None = None, **kw) -> dict:
         df = S_io.load_any(self.spark, input_path, fmt=fmt)

@@ -124,6 +124,40 @@ def test_fuzzy_distributed_matches_contract(spark):
     assert vals == ["Adelie", "Adelie", "Chinstrap", "Gentoo", "Gentoo", "zzzz", None]
 
 
+def test_fuzzy_auto_gates_on_plan_size(spark, sf_dir, monkeypatch):
+    # mirrors tests/test_pair_scale.py: "auto" keeps the driver map at test
+    # scale and routes to the in-plan distributed map above the size gate
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.operators import normalize as N
+
+    cust = load_table(spark, sf_dir, "customer")
+    assert N.fuzzy_strategy(cust) == "driver"
+    monkeypatch.setattr(N, "FUZZY_DRIVER_THRESHOLD_BYTES", 0)
+    assert N.fuzzy_strategy(cust) == "distributed"
+
+    typod = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.lower("c_mktsegment"), F.lit("x"))).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    master = [r[0] for r in cust.select("c_mktsegment").distinct().collect() if r[0]]
+    out, cmap = N.apply_fuzzy_correction(typod, "c_mktsegment", master, cutoff=80.0)
+    assert cmap is None  # distributed path: the map never leaves the cluster
+    got = {(r[0], r[1]) for r in out.groupBy("c_mktsegment").count().collect()}
+    want = {(r[0], r[1]) for r in cust.groupBy("c_mktsegment").count().collect()}
+    assert got == want  # corrections restore the original distribution
+
+
+def test_build_fuzzy_map_caps_distinct_collect(spark, monkeypatch):
+    from analyst_toolkit_spark.operators import normalize as N
+
+    monkeypatch.setattr(N, "FUZZY_MAX_DISTINCT", 50)
+    wide = spark.range(200).selectExpr("concat('v', id) AS v")
+    with pytest.raises(ValueError, match="distinct values"):
+        N.build_fuzzy_map(wide, "v", ["v1"], 80.0)
+
+
 def test_fuzzy_distributed_no_driver_collect_of_values(spark):
     from pyspark.sql import Row
 

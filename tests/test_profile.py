@@ -41,10 +41,18 @@ def test_profile_matches_pandas_semantics(spark):
     assert s["nulls"] == 1 and s["n_unique"] == 2 and s["mean"] is None
 
 
-def test_profile_scan_count(spark, sf_dir):
+def test_profile_scan_count(spark, sf_dir, monkeypatch):
+    from analyst_toolkit_spark.functions import stats as S
+
     df = load_table(spark, sf_dir, "lineitem")
-    # exact mode: two scans — stats agg + distinct-count agg (kept apart so
-    # countDistinct's EXPAND rewrite never multiplies the percentile inputs)
+    # tiny input (driver tier): the result is a local relation — the heavy
+    # work happened in ONE bounded Arrow collect, no distributed agg at all
+    plan = profile(df, exact=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    # distributed exact mode: two scans — stats agg + distinct-count agg
+    # (kept apart so countDistinct's EXPAND rewrite never multiplies the
+    # percentile inputs)
+    monkeypatch.setattr(S, "QUANTILE_DRIVER_THRESHOLD_BYTES", 0)
     plan = profile(df, exact=True)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2
     # approx mode (sketch aggregates, no EXPAND): single scan

@@ -49,6 +49,26 @@ def test_driver_tier_matches_builtin(spark, lineitem, monkeypatch):
         assert mm[c] == (float(row["mn"]), float(row["mx"]))
 
 
+def test_driver_tier_row_cap_falls_back_to_builtin(spark, lineitem, monkeypatch):
+    # simulate a wildly wrong plan-bytes estimate: the row cap trips and the
+    # answer comes from the distributed builtin aggregate — identical values,
+    # and the collect never exceeded cap+1 rows
+    cols_ps = {"l_extendedprice": [0.25, 0.5, 0.75]}
+    expect, emm, enu = S.quantiles_driver(lineitem, cols_ps, minmax=True, nunique=True)
+    monkeypatch.setattr(S, "QUANTILE_DRIVER_MAX_ROWS", 10)
+    got, gmm, gnu = S.quantiles_driver(lineitem, cols_ps, minmax=True, nunique=True)
+    for a, b in zip(expect["l_extendedprice"], got["l_extendedprice"]):
+        assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
+    assert gmm == emm and gnu == enu
+
+
+def test_driver_tier_row_cap_all_null(spark, monkeypatch):
+    monkeypatch.setattr(S, "QUANTILE_DRIVER_MAX_ROWS", 2)
+    df = spark.createDataFrame([(None,)] * 5, "x double")
+    qs, mm = S.quantiles_driver(df, {"x": [0.5]}, minmax=True)
+    assert qs["x"] == [None] and mm["x"] == (None, None)
+
+
 def test_driver_tier_all_null_column(spark):
     df = spark.createDataFrame([(None,), (None,)], "x double")
     qs, mm = S.quantiles_driver(df, {"x": [0.5]}, minmax=True)
