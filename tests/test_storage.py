@@ -25,7 +25,7 @@ def mem_store():
     S.unregister_store("mem")
 
 
-def _parquet_bytes(spark, rows) -> bytes:
+def _parquet_bytes(rows) -> bytes:
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -50,17 +50,28 @@ def test_resolve_store_unregistered_is_native():
     assert S.resolve_store("/tmp/x.parquet") is None
 
 
-def test_resolve_store_caches_per_bucket(mem_store):
-    a1, _ = S.resolve_store("mem://b1/x.parquet")
-    a2, _ = S.resolve_store("mem://b1/y.parquet")
-    assert a1 is a2
+def test_resolve_store_caches_per_bucket():
+    calls = []
+
+    def factory(bucket):
+        calls.append(bucket)
+        return S.MemoryObjectStore()
+
+    S.register_store("memc", factory)
+    try:
+        a1, _ = S.resolve_store("memc://b1/x.parquet")
+        a2, _ = S.resolve_store("memc://b1/y.parquet")
+        assert a1 is a2
+        assert calls == ["b1"]  # factory invoked once; second hit served from cache
+    finally:
+        S.unregister_store("memc")
 
 
 # -- S4: staged prefix reads through the fake scheme --------------------------
 
 
 def test_single_blob_read(spark, mem_store):
-    mem_store.put_bytes("data/one.parquet", _parquet_bytes(spark, [{"a": 1}, {"a": 2}]))
+    mem_store.put_bytes("data/one.parquet", _parquet_bytes([{"a": 1}, {"a": 2}]))
     df = S.load_uri(spark, "mem://bkt/data/one.parquet")
     assert df.count() == 2
 
@@ -71,16 +82,16 @@ def test_single_blob_missing_raises(spark, mem_store):
 
 
 def test_prefix_read_concats_and_skips_non_data(spark, mem_store):
-    mem_store.put_bytes("pfx/a.parquet", _parquet_bytes(spark, [{"a": 1}]))
-    mem_store.put_bytes("pfx/b.parquet", _parquet_bytes(spark, [{"a": 2}]))
+    mem_store.put_bytes("pfx/a.parquet", _parquet_bytes([{"a": 1}]))
+    mem_store.put_bytes("pfx/b.parquet", _parquet_bytes([{"a": 2}]))
     mem_store.put_bytes("pfx/readme.txt", b"not data")  # io_storage.py:109 ext filter
-    mem_store.put_bytes("other/c.parquet", _parquet_bytes(spark, [{"a": 99}]))
+    mem_store.put_bytes("other/c.parquet", _parquet_bytes([{"a": 99}]))
     df = S.load_uri(spark, "mem://bkt/pfx")
     assert sorted(r.a for r in df.collect()) == [1, 2]
 
 
 def test_prefix_read_unions_mixed_formats_by_name(spark, mem_store):
-    mem_store.put_bytes("mix/a.parquet", _parquet_bytes(spark, [{"a": 1, "b": "x"}]))
+    mem_store.put_bytes("mix/a.parquet", _parquet_bytes([{"a": 1, "b": "x"}]))
     mem_store.put_bytes("mix/b.csv", b"a,b\n2,y\n")
     df = S.load_uri(spark, "mem://bkt/mix")
     got = {(int(r.a), r.b) for r in df.collect()}
@@ -96,21 +107,21 @@ def test_prefix_empty_raises(spark, mem_store):
 def test_prefix_object_count_cap(spark, mem_store, monkeypatch):
     monkeypatch.setattr(S, "MAX_PREFIX_OBJECTS", 2)
     for i in range(3):
-        mem_store.put_bytes(f"cap/{i}.parquet", _parquet_bytes(spark, [{"a": i}]))
+        mem_store.put_bytes(f"cap/{i}.parquet", _parquet_bytes([{"a": i}]))
     with pytest.raises(S.StorageError, match="objects"):
         S.load_uri(spark, "mem://bkt/cap")
 
 
 def test_prefix_byte_cap(spark, mem_store, monkeypatch):
     monkeypatch.setattr(S, "MAX_PREFIX_BYTES", 10)
-    mem_store.put_bytes("cap/a.parquet", _parquet_bytes(spark, [{"a": 1}]))
+    mem_store.put_bytes("cap/a.parquet", _parquet_bytes([{"a": 1}]))
     with pytest.raises(S.StorageError, match="bytes"):
         S.load_uri(spark, "mem://bkt/cap")
 
 
 def test_load_any_dispatches_registered_scheme(spark, mem_store):
     """The io.load_any seam routes registered schemes through the store."""
-    mem_store.put_bytes("d/one.parquet", _parquet_bytes(spark, [{"a": 7}]))
+    mem_store.put_bytes("d/one.parquet", _parquet_bytes([{"a": 7}]))
     df = M_io.load_any(spark, "mem://bkt/d/one.parquet")
     assert [r.a for r in df.collect()] == [7]
 
