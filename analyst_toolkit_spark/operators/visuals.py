@@ -206,3 +206,74 @@ def top_categories(df: DataFrame, column: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("count"), F.asc_nulls_last("value"))
         .limit(top_n)
     )
+
+
+def histogram_pair(
+    df_before: DataFrame, df_after: DataFrame, column: str, bins: int = 30
+) -> tuple[DataFrame, DataFrame]:
+    """Before/after histograms on SHARED bin edges — the aggregate feed for
+    the reference's imputation comparison overlay
+    (m08_visuals/comparison_plots.py:30-56, KDE-over-KDE). On a distributed
+    engine the comparable form is two binned counts over one common [lo, hi]
+    span: three tiny aggs total (one min/max per side, then one binned
+    groupBy per side), every one map-side combinable. Output rows per side
+    == ``bins`` — page size is independent of table size.
+    """
+    spans = []
+    for d in (df_before, df_after):
+        mm = d.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+        if mm["lo"] is not None:
+            spans.append((float(mm["lo"]), float(mm["hi"])))
+    spark = df_before.sparkSession
+    empty_schema = "bin int, lo double, hi double, count long"
+    if not spans:
+        return spark.createDataFrame([], empty_schema), spark.createDataFrame([], empty_schema)
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    if lo == hi:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+
+    def _bin(d: DataFrame) -> DataFrame:
+        bucket = F.least(
+            F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(bins - 1)
+        )
+        counts = {
+            int(r["bin"]): int(r["count"])
+            for r in d.filter(F.col(column).isNotNull())
+            .groupBy(bucket.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .collect()
+        }
+        rows = [
+            {"bin": b, "lo": lo + b * width, "hi": lo + (b + 1) * width, "count": counts.get(b, 0)}
+            for b in range(bins)
+        ]
+        return spark.createDataFrame(rows, empty_schema)
+
+    return _bin(df_before), _bin(df_after)
+
+
+def top_categories_pair(
+    df_before: DataFrame, df_after: DataFrame, column: str, top_n: int = 20
+) -> DataFrame:
+    """Aligned before/after value counts for the categorical comparison bars
+    (comparison_plots.py:73-113: concat of two value_counts, fillna(0)).
+
+    One union+pivot-free plan: tag each side, one groupBy(value) with two
+    conditional sums, rank by combined count, keep top-N. A single shuffle on
+    the category key regardless of input size; null categories keep the
+    reference's dropna=False behavior via a sentinel-free null group.
+    Output: value, before, after — ≤ top_n rows.
+    """
+    tagged = df_before.select(
+        F.col(column).alias("value"), F.lit(1).alias("__b"), F.lit(0).alias("__a")
+    ).unionAll(
+        df_after.select(F.col(column).alias("value"), F.lit(0).alias("__b"), F.lit(1).alias("__a"))
+    )
+    return (
+        tagged.groupBy("value")
+        .agg(F.sum("__b").alias("before"), F.sum("__a").alias("after"))
+        .orderBy(F.desc(F.col("before") + F.col("after")), F.asc_nulls_last("value"))
+        .limit(top_n)
+    )

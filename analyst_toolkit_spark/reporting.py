@@ -49,6 +49,8 @@ td,th{border:1px solid #dfe2e8;padding:4px 10px;text-align:left;vertical-align:t
 th{background:#f0f2f5;font-weight:600}
 .num{text-align:right;font-variant-numeric:tabular-nums}
 .subtle{color:#5b6270;font-size:12px}
+.panel.cert.pass{border-left:4px solid #3d8b4f}.panel.cert.fail{border-left:4px solid #b33a3a}
+.cert-copy{font-size:13px;color:#3a4150;margin:4px 0 8px}
 svg text{font-family:inherit}
 """
 
@@ -180,6 +182,185 @@ def boxplot_svg(stats: Any, width: int = 640, row_h: int = 44) -> str:
     return "".join(parts)
 
 
+def comparison_hist_svg(
+    before: Any, after: Any, width: int = 640, height: int = 200, title: str = ""
+) -> str:
+    """Before/after distribution overlay from ``visuals.histogram_pair``
+    output (shared bin edges) — the aggregate analogue of the reference's
+    KDE-over-KDE imputation comparison (m08_visuals/comparison_plots.py:30-56).
+    Two translucent bar series on one axis; input is ≤ bins rows per side."""
+    rows_b = sorted(_rows_of(before), key=lambda r: r.get("bin", 0))
+    rows_a = sorted(_rows_of(after), key=lambda r: r.get("bin", 0))
+    if not rows_b and not rows_a:
+        return ""
+    n = max(len(rows_b), len(rows_a))
+    pad, axis, legend_h = 8, 28, 18
+    max_c = max(
+        [int(r["count"]) for r in rows_b] + [int(r["count"]) for r in rows_a] + [1]
+    )
+    bw = (width - 2 * pad) / max(n, 1)
+    parts = [
+        f"<svg viewBox='0 0 {width} {height + axis + legend_h}' width='{width}' "
+        f"height='{height + axis + legend_h}' role='img'>"
+    ]
+    if title:
+        parts.append(f"<text x='{pad}' y='14' font-size='12' fill='#5b6270'>{_esc(title)}</text>")
+    parts.append(
+        f"<rect x='{pad}' y='{height + axis + 4}' width='10' height='10' fill='#4878a8' opacity='0.55'/>"
+        f"<text x='{pad + 14}' y='{height + axis + 13}' font-size='11' fill='#5b6270'>before</text>"
+        f"<rect x='{pad + 72}' y='{height + axis + 4}' width='10' height='10' fill='#c96a3b' opacity='0.55'/>"
+        f"<text x='{pad + 86}' y='{height + axis + 13}' font-size='11' fill='#5b6270'>after</text>"
+    )
+    for rows, color in ((rows_b, "#4878a8"), (rows_a, "#c96a3b")):
+        for i, r in enumerate(rows):
+            c = int(r["count"])
+            if c == 0:
+                continue
+            h = (height - 24) * c / max_c
+            x, y = pad + i * bw, height - h
+            parts.append(
+                f"<rect x='{x:.1f}' y='{y:.1f}' width='{max(bw - 1, 1):.1f}' height='{h:.1f}' "
+                f"fill='{color}' opacity='0.55'>"
+                f"<title>[{_fmt(r['lo'])}, {_fmt(r['hi'])}): {c}</title></rect>"
+            )
+    edge_rows = rows_b or rows_a
+    parts.append(
+        f"<text x='{pad}' y='{height + 16}' font-size='11' fill='#5b6270'>{_fmt(edge_rows[0]['lo'])}</text>"
+        f"<text x='{width - pad}' y='{height + 16}' font-size='11' fill='#5b6270' "
+        f"text-anchor='end'>{_fmt(edge_rows[-1]['hi'])}</text>"
+        "</svg>"
+    )
+    return "".join(parts)
+
+
+def comparison_counts_svg(pair_counts: Any, width: int = 640, title: str = "") -> str:
+    """Grouped before/after bars from ``visuals.top_categories_pair`` rows
+    (value, before, after) — the reference's categorical imputation compare
+    (comparison_plots.py:73-113). ≤ top_n categories, two bars each."""
+    rows = _rows_of(pair_counts)
+    if not rows:
+        return ""
+    pad_l, pad_r, row_h = 150, 16, 36
+    height = row_h * len(rows) + 30
+    max_c = max([int(r["before"]) for r in rows] + [int(r["after"]) for r in rows] + [1])
+    span_w = width - pad_l - pad_r
+    parts = [f"<svg viewBox='0 0 {width} {height}' width='{width}' height='{height}' role='img'>"]
+    if title:
+        parts.append(f"<text x='4' y='14' font-size='12' fill='#5b6270'>{_esc(title)}</text>")
+    for i, r in enumerate(rows):
+        y0 = 22 + i * row_h
+        label = "null" if r.get("value") is None else str(r["value"])
+        b, a = int(r["before"]), int(r["after"])
+        parts.append(
+            f"<text x='4' y='{y0 + 14}' font-size='12' fill='#1f2430'>{_esc(label[:22])}</text>"
+            f"<rect x='{pad_l}' y='{y0}' width='{span_w * b / max_c:.1f}' height='10' fill='#4878a8'>"
+            f"<title>before: {b}</title></rect>"
+            f"<rect x='{pad_l}' y='{y0 + 12}' width='{span_w * a / max_c:.1f}' height='10' fill='#c96a3b'>"
+            f"<title>after: {a}</title></rect>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+# -- certification views ------------------------------------------------------
+
+
+def _display_name(name: str) -> str:
+    return str(name).replace("_", " ").title()
+
+
+def certification_section(result: Mapping[str, Any], gate_name: str = "Validation Gate") -> str:
+    """Certification fragment from a ``run_validation``/``run_final_audit``
+    result dict (reference dashboard_certification.py:156-253: hero verdict,
+    stat cards, per-rule status pills, failure drill-downs). Driver-side only —
+    every number here was already aggregated by the validation pass."""
+    # run_final_audit nests the validation result; accept either shape
+    cert = result.get("certification_results", result)
+    rules: Mapping[str, Any] = cert.get("rules", {}) or {}
+    checks = {k: v for k, v in rules.items() if k != "__any_rule__"}
+    failed = [n for n, r in checks.items() if int(r.get("violations", 0)) > 0]
+    passed_n = len(checks) - len(failed)
+    issue_units = sum(int(checks[n].get("violations", 0)) for n in failed)
+    coverage = rules.get("__any_rule__", {}).get("coverage_pct", "N/A")
+    schema = result.get("schema", cert.get("schema", {})) or {}
+    null_audit = result.get("null_audit_results")
+    certified = bool(result.get("certified", cert.get("passed", not failed)))
+    tone = "pass" if certified else "fail"
+
+    out = [
+        f"<div class='panel cert {tone}'>",
+        f"<h2>{_esc(gate_name)} {_badge('pass' if certified else 'fail')}</h2>",
+        f"<p class='cert-copy'>{'Certification criteria satisfied — safe to promote.' if certified else 'Review the failed rules and drill-down evidence below before promoting.'}</p>",
+        "<div class='tiles'>",
+        _tile("rules failed", len(failed), "fail" if failed else "pass"),
+        _tile("rules passed", passed_n, "pass"),
+        _tile("issue units", issue_units, "fail" if issue_units else "pass"),
+        _tile("row coverage %", coverage if coverage != "N/A" else "N/A", "warn" if failed else "pass"),
+        _tile("next step", "Repair" if not certified else "Proceed", tone),
+        "</div>",
+    ]
+
+    if checks:
+        out.append("<h3>Rules summary</h3>")
+        out.append(
+            render_table(
+                [
+                    {
+                        "rule": _display_name(n),
+                        "violations": int(r.get("violations", 0)),
+                        "rows": int(r.get("rows", 0)),
+                        "status": "Pass" if n not in failed else f"Fail ({int(r.get('violations', 0))} issues)",
+                    }
+                    for n, r in checks.items()
+                ]
+            )
+        )
+
+    # failure drill-downs (schema first — reference's schema_conformity card)
+    if schema and not schema.get("passed", True):
+        out.append("<h3>Failure detail: schema conformity</h3>")
+        out.append(
+            render_table(
+                [
+                    {"issue": "Missing", "columns": ", ".join(schema.get("missing_columns", [])) or "None"},
+                    {"issue": "Unexpected", "columns": ", ".join(schema.get("unexpected_columns", [])) or "None"},
+                ]
+            )
+        )
+    if null_audit and not null_audit.get("passed", True):
+        out.append("<h3>Failure detail: disallowed nulls</h3>")
+        out.append(
+            render_table(
+                [{"column": c, "null_count": n} for c, n in sorted(null_audit.get("failures", {}).items())]
+            )
+        )
+    for n in failed:
+        r = checks[n]
+        out.append(
+            f"<p class='subtle'><strong>{_esc(_display_name(n))}</strong>: "
+            f"{int(r.get('violations', 0))} of {int(r.get('rows', 0))} rows violate this rule.</p>"
+        )
+    out.append("</div>")
+    return "".join(out)
+
+
+def render_certification_dashboard(
+    result: Mapping[str, Any], run_id: str = "", title: str = "Certification"
+) -> str:
+    """Standalone certification page (reference render_validation_dashboard /
+    final-audit view) — the embeddable section plus page chrome."""
+    return "\n".join(
+        [
+            "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+            f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body><div class='wrap'>",
+            f"<h1>{_esc(title)}</h1>",
+            f"<p class='subtle'>run_id: {_esc(run_id)}</p>",
+            certification_section(result),
+            "</div></body></html>",
+        ]
+    )
+
+
 # -- pipeline dashboard ------------------------------------------------------
 
 _MODULE_REPORT_KEYS = {
@@ -244,6 +425,17 @@ def render_pipeline_dashboard(
             out.append(render_table(rpt))
         out.append("</div>")
 
+    # certification sections (reference dashboard_certification.py views):
+    # one per validation-shaped report, final audit last
+    for key, gate in (
+        ("validation", "M02 Validation Gate"),
+        ("validation_gatekeeper", "Validation Gatekeeper"),
+        ("final_audit", "Final Audit Certification"),
+    ):
+        res = reports.get(key)
+        if isinstance(res, Mapping) and ("rules" in res or "certification_results" in res):
+            out.append(certification_section(res, gate_name=gate))
+
     for name, svg in (charts or {}).items():
         if not svg:
             continue
@@ -260,10 +452,17 @@ def export_pipeline_dashboard(
     viz_columns: list[str] | None = None,
     title: str = "Pipeline Dashboard",
     bins: int = 30,
+    compare: Mapping[str, tuple[DataFrame, DataFrame]] | None = None,
+    compare_categorical: Mapping[str, tuple[DataFrame, DataFrame]] | None = None,
 ) -> str:
     """Render and write the dashboard. When ``df``/``viz_columns`` are given,
     compute histogram + box aggregates for those columns (bounded single-pass
-    aggs via operators/visuals) and embed them as inline SVG."""
+    aggs via operators/visuals) and embed them as inline SVG.
+
+    ``compare`` maps a numeric column name to a (df_before, df_after) pair —
+    each becomes a shared-bin before/after overlay (reference comparison
+    plots); ``compare_categorical`` does the same with grouped count bars.
+    All chart inputs are aggregates: page size does not grow with data size."""
     charts: dict[str, str] = {}
     if df is not None and viz_columns:
         from analyst_toolkit_spark.operators import visuals as M_vis
@@ -272,6 +471,18 @@ def export_pipeline_dashboard(
         charts["Distribution overview (box)"] = boxplot_svg(box)
         for c in viz_columns:
             charts[f"Histogram — {c}"] = histogram_svg(M_vis.histogram(df, c, bins=bins), title=c)
+    if compare:
+        from analyst_toolkit_spark.operators import visuals as M_vis
+
+        for c, (d0, d1) in compare.items():
+            hb, ha = M_vis.histogram_pair(d0, d1, c, bins=bins)
+            charts[f"Before/after — {c}"] = comparison_hist_svg(hb, ha, title=c)
+    if compare_categorical:
+        from analyst_toolkit_spark.operators import visuals as M_vis
+
+        for c, (d0, d1) in compare_categorical.items():
+            pair = M_vis.top_categories_pair(d0, d1, c)
+            charts[f"Value counts before/after — {c}"] = comparison_counts_svg(pair, title=c)
     page = render_pipeline_dashboard(run, title=title, charts=charts)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:

@@ -102,3 +102,127 @@ def test_toolkit_export_dashboard_tool(spark, sf_dir, tmp_path):
     assert res["status"] == "pass"
     page = open(res["path"]).read()
     assert "diagnostics" in page and "<svg" in page
+
+
+# -- certification + comparison views (round 4: reference ---------------------
+# -- dashboard_certification.py + m08_visuals/comparison_plots.py parity) -----
+
+
+def test_certification_section_pass_and_fail(spark, sf_dir):
+    from analyst_toolkit_spark.operators.validation import run_validation
+    from analyst_toolkit_spark.plans.config import validation_config
+    from analyst_toolkit_spark.reporting import certification_section, render_certification_dashboard
+
+    df = load_table(spark, sf_dir, "orders")
+    ok_cfg, _ = validation_config(
+        {"validation": {"rules": {"disallowed_null_columns": ["o_orderkey"]}}}
+    )
+    res = run_validation(df, ok_cfg)
+    frag = certification_section(res)
+    assert "PASS" in frag and "Proceed" in frag and "rules failed" in frag
+
+    bad_cfg, _ = validation_config(
+        {
+            "validation": {
+                "rules": {
+                    "range_checks": {"o_totalprice": {"min": 0, "max": 1}},
+                    "expected_columns": ["o_orderkey", "not_a_column"],
+                }
+            }
+        }
+    )
+    res2 = run_validation(df, bad_cfg)
+    frag2 = certification_section(res2)
+    assert "FAIL" in frag2 and "Repair" in frag2
+    assert "schema conformity" in frag2 and "not_a_column" in frag2
+    # issue units tile carries the range rule's violation count
+    viol = int(res2["rules"]["range:o_totalprice"]["violations"])
+    assert viol > 0 and f">{viol}<" in frag2
+    page = render_certification_dashboard(res2, run_id="r9")
+    assert page.startswith("<!DOCTYPE html>") and "r9" in page
+
+
+def test_final_audit_certification_in_pipeline_dashboard(spark, sf_dir):
+    from analyst_toolkit_spark.plans.pipeline import run_pipeline
+
+    df = load_table(spark, sf_dir, "orders")
+    master = {
+        "run_id": "cert_dash",
+        "modules": {
+            "validation": {
+                "run": True,
+                "config": {"validation": {"rules": {"disallowed_null_columns": ["o_orderkey"]}}},
+            },
+            "final_audit": {
+                "run": True,
+                "config": {
+                    "final_audit": {
+                        "certification": {
+                            "schema_validation": {"rules": {"disallowed_null_columns": ["o_orderkey"]}}
+                        }
+                    }
+                },
+            },
+        },
+    }
+    run = run_pipeline(spark, C.pipeline_config(master), df)
+    page = render_pipeline_dashboard(run)
+    assert "M02 Validation Gate" in page
+    assert "Final Audit Certification" in page
+    assert "Rules summary" in page
+
+
+def test_histogram_pair_shared_edges(spark, sf_dir):
+    from analyst_toolkit_spark.operators.visuals import histogram_pair
+
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders.filter("o_totalprice < 200000")
+    after = orders  # wider span — shared edges must cover it
+    hb, ha = histogram_pair(before, after, "o_totalprice", bins=12)
+    rb, ra = hb.collect(), ha.collect()
+    assert len(rb) == len(ra) == 12
+    for b, a in zip(rb, ra):
+        assert b["lo"] == a["lo"] and b["hi"] == a["hi"]  # SHARED edges
+    assert sum(r["count"] for r in ra) == after.count()
+
+
+def test_comparison_hist_svg(spark, sf_dir):
+    from analyst_toolkit_spark.operators.visuals import histogram_pair
+    from analyst_toolkit_spark.reporting import comparison_hist_svg
+
+    orders = load_table(spark, sf_dir, "orders")
+    hb, ha = histogram_pair(orders.limit(100), orders.limit(500), "o_totalprice", bins=10)
+    svg = comparison_hist_svg(hb, ha, title="o_totalprice")
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "before</text>" in svg and "after</text>" in svg
+    assert "#4878a8" in svg and "#c96a3b" in svg  # both series drawn
+
+
+def test_top_categories_pair_and_svg(spark, sf_dir):
+    from analyst_toolkit_spark.operators.visuals import top_categories_pair
+    from analyst_toolkit_spark.reporting import comparison_counts_svg
+
+    cust = load_table(spark, sf_dir, "customer")
+    before = cust.filter("c_mktsegment <> 'BUILDING'")
+    pair = top_categories_pair(before, cust, "c_mktsegment")
+    rows = {r["value"]: (r["before"], r["after"]) for r in pair.collect()}
+    assert rows["BUILDING"][0] == 0 and rows["BUILDING"][1] > 0
+    for v, (b, a) in rows.items():
+        if v != "BUILDING":
+            assert b == a
+    svg = comparison_counts_svg(pair, title="c_mktsegment")
+    assert svg.count("<rect") == 2 * len(rows)
+
+
+def test_export_with_compare_charts(pipeline_run, spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "orders")
+    path = export_pipeline_dashboard(
+        pipeline_run,
+        str(tmp_path / "cmp.html"),
+        compare={"o_totalprice": (df.limit(200), df)},
+        compare_categorical={"o_orderpriority": (df.limit(200), df)},
+    )
+    page = open(path).read()
+    assert "Before/after — o_totalprice" in page
+    assert "Value counts before/after — o_orderpriority" in page
+    assert page.count("<svg") == 2
