@@ -489,6 +489,45 @@ def q_events_sessions(spark, sf):
     return sessionize(load_table(spark, sf, "events"), gap="30 minutes")
 
 
+def q_asof_join_events(spark, sf):
+    """Temporal as-of join (operators/joins.py): each purchase matched to its
+    user's latest at-or-before view event. Union+window plan — one shuffle on
+    user_id, no nested loop; DuckDB ASOF LEFT JOIN is the oracle."""
+    from analyst_toolkit_spark.operators import joins as M_j
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id", "value")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return M_j.asof_join(purchases, views, on="ts", by="user_id").select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+def q_range_join_bands(spark, sf):
+    """Interval join (operators/joins.py): event values into fixed 50-wide
+    bands, then a per-band census. Band side is 10 literal rows → broadcast
+    non-equi join; the binned equi-join path is the both-sides-big shape
+    (tests/test_joins.py proves strategy equivalence)."""
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.operators import joins as M_j
+
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [Row(band=i, lo=float(i * 50), hi=float(i * 50 + 49.999999)) for i in range(10)]
+    )
+    return (
+        M_j.range_join(ev, bands, "value", "lo", "hi")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
 def q_events_json_props(spark, sf):
     df = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -837,8 +876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_mean_customer": q_impute_mean_customer,
         # -- normalization ----------------------------------------------------
         "normalize_text_customer": q_normalize_text_customer,
-        "remap_values_orders": q_remap_values_orders,
-        "datetime_cascade_orders": q_datetime_cascade_orders,
         "datetime_parse_orders": q_datetime_parse_orders,
         "coerce_numeric_orders": q_coerce_numeric_orders,
         "fuzzy_correction_customer": q_fuzzy_correction_customer,
@@ -848,9 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": q_part_brand_stats,
         "shipping_priority": q_shipping_priority,
         "window_running_total": q_window_running_total,
-        # -- events / streaming-parity ----------------------------------------
+        # -- events / streaming-parity / temporal joins ------------------------
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
+        "asof_join_events": q_asof_join_events,
+        "range_join_bands": q_range_join_bands,
         # -- diff / drift / audit ---------------------------------------------
         "row_diff_orders": q_row_diff_orders,
         "null_audit_orders": q_null_audit_orders,
@@ -886,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropped_rows_orders": q_dropped_rows_orders,      # r02+r03 green
         "value_audit_orders": q_value_audit_orders,        # r02+r03 green
         "drift_orders": q_drift_orders,                    # r02+r03 green
+        "remap_values_orders": q_remap_values_orders,      # r02+r03 green
+        "datetime_cascade_orders": q_datetime_cascade_orders,  # r02+r03 green
         "profile_by_segment": q_profile_by_segment,        # r02 green
         "dup_count_lineitem": q_dup_count_lineitem,        # r02 green
         "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
@@ -1226,6 +1267,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    sqls["asof_join_events"] = """
+        SELECT p.user_id, p.event_id, round(p.value, 6) AS purchase_value,
+               round(v.value, 6) AS view_value
+        FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type='purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+    sqls["range_join_bands"] = """
+        WITH bands AS (SELECT i AS band, i*50.0 AS lo, i*50.0+49.999999 AS hi FROM range(10) t(i))
+        SELECT band, count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events JOIN bands ON value BETWEEN lo AND hi
+        GROUP BY band
     """
     sqls["drift_orders"] = """
         WITH lng AS (

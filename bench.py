@@ -60,6 +60,8 @@ HEADLINE = [
     "events_daily",
     "events_sessions",
     "events_json_props",
+    "asof_join_events",
+    "range_join_bands",
     "text_stats_documents",
     "exact_dup_docs",
     "fingerprint_dup_docs",
