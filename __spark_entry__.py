@@ -676,6 +676,18 @@ def q_minhash_pairs_docs(spark, sf):
     return L_dedup.minhash_dedup_pairs(load_table(spark, sf, "documents"), threshold=0.5, eager=False)
 
 
+def q_dedup_cluster_docs(spark, sf):
+    """Near-dup cluster resolution (llm/dedup.py connected_components): the
+    verified MinHash pair list collapsed into components; output is each
+    clustered doc with its component id (= smallest member). Oracle: DuckDB
+    recursive CTE over the exact quadratic-Jaccard pair list (identical to
+    the minhash_pairs_docs oracle's pair set)."""
+    pairs = L_dedup.minhash_dedup_pairs(
+        load_table(spark, sf, "documents"), threshold=0.5, eager=False
+    )
+    return L_dedup.connected_components(pairs)
+
+
 def q_simhash_groups_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
     return L_dedup.simhash_dup_groups(load_table(spark, sf, "documents")).select(
         "simhash", "cluster_size", F.array_min("members").alias("min_id")
@@ -746,9 +758,12 @@ def q_stopword_vocab_docs(spark, sf):
 
 def q_quality_docs(spark, sf):
     df = load_table(spark, sf, "documents")
-    return df.agg(
-        F.round(F.avg(L_text.quality_score("text")), 6).alias("avg_quality"),
-        F.sum((L_text.quality_score("text") >= 0.75).cast("long")).alias("high_quality_docs"),
+    # score once in a projection (the expression expands to 4 regex passes per
+    # doc — two agg-side copies would double the scan work if CSE doesn't fire)
+    scored = df.select(L_text.quality_score("text").alias("q"))
+    return scored.agg(
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.sum((F.col("q") >= 0.75).cast("long")).alias("high_quality_docs"),
         F.count(F.lit(1)).alias("docs"),
     )
 
@@ -877,7 +892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- normalization ----------------------------------------------------
         "normalize_text_customer": q_normalize_text_customer,
         "datetime_parse_orders": q_datetime_parse_orders,
-        "coerce_numeric_orders": q_coerce_numeric_orders,
         "fuzzy_correction_customer": q_fuzzy_correction_customer,
         # -- SQL / join / window showcase -------------------------------------
         "pricing_summary": q_pricing_summary,
@@ -898,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,
         "exact_dup_docs": q_exact_dup_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "dedup_cluster_docs": q_dedup_cluster_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lang_detect_docs": q_lang_detect_docs,
         "quality_docs": q_quality_docs,
@@ -927,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders": q_drift_orders,                    # r02+r03 green
         "remap_values_orders": q_remap_values_orders,      # r02+r03 green
         "datetime_cascade_orders": q_datetime_cascade_orders,  # r02+r03 green
+        "coerce_numeric_orders": q_coerce_numeric_orders,  # r02+r03 green
         "profile_by_segment": q_profile_by_segment,        # r02 green
         "dup_count_lineitem": q_dup_count_lineitem,        # r02 green
         "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
@@ -1346,6 +1362,19 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["minhash_pairs_docs"] = _JACCARD_PAIRS_SQL
     sqls["ngram_jaccard_docs"] = _JACCARD_PAIRS_SQL
+    # connected components over the same exact pair list: transitive closure
+    # via recursive label walk, then min reachable label per node
+    sqls["dedup_cluster_docs"] = f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+        SELECT node, min(lbl) AS component FROM walk GROUP BY node
+    """
     # llm/text.py detect_language: marker-word hit counts per language, argmax
     # with alphabetical tie-break, 'und' when the best score is 0.
     _MARKERS = {

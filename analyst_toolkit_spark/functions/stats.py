@@ -37,10 +37,11 @@ QUANTILE_DRIVER_THRESHOLD_BYTES = int(
     os.environ.get("SPARK_GRAFT_QUANTILE_DRIVER_BYTES", str(128 << 20))
 )
 
-#: Row cap backstopping the driver tier against optimizer mis-estimates: the
-#: collect runs through limit(cap+1), so driver memory stays bounded even if
-#: plan bytes lied; overflow falls back to the builtin aggregate (same exact
-#: results). Override with $SPARK_GRAFT_QUANTILE_DRIVER_ROWS.
+#: Row cap backstopping the driver tier against optimizer mis-estimates: a
+#: column-free count() guard runs BEFORE any collect, so driver memory stays
+#: bounded even if plan bytes lied (zero rows collected on overflow);
+#: overflow falls back to the builtin aggregate (same exact results).
+#: Override with $SPARK_GRAFT_QUANTILE_DRIVER_ROWS.
 QUANTILE_DRIVER_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_QUANTILE_DRIVER_ROWS", "4000000"))
 
 # Catalyst reports defaultSizeInBytes (~Long.MaxValue) when it has no stats —
@@ -93,6 +94,25 @@ def quantile_strategy(
     return "builtin"
 
 
+def collect_driver_bounded(df: DataFrame, cols: list[str]):
+    """Bounded driver collect for the small-input tiers: a column-free
+    ``count()`` guard first (nothing is collected at all when the optimizer
+    mis-estimated and the frame exceeds ``QUANTILE_DRIVER_MAX_ROWS``), then a
+    plain parallel ``toPandas``. Returns the pandas frame or None on overflow.
+
+    Why not ``limit(cap+1).toPandas()`` (the previous guard): a global limit
+    plans as CollectLimitExec — a serial, single-task collection — measured
+    ~3x slower than the parallel Arrow collect on a 600k-row projection
+    (0.73 s vs 0.26 s at sf0.1). The count guard is also strictly safer:
+    the limit probe materialized cap+1 rows before deciding; this collects
+    zero rows when over budget. The count scan is column-free (Catalyst
+    prunes every column), so it reads parquet metadata + row existence only.
+    """
+    if df.count() > QUANTILE_DRIVER_MAX_ROWS:
+        return None
+    return df.select(*cols).toPandas()
+
+
 def quantiles_driver(
     df: DataFrame, cols_ps: dict[str, list[float]], minmax: bool = False, nunique: bool = False
 ):
@@ -104,10 +124,11 @@ def quantiles_driver(
     Mis-estimate guard: the plan-bytes gate trusts the optimizer, and parquet
     bytes under-estimate in-memory pandas footprint (dictionary-encoded
     strings, many columns). The collect therefore goes through
-    ``limit(QUANTILE_DRIVER_MAX_ROWS + 1)`` — memory stays bounded no matter
-    how wrong the estimate was — and on overflow the function silently
-    computes the same answer with the distributed builtin aggregate instead.
-    Either way the caller gets exact results from one call.
+    ``collect_driver_bounded`` — a column-free count guard, so memory stays
+    bounded no matter how wrong the estimate was (zero rows collected on
+    overflow) — and on overflow the function silently computes the same
+    answer with the distributed builtin aggregate instead. Either way the
+    caller gets exact results from one call.
 
     Returns ``{col: [q...]}``; with ``minmax`` and/or ``nunique`` set, a tuple
     appending ``{col: (min, max)}`` and/or ``{col: distinct_count}`` (pandas
@@ -116,8 +137,8 @@ def quantiles_driver(
     """
     import numpy as np
 
-    pdf = df.select(*cols_ps).limit(QUANTILE_DRIVER_MAX_ROWS + 1).toPandas()
-    if len(pdf) > QUANTILE_DRIVER_MAX_ROWS:
+    pdf = collect_driver_bounded(df, list(cols_ps))
+    if pdf is None:
         return _quantiles_builtin_fallback(df, cols_ps, minmax, nunique)
     out: dict[str, list] = {}
     mm: dict[str, tuple] = {}

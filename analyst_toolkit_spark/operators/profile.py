@@ -198,10 +198,10 @@ def _profile_driver(df: DataFrame, cols: list[str], num: set[str]) -> DataFrame 
 
     import numpy as np
 
-    from analyst_toolkit_spark.functions.stats import QUANTILE_DRIVER_MAX_ROWS
+    from analyst_toolkit_spark.functions.stats import collect_driver_bounded
 
-    pdf = df.select(*cols).limit(QUANTILE_DRIVER_MAX_ROWS + 1).toPandas()
-    if len(pdf) > QUANTILE_DRIVER_MAX_ROWS:
+    pdf = collect_driver_bounded(df, cols)
+    if pdf is None:
         return None
     rows_total = len(pdf)
 
