@@ -362,3 +362,77 @@ def simhash_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list(id_col)).alias("members"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster resolution over a near-dup pair list: (node, component) where
+    ``component`` is the smallest node id transitively reachable — the
+    standard hash-to-min label propagation (Rastogi et al., "Finding
+    Connected Components in MapReduce", ICDE'13 shape).
+
+    The piece a real 100 TB dedup pipeline needs AFTER candidate pairs:
+    MinHash/SimHash emit edges; keeping one doc per *component* (not per
+    edge) is what actually dedups A~B~C into one survivor.
+
+    Plan shape per iteration: one join (labels onto symmetrized edges) + one
+    min-agg — both shuffle on the node key, nothing quadratic, no
+    driver-side graph. Convergence = the global min-label sum stops falling
+    (one cheap scalar agg per iteration); near-dup graphs have tiny diameter
+    so 3-5 iterations is typical. ``localCheckpoint`` truncates the plan
+    each round so lineage doesn't grow O(iterations).
+
+    Iterative-with-driver-loop is inherent to connected components (Spark
+    has no native fixpoint operator); each iteration is a fully distributed
+    job — the driver only compares two longs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["node"], "inner").select(
+            edges["src"].alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative per near-dup component (the smallest id),
+    plus every document that appears in no pair. The end-to-end dedup shape:
+    candidate pairs (MinHash/SimHash/embedding LSH) → connected components →
+    one anti-join. Never materializes clusters driver-side."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

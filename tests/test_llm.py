@@ -293,3 +293,106 @@ def test_extract_urls_userinfo_port(spark):
     )
     out = {r["domain"] for r in T.extract_urls(df).collect()}
     assert out == {"h.example.com", "host.io"}
+
+
+# -- connected components / cluster dedup (round 4) ---------------------------
+
+
+def test_connected_components_basic(spark):
+    from analyst_toolkit_spark.llm.dedup import connected_components
+
+    # two components: {1,2,3,4} (chain) and {10,11}; 2-3 via two paths
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    from analyst_toolkit_spark.llm.dedup import connected_components
+
+    # a 12-node path needs multiple propagation rounds — exercises convergence
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_dedup_representatives(spark):
+    from analyst_toolkit_spark.llm.dedup import dedup_representatives
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_representatives(docs, pairs).collect())
+    assert kept == [0, 3, 4]  # 0 reps {0,1,2}; 3 untouched; 4 reps {4,5}
+
+
+def test_cluster_docs_oracle(spark, oracle_sf_dir):
+    """End-to-end: minhash pairs -> components, vs DuckDB recursive CTE over
+    the exact quadratic-Jaccard pair list."""
+    import __spark_entry__ as entry_mod
+    from tests.oracle import compare, duckdb_con
+
+    con = duckdb_con(oracle_sf_dir)
+    compare(
+        entry_mod.queries()["dedup_cluster_docs"](spark, oracle_sf_dir),
+        con,
+        entry_mod.oracle_sql()["dedup_cluster_docs"],
+        "dedup_cluster_docs",
+    )
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06" + b"\x00" * 20)
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 20
+
+
+def _bmp(w, h):
+    return (b"BM" + b"\x00" * 16 + w.to_bytes(4, "little", signed=True)
+            + (-h).to_bytes(4, "little", signed=True) + b"\x00" * 20)  # top-down: negative height
+
+
+def _jpeg(w, h):
+    # SOI, APP0 stub, SOF0 with dims, EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_meta_real_parsing(spark):
+    from analyst_toolkit_spark.llm.multimodal import image_header_meta
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _gif(320, 200)),
+        (3, _bmp(800, 600)),
+        (4, _jpeg(1024, 768)),
+        (5, b"not an image"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: (r["img_format"], r["img_width"], r["img_height"])
+           for r in image_header_meta(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 800, 600)
+    assert got[4] == ("jpeg", 1024, 768)
+    assert got[5] == (None, None, None)
+    assert got[6] == (None, None, None)
+
+
+def test_image_header_meta_filter_prunes_before_decode(spark):
+    """The metadata-before-decode posture: a width filter works straight off
+    header bytes, no codec anywhere in the plan."""
+    from analyst_toolkit_spark.llm.multimodal import image_header_meta
+
+    df = spark.createDataFrame(
+        [(i, _png(100 * i, 50)) for i in range(1, 8)], "id long, content binary"
+    )
+    big = image_header_meta(df).filter("img_width >= 500")
+    assert sorted(r["id"] for r in big.collect()) == [5, 6, 7]
