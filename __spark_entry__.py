@@ -787,10 +787,15 @@ def q_embedding_near_dup(spark, sf):
 
 
 def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
+    # the real ANN shape: 16 coarse cells, probe 4 (4x candidate pruning),
+    # quantizer trained on a half sample with few Lloyd iterations — an IVF
+    # build is a once-per-corpus index cost, charged here on every call anyway
     df = load_table(spark, sf, "embeddings")
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
-    assigned, centroids = L_sim.ivf_build(df.filter(F.col("vec_id") != 0), nlist=8)
-    return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).drop("__ivf_cluster")
+    assigned, centroids = L_sim.ivf_build(
+        df.filter(F.col("vec_id") != 0), nlist=16, sample_fraction=0.5, max_iter=5
+    )
+    return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).drop("__ivf_cluster")
 
 
 def q_embedding_lsh_pairs(spark, sf):  # NON-SQL (seeded hyperplanes)

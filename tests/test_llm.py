@@ -396,3 +396,14 @@ def test_image_header_meta_filter_prunes_before_decode(spark):
     )
     big = image_header_meta(df).filter("img_width >= 500")
     assert sorted(r["id"] for r in big.collect()) == [5, 6, 7]
+
+
+def test_connected_components_log_convergence(spark, recwarn):
+    """Pointer jumping: a 64-node path must converge well inside max_iter=10
+    (O(log diameter)), where pure neighbor propagation would need 64 rounds."""
+    from analyst_toolkit_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 65
+    assert not [w for w in recwarn if "not converged" in str(w.message)]
