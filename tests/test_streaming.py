@@ -82,3 +82,55 @@ def test_windowed_profile(spark, stream_dir):
     )
     assert out[0]["mean"] == pytest.approx(batch_mean, abs=1e-6)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_asof_enrichment_foreach_batch(spark, stream_dir, sf_dir):
+    """Batch operators compose with streams (SURVEY §2.9 posture): each
+    micro-batch of purchases is as-of enriched against the static view table
+    via operators/joins.asof_join inside foreachBatch — the stream-side reuse
+    path for the temporal join."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.operators.joins import asof_join
+
+    static_views = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'view'")
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    )
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    purchases = stream.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.append(asof_join(batch_df, static_views, on="ts", by="user_id").collect())
+
+    q = (
+        purchases.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_asof_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r for b in got for r in b]
+    assert len(rows) > 0
+    # every enriched row's matched view precedes (or equals) the purchase ts
+    enriched = [r for r in rows if r["view_value"] is not None]
+    assert enriched  # the events table always has earlier views for some user
+    # spot-check correctness against the batch-side as-of on the same data
+    from analyst_toolkit_spark.operators.joins import asof_join as aj
+
+    batch_purchases = (
+        spark.read.parquet(stream_dir)
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    expect = {
+        r["event_id"]: r["view_value"]
+        for r in aj(batch_purchases, static_views, on="ts", by="user_id").collect()
+    }
+    got_map = {r["event_id"]: r["view_value"] for r in rows}
+    assert got_map == expect
