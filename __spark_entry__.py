@@ -688,6 +688,19 @@ def q_dedup_cluster_docs(spark, sf):
     return L_dedup.connected_components(pairs)
 
 
+def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
+    """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
+    chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
+    dedup shape. Procedural rolling hash => rows-only check."""
+    chunks = L_text.cdc_chunks(load_table(spark, sf, "documents"))
+    return chunks.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("chunks"),
+        F.countDistinct("chunk_hash").alias("distinct_chunks"),
+        F.round(1 - F.countDistinct("chunk_hash") / F.count(F.lit(1)), 6).alias("dup_chunk_ratio"),
+    )
+
+
 def q_simhash_groups_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
     return L_dedup.simhash_dup_groups(load_table(spark, sf, "documents")).select(
         "simhash", "cluster_size", F.array_min("members").alias("min_id")
@@ -964,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
+        "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
     }
 
 

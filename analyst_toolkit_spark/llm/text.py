@@ -265,3 +265,86 @@ def extract_urls(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
             F.regexp_extract(F.col("url"), r"https?://(?:[^/\s@]*@)?([^/\s:@]+)", 1),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask_bits: int = 6,
+    min_size: int = 32,
+    max_size: int = 512,
+) -> DataFrame:
+    """Content-defined chunking: boundaries from a Rabin-Karp-style rolling
+    hash instead of fixed offsets, so an insertion near the start of a
+    document shifts ONLY the chunk it lands in — every later chunk keeps its
+    bytes and therefore its hash. That shift resistance is what makes
+    chunk-hash dedup work on near-identical documents where
+    :func:`chunk_documents`' stride windows would all move.
+
+    Boundary rule: cut after position i when ``rolling_hash(text[i-window+1 ..
+    i]) % 2**mask_bits == 0`` (expected chunk ≈ ``2**mask_bits`` chars),
+    subject to [min_size, max_size] bounds — the classic CDC parameters
+    (LBFS/FastCDC shape, public literature).
+
+    Per-document byte-sequential scan → an Arrow-batched ``mapInPandas``
+    (the documented slow-path seam; a rolling hash is inherently iterative
+    per doc, not expressible as Spark column algebra). Map-only: no shuffle,
+    docs never co-locate; output is one row per chunk with an xxhash-free
+    deterministic FNV-1a chunk hash (cross-engine reproducible).
+
+    Output: ``id_col``, chunk_id, start, length, chunk, chunk_hash.
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, chunk_id int, start int, length int, "
+        "chunk string, chunk_hash string"
+    )
+    B, M = 257, (1 << 61) - 1  # polynomial base / Mersenne modulus
+    mask = (1 << mask_bits) - 1
+    pw = pow(B, window - 1, M)
+
+    def _chunks_of(text: str) -> list[tuple[int, int]]:
+        n = len(text)
+        if n == 0:
+            return []
+        bounds = []
+        start, h = 0, 0
+        for i, ch in enumerate(text):
+            o = ord(ch)
+            if i - start >= window:
+                h = (h - ord(text[i - window]) * pw) % M
+            h = (h * B + o) % M
+            size = i - start + 1
+            if size >= max_size or (size >= min_size and (h & mask) == 0):
+                bounds.append((start, size))
+                start, h = i + 1, 0
+        if start < n:
+            bounds.append((start, n - start))
+        return bounds
+
+    def _fnv1a(s: str) -> str:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return f"{h:016x}"
+
+    def mapper(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "chunk_id", "start", "length", "chunk", "chunk_hash")}
+            for doc_id, text in zip(pdf[id_col], pdf[col]):
+                for ci, (s, ln) in enumerate(_chunks_of(text or "")):
+                    piece = text[s : s + ln]
+                    out[id_col].append(doc_id)
+                    out["chunk_id"].append(ci)
+                    out["start"].append(s)
+                    out["length"].append(ln)
+                    out["chunk"].append(piece)
+                    out["chunk_hash"].append(_fnv1a(piece))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, col).mapInPandas(mapper, schema=out_schema)

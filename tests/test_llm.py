@@ -407,3 +407,49 @@ def test_connected_components_log_convergence(spark, recwarn):
     got = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=10).collect()}
     assert set(got.values()) == {0} and len(got) == 65
     assert not [w for w in recwarn if "not converged" in str(w.message)]
+
+
+# -- content-defined chunking (round 4) ---------------------------------------
+
+
+def test_cdc_chunks_cover_and_bound(spark):
+    from analyst_toolkit_spark.llm.text import cdc_chunks
+
+    text = " ".join(f"w{i%97}x{i%13}" for i in range(400))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(cdc_chunks(df).collect(), key=lambda r: r["chunk_id"])
+    # chunks tile the document exactly
+    assert rows[0]["start"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start"] == a["start"] + a["length"]
+    assert rows[-1]["start"] + rows[-1]["length"] == len(text)
+    assert "".join(r["chunk"] for r in rows) == text
+    # size bounds hold for all but the final remainder chunk
+    for r in rows[:-1]:
+        assert 32 <= r["length"] <= 512
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The CDC property: an insertion near the front changes only the chunks
+    it touches — later chunk hashes survive, unlike stride windows."""
+    from analyst_toolkit_spark.llm.text import cdc_chunks
+
+    base = " ".join(f"tok{i%89}y{i%17}" for i in range(600))
+    edited = "INSERTED PREFIX " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    shared = len(h1 & h2)
+    assert shared >= max(len(h1) - 3, 1), (len(h1), len(h2), shared)
+
+
+def test_cdc_chunks_empty_and_null(spark):
+    from analyst_toolkit_spark.llm.text import cdc_chunks
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "short")], "doc_id long, text string")
+    rows = cdc_chunks(df).collect()
+    got = {r["doc_id"]: r["chunk"] for r in rows}
+    assert got == {3: "short"}  # empty/null yield no chunks; short = remainder
