@@ -394,6 +394,50 @@ def q_shipping_priority(spark, sf):
     )
 
 
+def q_returned_revenue_customers(spark, sf):
+    # Q10-shape: 3-way join on the fact side + broadcast dim, grouped lost
+    # revenue over returned items, top-20. orders⨝lineitem is the one real
+    # shuffle (both sides filter before the join); customer/nation broadcast.
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1995-01-01"))
+    )
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_product_profit_nation(spark, sf):
+    # Q9-shape: fact joined to two broadcast dims + supplier->nation chain,
+    # profit grouped by nation x ship-year. part/supplier/nation all broadcast
+    # (dims); the plan's only shuffle is the final group-by.
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").contains("a"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("p_retailprice") * F.col("l_quantity") * 0.4),
+                2,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.desc("ship_year"))
+    )
+
+
 def q_value_counts_topn_priority(spark, sf):
     return M_prof.value_counts(load_table(spark, sf, "orders"), "o_orderpriority", top_n=3)
 
@@ -969,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": q_forecast_revenue_change,  # r02 green
         "join_region_revenue": q_join_region_revenue,      # r02 green
         "topn_parts": q_topn_parts,                        # r02 green
+        "returned_revenue_customers": q_returned_revenue_customers,  # new: local oracle
+        "product_profit_nation": q_product_profit_nation,  # new: local oracle
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1302,6 +1348,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    sqls["returned_revenue_customers"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+    """
+    sqls["product_profit_nation"] = """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.4), 2) AS profit
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE contains(p_name, 'a')
+        GROUP BY 1, 2
     """
     sqls["asof_join_events"] = """
         SELECT p.user_id, p.event_id, round(p.value, 6) AS purchase_value,
