@@ -732,6 +732,14 @@ def q_dedup_cluster_docs(spark, sf):
     return L_dedup.connected_components(pairs)
 
 
+def q_hash_split_docs(spark, sf):
+    """Deterministic md5-bucket dataset split census (llm/text.hash_split):
+    stable train/val/test assignment independent of partitioning and corpus
+    growth. Oracle replicates the md5-hex bucket arithmetic exactly."""
+    out = L_text.hash_split(load_table(spark, sf, "documents"))
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -1015,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_parts": q_topn_parts,                        # r02 green
         "returned_revenue_customers": q_returned_revenue_customers,  # new: local oracle
         "product_profit_nation": q_product_profit_nation,  # new: local oracle
+        "hash_split_docs": q_hash_split_docs,              # new: local oracle
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1348,6 +1357,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    sqls["hash_split_docs"] = """
+        WITH b AS (
+          SELECT CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|')), 1, 8)) AS UBIGINT) % 10000 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n
+        FROM b GROUP BY 1
     """
     sqls["returned_revenue_customers"] = """
         SELECT c_custkey, c_name, n_name,

@@ -348,3 +348,39 @@ def cdc_chunks(
             yield pd.DataFrame(out)
 
     return df.select(id_col, col).mapInPandas(mapper, schema=out_schema)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic dataset splitting for training pipelines: each row gets
+    a stable split label ("train"/"val"/"test" by default) from the md5 of
+    its id (+ optional salt), NOT from ``rand()`` — so the assignment is
+    reproducible across runs, engines, partitionings, and data growth (a doc
+    keeps its split when the corpus is re-ingested; new docs land
+    proportionally). md5 rather than xxhash64 because it is cross-engine
+    standard (same arithmetic reproduces in DuckDB/Trino/pandas).
+
+    Bucket rule: ``bucket = first 8 md5 hex chars as int % 10_000``; split
+    boundaries are cumulative fractions over those buckets. Map-only
+    expression — no shuffle, no UDF.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = F.conv(F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10_000
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", label)

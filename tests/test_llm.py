@@ -500,3 +500,41 @@ def test_ivf_write_probe_partition_pruning(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert {r["vec_id"] for r in rows} == expect
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    import os
+
+    from analyst_toolkit_spark.llm.text import hash_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = hash_split(docs)
+    b = hash_split(docs.repartition(7))  # partitioning must not matter
+    ma = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
+    mb = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
+    assert ma == mb
+    n = len(ma)
+    from collections import Counter
+
+    c = Counter(ma.values())
+    assert 0.8 <= c["train"] / n <= 0.97 and c["val"] > 0 and c["test"] > 0
+    # growing the corpus keeps existing assignments
+    half = hash_split(docs.filter("doc_id % 2 = 0"))
+    mh = {r["doc_id"]: r["split"] for r in half.select("doc_id", "split").collect()}
+    assert all(ma[k] == v for k, v in mh.items())
+    # salt changes the assignment
+    ms = {r["doc_id"]: r["split"] for r in hash_split(docs, salt="v2").select("doc_id", "split").collect()}
+    assert ms != ma
+
+
+def test_hash_split_oracle(spark, oracle_sf_dir):
+    import __spark_entry__ as entry_mod
+    from tests.oracle import compare, duckdb_con
+
+    con = duckdb_con(oracle_sf_dir)
+    compare(
+        entry_mod.queries()["hash_split_docs"](spark, oracle_sf_dir),
+        con,
+        entry_mod.oracle_sql()["hash_split_docs"],
+        "hash_split_docs",
+    )
