@@ -277,13 +277,22 @@ class Toolkit:
         input_path=None,
         df=None,
         viz_columns: list[str] | None = None,
+        compare_session_id=None,
+        compare_input_path=None,
+        compare_columns: list[str] | None = None,
+        compare_categorical_columns: list[str] | None = None,
         title: str = "Toolkit Dashboard",
         **kw,
     ) -> dict:
         """Render this server's run history + health as a self-contained HTML
         dashboard (reference get_pipeline_dashboard artifact); with a session
         or path, also embeds histogram/box SVGs for the given columns (bounded
-        aggregate passes — the renderer never sees the distributed table)."""
+        aggregate passes — the renderer never sees the distributed table).
+
+        ``compare_session_id``/``compare_input_path`` name a BEFORE frame; the
+        main input is AFTER. ``compare_columns`` get shared-bin overlay
+        histograms and ``compare_categorical_columns`` grouped count bars
+        (reference comparison_plots.py surface)."""
         from types import SimpleNamespace
 
         from analyst_toolkit_spark.reporting import export_pipeline_dashboard
@@ -291,13 +300,23 @@ class Toolkit:
         src = None
         if df is not None or session_id is not None or input_path is not None:
             src = self._resolve_input(session_id, input_path, df)
+        compare = compare_cat = None
+        if (compare_session_id is not None or compare_input_path is not None) and src is not None:
+            before = self._resolve_input(compare_session_id, compare_input_path, None)
+            if compare_columns:
+                compare = {c: (before, src) for c in compare_columns if c in src.columns}
+            if compare_categorical_columns:
+                compare_cat = {c: (before, src) for c in compare_categorical_columns if c in src.columns}
         run = SimpleNamespace(
             run_id=kw.get("run_id", "toolkit"),
             history=self._history,
             reports={},
             health=calculate_health_score(metrics_from_history(self._history)),
         )
-        path = export_pipeline_dashboard(run, output_path, df=src, viz_columns=viz_columns, title=title)
+        path = export_pipeline_dashboard(
+            run, output_path, df=src, viz_columns=viz_columns, title=title,
+            compare=compare, compare_categorical=compare_cat,
+        )
         # S11 artifact plane: mirror the rendered artifact to the configured
         # report bucket (reference io_storage.py:280-329 upload path). No
         # bucket configured → local-only, same soft-fail contract.

@@ -178,3 +178,18 @@ def test_range_join_oracle(spark, oracle_sf_dir, con):
     GROUP BY band
     """
     compare(out, con, sql, "range_bands")
+
+
+def test_asof_empty_right(spark):
+    left = spark.createDataFrame([(1.0, "x")], ["t", "v"])
+    right = spark.createDataFrame([], "t double, p string")
+    out = M_j.asof_join(left, right, on="t").collect()
+    assert len(out) == 1 and out[0]["p"] is None
+
+
+def test_range_join_empty_right(spark):
+    left = spark.createDataFrame([(1, 5.0)], ["id", "v"])
+    right = spark.createDataFrame([], "lo double, hi double, label string")
+    assert M_j.range_join(left, right, "v", "lo", "hi").count() == 0
+    got = M_j.range_join(left, right, "v", "lo", "hi", how="left").collect()
+    assert len(got) == 1 and got[0]["label"] is None

@@ -55,3 +55,15 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert ">= 5" not in broadcast_subtree.split("Scan parquet")[0], (
         "corpus predicate found on the broadcast build side"
     )
+
+
+def test_tpch_shapes_broadcast_dims_single_shuffle(spark, sf_dir):
+    """PLANS.md invariants for the Q9/Q10 shapes: every dimension join is a
+    broadcast and the only hash exchange is the final group-by."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name, n_bcast in (("returned_revenue_customers", 3), ("product_profit_nation", 3)):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastExchange") == n_bcast, name
+        assert plan.count("Exchange hashpartitioning") == 1, name

@@ -226,3 +226,21 @@ def test_export_with_compare_charts(pipeline_run, spark, sf_dir, tmp_path):
     assert "Before/after — o_totalprice" in page
     assert "Value counts before/after — o_orderpriority" in page
     assert page.count("<svg") == 2
+
+
+def test_toolkit_export_dashboard_compare(spark, sf_dir, tmp_path):
+    from analyst_toolkit_spark.tools import Toolkit
+
+    tk = Toolkit(spark)
+    res = tk.call(
+        "export_dashboard",
+        output_path=str(tmp_path / "cmp_tool.html"),
+        input_path=f"{sf_dir}/orders.parquet",
+        compare_input_path=f"{sf_dir}/orders.parquet",
+        compare_columns=["o_totalprice"],
+        compare_categorical_columns=["o_orderpriority"],
+    )
+    assert res["status"] == "pass"
+    page = open(res["path"]).read()
+    assert "Before/after — o_totalprice" in page
+    assert "Value counts before/after — o_orderpriority" in page
