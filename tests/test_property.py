@@ -140,3 +140,67 @@ def test_row_diff_matches_pandas_compare(spark, before, edits):
     pb, pa = pd.DataFrame({"v": before}), pd.DataFrame({"v": after})
     exp = set(pb.compare(pa).index.tolist())
     assert got == exp
+
+
+# -- as-of join vs pandas merge_asof (round 4) --------------------------------
+
+_asof_key = st.sampled_from(["a", "b"])
+# distinct-ish times from a small grid; ties across sides exercised via overlap
+_asof_t = st.integers(min_value=0, max_value=30).map(float)
+
+
+@given(
+    left=st.lists(st.tuples(_asof_key, _asof_t), min_size=1, max_size=15),
+    right=st.lists(st.tuples(_asof_key, _asof_t), min_size=0, max_size=15),
+    direction=st.sampled_from(["backward", "forward"]),
+    allow_exact=st.booleans(),
+)
+@SET
+def test_asof_join_matches_merge_asof(spark, left, right, direction, allow_exact):
+    from analyst_toolkit_spark.operators.joins import asof_join
+
+    # merge_asof requires unique (by, on) on the right for well-defined output;
+    # dedupe both sides the same way
+    lrows = sorted({(k, t) for k, t in left})
+    rrows = sorted({(k, t) for k, t in right})
+    ldf = spark.createDataFrame([(k, t, i) for i, (k, t) in enumerate(lrows)], "k string, t double, lid int")
+    rdf = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(rrows)] or [("__none__", -1.0, -1.0)],
+        "k string, t double, rv double",
+    )
+    got = (
+        asof_join(ldf, rdf, on="t", by="k", direction=direction, allow_exact_matches=allow_exact)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).assign(lid=range(len(lrows))).sort_values("t")
+    rp = pd.DataFrame(rrows or [("__none__", -1.0)], columns=["k", "t"])
+    rp["rv"] = [float(i) for i in range(len(rp))]
+    rp = rp.sort_values("t")
+    exp = (
+        pd.merge_asof(lp, rp, on="t", by="k", direction=direction, allow_exact_matches=allow_exact)
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(got["rv"].fillna(-99)) == list(exp["rv"].fillna(-99)), (direction, allow_exact)
+
+
+@given(
+    vals=st.lists(st.floats(min_value=0, max_value=100, allow_nan=False, width=16), min_size=1, max_size=20),
+    bounds=st.lists(
+        st.tuples(st.floats(min_value=0, max_value=100, allow_nan=False, width=16),
+                  st.floats(min_value=0, max_value=100, allow_nan=False, width=16)),
+        min_size=1, max_size=6,
+    ),
+)
+@SET
+def test_range_join_matches_bruteforce(spark, vals, bounds):
+    from analyst_toolkit_spark.operators.joins import range_join
+
+    ivals = [(lo, hi) if lo <= hi else (hi, lo) for lo, hi in bounds]
+    ldf = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "id int, v double")
+    rdf = spark.createDataFrame([(j, float(lo), float(hi)) for j, (lo, hi) in enumerate(ivals)], "bid int, lo double, hi double")
+    for mode in ("broadcast", "binned"):
+        got = {(r["id"], r["bid"]) for r in range_join(ldf, rdf, "v", "lo", "hi", mode=mode, bin_width=7.0).collect()}
+        exp = {(i, j) for i, v in enumerate(vals) for j, (lo, hi) in enumerate(ivals) if lo <= v <= hi}
+        assert got == exp, mode
