@@ -764,12 +764,13 @@ def q_simhash_near_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
 
 
 def q_ngram_jaccard_docs(spark, sf):
-    # mode="exact" pinned: the oracle is the exact quadratic Jaccard join, so
-    # the registry entry must run the deterministic exact path regardless of
-    # input size. mode="auto" (the library default) is the production API and
-    # is covered by tests/test_pair_scale.py.
+    # mode="auto": at the driver's oracle scale (500 docs) the row gate keeps
+    # the deterministic exact path, so the quadratic-Jaccard oracle matches;
+    # beyond ALLPAIRS_MAX_EXACT_ROWS it routes to banded-MinHash + exact
+    # verify (round-4 fix: the sf0.1 sweep caught pinned-exact running 12.5M
+    # array intersections).
     df = load_table(spark, sf, "documents")
-    return L_dedup.ngram_jaccard_pairs(df, threshold=0.5, mode="exact")
+    return L_dedup.ngram_jaccard_pairs(df, threshold=0.5, mode="auto")
 
 
 def q_lang_detect_docs(spark, sf):

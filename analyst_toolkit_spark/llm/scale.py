@@ -22,14 +22,32 @@ from analyst_toolkit_spark.functions.stats import plan_size_bytes
 #: the quantile gates. Override with $SPARK_GRAFT_ALLPAIRS_BYTES.
 ALLPAIRS_THRESHOLD_BYTES = int(os.environ.get("SPARK_GRAFT_ALLPAIRS_BYTES", str(64 << 20)))
 
+#: Row ceiling for the exact all-pairs tier. Bytes alone are NOT a safe gate
+#: for O(n²) work: 5k short documents fit in a few MB of parquet yet make
+#: 25M candidate pairs (found as a multi-minute stall in the round-4 sf0.1
+#: sweep — ngram_jaccard / cosine all-pairs sailed under the 64 MB gate;
+#: 2k embedding rows still meant 4M cosine pairs at 32.6 s). When the byte
+#: gate passes, a column-free count() confirms the row count; that one
+#: cheap scan is noise next to the quadratic job it prevents.
+ALLPAIRS_MAX_EXACT_ROWS = int(os.environ.get("SPARK_GRAFT_ALLPAIRS_ROWS", "1500"))
 
-def pair_strategy(df: DataFrame, threshold_bytes: int | None = None) -> str:
+
+def pair_strategy(
+    df: DataFrame,
+    threshold_bytes: int | None = None,
+    max_exact_rows: int | None = None,
+) -> str:
     """``"exact"`` (all-pairs affordable) or ``"bucketed"`` (LSH shape).
 
-    Unknown plan size (in-memory relations without stats) stays ``"exact"`` —
-    real lake tables always carry footer/catalog stats, so unknown means a
-    small local relation, and exact is the semantics-preserving default.
+    Two gates, both must pass for exact: optimizer plan bytes under the byte
+    threshold (free, catches the obviously-huge), then an actual row count
+    under ``ALLPAIRS_MAX_EXACT_ROWS`` (one column-free scan — quadratic cost
+    scales with rows², which bytes cannot bound for short rows). Unknown
+    plan size no longer short-circuits to exact; the row count decides.
     """
     thr = ALLPAIRS_THRESHOLD_BYTES if threshold_bytes is None else threshold_bytes
+    cap = ALLPAIRS_MAX_EXACT_ROWS if max_exact_rows is None else max_exact_rows
     size = plan_size_bytes(df)
-    return "bucketed" if 0 <= thr <= size else "exact"
+    if 0 <= thr <= size:
+        return "bucketed"
+    return "bucketed" if df.count() > cap else "exact"

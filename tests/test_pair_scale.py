@@ -54,3 +54,16 @@ def test_explicit_mode_overrides_gate(embs, monkeypatch):
     out = cosine_pairs(embs, threshold=0.95, mode="exact")
     assert "cosine" in out.columns
     out.count()
+
+
+def test_pair_strategy_row_gate(spark):
+    """Round-4 regression: bytes alone cannot gate O(n^2) work — a frame
+    under the byte threshold but over the row cap must route to bucketed."""
+    from analyst_toolkit_spark.llm import scale as S
+
+    small = spark.range(100).selectExpr("id", "repeat('x', 10) as text")
+    big_rows = spark.range(5000).selectExpr("id", "repeat('x', 10) as text")
+    assert S.pair_strategy(small) == "exact"
+    assert S.pair_strategy(big_rows) == "bucketed"  # tiny bytes, many rows
+    # explicit cap override
+    assert S.pair_strategy(small, max_exact_rows=10) == "bucketed"
