@@ -335,6 +335,12 @@ def simhash_near_pairs(
     banded = packed.select(id_col, "hi", "lo", F.explode(F.array(*seg_structs)).alias("s")).select(
         id_col, "hi", "lo", "s.band", "s.bits"
     )
+    # materialize the banded signatures before the self-join: both join sides
+    # share this subtree, and without a cut Spark computes the signature fold
+    # TWICE (once per side). The banded relation is tiny (rows x bands, a few
+    # ints + a short string per row) — localCheckpoint is cheap and truncates
+    # the lineage. Measured ~2x on the sf0.1 sweep.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
