@@ -204,3 +204,46 @@ def test_range_join_matches_bruteforce(spark, vals, bounds):
         got = {(r["id"], r["bid"]) for r in range_join(ldf, rdf, "v", "lo", "hi", mode=mode, bin_width=7.0).collect()}
         exp = {(i, j) for i, v in enumerate(vals) for j, (lo, hi) in enumerate(ivals) if lo <= v <= hi}
         assert got == exp, mode
+
+
+# -- connected components vs union-find (round 4) -----------------------------
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to min-id representative
+    return {n: find(n) for n in nodes}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    from analyst_toolkit_spark.llm.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    nodes = {n for e in edges for n in e}
+    exp = _uf_components(edges, nodes)
+    # union-find's find() resolves transitively to the min id of the component
+    # because unions always point larger roots at smaller ones
+    assert got == exp
