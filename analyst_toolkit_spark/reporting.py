@@ -488,3 +488,194 @@ def export_pipeline_dashboard(
     with open(path, "w") as fh:
         fh.write(page)
     return path
+
+
+# -- m08 visual-suite renderers (reference distributions.py / summary_plots.py)
+# All inputs are AGGREGATES (profile rows, corr pairs, kde grid, top-N
+# counts) — the render plane never touches the distributed table.
+
+
+def kde_svg(grid: Any, width: int = 640, height: int = 160, title: str = "") -> str:
+    """Density polyline from ``visuals.kde_grid`` rows (x, density) — the
+    continuous-distribution overlay (distributions.py:28-47)."""
+    rows = sorted(_rows_of(grid), key=lambda r: r["x"])
+    if not rows:
+        return ""
+    pad = 8
+    max_d = max(float(r["density"]) for r in rows) or 1.0
+    xs = [float(r["x"]) for r in rows]
+    lo, hi = xs[0], xs[-1]
+    span = (hi - lo) or 1.0
+    pts = " ".join(
+        f"{pad + (width - 2 * pad) * (x - lo) / span:.1f},{height - (height - 24) * float(r['density']) / max_d:.1f}"
+        for x, r in zip(xs, rows)
+    )
+    t = f"<text x='{pad}' y='14' font-size='12' fill='#5b6270'>{_esc(title)}</text>" if title else ""
+    return (
+        f"<svg viewBox='0 0 {width} {height + 20}' width='{width}' height='{height + 20}' role='img'>{t}"
+        f"<polyline points='{pts}' fill='none' stroke='#4878a8' stroke-width='1.5'/>"
+        f"<text x='{pad}' y='{height + 14}' font-size='11' fill='#5b6270'>{_fmt(lo)}</text>"
+        f"<text x='{width - pad}' y='{height + 14}' font-size='11' fill='#5b6270' text-anchor='end'>{_fmt(hi)}</text>"
+        "</svg>"
+    )
+
+
+def bars_svg(counts: Any, label_col: str, count_col: str = "count", width: int = 640, title: str = "") -> str:
+    """Horizontal bar chart from count rows — categorical distribution /
+    dtype composition / duplication summary (distributions.py:50,
+    summary_plots.py:76,103)."""
+    rows = _rows_of(counts)
+    if not rows:
+        return ""
+    pad_l, pad_r, row_h = 150, 16, 22
+    height = row_h * len(rows) + 28
+    max_c = max(int(r[count_col]) for r in rows) or 1
+    span_w = width - pad_l - pad_r
+    parts = [f"<svg viewBox='0 0 {width} {height}' width='{width}' height='{height}' role='img'>"]
+    if title:
+        parts.append(f"<text x='4' y='14' font-size='12' fill='#5b6270'>{_esc(title)}</text>")
+    for i, r in enumerate(rows):
+        y0 = 22 + i * row_h
+        label = "null" if r.get(label_col) is None else str(r[label_col])
+        c = int(r[count_col])
+        parts.append(
+            f"<text x='4' y='{y0 + 11}' font-size='12' fill='#1f2430'>{_esc(label[:22])}</text>"
+            f"<rect x='{pad_l}' y='{y0}' width='{max(span_w * c / max_c, 1):.1f}' height='14' fill='#4878a8'>"
+            f"<title>{_esc(label)}: {c}</title></rect>"
+            f"<text x='{pad_l + span_w * c / max_c + 4:.1f}' y='{y0 + 11}' font-size='11' fill='#5b6270'>{c}</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def missingness_svg(profile_rows: Any, width: int = 640, title: str = "Missingness") -> str:
+    """Null-percentage bars per column from profile aggregate rows
+    (summary_plots.py:30-50). Red past 50% nulls, amber past 10%."""
+    rows = _rows_of(profile_rows)
+    if not rows:
+        return ""
+    pad_l, pad_r, row_h = 150, 46, 22
+    height = row_h * len(rows) + 28
+    span_w = width - pad_l - pad_r
+    parts = [f"<svg viewBox='0 0 {width} {height}' width='{width}' height='{height}' role='img'>"]
+    parts.append(f"<text x='4' y='14' font-size='12' fill='#5b6270'>{_esc(title)}</text>")
+    for i, r in enumerate(rows):
+        pct = float(r.get("null_pct") or 0.0)
+        pct = pct * 100 if pct <= 1.0 else pct
+        y0 = 22 + i * row_h
+        color = "#b33a3a" if pct > 50 else "#c96a3b" if pct > 10 else "#3d8b4f"
+        parts.append(
+            f"<text x='4' y='{y0 + 11}' font-size='12' fill='#1f2430'>{_esc(str(r['column'])[:22])}</text>"
+            f"<rect x='{pad_l}' y='{y0}' width='{span_w:.1f}' height='14' fill='#eceef2'/>"
+            f"<rect x='{pad_l}' y='{y0}' width='{max(span_w * pct / 100, 0):.1f}' height='14' fill='{color}'>"
+            f"<title>{_esc(r['column'])}: {pct:.2f}% null</title></rect>"
+            f"<text x='{pad_l + span_w + 4:.1f}' y='{y0 + 11}' font-size='11' fill='#5b6270'>{pct:.1f}%</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def heatmap_svg(corr_pairs: Any, width: int = 520, title: str = "Correlation") -> str:
+    """Correlation heatmap from ``profile.correlation_matrix`` long rows
+    (col_x, col_y, corr) — summary_plots.py:53-73. Blue negative, white
+    zero, red positive; upper-triangle input mirrored."""
+    rows = _rows_of(corr_pairs)
+    if not rows:
+        return ""
+    cols = sorted({r["col_x"] for r in rows} | {r["col_y"] for r in rows})
+    idx = {c: i for i, c in enumerate(cols)}
+    vals: dict[tuple[int, int], float] = {}
+    for r in rows:
+        if r.get("corr") is None:
+            continue
+        a, b = idx[r["col_x"]], idx[r["col_y"]]
+        vals[(a, b)] = vals[(b, a)] = float(r["corr"])
+    n = len(cols)
+    pad_l, pad_t = 130, 24
+    cell = max(min((width - pad_l) // max(n, 1), 46), 18)
+    w = pad_l + cell * n + 8
+    h = pad_t + cell * n + 110
+
+    def _color(v: float) -> str:
+        v = max(-1.0, min(1.0, v))
+        if v >= 0:
+            g = int(255 - 175 * v)
+            return f"rgb(255,{g},{g})"
+        g = int(255 + 175 * v)
+        return f"rgb({g},{g},255)"
+
+    parts = [f"<svg viewBox='0 0 {w} {h}' width='{w}' height='{h}' role='img'>"]
+    parts.append(f"<text x='4' y='14' font-size='12' fill='#5b6270'>{_esc(title)}</text>")
+    for c, i in idx.items():
+        parts.append(
+            f"<text x='{pad_l - 6}' y='{pad_t + i * cell + cell / 2 + 4:.1f}' font-size='11' "
+            f"fill='#1f2430' text-anchor='end'>{_esc(c[:18])}</text>"
+            f"<text x='{pad_l + i * cell + cell / 2:.1f}' y='{pad_t + n * cell + 12}' font-size='11' "
+            f"fill='#1f2430' transform='rotate(45 {pad_l + i * cell + cell / 2:.1f} {pad_t + n * cell + 12})'>{_esc(c[:18])}</text>"
+        )
+    for (i, j), v in vals.items():
+        parts.append(
+            f"<rect x='{pad_l + j * cell}' y='{pad_t + i * cell}' width='{cell - 1}' height='{cell - 1}' "
+            f"fill='{_color(v)}'><title>{_esc(cols[i])} × {_esc(cols[j])}: {v:.3f}</title></rect>"
+        )
+        if cell >= 30:
+            parts.append(
+                f"<text x='{pad_l + j * cell + cell / 2:.1f}' y='{pad_t + i * cell + cell / 2 + 4:.1f}' "
+                f"font-size='10' fill='#1f2430' text-anchor='middle'>{v:.2f}</text>"
+            )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def export_visual_report(
+    df: DataFrame,
+    path: str,
+    numeric_columns: list[str] | None = None,
+    categorical_columns: list[str] | None = None,
+    title: str = "Visual Report",
+    bins: int = 30,
+    top_n: int = 12,
+) -> str:
+    """The m08 visual suite as one standalone page (reference
+    run_visuals.py artifact): missingness, dtype composition, correlation
+    heatmap, per-numeric histogram + KDE + box, per-categorical top-N bars.
+    Every chart feeds from a bounded aggregate; the page size is independent
+    of table size."""
+    from analyst_toolkit_spark.operators import profile as M_prof
+    from analyst_toolkit_spark.operators import visuals as M_vis
+
+    nums = numeric_columns if numeric_columns is not None else M_vis.numeric_columns(df)
+    cats = (
+        categorical_columns
+        if categorical_columns is not None
+        else [c for c, t in df.dtypes if t == "string"][:6]
+    )
+    prof = M_prof.profile(df, columns=list(dict.fromkeys([*nums, *cats])) or None)
+    sections: list[tuple[str, str]] = [
+        ("Missingness", missingness_svg(prof)),
+        ("Dtype composition", bars_svg(M_vis.dtype_composition(df), "dtype", "n_columns")),
+    ]
+    if len(nums) >= 2:
+        sections.append(("Correlation", heatmap_svg(M_prof.correlation_matrix(df, nums))))
+    if nums:
+        box = M_vis.boxplot_stats(df, nums)
+        sections.append(("Distribution overview (box)", boxplot_svg(box)))
+    for c in nums:
+        sections.append((f"Histogram — {c}", histogram_svg(M_vis.histogram(df, c, bins=bins), title=c)))
+        sections.append((f"Density — {c}", kde_svg(M_vis.kde_grid(df, c), title=c)))
+    for c in cats:
+        sections.append((f"Top categories — {c}", bars_svg(M_vis.top_categories(df, c, top_n=top_n), "value", title=c)))
+
+    out = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body><div class='wrap'>",
+        f"<h1>{_esc(title)}</h1>",
+    ]
+    for name, svg in sections:
+        if svg:
+            out.append(f"<div class='panel'><h2>{_esc(name)}</h2>{svg}</div>")
+    out.append("</div></body></html>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    return path

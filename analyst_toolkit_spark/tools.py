@@ -270,6 +270,35 @@ class Toolkit:
         score = calculate_health_score(metrics_from_history(self._history))
         return {"status": "pass", "module": "dashboard", "health": score, "latest_status_by_module": latest}
 
+    def tool_export_visuals(
+        self,
+        output_path: str,
+        session_id=None,
+        input_path=None,
+        df=None,
+        numeric_columns: list[str] | None = None,
+        categorical_columns: list[str] | None = None,
+        title: str = "Visual Report",
+        **kw,
+    ) -> dict:
+        """The m08 visual suite as one HTML artifact (reference
+        run_visuals.py): missingness, dtype composition, correlation heatmap,
+        per-numeric histogram + KDE + box, per-categorical top-N bars — every
+        chart from a bounded aggregate pass."""
+        from analyst_toolkit_spark.reporting import export_visual_report
+
+        src = self._resolve_input(session_id, input_path, df)
+        path = export_visual_report(
+            src,
+            output_path,
+            numeric_columns=numeric_columns,
+            categorical_columns=categorical_columns,
+            title=title,
+        )
+        summary = {"path": path}
+        self._record("export_visuals", "completed", summary)
+        return {"status": "pass", "module": "export_visuals", **summary}
+
     def tool_export_dashboard(
         self,
         output_path: str,

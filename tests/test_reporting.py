@@ -244,3 +244,58 @@ def test_toolkit_export_dashboard_compare(spark, sf_dir, tmp_path):
     page = open(res["path"]).read()
     assert "Before/after — o_totalprice" in page
     assert "Value counts before/after — o_orderpriority" in page
+
+
+# -- m08 visual-suite renderers (round 4) -------------------------------------
+
+
+def test_visual_report_page(spark, sf_dir, tmp_path):
+    from analyst_toolkit_spark.reporting import export_visual_report
+
+    df = load_table(spark, sf_dir, "customer")
+    path = export_visual_report(
+        df,
+        str(tmp_path / "visual.html"),
+        numeric_columns=["c_acctbal", "c_nationkey"],
+        categorical_columns=["c_mktsegment"],
+    )
+    page = open(path).read()
+    assert "Missingness" in page and "Dtype composition" in page
+    assert "Correlation" in page
+    assert "Histogram — c_acctbal" in page and "Density — c_acctbal" in page
+    assert "Top categories — c_mktsegment" in page
+    # at least: missing + dtype + corr + box + 2*hist + 2*kde + 1 cats = 9 svgs
+    assert page.count("<svg") >= 9
+
+
+def test_heatmap_svg_values(spark, sf_dir):
+    from analyst_toolkit_spark.operators.profile import correlation_matrix
+    from analyst_toolkit_spark.reporting import heatmap_svg
+
+    corr = correlation_matrix(load_table(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"])
+    svg = heatmap_svg(corr)
+    assert svg.count("<rect") == 4  # 2x2 mirrored cells
+    assert "l_quantity" in svg and "1.00" in svg  # diagonal = 1
+
+
+def test_missingness_svg_tones(spark):
+    from analyst_toolkit_spark.reporting import missingness_svg
+
+    rows = [
+        {"column": "ok", "null_pct": 0.01},
+        {"column": "warn", "null_pct": 0.2},
+        {"column": "bad", "null_pct": 0.8},
+    ]
+    svg = missingness_svg(rows)
+    assert "#3d8b4f" in svg and "#c96a3b" in svg and "#b33a3a" in svg
+
+
+def test_kde_and_bars_svg(spark, sf_dir):
+    from analyst_toolkit_spark.operators.visuals import kde_grid, top_categories
+    from analyst_toolkit_spark.reporting import bars_svg, kde_svg
+
+    df = load_table(spark, sf_dir, "orders")
+    svg = kde_svg(kde_grid(df, "o_totalprice", grid_points=50), title="o_totalprice")
+    assert "<polyline" in svg
+    svg2 = bars_svg(top_categories(df, "o_orderpriority", top_n=5), "value")
+    assert svg2.count("<rect") == 5
