@@ -580,6 +580,31 @@ def q_events_json_props(spark, sf):
     )
 
 
+def q_events_anomaly(spark, sf):
+    """Rolling z-score anomaly flags on daily event counts per type: mean/std
+    over the 7 preceding days (windowed, one shuffle on event_type), |z| > 2
+    flagged. The time-series QA shape — map-side daily agg first, so the
+    window runs over ~days x types rows, not raw events."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    return (
+        daily.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_samp(F.col("n").cast("double")).over(w))
+        .withColumn(
+            "z",
+            F.when(F.col("sd") > 0, F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6)),
+        )
+        .withColumn("is_anomaly", F.coalesce(F.abs(F.col("z")) > 2, F.lit(False)))
+        .select("event_type", "day", "n", "z", "is_anomaly")
+    )
+
+
 def q_drift_orders(spark, sf):
     df = load_table(spark, sf, "orders")
     base = df.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
@@ -1025,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue_customers": q_returned_revenue_customers,  # new: local oracle
         "product_profit_nation": q_product_profit_nation,  # new: local oracle
         "hash_split_docs": q_hash_split_docs,              # new: local oracle
+        "events_anomaly": q_events_anomaly,                # new: local oracle
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1358,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    sqls["events_anomaly"] = """
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        roll AS (
+          SELECT event_type, day, n,
+                 avg(n) OVER w AS mu,
+                 stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, day, n,
+               CASE WHEN sd > 0 THEN round((n - mu) / sd, 6) END AS z,
+               coalesce(CASE WHEN sd > 0 THEN abs(round((n - mu) / sd, 6)) > 2 END, FALSE) AS is_anomaly
+        FROM roll
     """
     sqls["hash_split_docs"] = """
         WITH b AS (

@@ -193,3 +193,23 @@ def test_range_join_empty_right(spark):
     assert M_j.range_join(left, right, "v", "lo", "hi").count() == 0
     got = M_j.range_join(left, right, "v", "lo", "hi", how="left").collect()
     assert len(got) == 1 and got[0]["label"] is None
+
+
+def test_asof_timestamp_interval_tolerance(spark, oracle_sf_dir):
+    """Timestamp on-column with an INTERVAL tolerance: matches farther than
+    the tolerance null out (pandas merge_asof tolerance semantics)."""
+    ev = load_table(spark, oracle_sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    views = ev.filter("event_type = 'view'").select("user_id", "ts", F.col("value").alias("view_value"))
+    out = M_j.asof_join(
+        purchases, views, on="ts", by="user_id", tolerance="INTERVAL 10 MINUTES"
+    )
+    loose = M_j.asof_join(purchases, views, on="ts", by="user_id")
+    n_tol = out.filter("view_value IS NOT NULL").count()
+    n_all = loose.filter("view_value IS NOT NULL").count()
+    assert 0 < n_tol < n_all  # tolerance must null out some distant matches
+    # every surviving match is within the window (re-derive the matched ts)
+    tp = out.filter("view_value IS NOT NULL").select("user_id", "ts", "view_value")
+    joined = tp.join(views.withColumnRenamed("ts", "vts"), ["user_id", "view_value"])
+    within = joined.filter("vts <= ts AND ts - vts <= INTERVAL 10 MINUTES").count()
+    assert within == joined.filter("vts <= ts").count()
