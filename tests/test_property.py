@@ -186,10 +186,10 @@ def test_asof_join_matches_merge_asof(spark, left, right, direction, allow_exact
 
 
 @given(
-    vals=st.lists(st.floats(min_value=0, max_value=100, allow_nan=False, width=16), min_size=1, max_size=20),
+    vals=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False, width=16), min_size=1, max_size=20),
     bounds=st.lists(
-        st.tuples(st.floats(min_value=0, max_value=100, allow_nan=False, width=16),
-                  st.floats(min_value=0, max_value=100, allow_nan=False, width=16)),
+        st.tuples(st.floats(min_value=-100, max_value=100, allow_nan=False, width=16),
+                  st.floats(min_value=-100, max_value=100, allow_nan=False, width=16)),
         min_size=1, max_size=6,
     ),
 )
