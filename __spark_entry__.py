@@ -778,6 +778,15 @@ def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     )
 
 
+def q_simhash_md5_groups(spark, sf):
+    """SimHash dup groups with the CROSS-ENGINE md5 vote (llm/dedup.simhash64
+    method='md5'): bit i votes by the first hex digit of md5(token || '|' || i).
+    Same banded-dedup semantics as the xxhash64 default, but the exact
+    signature reproduces in DuckDB SQL — a full oracle instead of rows-only."""
+    out = L_dedup.simhash_dup_groups(load_table(spark, sf, "documents"), method="md5")
+    return out.select("simhash", "cluster_size", F.array_min("members").alias("min_id"))
+
+
 def q_simhash_groups_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
     return L_dedup.simhash_dup_groups(load_table(spark, sf, "documents")).select(
         "simhash", "cluster_size", F.array_min("members").alias("min_id")
@@ -1051,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit_nation": q_product_profit_nation,  # new: local oracle
         "hash_split_docs": q_hash_split_docs,              # new: local oracle
         "events_anomaly": q_events_anomaly,                # new: local oracle
+        "simhash_md5_groups": q_simhash_md5_groups,        # new: local oracle (cross-engine simhash)
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1384,6 +1394,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    # cross-engine SimHash: identical md5 vote arithmetic per (token, bit)
+    sqls["simhash_md5_groups"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents),
+        votes AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN substr(md5(t || '|' || i), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v
+          FROM tok CROSS JOIN range(64) r(i)
+          GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+          FROM votes GROUP BY doc_id)
+        SELECT simhash, count(*) AS cluster_size, min(doc_id) AS min_id
+        FROM sig GROUP BY simhash HAVING count(*) > 1
     """
     sqls["events_anomaly"] = """
         WITH daily AS (

@@ -271,23 +271,35 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(col: str | Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, sign → bit.
+def simhash64(col: str | Column, method: str = "xxhash") -> Column:
+    """64-bit SimHash: per-token hash, each bit votes +1/-1, sign → bit.
     Pure expression via aggregate over a 64-slot counter array; emitted as a
-    64-char '0'/'1' string (bit 63 first) — equality-comparable and avoids
-    signed-long packing edge cases."""
+    64-char '0'/'1' string (bit index 0 first) — equality-comparable and
+    avoids signed-long packing edge cases.
+
+    ``method="xxhash"`` (default): bit i's vote = sign of ``xxhash64(t, i)``
+    — 64 independent seeded hashes, fastest JVM path, engine-specific.
+    ``method="md5"``: bit i's vote = first hex digit of ``md5(t || '|' || i)``
+    < '8' — slower but CROSS-ENGINE deterministic (the exact arithmetic
+    reproduces in DuckDB/Trino SQL), which makes SimHash grouping
+    oracle-checkable instead of rows-only."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
-    # bit i's vote for token t = sign of xxhash64(t, i): 64 independent hash
-    # functions (equivalent simhash family; avoids bit-shift-by-column, which
-    # Spark's shiftright doesn't support)
+    if method == "md5":
+        def _vote(t, i):
+            digit = F.substring(F.md5(F.concat_ws("|", t, i.cast("string"))), 1, 1)
+            return F.when(digit.isin(*"01234567"), 1).otherwise(-1).cast("long")
+    else:
+        # avoids bit-shift-by-column, which Spark's shiftright doesn't support
+        def _vote(t, i):
+            return F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1).cast("long")
     counters = F.aggregate(
         toks,
         F.transform(bit_idx, lambda i: F.lit(0).cast("long")),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(bit_idx, lambda i: F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1).cast("long")),
+            F.transform(bit_idx, lambda i: _vote(t, i)),
             lambda x, y: x + y,
         ),
     )
@@ -360,10 +372,12 @@ def simhash_near_pairs(
     )
 
 
-def simhash_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame, key: str = "text", id_col: str = "doc_id", method: str = "xxhash"
+) -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (strong near-dup signal)."""
     return (
-        df.select(simhash64(F.col(key)).alias("simhash"), F.col(id_col))
+        df.select(simhash64(F.col(key), method=method).alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list(id_col)).alias("members"))
         .filter(F.col("cluster_size") > 1)
