@@ -898,7 +898,10 @@ def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
     return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).drop("__ivf_cluster")
 
 
-def q_embedding_lsh_pairs(spark, sf):  # NON-SQL (seeded hyperplanes)
+def q_embedding_lsh_pairs(spark, sf):
+    """Hyperplane-LSH near pairs. The seed-42 planes are inlined as literals
+    into the DuckDB oracle, so this is fully oracle-checked (bucket bits +
+    in-bucket cosine verify reproduce exactly)."""
     df = load_table(spark, sf, "embeddings")
     dim = len(df.select("embedding").first()[0])
     return L_sim.lsh_bucketed_pairs(df, dim, n_planes=6, threshold=0.5)
@@ -1394,6 +1397,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    # hyperplane LSH pairs: the planes are SEEDED (random.Random(42) gauss),
+    # so the oracle inlines the exact same plane literals and replicates the
+    # sign-bit bucket + in-bucket cosine verify. Full-precision float repr
+    # keeps the DuckDB doubles bit-identical to Spark's F.lit doubles.
+    from analyst_toolkit_spark.llm.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 6, seed=42)
+    _plane_rows = ",\n              ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(_planes)
+    )
+    sqls["embedding_lsh_pairs"] = f"""
+        WITH planes(i, p) AS (VALUES
+              {_plane_rows}),
+        v AS (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+              FROM embeddings),
+        bk AS (
+          SELECT v.vec_id, v.embedding, v.n,
+                 sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                          j -> CAST(v.embedding[j] AS DOUBLE) * planes.p[j])) >= 0
+                          THEN CAST(power(2, planes.i) AS BIGINT) ELSE 0 END) AS bucket
+          FROM v CROSS JOIN planes GROUP BY v.vec_id, v.embedding, v.n)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65),
+                        j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
+                     / (a.n * b.n), 6) AS cosine
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(1, 65),
+                 j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
+              / (a.n * b.n), 6) >= 0.5
     """
     # cross-engine SimHash: identical md5 vote arithmetic per (token, bit)
     sqls["simhash_md5_groups"] = """
