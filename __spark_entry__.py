@@ -797,6 +797,16 @@ def q_simhash_near_docs(spark, sf):  # NON-SQL (xxhash64 signatures)
     return L_dedup.simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=3)
 
 
+def q_simhash_md5_near(spark, sf):
+    """Banded SimHash near pairs with the cross-engine md5 vote. Pigeonhole
+    banding has PERFECT recall at hamming <= max_hamming, so the banded plan
+    must equal the oracle's full quadratic hamming join — this row verifies
+    both the signature arithmetic AND the banding completeness."""
+    return L_dedup.simhash_near_pairs(
+        load_table(spark, sf, "documents"), max_hamming=3, method="md5"
+    )
+
+
 def q_ngram_jaccard_docs(spark, sf):
     # mode="auto": at the driver's oracle scale (500 docs) the row gate keeps
     # the deterministic exact path, so the quadratic-Jaccard oracle matches;
@@ -1064,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": q_hash_split_docs,              # new: local oracle
         "events_anomaly": q_events_anomaly,                # new: local oracle
         "simhash_md5_groups": q_simhash_md5_groups,        # new: local oracle (cross-engine simhash)
+        "simhash_md5_near": q_simhash_md5_near,            # new: local oracle (banding completeness)
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1430,7 +1441,30 @@ def oracle_sql() -> dict[str, str]:
                  j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
               / (a.n * b.n), 6) >= 0.5
     """
-    # cross-engine SimHash: identical md5 vote arithmetic per (token, bit)
+    # cross-engine SimHash: identical md5 vote arithmetic per (token, bit).
+    # The near-pair oracle is the FULL quadratic hamming join — pigeonhole
+    # banding is recall-1 at hamming <= max_hamming, so banded == exact.
+    _SIMHASH_SIG_SQL = """
+          tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+            FROM documents),
+          votes AS (
+            SELECT doc_id, i,
+                   sum(CASE WHEN substr(md5(t || '|' || i), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v
+            FROM tok CROSS JOIN range(64) r(i)
+            GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+            FROM votes GROUP BY doc_id)
+    """
+    sqls["simhash_md5_near"] = f"""
+        WITH {_SIMHASH_SIG_SQL}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range(1, 65), i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(1, 65), i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) <= 3
+    """
     sqls["simhash_md5_groups"] = """
         WITH tok AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t

@@ -311,6 +311,7 @@ def simhash_near_pairs(
     key: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    method: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -323,7 +324,7 @@ def simhash_near_pairs(
     """
     bands = max_hamming + 1
     seg_len = 64 // bands
-    sig_df = df.select(F.col(id_col), simhash64(F.col(key)).alias("sig"))
+    sig_df = df.select(F.col(id_col), simhash64(F.col(key), method=method).alias("sig"))
 
     # pack the '0'/'1' signature into two longs for cheap hamming verify
     def _pack(start: int, length: int):
