@@ -438,6 +438,22 @@ def q_product_profit_nation(spark, sf):
     )
 
 
+def q_late_orders_priority(spark, sf):
+    # Q4-shape: EXISTS semi-join (orders having >= 1 line item shipped more
+    # than 60 days after the order date), counted per priority. LEFT SEMI
+    # keeps the probe side lean — no fact-fact row multiplication, one
+    # shuffle on orderkey then one on priority.
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("late_orders"))
+
+
 def q_value_counts_topn_priority(spark, sf):
     return M_prof.value_counts(load_table(spark, sf, "orders"), "o_orderpriority", top_n=3)
 
@@ -1075,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,                # new: local oracle
         "simhash_md5_groups": q_simhash_md5_groups,        # new: local oracle (cross-engine simhash)
         "simhash_md5_near": q_simhash_md5_near,            # new: local oracle (banding completeness)
+        "late_orders_priority": q_late_orders_priority,    # new: local oracle (semi-join)
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1505,6 +1522,14 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                count(*) AS n
         FROM b GROUP BY 1
+    """
+    sqls["late_orders_priority"] = """
+        SELECT o_orderpriority, count(*) AS late_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
     """
     sqls["returned_revenue_customers"] = """
         SELECT c_custkey, c_name, n_name,
