@@ -1458,17 +1458,21 @@ def oracle_sql() -> dict[str, str]:
                  j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
               / (a.n * b.n), 6) >= 0.5
     """
-    # cross-engine SimHash: identical md5 vote arithmetic per (token, bit).
-    # The near-pair oracle is the FULL quadratic hamming join — pigeonhole
-    # banding is recall-1 at hamming <= max_hamming, so banded == exact.
+    # cross-engine SimHash: bit i's vote = bit i of the token's single md5
+    # digest (hex digit i//4, bit 3-i%4) — identical arithmetic on both
+    # engines, one md5 per token. The near-pair oracle is the FULL quadratic
+    # hamming join — pigeonhole banding is recall-1 at hamming <=
+    # max_hamming, so banded == exact.
     _SIMHASH_SIG_SQL = """
           tok AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
             FROM documents),
           votes AS (
             SELECT doc_id, i,
-                   sum(CASE WHEN substr(md5(t || '|' || i), 1, 1)
-                            IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v
+                   sum(CASE WHEN CAST(floor(
+                              CAST(concat('0x', substr(md5(t), CAST(i // 4 AS INT) + 1, 1)) AS INT)
+                              / power(2, 3 - i % 4)) AS INT) % 2 = 1
+                            THEN 1 ELSE -1 END) AS v
             FROM tok CROSS JOIN range(64) r(i)
             GROUP BY doc_id, i),
           sig AS (
@@ -1482,19 +1486,8 @@ def oracle_sql() -> dict[str, str]:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE len(list_filter(range(1, 65), i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) <= 3
     """
-    sqls["simhash_md5_groups"] = """
-        WITH tok AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
-          FROM documents),
-        votes AS (
-          SELECT doc_id, i,
-                 sum(CASE WHEN substr(md5(t || '|' || i), 1, 1)
-                          IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v
-          FROM tok CROSS JOIN range(64) r(i)
-          GROUP BY doc_id, i),
-        sig AS (
-          SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
-          FROM votes GROUP BY doc_id)
+    sqls["simhash_md5_groups"] = f"""
+        WITH {_SIMHASH_SIG_SQL}
         SELECT simhash, count(*) AS cluster_size, min(doc_id) AS min_id
         FROM sig GROUP BY simhash HAVING count(*) > 1
     """

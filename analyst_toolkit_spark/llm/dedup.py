@@ -279,17 +279,23 @@ def simhash64(col: str | Column, method: str = "xxhash") -> Column:
 
     ``method="xxhash"`` (default): bit i's vote = sign of ``xxhash64(t, i)``
     — 64 independent seeded hashes, fastest JVM path, engine-specific.
-    ``method="md5"``: bit i's vote = first hex digit of ``md5(t || '|' || i)``
-    < '8' — slower but CROSS-ENGINE deterministic (the exact arithmetic
-    reproduces in DuckDB/Trino SQL), which makes SimHash grouping
+    ``method="md5"``: bit i's vote = bit i of the token's single md5 digest
+    (hex digit i//4, bit 3-i%4) — ONE md5 per token, and the exact
+    arithmetic reproduces in DuckDB/Trino SQL, which makes SimHash grouping
     oracle-checkable instead of rows-only."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
     if method == "md5":
         def _vote(t, i):
-            digit = F.substring(F.md5(F.concat_ws("|", t, i.cast("string"))), 1, 1)
-            return F.when(digit.isin(*"01234567"), 1).otherwise(-1).cast("long")
+            digit = F.conv(
+                F.md5(t).substr((F.floor(i / 4) + 1).cast("int"), F.lit(1)), 16, 10
+            ).cast("int")
+            # bit (3 - i%4) of the hex digit; pow is exact for exponents 0-3
+            bit = (
+                F.floor(digit / F.pow(F.lit(2.0), (F.lit(3) - i % 4).cast("double"))).cast("int") % 2
+            )
+            return F.when(bit == 1, 1).otherwise(-1).cast("long")
     else:
         # avoids bit-shift-by-column, which Spark's shiftright doesn't support
         def _vote(t, i):
