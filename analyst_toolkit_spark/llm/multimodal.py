@@ -221,3 +221,64 @@ def image_header_meta(df: DataFrame, blob_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(mapper, schema=out_schema)
+
+
+def _parse_wav_header(b: bytes | None):
+    """(sample_rate, channels, bits_per_sample, duration_seconds) from a
+    RIFF/WAVE header — walks the chunk list to 'fmt ' and 'data'. Pure
+    bytes, no codec; non-WAV/short payloads -> all None; never raises."""
+    if not b:
+        return (None, None, None, None)
+    b = bytes(b)
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE" or len(b) < 36:
+            return (None, None, None, None)
+        pos, rate, ch, bits, data_len = 12, None, None, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 24 <= len(b):
+                ch = int.from_bytes(b[pos + 10 : pos + 12], "little")
+                rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+                bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        dur = None
+        if rate and ch and bits and data_len is not None:
+            bps = rate * ch * (bits // 8)
+            dur = round(data_len / bps, 6) if bps else None
+        return (rate, ch, bits, dur)
+    except (IndexError, ValueError):
+        return (None, None, None, None)
+
+
+def audio_header_meta(df: DataFrame, blob_col: str = "content") -> DataFrame:
+    """REAL header-only audio metadata for RIFF/WAVE payloads (no codec):
+    appends audio_sample_rate / audio_channels / audio_bits /
+    audio_seconds parsed from the chunk list over Arrow batches. Map-only;
+    the metadata-before-decode posture for audio — a filter like
+    ``audio_seconds >= 1`` prunes blobs without ffmpeg anywhere in the
+    plan. Non-WAV formats fall through to nulls (the codec-backed
+    ``extract_audio_features`` seam covers them in production)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("audio_sample_rate", T.IntegerType(), True),
+            T.StructField("audio_channels", T.IntegerType(), True),
+            T.StructField("audio_bits", T.IntegerType(), True),
+            T.StructField("audio_seconds", T.DoubleType(), True),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_parse_wav_header(b) for b in pdf[blob_col]]
+            pdf = pdf.copy()
+            pdf["audio_sample_rate"] = pd.array([m[0] for m in meta], dtype="Int32")
+            pdf["audio_channels"] = pd.array([m[1] for m in meta], dtype="Int32")
+            pdf["audio_bits"] = pd.array([m[2] for m in meta], dtype="Int32")
+            pdf["audio_seconds"] = [m[3] for m in meta]
+            yield pdf
+
+    return df.mapInPandas(mapper, schema=out_schema)

@@ -538,3 +538,31 @@ def test_hash_split_oracle(spark, oracle_sf_dir):
         entry_mod.oracle_sql()["hash_split_docs"],
         "hash_split_docs",
     )
+
+
+def _wav(rate=16000, ch=1, bits=16, n_samples=16000):
+    data = b"\x00" * (n_samples * ch * (bits // 8))
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + ch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+           + (rate * ch * bits // 8).to_bytes(4, "little")
+           + (ch * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_audio_header_meta_real_parsing(spark):
+    from analyst_toolkit_spark.llm.multimodal import audio_header_meta
+
+    rows = [
+        (1, _wav(16000, 1, 16, 16000)),   # exactly 1.0 s
+        (2, _wav(44100, 2, 16, 88200)),   # 2.0 s stereo
+        (3, b"not audio"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: (r["audio_sample_rate"], r["audio_channels"], r["audio_bits"], r["audio_seconds"])
+           for r in audio_header_meta(df).collect()}
+    assert got[1] == (16000, 1, 16, 1.0)
+    assert got[2] == (44100, 2, 16, 2.0)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)
