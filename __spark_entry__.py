@@ -438,6 +438,39 @@ def q_product_profit_nation(spark, sf):
     )
 
 
+def q_rollup_returns(spark, sf):
+    # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
+    # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
+    # native multi-level aggregate, no self-union of scans).
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+def q_decile_bands_orders(spark, sf):
+    # NTILE window: decile bands of order value, then per-band aggregates —
+    # one window shuffle + one groupBy (the band census is tiny).
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
 def q_late_orders_priority(spark, sf):
     # Q4-shape: EXISTS semi-join (orders having >= 1 line item shipped more
     # than 60 days after the order date), counted per priority. LEFT SEMI
@@ -1092,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_groups": q_simhash_md5_groups,        # new: local oracle (cross-engine simhash)
         "simhash_md5_near": q_simhash_md5_near,            # new: local oracle (banding completeness)
         "late_orders_priority": q_late_orders_priority,    # new: local oracle (semi-join)
+        "rollup_returns": q_rollup_returns,                # new: local oracle (ROLLUP)
+        "decile_bands_orders": q_decile_bands_orders,      # new: local oracle (NTILE)
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green
@@ -1515,6 +1550,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                count(*) AS n
         FROM b GROUP BY 1
+    """
+    sqls["rollup_returns"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+    sqls["decile_bands_orders"] = """
+        WITH d AS (
+          SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+          FROM orders)
+        SELECT decile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi, round(avg(o_totalprice), 6) AS avg_price
+        FROM d GROUP BY decile
     """
     sqls["late_orders_priority"] = """
         SELECT o_orderpriority, count(*) AS late_orders
