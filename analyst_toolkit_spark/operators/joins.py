@@ -186,6 +186,12 @@ def range_join(
     if bin_width is None:
         w_row = right.agg(F.avg(F.col(hi_col) - F.col(lo_col)).alias("w")).first()
         bin_width = float(w_row["w"] or 1.0) or 1.0
+    # how='left' unmatched recovery anti-joins on a synthetic unique id, NOT on
+    # the left columns: plain column equality is not null-safe, so a matched
+    # left row with a null in any payload column would fail to match itself
+    # and be re-emitted with null right columns (duplicate output row).
+    lid = "__range_lid"
+    l_src = left.withColumn(lid, F.monotonically_increasing_id()) if how == "left" else left
     binned_r = r_renamed.withColumn(
         "__bin",
         F.explode(
@@ -195,7 +201,7 @@ def range_join(
             )
         ),
     )
-    binned_l = left.withColumn("__bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
+    binned_l = l_src.withColumn("__bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
     jcond = F.col("__bin") == F.col("__r_bin")
     for k in by:
         jcond = jcond & (F.col(k) == F.col(f"__r_{k}"))
@@ -206,11 +212,12 @@ def range_join(
         .drop("__bin", "__r_bin", *[f"__r_{k}" for k in by])
     )
     if how == "left":
-        # left rows with no interval: anti-join back in with null right cols
-        matched_keys = joined.select(*left.columns).distinct()
-        unmatched = left.join(matched_keys, left.columns, "left_anti")
+        # left rows with no interval: anti-join on the unique id (null-safe by
+        # construction), re-emit with null right cols
+        matched_ids = joined.select(lid).distinct()
+        unmatched = l_src.join(matched_ids, [lid], "left_anti")
         for c in right.columns:
             if c not in by:
                 unmatched = unmatched.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-        joined = joined.unionByName(unmatched)
+        joined = joined.unionByName(unmatched).drop(lid)
     return joined

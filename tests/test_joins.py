@@ -155,6 +155,21 @@ def test_range_join_left_keeps_unmatched(spark):
     assert out2 == out
 
 
+def test_range_join_left_null_payload_not_duplicated(spark):
+    """Regression: binned left join must not re-emit a MATCHED left row whose
+    payload contains a null (the old anti-join on all left columns used
+    non-null-safe equality, so such a row failed to match itself)."""
+    left = spark.createDataFrame(
+        [(1, 5.0, None), (2, 500.0, "y"), (3, 7.0, "z")], "id int, v double, payload string"
+    )
+    right = spark.createDataFrame([(0.0, 10.0, "low")], ["lo", "hi", "label"])
+    for mode in ("broadcast", "binned"):
+        rows = M_j.range_join(left, right, "v", "lo", "hi", how="left", mode=mode, bin_width=10.0).collect()
+        assert len(rows) == 3
+        by_id = {r["id"]: (r["payload"], r["label"]) for r in rows}
+        assert by_id == {1: (None, "low"), 2: ("y", None), 3: ("z", "low")}
+
+
 def test_range_join_by_keys(spark):
     left = spark.createDataFrame([("a", 5.0), ("b", 5.0)], ["k", "v"])
     right = spark.createDataFrame([("a", 0.0, 10.0, "ra"), ("b", 6.0, 10.0, "rb")], ["k", "lo", "hi", "lbl"])
