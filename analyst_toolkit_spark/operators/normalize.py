@@ -198,6 +198,66 @@ def apply_fuzzy_correction_distributed(
     )
 
 
+class LazyNatCount:
+    """NaT-added counter resolved on demand, not per call (SURVEY §4.2.5).
+
+    The round-4 implementation ran an eager full-column agg on EVERY parse
+    call even when the caller discarded the count — one extra scan per parse
+    at 100 TB. This defers the accounting agg until the value is actually
+    read (``int(x)`` / comparisons), and caches it; callers that never read
+    it (the common profile/bench path) pay ZERO extra scans.
+
+    Why not ``df.observe``: CollectMetrics re-executes whenever its subtree
+    does — a global sort's range-partitioning sampling pass, a stage retry,
+    or a reused subtree each run the node again and the metric double-counts
+    (reproduced live: orderBy().collect() over an observed parse reported
+    2× the true NaT count). Exact changelog accounting can't ride an
+    at-least-once metric, so the deferred exact agg (column-pruned, one
+    scan, only when asked) is the correct Spark shape here.
+    """
+
+    def __init__(self, fallback):
+        self._fallback = fallback  # () -> int, one column-pruned agg
+        self._value: int | None = None
+
+    @property
+    def value(self) -> int:
+        if self._value is None:
+            self._value = int(self._fallback())
+        return self._value
+
+    def __int__(self) -> int:
+        return self.value
+
+    __index__ = __int__
+
+    def __eq__(self, other) -> bool:
+        return self.value == other
+
+    def __lt__(self, other) -> bool:
+        return self.value < other
+
+    def __le__(self, other) -> bool:
+        return self.value <= other
+
+    def __gt__(self, other) -> bool:
+        return self.value > other
+
+    def __ge__(self, other) -> bool:
+        return self.value >= other
+
+    def __add__(self, other):
+        return self.value + other
+
+    __radd__ = __add__
+
+    def __hash__(self) -> int:
+        return hash(self.value)
+
+    def __repr__(self) -> str:
+        return repr(self.value) if self._value is not None else "<LazyNatCount pending>"
+
+
 def parse_datetime(
     df: DataFrame,
     column: str,
@@ -210,10 +270,15 @@ def parse_datetime(
     (normalize_data.py:107-244). Returns (df, nat_added).
 
     - formats: Spark datetime patterns tried in order via coalesce
-    - errors='coerce': failures → null (Spark try_to_timestamp natural behavior)
-    - errors='raise': count failures first (one agg) and raise with examples
-    - errors='ignore': leave the column untouched if ANY value fails
-    - nat_added = src non-null but parsed null (counted in the same agg)
+    - errors='coerce': failures → null; nat_added is a :class:`LazyNatCount`
+      — the accounting agg runs only if the caller reads the count, so the
+      hot path (count discarded) adds NO extra scan (SURVEY §4.2.5; the old
+      eager agg doubled every parse at 100 TB)
+    - errors='raise': count failures eagerly (the answer gates plan choice)
+      and raise with examples
+    - errors='ignore': leave the column untouched if ANY value fails (also
+      needs the eager answer)
+    - nat_added = src non-null but parsed null
     """
     target = target_col or column
     src = F.col(column)
@@ -225,16 +290,24 @@ def parse_datetime(
     else:
         parsed = F.try_to_timestamp(src)
 
-    # NaT-added accounting is part of the changelog contract, so the failure
-    # count is always computed (one small agg; src column only → column-pruned scan)
     fail_pred = src.isNotNull() & parsed.isNull()
+    out_col = parsed.cast("timestamp_ntz") if make_naive else parsed
+
+    if errors == "coerce":
+
+        def _eager() -> int:
+            return df.agg(F.sum(fail_pred.cast("long")).alias("n")).collect()[0]["n"] or 0
+
+        return df.withColumn(target, out_col), LazyNatCount(_eager)
+
+    # raise/ignore genuinely need the count BEFORE committing to a plan —
+    # one column-pruned agg
     failed_cnt = df.agg(F.sum(fail_pred.cast("long")).alias("n")).collect()[0]["n"] or 0
     if errors == "raise" and failed_cnt > 0:
         examples = [r[0] for r in df.filter(src.isNotNull() & parsed.isNull()).select(column).limit(5).collect()]
         raise ValueError(f"datetime parse failed for {failed_cnt} values in {column!r}; examples: {examples}")
     if errors == "ignore" and failed_cnt > 0:
         return df, 0
-    out_col = parsed.cast("timestamp_ntz") if make_naive else parsed
     return df.withColumn(target, out_col), failed_cnt
 
 

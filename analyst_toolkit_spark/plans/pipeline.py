@@ -214,6 +214,13 @@ def run_pipeline(spark: SparkSession, cfg: C.PipelineConfig, df: DataFrame | Non
         _record(run, "final_audit", {"certified": res["certified"]}, status="completed" if res["certified"] else "failed")
 
     run.df = df
+    # resolve lazy observe-backed counters (parse_datetime NaT accounting)
+    # now — by this point the later modules' actions have usually fired the
+    # observation, so resolution is free; keeps reports plain JSON-able ints
+    norm_log = run.reports.get("normalization") or {}
+    for entry in norm_log.values():
+        if isinstance(entry, dict) and "nat_added" in entry:
+            entry["nat_added"] = int(entry["nat_added"])
     run.health = calculate_health_score(metrics_from_history(run.history))
     return run
 

@@ -67,6 +67,23 @@ def test_parse_datetime_policies(spark):
     assert dict(out_naive.dtypes)["d"] == "timestamp_ntz"
 
 
+def test_parse_datetime_count_is_lazy_and_exact(spark):
+    """errors='coerce' must NOT run the accounting agg unless the count is
+    read (the r4 eager scan doubled every parse); resolution is exact and
+    cached, including after arbitrary caller actions (sorts re-execute
+    subtrees, which is why this is a deferred agg and not df.observe)."""
+    from analyst_toolkit_spark.operators.normalize import LazyNatCount
+
+    df = spark.createDataFrame([("2020-01-02",), ("garbage",), (None,)], ["d"])
+    out, nat = parse_datetime(df, "d", formats=["yyyy-MM-dd"], errors="coerce")
+    assert isinstance(nat, LazyNatCount) and nat._value is None  # no scan yet
+    # a sort-backed action (the observe-corrupting shape) doesn't disturb it
+    out.orderBy(F.col("d").asc_nulls_last()).collect()
+    assert nat._value is None
+    assert nat == 1 and int(nat) == 1 and nat + 1 == 2  # exact, now cached
+    assert nat._value == 1
+
+
 def test_coerce_numeric_all_or_nothing(spark):
     ok = spark.createDataFrame([("1",), ("2.5",), (None,)], ["x"])
     out, info = coerce_numeric(ok, "x", "double")
