@@ -829,9 +829,10 @@ def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
 
 def q_simhash_md5_groups(spark, sf):
     """SimHash dup groups with the CROSS-ENGINE md5 vote (llm/dedup.simhash64
-    method='md5'): bit i votes by the first hex digit of md5(token || '|' || i).
-    Same banded-dedup semantics as the xxhash64 default, but the exact
-    signature reproduces in DuckDB SQL — a full oracle instead of rows-only."""
+    method='md5'): ONE md5(token) digest per token; bit i votes by bit
+    (3 - i%4) of hex digit i//4 of that digest — 64 votes from one 32-hex
+    digest. Same banded-dedup semantics as the xxhash64 default, but the
+    exact signature reproduces in DuckDB SQL — a full oracle, not rows-only."""
     out = L_dedup.simhash_dup_groups(load_table(spark, sf, "documents"), method="md5")
     return out.select("simhash", "cluster_size", F.array_min("members").alias("min_id"))
 
@@ -1026,21 +1027,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (transparent, semantics-neutral): 64 of the 70+ registry
-    # queries have DuckDB oracles but the driver verifies only the first 50
-    # dict entries per round. Rounds 2+3 together gave every oracle-backed
-    # query a green driver row (CORRECTNESS_r02/r03.json, 50/50 green both
-    # rounds). Round 4: the 4 seeded/approximate queries that had never
-    # received ANY driver row (simhash x2, hyperplane LSH, IVF) rotate into
-    # the window for their rows-only check; the 4 entries moved to the tail
-    # to make room are each green in BOTH r02 and r03 (noted inline). Every
-    # deterministic query — windowed or not — also runs against the same
-    # oracle in the local test suite (tests/test_entry_contract.py) at
-    # sf0.01 every run, so rotation never leaves a query unverified.
+    # Ordering policy (transparent, semantics-neutral): most registry queries
+    # have DuckDB oracles but the driver verifies only the first 50 dict
+    # entries per round. Rounds 2-4 together gave every pre-r4 entry a green
+    # driver row (CORRECTNESS_r02-r04.json — zero failures). Round 5 rotates
+    # the 9 r4-authored oracle-backed queries (never driver-checked; local
+    # oracle only) into the window; the entries parked in the tail to make
+    # room are each r04-green (noted inline), and the 3 seeded rows-only
+    # queries that got their rows-only row in r04 move to the tail too, so
+    # the r5 window is 50/50 oracle-backed. Every deterministic query —
+    # windowed or not — also runs against the same oracle in the local test
+    # suite (tests/test_entry_contract.py) at sf0.01 every run, so rotation
+    # never leaves a query unverified.
     return {
         # -- profiling / stats ------------------------------------------------
         "profile_lineitem": q_profile_lineitem,
-        "profile_customer": q_profile_customer,
         "dup_clusters_lineitem": q_dup_clusters_lineitem,
         "value_counts_topn_priority": q_value_counts_topn_priority,
         "corr_lineitem": q_corr_lineitem,
@@ -1049,26 +1050,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_price": q_histogram_price,
         # -- validation / duplicates / outliers / impute ----------------------
         "validation_summary_orders": q_validation_summary_orders,
-        "dupes_flag_lineitem": q_dupes_flag_lineitem,
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,
         "outlier_iqr_lineitem": q_outlier_iqr_lineitem,
-        "outlier_zscore_orders": q_outlier_zscore_orders,
         "outlier_clip_lineitem": q_outlier_clip_lineitem,
         "impute_median_customer": q_impute_median_customer,
-        "impute_mean_customer": q_impute_mean_customer,
         # -- normalization ----------------------------------------------------
         "normalize_text_customer": q_normalize_text_customer,
         "datetime_parse_orders": q_datetime_parse_orders,
         "fuzzy_correction_customer": q_fuzzy_correction_customer,
         # -- SQL / join / window showcase -------------------------------------
         "pricing_summary": q_pricing_summary,
-        "supplier_nation_balance": q_supplier_nation_balance,
-        "part_brand_stats": q_part_brand_stats,
         "shipping_priority": q_shipping_priority,
         "window_running_total": q_window_running_total,
+        "returned_revenue_customers": q_returned_revenue_customers,  # r5 rotate-in (Q10)
+        "product_profit_nation": q_product_profit_nation,  # r5 rotate-in (Q9)
+        "late_orders_priority": q_late_orders_priority,    # r5 rotate-in (Q4 semi-join)
+        "rollup_returns": q_rollup_returns,                # r5 rotate-in (ROLLUP)
+        "decile_bands_orders": q_decile_bands_orders,      # r5 rotate-in (NTILE)
         # -- events / streaming-parity / temporal joins ------------------------
         "events_sessions": q_events_sessions,
-        "events_json_props": q_events_json_props,
+        "events_anomaly": q_events_anomaly,                # r5 rotate-in (TS anomaly)
         "asof_join_events": q_asof_join_events,
         "range_join_bands": q_range_join_bands,
         # -- diff / drift / audit ---------------------------------------------
@@ -1089,20 +1090,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "url_extract_docs": q_url_extract_docs,
         "embedding_topk": q_embedding_topk,
-        "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
-        # -- seeded/approximate paths (no DuckDB oracle — driver records the --
-        # -- weaker rows-only check; rotated into the 50-slot window for r4 --
-        # -- so every registry entry has SOME driver row by now; their exact --
-        # -- deterministic baselines above stay oracle-checked)              --
-        "simhash_groups_docs": q_simhash_groups_docs,
-        "simhash_near_docs": q_simhash_near_docs,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        # ---- slots 51+: every entry below is already driver-green in     ----
-        # ---- CORRECTNESS_r02/r03.json (still oracle-checked locally each ----
-        # ---- run). The 4 moved out this round (change_summary,           ----
-        # ---- dropped_rows, value_audit, drift) are green in BOTH r02+r03. ----
+        "hash_split_docs": q_hash_split_docs,              # r5 rotate-in (md5 split)
+        "simhash_md5_groups": q_simhash_md5_groups,        # r5 rotate-in (cross-engine simhash)
+        "simhash_md5_near": q_simhash_md5_near,            # r5 rotate-in (banding completeness)
+        "dupes_flag_lineitem": q_dupes_flag_lineitem,      # r04 green (sibling of dedup_keep_first)
+        "events_json_props": q_events_json_props,          # r04 green
+        # ---- slots 51+: every entry below has a green driver row in some ----
+        # ---- round (noted inline) and stays oracle-checked locally each  ----
+        # ---- run via tests/test_entry_contract.py. Parked r5: profile_   ----
+        # ---- customer, impute_mean, outlier_zscore, embedding_knn (r04   ----
+        # ---- green near-duplicates of in-window siblings) + the 3 seeded ----
+        # ---- rows-only queries that received their r04 rows-only row.    ----
+        "profile_customer": q_profile_customer,            # r04 green
+        "impute_mean_customer": q_impute_mean_customer,    # r04 green
+        "outlier_zscore_orders": q_outlier_zscore_orders,  # r04 green
+        "embedding_knn": q_embedding_knn,                  # r04 green
+        "supplier_nation_balance": q_supplier_nation_balance,  # r04 green
+        "part_brand_stats": q_part_brand_stats,            # r04 green
+        "simhash_groups_docs": q_simhash_groups_docs,      # r04 rows-only (seeded xxhash64)
+        "simhash_near_docs": q_simhash_near_docs,          # r04 rows-only (seeded xxhash64)
+        "embedding_ivf_topk": q_embedding_ivf_topk,        # r04 rows-only (k-means)
         "change_summary_orders": q_change_summary_orders,  # r02+r03 green
         "dropped_rows_orders": q_dropped_rows_orders,      # r02+r03 green
         "value_audit_orders": q_value_audit_orders,        # r02+r03 green
@@ -1118,15 +1127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": q_forecast_revenue_change,  # r02 green
         "join_region_revenue": q_join_region_revenue,      # r02 green
         "topn_parts": q_topn_parts,                        # r02 green
-        "returned_revenue_customers": q_returned_revenue_customers,  # new: local oracle
-        "product_profit_nation": q_product_profit_nation,  # new: local oracle
-        "hash_split_docs": q_hash_split_docs,              # new: local oracle
-        "events_anomaly": q_events_anomaly,                # new: local oracle
-        "simhash_md5_groups": q_simhash_md5_groups,        # new: local oracle (cross-engine simhash)
-        "simhash_md5_near": q_simhash_md5_near,            # new: local oracle (banding completeness)
-        "late_orders_priority": q_late_orders_priority,    # new: local oracle (semi-join)
-        "rollup_returns": q_rollup_returns,                # new: local oracle (ROLLUP)
-        "decile_bands_orders": q_decile_bands_orders,      # new: local oracle (NTILE)
         "events_daily": q_events_daily,                    # r02 green
         "events_tumbling": q_events_tumbling,              # r02 green
         "events_hopping": q_events_hopping,                # r02 green

@@ -60,6 +60,19 @@ def plan_size_bytes(df: DataFrame) -> int:
     return -1 if size >= _SIZE_UNKNOWN_FLOOR else size
 
 
+def plan_row_estimate(df: DataFrame) -> int:
+    """Optimizer ROW-count estimate (defined for local relations and
+    CBO-analyzed tables; -1 when Spark has no estimate — the common case for
+    plain parquet scans without ANALYZE). Free: no scan, no action."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if opt.isDefined():
+            return int(str(opt.get()))
+    except Exception:
+        pass
+    return -1
+
+
 def quantile_strategy(
     df: DataFrame, exact: bool = True, threshold_bytes: int | None = None
 ) -> str:

@@ -318,6 +318,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     method: str = "xxhash",
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -327,6 +328,13 @@ def simhash_near_pairs(
     segment bits), never a full cross join. Verification packs the signature
     into two longs and computes ``bit_count(xor)`` — one JVM instruction pair
     per candidate. Output: id_a, id_b, hamming.
+
+    ``eager`` (default True) localCheckpoints the banded signatures at call
+    time — both self-join sides share that subtree and the cut avoids
+    computing the signature fold twice (measured ~2x at sf0.1). Pass
+    ``eager=False`` to stay fully lazy when composing a larger plan (matches
+    ``minhash_dedup_pairs``'s contract); the checkpoint then runs at the
+    first action instead.
     """
     bands = max_hamming + 1
     seg_len = 64 // bands
@@ -359,7 +367,7 @@ def simhash_near_pairs(
     # TWICE (once per side). The banded relation is tiny (rows x bands, a few
     # ints + a short string per row) — localCheckpoint is cheap and truncates
     # the lineage. Measured ~2x on the sf0.1 sweep.
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.localCheckpoint(eager=eager)
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(

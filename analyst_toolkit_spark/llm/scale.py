@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-from analyst_toolkit_spark.functions.stats import plan_size_bytes
+from analyst_toolkit_spark.functions.stats import plan_row_estimate, plan_size_bytes
 
 #: Above this optimizer-estimated input size, "auto" pair operators switch
 #: from the exact all-pairs plan to the bucketed (LSH/banded) plan. All-pairs
@@ -44,10 +44,16 @@ def pair_strategy(
     under ``ALLPAIRS_MAX_EXACT_ROWS`` (one column-free scan — quadratic cost
     scales with rows², which bytes cannot bound for short rows). Unknown
     plan size no longer short-circuits to exact; the row count decides.
+    When the optimizer's ROW estimate is known and comfortably under the cap
+    (local relations, CBO-analyzed tables) the count scan is skipped — the
+    strategy probe stays plan-only for those inputs.
     """
     thr = ALLPAIRS_THRESHOLD_BYTES if threshold_bytes is None else threshold_bytes
     cap = ALLPAIRS_MAX_EXACT_ROWS if max_exact_rows is None else max_exact_rows
     size = plan_size_bytes(df)
     if 0 <= thr <= size:
         return "bucketed"
+    est = plan_row_estimate(df)
+    if 0 <= est <= cap // 2:
+        return "exact"
     return "bucketed" if df.count() > cap else "exact"
