@@ -29,6 +29,7 @@ import os
 import secrets
 import sys
 import threading
+import time as _time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
@@ -60,9 +61,38 @@ _GENERIC_SCHEMA = {
     },
 }
 
+_AUTO_HEAL_SCHEMA = {
+    "type": "object",
+    "properties": {
+        **_GENERIC_SCHEMA["properties"],
+        "async_mode": {
+            "type": "boolean",
+            "description": "queue as a background job; poll get_job_status(job_id)",
+            "default": False,
+        },
+    },
+}
+
 _TOOL_SCHEMAS: dict[str, dict] = {
     "infer_configs": _GENERIC_SCHEMA,
-    "auto_heal": _GENERIC_SCHEMA,
+    "auto_heal": _AUTO_HEAL_SCHEMA,
+    "get_job_status": {
+        "type": "object",
+        "properties": {"job_id": {"type": "string", "description": "id returned by async_mode tools"}},
+        "required": ["job_id"],
+    },
+    "list_jobs": {
+        "type": "object",
+        "properties": {
+            "limit": {"type": "integer", "default": 20},
+            "state": {"type": "string", "description": "queued|running|succeeded|failed|cancelled"},
+        },
+    },
+    "cancel_job": {
+        "type": "object",
+        "properties": {"job_id": {"type": "string"}},
+        "required": ["job_id"],
+    },
     "data_dictionary": _GENERIC_SCHEMA,
     "data_health": {"type": "object", "properties": {}},
     "run_history": {"type": "object", "properties": {"limit": {"type": "integer"}}},
@@ -114,6 +144,117 @@ _TOOL_SCHEMAS: dict[str, dict] = {
 }
 
 
+# -- MCP resources (reference mcp_server/resources.py / templates.py) --------
+# The reference exposes docs + golden config templates + the capability
+# catalog as MCP resources so client agents can fetch workflow starting
+# points without a tool call. Same URIs, Spark-flavored content.
+
+QUICKSTART_URI = "analyst://docs/quickstart"
+CAPABILITY_CATALOG_URI = "analyst://catalog/capabilities"
+GOLDEN_TEMPLATE_URI = "analyst://templates/golden/fraud_detection.yaml"
+
+_QUICKSTART_MD = """\
+# analyst-toolkit-spark quickstart
+
+1. `load_session(session_id, input_path)` — register a csv/parquet/json/orc
+   path as a named session.
+2. `diagnostics(session_id)` — profile: dtypes, nulls, quartiles, skew.
+3. `validation(session_id, config)` — schema/range/set rules; audit or gate.
+4. `normalization` / `duplicates` / `outlier_detection` → `outlier_handling`
+   / `imputation` — each takes the module config documented in
+   `get_capability_catalog`; each updates the session in place.
+5. `final_audit(session_id, config)` — certify; `data_health` — 0-100 score.
+6. Long heals: `auto_heal(session_id, async_mode=true)` → poll
+   `get_job_status(job_id)`; `cancel_job(job_id)` stops the Spark jobs.
+
+Inputs can be any Spark-readable path (local, hdfs://, s3a://). Results are
+bounded previews — exports go through `export_dashboard` / module sinks.
+"""
+
+#: Golden config template: the reference ships YAML workflow starting points
+#: (config/golden_templates/fraud_detection.yaml); this is the same shape in
+#: this engine's config shorthand (plans/config.py) — every knob here is
+#: accepted by the module tools verbatim.
+_GOLDEN_FRAUD_YAML = """\
+run_id: fraud_detection_golden
+modules:
+  validation:
+    run: true
+    config:
+      validation:
+        rules:
+          range_checks:
+            amount: {min: 0}
+          disallowed_null_columns: [account_id, amount]
+        fail_on_error: false
+  normalization:
+    run: true
+    config:
+      normalization:
+        rules:
+          standardize_text_columns: [merchant, category]
+          parse_datetimes:
+            transaction_time: {format: "%Y-%m-%d %H:%M:%S", errors: coerce}
+          coerce_dtypes:
+            amount: double
+  duplicates:
+    run: true
+    config:
+      duplicates:
+        subset_columns: [account_id, transaction_time, amount]
+        keep: first
+        mode: remove
+  outlier_detection:
+    run: true
+    config:
+      outlier_detection:
+        detection_specs:
+          amount: {method: iqr, multiplier: 3.0}
+  outlier_handling:
+    run: true
+    config:
+      outlier_handling:
+        handling_specs:
+          amount: {strategy: clip}
+  imputation:
+    run: true
+    config:
+      imputation:
+        rules:
+          strategies:
+            category: {strategy: mode}
+  final_audit:
+    run: true
+    config:
+      final_audit:
+        certification:
+          disallowed_null_columns: [account_id]
+"""
+
+
+def list_mcp_resources() -> list[dict]:
+    return [
+        {
+            "name": "docs::quickstart",
+            "uri": QUICKSTART_URI,
+            "description": "Human-oriented toolkit quickstart guide.",
+            "mimeType": "text/markdown",
+        },
+        {
+            "name": "catalog::capabilities",
+            "uri": CAPABILITY_CATALOG_URI,
+            "description": "Editable config knobs and tool surface.",
+            "mimeType": "application/json",
+        },
+        {
+            "name": "golden::fraud_detection",
+            "uri": GOLDEN_TEMPLATE_URI,
+            "description": "Golden end-to-end pipeline config template (YAML).",
+            "mimeType": "application/x-yaml",
+        },
+    ]
+
+
 def json_safe(value: Any, max_rows: int = MAX_PREVIEW_ROWS) -> Any:
     """Render a tool result JSON-encodable. DataFrames become a bounded
     preview {rows, preview_truncated} — the wire never triggers an unbounded
@@ -152,12 +293,52 @@ def _rpc_error(req_id: Any, code: int, message: str, data: dict | None = None) -
     return {"jsonrpc": "2.0", "id": req_id, "error": err}
 
 
+class RuntimeMetrics:
+    """Thread-safe per-RPC counters for the operability endpoints (reference
+    mcp_server/observability.py:11-54): totals, errors, mean latency, and
+    per-method / per-tool counts; scraped via GET /metrics."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._started_at = _time.time()
+        self._requests = 0
+        self._errors = 0
+        self._latency_ms = 0.0
+        self._by_method: dict[str, int] = {}
+        self._by_tool: dict[str, int] = {}
+
+    def record_rpc(self, method: str, duration_ms: float, ok: bool, tool_name: str | None = None) -> None:
+        with self._lock:
+            self._requests += 1
+            self._latency_ms += max(duration_ms, 0.0)
+            self._by_method[method or "unknown"] = self._by_method.get(method or "unknown", 0) + 1
+            if tool_name:
+                self._by_tool[tool_name] = self._by_tool.get(tool_name, 0) + 1
+            if not ok:
+                self._errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            n = self._requests
+            return {
+                "rpc": {
+                    "requests_total": n,
+                    "errors_total": self._errors,
+                    "avg_latency_ms": round(self._latency_ms / n, 2) if n else 0.0,
+                    "by_method": dict(self._by_method),
+                    "by_tool": dict(self._by_tool),
+                },
+                "uptime_sec": int(max(0.0, _time.time() - self._started_at)),
+            }
+
+
 class RpcServer:
     """JSON-RPC dispatcher over a :class:`Toolkit`. Transport-agnostic:
     ``handle`` takes/returns dicts; stdio and HTTP wrappers below feed it."""
 
     def __init__(self, toolkit: Toolkit):
         self.toolkit = toolkit
+        self.metrics = RuntimeMetrics()
 
     # -- tool surface -------------------------------------------------------
 
@@ -191,7 +372,18 @@ class RpcServer:
     # -- dispatch -----------------------------------------------------------
 
     def handle(self, body: Any) -> dict | None:
-        """One JSON-RPC request → one response dict (None for notifications)."""
+        """One JSON-RPC request → one response dict (None for notifications).
+        Every request is measured into :attr:`metrics` (method, tool, latency,
+        ok/error) for the /metrics endpoint."""
+        t0 = _time.perf_counter()
+        method = body.get("method", "") if isinstance(body, dict) else ""
+        tool = (body.get("params") or {}).get("name") if isinstance(body, dict) and method == "tools/call" else None
+        resp = self._dispatch(body)
+        ok = not (isinstance(resp, dict) and "error" in resp)
+        self.metrics.record_rpc(method, (_time.perf_counter() - t0) * 1000.0, ok, tool)
+        return resp
+
+    def _dispatch(self, body: Any) -> dict | None:
         if not isinstance(body, dict) or "method" not in body:
             return _rpc_error(body.get("id") if isinstance(body, dict) else None, -32600, "Invalid Request")
         req_id = body.get("id")
@@ -212,6 +404,22 @@ class RpcServer:
             return None
         if method == "tools/list":
             return _rpc_ok(req_id, {"tools": self.list_tools()})
+        if method == "resources/list":
+            return _rpc_ok(req_id, {"resources": list_mcp_resources()})
+        if method == "resources/read":
+            uri = params.get("uri", "")
+            if uri == QUICKSTART_URI:
+                text, mime = _QUICKSTART_MD, "text/markdown"
+            elif uri == GOLDEN_TEMPLATE_URI:
+                text, mime = _GOLDEN_FRAUD_YAML, "application/x-yaml"
+            elif uri == CAPABILITY_CATALOG_URI:
+                text, mime = (
+                    json.dumps(json_safe(self.toolkit.call("capability_catalog")), separators=(",", ":")),
+                    "application/json",
+                )
+            else:
+                return _rpc_error(req_id, -32602, f"Resource not found: {uri}")
+            return _rpc_ok(req_id, {"contents": [{"uri": uri, "mimeType": mime, "text": text}]})
         if method == "tools/call":
             name = params.get("name")
             if not name:
@@ -258,6 +466,9 @@ def _tool_description(name: str) -> str:
         "dashboard": "Cockpit summary: health + latest status per module.",
         "load_session": "Load a file into a named session.",
         "export_dashboard": "Write a self-contained HTML dashboard (history + health + optional charts).",
+        "get_job_status": "Get current status for an async toolkit job by job_id.",
+        "list_jobs": "List recent async toolkit jobs, optionally filtered by state.",
+        "cancel_job": "Cancel a queued/running async job (cancels its Spark job group).",
     }
     return docs.get(name, f"{name} tool.")
 
@@ -344,16 +555,38 @@ class _RpcHTTPHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(payload)
 
+    def _send_json(self, payload: dict, status: int = 200) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
-        if self.path == "/health":
-            body = json.dumps({"status": "ok", "server": SERVER_NAME}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-        else:
+        # operability endpoints, auth-gated like the reference
+        # (mcp_server/server.py:493-516: /health, /ready, /metrics)
+        if self.path not in ("/health", "/ready", "/metrics"):
             self.send_error(404)
+            return
+        if not _is_authorized(self.headers.get("Authorization", ""), self.auth_token):
+            self._send_json({"status": "unauthorized"}, status=401)
+            return
+        if self.path == "/health":
+            snap = self.rpc.metrics.snapshot()
+            self._send_json(
+                {
+                    "status": "ok",
+                    "server": SERVER_NAME,
+                    "version": SERVER_VERSION,
+                    "tools": self.rpc.toolkit.list_tools(),
+                    "uptime_sec": snap["uptime_sec"],
+                }
+            )
+        elif self.path == "/ready":
+            self._send_json({"status": "ready"})
+        else:
+            self._send_json(self.rpc.metrics.snapshot())
 
 
 def serve_http(

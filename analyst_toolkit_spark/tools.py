@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any, Callable
 
@@ -25,6 +26,7 @@ import yaml
 from pyspark.sql import DataFrame, SparkSession
 
 from analyst_toolkit_spark import ingest
+from analyst_toolkit_spark.jobs import JobStore, spawn_job
 from analyst_toolkit_spark.functions.scoring import calculate_health_score, metrics_from_history
 from analyst_toolkit_spark.operators import dictionary as M_dict
 from analyst_toolkit_spark.operators import drift as M_drift
@@ -59,11 +61,19 @@ _ALIASES = {
 class Toolkit:
     """One engine instance: SparkSession + SessionStore + ledger path."""
 
-    def __init__(self, spark: SparkSession, ledger_path: str | None = None, **store_kwargs: Any):
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_path: str | None = None,
+        job_state_path: str | None = None,
+        **store_kwargs: Any,
+    ):
         self.spark = spark
         self.store = SessionStore(spark, **store_kwargs)
         self.ledger_path = ledger_path
         self._history: list[dict] = []
+        self._record_lock = threading.Lock()  # async job workers share the ledger
+        self.jobs = JobStore(state_path=job_state_path)
 
     # -- plumbing -----------------------------------------------------------
 
@@ -82,11 +92,12 @@ class Toolkit:
 
     def _record(self, module: str, status: str, summary: dict) -> None:
         entry = {"ts": time.time(), "module": module, "status": status, "summary": summary}
-        self._history.append(entry)
-        if self.ledger_path:
-            os.makedirs(os.path.dirname(self.ledger_path) or ".", exist_ok=True)
-            with open(self.ledger_path, "a") as fh:
-                fh.write(json.dumps(entry, default=str) + "\n")
+        with self._record_lock:
+            self._history.append(entry)
+            if self.ledger_path:
+                os.makedirs(os.path.dirname(self.ledger_path) or ".", exist_ok=True)
+                with open(self.ledger_path, "a") as fh:
+                    fh.write(json.dumps(entry, default=str) + "\n")
 
     @staticmethod
     def _coerce_config(config: Any) -> dict:
@@ -167,8 +178,41 @@ class Toolkit:
         self._record("infer_configs", "completed", {"modules": sorted(configs)})
         return {"status": "pass", "module": "infer_configs", "configs": configs}
 
-    def tool_auto_heal(self, session_id=None, input_path=None, df=None, run_id="auto_heal") -> dict:
-        src = self._resolve_input(session_id, input_path, df)
+    def tool_auto_heal(
+        self, session_id=None, input_path=None, df=None, run_id="auto_heal", async_mode: bool = False
+    ) -> dict:
+        """Infer configs then run the cleaning chain. ``async_mode=True``
+        queues the heal as a background job (reference
+        tools/auto_heal.py:366-436): the call returns ``{"status":
+        "accepted", "job_id": ...}`` immediately; poll ``get_job_status``.
+        The worker thread shares the SparkSession (Spark's scheduler
+        interleaves its jobs with foreground calls) and tags them with the
+        job id, so ``cancel_job`` can stop a long heal mid-flight."""
+        src = self._resolve_input(session_id, input_path, df)  # resolve errors surface synchronously
+        if async_mode:
+            job_id = self.jobs.create(
+                module="auto_heal",
+                run_id=run_id,
+                inputs={"session_id": session_id, "input_path": input_path, "run_id": run_id},
+            )
+            spawn_job(
+                self.jobs,
+                job_id,
+                self.spark,
+                lambda: self._auto_heal_sync(src, session_id, run_id),
+                terminal_failure=lambda res: res.get("status") not in ("pass", "completed"),
+            )
+            return {
+                "status": "accepted",
+                "module": "auto_heal",
+                "run_id": run_id,
+                "job_id": job_id,
+                "summary": {"state": "queued"},
+                "message": "Auto-heal job accepted. Poll get_job_status(job_id).",
+            }
+        return self._auto_heal_sync(src, session_id, run_id)
+
+    def _auto_heal_sync(self, src: DataFrame, session_id: str | None, run_id: str) -> dict:
         run = auto_heal(self.spark, src, run_id=run_id)
         if session_id is not None:
             self.store.save(session_id, run.df)
@@ -180,6 +224,50 @@ class Toolkit:
             "health": run.health,
             "inferred_configs": run.reports.get("inferred_configs", {}),
         }
+
+    # -- async job surface (reference tools/jobs.py) ------------------------
+
+    def tool_get_job_status(self, job_id: str, **kw) -> dict:
+        job = self.jobs.get(job_id)
+        if not job:
+            return {
+                "status": "error",
+                "module": "job_status",
+                "job_id": job_id,
+                "message": f"Job not found: {job_id}",
+            }
+        return {"status": "pass", "module": "job_status", "job_id": job_id, "job": job}
+
+    def tool_list_jobs(self, limit: int = 20, state: str | None = None, **kw) -> dict:
+        jobs = self.jobs.list(limit=limit, state=state)
+        return {
+            "status": "pass",
+            "module": "job_status",
+            "summary": {"count": len(jobs), "limit": limit, "state": state or ""},
+            "jobs": jobs,
+        }
+
+    def tool_cancel_job(self, job_id: str, **kw) -> dict:
+        """Cancel a queued/running async job: marks it terminal, then cancels
+        its Spark job group (``interruptOnCancel`` kills running tasks). A
+        Spark-native extension over the reference surface — a 100 TB heal is
+        hours of cluster time; being able to stop it matters."""
+        job = self.jobs.get(job_id)
+        if not job:
+            return {"status": "error", "module": "job_status", "job_id": job_id, "message": f"Job not found: {job_id}"}
+        if job.get("state") not in ("queued", "running"):
+            return {
+                "status": "error",
+                "module": "job_status",
+                "job_id": job_id,
+                "message": f"Job already terminal: {job['state']}",
+            }
+        self.jobs.mark_cancelled(job_id)
+        try:
+            self.spark.sparkContext.cancelJobGroup(job_id)
+        except Exception:
+            pass
+        return {"status": "pass", "module": "job_status", "job_id": job_id, "job": self.jobs.get(job_id)}
 
     def tool_drift_detection(self, base_df=None, target_df=None, threshold: float = 0.1, **kw) -> dict:
         if base_df is None or target_df is None:

@@ -207,6 +207,137 @@ def test_http_auth_token(toolkit):
         httpd.shutdown()
 
 
+def test_metrics_and_ready_endpoints(toolkit):
+    """GET /metrics exposes per-RPC counters (reference observability.py
+    RuntimeMetrics.snapshot shape); /ready answers; both are auth-gated when
+    a token is configured."""
+    httpd = serve_http(toolkit, port=0)
+    try:
+        port = httpd.server_address[1]
+        for i, method in enumerate(["tools/list", "tools/call"]):
+            params = {"name": "run_history", "arguments": {}} if method == "tools/call" else {}
+            body = json.dumps({"jsonrpc": "2.0", "id": i, "method": method, "params": params}).encode()
+            req = urllib.request.Request(f"http://127.0.0.1:{port}/rpc", data=body)
+            urllib.request.urlopen(req, timeout=30).read()
+        # one bad call → errors_total
+        body = json.dumps({"jsonrpc": "2.0", "id": 9, "method": "tools/call", "params": {"name": "nope"}}).encode()
+        urllib.request.urlopen(
+            urllib.request.Request(f"http://127.0.0.1:{port}/rpc", data=body), timeout=10
+        ).read()
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=10) as r:
+            snap = json.loads(r.read())
+        rpc_stats = snap["rpc"]
+        assert rpc_stats["requests_total"] >= 3
+        assert rpc_stats["errors_total"] >= 1
+        assert rpc_stats["by_method"]["tools/list"] >= 1
+        assert rpc_stats["by_tool"]["run_history"] >= 1
+        assert rpc_stats["avg_latency_ms"] >= 0 and snap["uptime_sec"] >= 0
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/ready", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ready"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and "auto_heal" in health["tools"]
+    finally:
+        httpd.shutdown()
+
+
+def test_metrics_auth_gated(toolkit):
+    httpd = serve_http(toolkit, port=0, auth_token="sekrit")
+    try:
+        port = httpd.server_address[1]
+        for path in ("/metrics", "/health", "/ready"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10)
+            assert exc.value.code == 401
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/metrics", headers={"Authorization": "Bearer sekrit"}
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert "rpc" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
+
+
+def test_job_tools_over_server_surface(rpc, sf_dir):
+    """submit→poll→result through tools/call (the reference async scenario
+    driven over the wire layer)."""
+    import time as _t
+
+    sub = rpc.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 1,
+            "method": "tools/call",
+            "params": {
+                "name": "auto_heal",
+                "arguments": {"input_path": f"{sf_dir}/region.parquet", "async_mode": True},
+            },
+        }
+    )
+    job_id = sub["result"]["job_id"]
+    assert sub["result"]["status"] == "accepted"
+    deadline = _t.time() + 120
+    state = None
+    while _t.time() < deadline:
+        poll = rpc.handle(
+            {
+                "jsonrpc": "2.0",
+                "id": 2,
+                "method": "tools/call",
+                "params": {"name": "get_job_status", "arguments": {"job_id": job_id}},
+            }
+        )
+        state = poll["result"]["job"]["state"]
+        if state in ("succeeded", "failed", "cancelled"):
+            break
+        _t.sleep(0.2)
+    assert state == "succeeded", poll["result"]["job"].get("error")
+    assert poll["result"]["job"]["result"]["module"] == "auto_heal"
+    tools = {t["name"] for t in rpc.list_tools()}
+    assert {"get_job_status", "list_jobs", "cancel_job"} <= tools
+
+
+def test_resources_list_and_read(rpc):
+    """MCP resources surface (reference mcp_server/resources.py): quickstart
+    doc, capability catalog, golden template — and the template must be a
+    VALID config for this engine's pipeline plane, not just prose."""
+    import yaml
+
+    from analyst_toolkit_spark.plans import config as C
+
+    listed = rpc.handle({"jsonrpc": "2.0", "id": 1, "method": "resources/list"})
+    uris = {r["uri"] for r in listed["result"]["resources"]}
+    assert {
+        "analyst://docs/quickstart",
+        "analyst://catalog/capabilities",
+        "analyst://templates/golden/fraud_detection.yaml",
+    } <= uris
+
+    def read(uri):
+        resp = rpc.handle({"jsonrpc": "2.0", "id": 2, "method": "resources/read", "params": {"uri": uri}})
+        return resp["result"]["contents"][0]
+
+    quick = read("analyst://docs/quickstart")
+    assert quick["mimeType"] == "text/markdown" and "auto_heal" in quick["text"]
+
+    catalog = json.loads(read("analyst://catalog/capabilities")["text"])
+    assert catalog["status"] == "pass" and "modules" in catalog
+
+    golden = read("analyst://templates/golden/fraud_detection.yaml")
+    master = yaml.safe_load(golden["text"])
+    cfg = C.pipeline_config(master)  # must parse through the config plane
+    assert cfg.run_id == "fraud_detection_golden"
+    assert cfg.enabled("validation") and cfg.enabled("final_audit")
+    # the validation shorthand in the template resolves to real rules
+    vcfg, _ = C.validation_config(cfg.module_config("validation"))
+    assert vcfg.numeric_ranges.get("amount") or vcfg.disallowed_null_columns
+
+    err = rpc.handle({"jsonrpc": "2.0", "id": 3, "method": "resources/read", "params": {"uri": "analyst://nope"}})
+    assert err["error"]["code"] == -32602
+
+
 def test_http_refuses_nonloopback_without_token(toolkit, monkeypatch):
     monkeypatch.delenv("ANALYST_MCP_AUTH_TOKEN", raising=False)
     with pytest.raises(ValueError, match="non-loopback"):
