@@ -287,28 +287,50 @@ def simhash64(col: str | Column, method: str = "xxhash") -> Column:
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
     if method == "md5":
-        def _vote(t, i):
-            digit = F.conv(
-                F.md5(t).substr((F.floor(i / 4) + 1).cast("int"), F.lit(1)), 16, 10
-            ).cast("int")
-            # bit (3 - i%4) of the hex digit; pow is exact for exponents 0-3
-            bit = (
-                F.floor(digit / F.pow(F.lit(2.0), (F.lit(3) - i % 4).cast("double"))).cast("int") % 2
+        # ONE md5 per token (materialized into an array first — inlining
+        # md5(t) inside the per-bit lambda re-evaluated the digest for every
+        # bit, 64 digests/token; measured ~4x slower than this shape at
+        # sf0.1), then the 64 votes decoded from the 16 hex digits through a
+        # constant digit→(4 votes) lookup: vote i = bit 3-i%4 of digit i//4.
+        lookup = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(("1L" if (d >> (3 - k)) & 1 else "-1L") for k in range(4)) + ")"
+                for d in range(16)
             )
-            return F.when(bit == 1, 1).otherwise(-1).cast("long")
+            + ")"
+        )
+        digests = F.transform(toks, lambda t: F.md5(t))
+        per_token_votes = F.transform(
+            digests,
+            lambda h: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda j: F.element_at(
+                        lookup, F.conv(h.substr(j.cast("int"), F.lit(1)), 16, 10).cast("int") + 1
+                    ),
+                )
+            ),
+        )
+        counters = F.aggregate(
+            per_token_votes,
+            F.transform(bit_idx, lambda i: F.lit(0).cast("long")),
+            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+        )
     else:
         # avoids bit-shift-by-column, which Spark's shiftright doesn't support
-        def _vote(t, i):
-            return F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1).cast("long")
-    counters = F.aggregate(
-        toks,
-        F.transform(bit_idx, lambda i: F.lit(0).cast("long")),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(bit_idx, lambda i: _vote(t, i)),
-            lambda x, y: x + y,
-        ),
-    )
+        counters = F.aggregate(
+            toks,
+            F.transform(bit_idx, lambda i: F.lit(0).cast("long")),
+            lambda acc, t: F.zip_with(
+                acc,
+                F.transform(
+                    bit_idx,
+                    lambda i: F.when(F.xxhash64(t, i) > 0, 1).otherwise(-1).cast("long"),
+                ),
+                lambda x, y: x + y,
+            ),
+        )
     return F.concat_ws("", F.transform(counters, lambda cnt: F.when(cnt > 0, "1").otherwise("0")))
 
 
@@ -336,9 +358,15 @@ def simhash_near_pairs(
     ``minhash_dedup_pairs``'s contract); the checkpoint then runs at the
     first action instead.
     """
+    from analyst_toolkit_spark.llm.scale import ensure_parallelism
+
     bands = max_hamming + 1
     seg_len = 64 // bands
-    sig_df = df.select(F.col(id_col), simhash64(F.col(key), method=method).alias("sig"))
+    # the signature fold is compute-bound — don't inherit file-count
+    # partitioning (same reasoning as minhash_dedup_pairs:184-186)
+    sig_df = ensure_parallelism(df).select(
+        F.col(id_col), simhash64(F.col(key), method=method).alias("sig")
+    )
 
     # pack the '0'/'1' signature into two longs for cheap hamming verify
     def _pack(start: int, length: int):
@@ -391,8 +419,10 @@ def simhash_dup_groups(
     df: DataFrame, key: str = "text", id_col: str = "doc_id", method: str = "xxhash"
 ) -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (strong near-dup signal)."""
+    from analyst_toolkit_spark.llm.scale import ensure_parallelism
+
     return (
-        df.select(simhash64(F.col(key), method=method).alias("simhash"), F.col(id_col))
+        ensure_parallelism(df).select(simhash64(F.col(key), method=method).alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list(id_col)).alias("members"))
         .filter(F.col("cluster_size") > 1)

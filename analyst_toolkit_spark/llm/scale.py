@@ -32,6 +32,24 @@ ALLPAIRS_THRESHOLD_BYTES = int(os.environ.get("SPARK_GRAFT_ALLPAIRS_BYTES", str(
 ALLPAIRS_MAX_EXACT_ROWS = int(os.environ.get("SPARK_GRAFT_ALLPAIRS_ROWS", "1500"))
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition UP when the input has fewer partitions than the cluster
+    has slots. Compute-heavy map stages (simhash/minhash signature folds)
+    otherwise run on a handful of tasks while the rest of the cluster idles —
+    a one-file sf0.1 corpus computed its signatures on 1 of 32 cores. At
+    100 TB any real table already has far more partitions than slots, so
+    this is a no-op there; the small-input shuffle it adds is trivial next
+    to the fold it parallelizes (measured ~4x on the md5-SimHash queries)."""
+    spark = df.sparkSession
+    try:
+        target = target or spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass  # Connect: no sparkContext — partitioning is the server's call
+    return df
+
+
 def pair_strategy(
     df: DataFrame,
     threshold_bytes: int | None = None,
