@@ -53,8 +53,10 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for every left row, the single right row with the greatest
     ``on`` value <= the left's (``direction="backward"``; ``"forward"`` takes
-    the smallest >=). pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics,
-    including ``allow_exact_matches`` and ``tolerance``.
+    the smallest >=; ``"nearest"`` the closer of the two by absolute
+    distance, ties to the backward match). pandas ``merge_asof`` / DuckDB
+    ``ASOF JOIN`` semantics, including ``allow_exact_matches`` and
+    ``tolerance``.
 
     Plan shape (the 100 TB path): tag both sides, union, ONE window over
     (by, on) that forward-fills the latest right values with
@@ -67,8 +69,12 @@ def asof_join(
     match when the matched right timestamp is farther than the tolerance
     from the left timestamp.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, by, right_cols, tolerance, allow_exact_matches, suffix
+        )
     by = [by] if isinstance(by, str) else list(by or [])
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
@@ -132,6 +138,86 @@ def asof_join(
         + [out_names[c] for c in right_cols]
     )
     return result.select(*ordered)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by,
+    right_cols: list[str] | None,
+    tolerance,
+    allow_exact_matches: bool,
+    suffix: str,
+) -> DataFrame:
+    """``direction="nearest"``: the closer of the backward and forward
+    matches by absolute distance; ties go to the backward match (pandas
+    merge_asof tie rule, asserted against pandas in tests).
+
+    Plan shape: the SAME single union as backward/forward, with TWO window
+    passes — ascending (backward fill) and descending (forward fill) — over
+    one hash partitioning on ``by``: Spark reuses the exchange and only adds
+    the second sort. Still zero join nodes."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+
+    l_tag = left.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_cols],
+        *[F.col(c) for c in left.columns if c not in by and c != on],
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    def _w(asc: bool):
+        ts_key = F.col(on).asc() if asc else F.col(on).desc()
+        side_key = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+        return (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(ts_key, side_key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    wb, wf = _w(True), _w(False)
+    right_ts = F.when(F.col(_SIDE) == 0, F.col(on))
+    filled = unioned.withColumn("__ts_b", F.last(right_ts, ignorenulls=True).over(wb)).withColumn(
+        "__ts_f", F.last(right_ts, ignorenulls=True).over(wf)
+    )
+    for c in right_cols:
+        src = F.when(F.col(_SIDE) == 0, F.col(out_names[c]))
+        filled = filled.withColumn(f"__b_{c}", F.last(src, ignorenulls=True).over(wb)).withColumn(
+            f"__f_{c}", F.last(src, ignorenulls=True).over(wf)
+        )
+
+    res = filled.filter(F.col(_SIDE) == 1)
+    ts_b, ts_f = F.col("__ts_b"), F.col("__ts_f")
+    dist_b, dist_f = F.col(on) - ts_b, ts_f - F.col(on)  # both >= 0 where defined
+    use_b = ts_b.isNotNull() & (ts_f.isNull() | (dist_b <= dist_f))
+    dist = F.when(use_b, dist_b).otherwise(dist_f)
+    within = F.lit(True)
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        within = dist <= tol
+    for c in right_cols:
+        res = res.withColumn(
+            out_names[c], F.when(within, F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")))
+        )
+    ordered = (
+        by
+        + [on]
+        + [c for c in left.columns if c not in by and c != on]
+        + [out_names[c] for c in right_cols]
+    )
+    return res.select(*ordered)
 
 
 def range_strategy(right: DataFrame, threshold_bytes: int | None = None) -> str:

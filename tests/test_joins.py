@@ -55,7 +55,14 @@ def _pandas_asof(trades, quotes, direction="backward", allow_exact=True, toleran
 
 @pytest.mark.parametrize(
     "direction,allow_exact",
-    [("backward", True), ("backward", False), ("forward", True), ("forward", False)],
+    [
+        ("backward", True),
+        ("backward", False),
+        ("forward", True),
+        ("forward", False),
+        ("nearest", True),
+        ("nearest", False),
+    ],
 )
 def test_asof_matches_pandas_merge_asof(spark, direction, allow_exact):
     trades, quotes = _trades_quotes(spark)
@@ -69,6 +76,34 @@ def test_asof_matches_pandas_merge_asof(spark, direction, allow_exact):
     )
     exp = _pandas_asof(trades, quotes, direction=direction, allow_exact=allow_exact)
     assert list(got["px"].fillna(-1)) == list(exp["px"].fillna(-1)), (direction, allow_exact)
+
+
+def test_asof_nearest_tie_and_plan(spark):
+    """Equidistant candidates resolve to the backward match (pandas tie
+    rule); the nearest plan stays join-free with ONE exchange (the second
+    window direction reuses the hash partitioning, adds only a sort)."""
+    left = spark.createDataFrame([("a", 5.0, 1)], ["sym", "t", "id"])
+    right = spark.createDataFrame([("a", 3.0, 100.0), ("a", 7.0, 200.0)], ["sym", "t", "px"])
+    out = M_j.asof_join(left, right, on="t", by="sym", direction="nearest").collect()
+    assert out[0]["px"] == 100.0  # tie → backward
+
+    plan = (
+        M_j.asof_join(left, right, on="t", by="sym", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    got = (
+        M_j.asof_join(trades, quotes, on="t", by="sym", direction="nearest", tolerance=F.lit(1.0))
+        .orderBy("sym", "t")
+        .toPandas()
+    )
+    exp = _pandas_asof(trades, quotes, direction="nearest", tolerance=1.0)
+    assert list(got["px"].fillna(-1)) == list(exp["px"].fillna(-1))
 
 
 def test_asof_tolerance(spark):
