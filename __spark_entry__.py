@@ -814,6 +814,30 @@ def q_hash_split_docs(spark, sf):
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_dedup_index_probe(spark, sf):
+    """Incremental dedup: exact-probe a synthetic batch against a PERSISTED
+    corpus fingerprint index (llm/incremental.py — the daily-increment shape:
+    index partitioned by fingerprint prefix, probe prunes to the batch's
+    prefixes). Corpus = even doc_ids; batch = copies of corpus docs <= 40
+    (new ids +100000) plus all odd docs. Oracle: text-equality left join with
+    min corpus id (md5 fingerprinting == content equality)."""
+    import tempfile
+
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        corpus.filter(F.col("doc_id") <= 40)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    path = tempfile.mkdtemp(prefix="dedup_idx_")
+    L_inc.dedup_index_write(corpus, path)
+    out = L_inc.exact_probe(spark, path, batch)
+    return out.select("doc_id", "is_known_dup", F.col("matched_id").cast("long").alias("matched_id"))
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -956,6 +980,29 @@ def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
         df.filter(F.col("vec_id") != 0), nlist=16, sample_fraction=0.5, max_iter=5
     )
     return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).drop("__ivf_cluster")
+
+
+def q_embedding_quantize_int8(spark, sf):
+    """int8 scalar quantization fidelity census (llm/similarity.quantize_
+    embeddings — the FAISS SQ8 memory/4 shape): quantize the corpus and the
+    vec_id=0 query vector, compare quantized cosine (scales cancel — pure
+    integer arithmetic) against exact double cosine. Oracle reproduces the
+    floor(x/scale + 0.5) arithmetic with DuckDB list lambdas."""
+    df = load_table(spark, sf, "embeddings")
+    base = L_sim.quantize_embeddings(df.filter(F.col("vec_id") != 0))
+    qrow = L_sim.quantize_embeddings(df.filter(F.col("vec_id") == 0)).select(
+        F.col("embedding").alias("q_emb"), F.col("q_vec").alias("qq")
+    )
+    joined = base.crossJoin(F.broadcast(qrow))
+    exact = L_sim.dot_cols(F.col("embedding"), F.col("q_emb")) / (
+        L_sim.norm(F.col("embedding")) * L_sim.norm(F.col("q_emb"))
+    )
+    approx = L_sim.quantized_cosine(F.col("q_vec"), F.col("qq"))
+    return joined.select((approx - exact).alias("err")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg(F.abs(F.col("err"))), 6).alias("avg_abs_err"),
+        F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
+    )
 
 
 def q_embedding_lsh_pairs(spark, sf):
@@ -1133,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
+        "dedup_index_probe": q_dedup_index_probe,          # new r5: local oracle (incremental dedup)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # new r5: local oracle (SQ8 fidelity)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -1550,6 +1599,45 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                count(*) AS n
         FROM b GROUP BY 1
+    """
+    sqls["dedup_index_probe"] = """
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+             batch AS (
+               SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id <= 40
+               UNION ALL
+               SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+             seen AS (SELECT text, min(doc_id) AS matched_id FROM corpus GROUP BY text)
+        SELECT b.doc_id,
+               s.matched_id IS NOT NULL AS is_known_dup,
+               CAST(s.matched_id AS BIGINT) AS matched_id
+        FROM batch b LEFT JOIN seen s ON b.text = s.text
+    """
+    sqls["embedding_quantize_int8"] = """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        joined AS (SELECT b.embedding AS e, q.qe FROM embeddings b, q WHERE b.vec_id != 0),
+        scaled AS (
+          SELECT e, qe,
+            greatest(list_aggregate(list_transform(e,  x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS se,
+            greatest(list_aggregate(list_transform(qe, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS sq
+          FROM joined),
+        quant AS (
+          SELECT e, qe,
+            list_transform(e,  x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) / se + 0.5) AS INT)))) AS qb,
+            list_transform(qe, x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) / sq + 0.5) AS INT)))) AS qq
+          FROM scaled),
+        metrics AS (
+          SELECT
+            CAST(list_aggregate(list_transform(range(1, len(qb) + 1), i -> CAST(qb[i] AS BIGINT) * qq[i]), 'sum') AS DOUBLE)
+              / sqrt(CAST(list_aggregate(list_transform(qb, x -> CAST(x AS BIGINT) * x), 'sum') AS DOUBLE)
+                   * CAST(list_aggregate(list_transform(qq, x -> CAST(x AS BIGINT) * x), 'sum') AS DOUBLE)) AS approx,
+            list_aggregate(list_transform(range(1, len(e) + 1), i -> CAST(e[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(e,  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS exact
+          FROM quant)
+        SELECT count(*) AS docs,
+               round(avg(abs(approx - exact)), 6) AS avg_abs_err,
+               round(max(abs(approx - exact)), 6) AS max_abs_err
+        FROM metrics
     """
     sqls["rollup_returns"] = """
         SELECT l_returnflag, l_linestatus, count(*) AS n,

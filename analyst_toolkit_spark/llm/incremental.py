@@ -1,0 +1,182 @@
+"""Incremental dedup — probe a NEW batch against a PERSISTED corpus index.
+
+The reference toolkit dedups one frame at a time; a production training-data
+pipeline almost never does that — it receives daily/hourly increments and
+must answer "which of these documents has the 100 TB corpus already seen
+(exactly or nearly)?" WITHOUT re-scanning the corpus. This module persists
+the two index layers that make that probe cheap:
+
+- ``exact`` layer: (fingerprint, doc_id) parquet partitioned by the
+  fingerprint's first two hex chars (256 partitions). A small batch touches
+  only the partitions its fingerprints land in — the probe pushes an
+  ``isin`` filter on the partition column, so directory-level pruning reads
+  a fraction of the index (plan-asserted in tests). Batches large enough to
+  hit every prefix amortize a full merge, which is then inherent.
+- ``near`` layer: banded MinHash — ``bands/`` (band, band_hash, doc_id) for
+  candidate generation by equi-join, plus ``sigs/`` (doc_id, sig) fetched
+  ONLY for candidate index docs (semi-join), verified by the signature
+  Jaccard ESTIMATE (fraction of equal minhash positions). No document text
+  is stored in the index, so index row size is bounded (k longs) no matter
+  how large documents are.
+
+Append = write the new batch's fingerprints/signatures with mode=append
+after probing; duplicate index rows are harmless (probes aggregate).
+
+Same hash family as llm/dedup.py (xxhash64 minhash, md5 fingerprints), so
+an index written by one engine version probes identically in the next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.llm.dedup import minhash_signature, shingles
+
+FP_PREFIX = "fp_prefix"
+
+
+def _fingerprints(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    fp = F.md5(F.col(key))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        F.substring(fp, 1, 2).alias(FP_PREFIX),
+    )
+
+
+def _banded_sigs(df: DataFrame, key: str, id_col: str, n_shingle: int, k: int, bands: int):
+    """(sigs, banded): per-doc signature and its banded hashes — the exact
+    minhash_candidates banding arithmetic (dedup.py:99-112) so index and
+    ad-hoc paths collide identically."""
+    r = k // bands
+    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+    sigs = sh.filter(F.size("sh") > 0).select(
+        F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig")
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    return sigs, banded
+
+
+def sig_jaccard_estimate(a, b, k: int):
+    """MinHash Jaccard estimate: fraction of equal signature positions."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(k))
+
+
+def dedup_index_write(
+    df: DataFrame,
+    path: str,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 64,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or ``mode="append"``: extend) both index layers."""
+    base = path.rstrip("/")
+    _fingerprints(df, key, id_col).write.mode(mode).partitionBy(FP_PREFIX).parquet(base + "/fingerprints")
+    sigs, banded = _banded_sigs(df, key, id_col, n_shingle, k, bands)
+    sigs.write.mode(mode).parquet(base + "/sigs")
+    banded.write.mode(mode).partitionBy("band").parquet(base + "/bands")
+
+
+def dedup_index_append(df: DataFrame, path: str, **kwargs) -> None:
+    dedup_index_write(df, path, mode="append", **kwargs)
+
+
+def exact_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag batch docs whose exact content the index has seen.
+
+    Output: (doc_id, is_known_dup, matched_id) — matched_id is the SMALLEST
+    index doc id sharing the fingerprint (deterministic). The index read is
+    filtered to the batch's fingerprint prefixes: the distinct-prefix set is
+    bounded at 256 values (collected driver-side), and for small batches the
+    ``isin`` on the partition column prunes index directories wholesale.
+    """
+    fps = _fingerprints(batch, key, id_col)
+    prefixes = [r[0] for r in fps.select(FP_PREFIX).distinct().collect()]  # <= 256 rows
+    index = spark.read.parquet(path.rstrip("/") + "/fingerprints").filter(
+        F.col(FP_PREFIX).isin(prefixes)
+    )
+    matches = (
+        index.join(F.broadcast(fps.select("fp").distinct()), "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.min(F.col("doc_id")).alias("matched_id"))
+    )
+    return (
+        fps.join(F.broadcast(matches), "fp", "left")
+        .select(
+            F.col(id_col),
+            F.col("matched_id").isNotNull().alias("is_known_dup"),
+            "matched_id",
+        )
+    )
+
+
+def near_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate probe: batch docs vs indexed signatures.
+
+    Candidates from the (band, band_hash) equi-join — only colliding rows
+    meet, same S-curve as minhash_candidates; verification by signature
+    Jaccard estimate over the k minhashes, fetched from ``sigs/`` ONLY for
+    candidate index docs. Output: (batch_id, index_id, est_jaccard >=
+    threshold). Deterministic given the xxhash64 family.
+    """
+    base = path.rstrip("/")
+    b_sigs, b_banded = _banded_sigs(batch, key, id_col, n_shingle, k, bands)
+    idx_banded = spark.read.parquet(base + "/bands")
+    cands = (
+        b_banded.withColumnRenamed(id_col, "batch_id")
+        .join(
+            idx_banded.withColumnRenamed(id_col, "index_id"),
+            ["band", "band_hash"],
+        )
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    idx_sigs = (
+        spark.read.parquet(base + "/sigs")
+        .withColumnsRenamed({id_col: "index_id", "sig": "index_sig"})
+        .join(F.broadcast(cands.select("index_id").distinct()), "index_id", "left_semi")
+        .groupBy("index_id")
+        .agg(F.first("index_sig").alias("index_sig"))  # appends may duplicate rows
+    )
+    b_named = b_sigs.withColumnsRenamed({id_col: "batch_id", "sig": "batch_sig"})
+    return (
+        cands.join(b_named, "batch_id")
+        .join(idx_sigs, "index_id")
+        .withColumn("est_jaccard", F.round(sig_jaccard_estimate(F.col("batch_sig"), F.col("index_sig"), k), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_id", "index_id", "est_jaccard")
+    )

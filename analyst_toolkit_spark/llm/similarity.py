@@ -270,6 +270,56 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", q_col: str = "q_vec", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization (the FAISS SQ8 shape): per vector,
+    ``scale = max|x| / 127`` and ``q_i = clip(floor(x_i/scale + 0.5), ±127)``.
+    4× memory reduction for stored indexes; map-only JVM expressions.
+
+    ``floor(x/scale + 0.5)`` (round-half-up) instead of ``F.round`` so the
+    arithmetic reproduces exactly in DuckDB/Trino SQL — keeps the operator
+    oracle-checkable. Scale is materialized as a column first; folding it
+    inline would re-run the max-abs fold once per element (O(d²)/vector).
+    Zero vectors quantize to zeros via the 1e-30 scale floor.
+    """
+    maxabs = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    out = df.withColumn(scale_col, F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0))
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(v.cast("double") / F.col(scale_col) + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return out.withColumn(q_col, q)
+
+
+def quantized_dot(qa: Column, scale_a: Column, qb: Column, scale_b: Column) -> Column:
+    """Dequantized dot product: integer accumulate (exact in int64 for
+    |q| <= 127 up to ~5.6e14 dims), two scale multiplies at the end."""
+    idot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return idot.cast("double") * scale_a * scale_b
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Approximate cosine from int8 codes alone — the per-vector scales
+    cancel, so this is pure integer arithmetic until the final divide."""
+    idot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    n2 = lambda q: F.aggregate(  # noqa: E731
+        F.transform(q, lambda x: (x * x).cast("long")), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return idot.cast("double") / F.sqrt(n2(qa).cast("double") * n2(qb).cast("double"))
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

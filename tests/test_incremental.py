@@ -1,0 +1,101 @@
+"""Incremental dedup index (llm/incremental.py): exact + near probes of a
+new batch against a persisted corpus index, pruning and append semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.ingest import load_table
+from analyst_toolkit_spark.llm import incremental as I
+from analyst_toolkit_spark.llm.dedup import minhash_dedup_pairs
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # batch: some exact copies of corpus docs (new ids), some fresh docs
+    copies = corpus.filter(F.col("doc_id") <= 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus, copies.unionByName(fresh)
+
+
+@pytest.fixture(scope="module")
+def index_path(tmp_path_factory, spark, corpus_and_batch):
+    path = str(tmp_path_factory.mktemp("dedup_index") / "idx")
+    corpus, _ = corpus_and_batch
+    I.dedup_index_write(corpus, path)
+    return path
+
+
+def test_exact_probe_flags_known_content(spark, corpus_and_batch, index_path):
+    corpus, batch = corpus_and_batch
+    out = I.exact_probe(spark, index_path, batch)
+    rows = {r["doc_id"]: (r["is_known_dup"], r["matched_id"]) for r in out.collect()}
+    assert len(rows) == batch.count()
+    # every copied doc flags with its corpus source id
+    copied = {r["doc_id"]: r["doc_id"] - 100000 for r in batch.filter(F.col("doc_id") > 99999).collect()}
+    for new_id, src_id in copied.items():
+        assert rows[new_id][0] is True
+        assert rows[new_id][1] == src_id  # min doc_id sharing the fingerprint
+    # fresh odd docs: known only if their text happens to equal a corpus doc's
+    corpus_texts = {r["text"] for r in corpus.collect()}
+    for r in batch.filter(F.col("doc_id") < 99999).collect():
+        assert rows[r["doc_id"]][0] == (r["text"] in corpus_texts)
+
+
+def test_exact_probe_prunes_partitions(spark, corpus_and_batch, index_path):
+    """A tiny batch must read only its fingerprint-prefix partitions: the
+    isin on the partition column shows up as PartitionFilters, not a
+    post-scan filter."""
+    _, batch = corpus_and_batch
+    tiny = batch.limit(3)
+    plan = (
+        I.exact_probe(spark, index_path, tiny)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [fp_prefix" in plan.replace("#", " #").replace("  ", " ") or "fp_prefix" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_near_probe_matches_adhoc_minhash(spark, corpus_and_batch, index_path):
+    """Index-probe candidates/verdicts must agree with the ad-hoc in-memory
+    MinHash pipeline run over corpus+batch (same hash family, same banding):
+    every ad-hoc cross pair (corpus x batch) at a strong threshold must be
+    found by the probe, with the signature-estimate in place of exact
+    Jaccard."""
+    corpus, batch = corpus_and_batch
+    probe = I.near_probe(spark, index_path, batch, threshold=0.9)
+    got = {(r["batch_id"], r["index_id"]) for r in probe.collect()}
+    # exact copies have identical signatures -> est_jaccard == 1.0
+    copies = {r["doc_id"] for r in batch.filter(F.col("doc_id") > 99999).collect()}
+    for new_id in copies:
+        assert (new_id, new_id - 100000) in got
+    # and the probe never reports a pair the full ad-hoc pipeline would not
+    # candidate at all: recompute banded collisions over the union
+    union = corpus.unionByName(batch)
+    adhoc = minhash_dedup_pairs(union, threshold=0.0)  # all candidates, verified >= 0
+    adhoc_pairs = {(r["id_a"], r["id_b"]) for r in adhoc.collect()} | {
+        (r["id_b"], r["id_a"]) for r in adhoc.collect()
+    }
+    for b_id, i_id in got:
+        assert (i_id, b_id) in adhoc_pairs or (b_id, i_id) in adhoc_pairs
+
+
+def test_append_extends_index(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    path = str(tmp_path / "idx2")
+    I.dedup_index_write(corpus, path)
+    fresh = batch.filter(F.col("doc_id") < 99999).limit(20)
+    before = I.exact_probe(spark, path, fresh)
+    I.dedup_index_append(fresh, path)
+    after = I.exact_probe(spark, path, fresh)
+    # after appending, every appended doc is known (it is its own fingerprint)
+    assert after.filter(~F.col("is_known_dup")).count() == 0
+    assert before.count() == after.count()
+
+
+def test_sig_jaccard_estimate_bounds(spark):
+    df = spark.createDataFrame([([1, 2, 3, 4], [1, 2, 9, 9])], ["a", "b"])
+    got = df.select(I.sig_jaccard_estimate(F.col("a"), F.col("b"), 4).alias("e")).first()["e"]
+    assert got == 0.5

@@ -566,3 +566,57 @@ def test_audio_header_meta_real_parsing(spark):
     assert got[2] == (44100, 2, 16, 2.0)
     assert got[3] == (None, None, None, None)
     assert got[4] == (None, None, None, None)
+
+
+def test_quantize_embeddings_roundtrip_bound(spark, sf_dir):
+    """SQ8 invariants: |x - q*scale| <= scale/2 per element (round-half-up),
+    codes within [-127, 127], zero vectors quantize to zeros."""
+    from analyst_toolkit_spark.ingest import load_table
+
+    df = S.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_vec"),
+            lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("q_scale")),
+        ),
+        F.lit(0.0),
+        lambda a, v: F.greatest(a, v),
+    )
+    code_max = F.array_max(F.transform(F.col("q_vec"), lambda q: F.abs(q)))
+    bad = df.filter(
+        (recon_err > F.col("q_scale") * 0.5 + 1e-12) | (code_max > 127)
+    ).count()
+    assert bad == 0
+
+    z = S.quantize_embeddings(
+        spark.createDataFrame([([0.0] * 4,)], "embedding array<double>")
+    ).first()
+    assert z["q_vec"] == [0, 0, 0, 0]
+
+
+def test_quantized_dot_and_cosine_fidelity(spark, sf_dir):
+    """Dequantized dot tracks the exact dot within SQ8 tolerance and the
+    scale-free quantized cosine stays within ~1e-2 of exact cosine."""
+    from analyst_toolkit_spark.ingest import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    base = S.quantize_embeddings(df.filter(F.col("vec_id") != 0))
+    qrow = S.quantize_embeddings(df.filter(F.col("vec_id") == 0)).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("q_vec").alias("qq"),
+        F.col("q_scale").alias("qs"),
+    )
+    j = base.crossJoin(F.broadcast(qrow))
+    exact_dot = S.dot_cols(F.col("embedding"), F.col("q_emb"))
+    approx_dot = S.quantized_dot(F.col("q_vec"), F.col("q_scale"), F.col("qq"), F.col("qs"))
+    exact_cos = exact_dot / (S.norm(F.col("embedding")) * S.norm(F.col("q_emb")))
+    approx_cos = S.quantized_cosine(F.col("q_vec"), F.col("qq"))
+    stats = j.agg(
+        F.max(F.abs(approx_cos - exact_cos)).alias("cos_err"),
+        F.max(F.abs(approx_dot - exact_dot) / F.greatest(F.abs(exact_dot), F.lit(1e-9))).alias("dot_rel"),
+    ).first()
+    assert stats["cos_err"] < 0.02
+    # dot relative error blows up near zero dots; the absolute-cos bound is
+    # the meaningful fidelity metric, rel-dot just needs to be sane overall
+    assert stats["dot_rel"] < 5.0
