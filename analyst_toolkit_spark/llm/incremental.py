@@ -134,6 +134,38 @@ def exact_probe(
     )
 
 
+def exact_probe_stream(
+    stream_df: DataFrame,
+    path: str,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of :func:`exact_probe`: flag stream documents whose
+    exact content the persisted index has seen, via a STREAM-STATIC left
+    join. Spark re-resolves the static side every micro-batch, so index
+    appends land in later batches without restarting the query; the operator
+    itself is state-free (no watermark) — the on-disk index carries the
+    memory, which is the point of an incremental pipeline.
+
+    Unlike the batch probe, partition pruning can't apply (the batch's
+    prefix set is unknown at plan time); each micro-batch pays one hash join
+    against the index scan. Output schema matches the batch probe plus the
+    stream's own columns.
+    """
+    spark = stream_df.sparkSession
+    seen = (
+        spark.read.parquet(path.rstrip("/") + "/fingerprints")
+        .groupBy("fp")
+        .agg(F.min(F.col(id_col)).alias("matched_id"))
+    )
+    return (
+        stream_df.withColumn("fp", F.md5(F.col(key)))
+        .join(seen, "fp", "left")
+        .withColumn("is_known_dup", F.col("matched_id").isNotNull())
+        .drop("fp")
+    )
+
+
 def near_probe(
     spark: SparkSession,
     path: str,

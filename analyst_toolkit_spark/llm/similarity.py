@@ -360,12 +360,21 @@ def ivf_write(
     centroids: list[list[float]],
     path: str,
     cluster_col: str = "__ivf_cluster",
+    quantize: bool = False,
+    vec_col: str = "embedding",
 ) -> None:
     """Persist an IVF index as a cluster-partitioned parquet layout plus a
     centroid sidecar. THIS is the IVF win at 100 TB: the probe's cluster
     filter becomes directory-level partition pruning — a nprobe/nlist probe
     reads only that fraction of the files, no footer even opened elsewhere
     (asserted by plan in tests/test_llm.py).
+
+    ``quantize=True`` stores int8 SQ8 codes INSTEAD of the raw vectors
+    (``q_vec`` + ``q_scale`` columns; the FAISS IVF+SQ8 combination): 4×
+    smaller index, probes score the scale-free quantized cosine — ranks are
+    approximate within SQ8 fidelity (~1e-3 cosine error measured on the
+    test corpus; the oracle-checked census query embedding_quantize_int8
+    tracks it). The sidecar records the storage mode.
 
     Layout: ``{path}/vectors/`` partitioned by the cluster id;
     ``{path}/centroids.json`` holds the quantizer (tiny, driver-written).
@@ -376,9 +385,14 @@ def ivf_write(
     """
     import json
 
-    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(path.rstrip("/") + "/vectors")
+    out = assigned
+    if quantize:
+        out = quantize_embeddings(assigned, vec_col=vec_col).drop(vec_col)
+    out.write.mode("overwrite").partitionBy(cluster_col).parquet(path.rstrip("/") + "/vectors")
     _hadoop_write_text(
-        assigned.sparkSession, path.rstrip("/") + "/centroids.json", json.dumps(centroids)
+        assigned.sparkSession,
+        path.rstrip("/") + "/centroids.json",
+        json.dumps({"centroids": centroids, "quantize": bool(quantize)}),
     )
 
 
@@ -424,11 +438,19 @@ def ivf_probe(
     rank centroids driver-side (nlist dot products), scan ONLY the nprobe
     nearest partitions via partition pruning, exact cosine re-rank inside.
     Reads the sidecar through the Hadoop FS API — same scheme as the vectors.
+
+    Against a ``quantize=True`` index the probe quantizes the query with the
+    SAME arithmetic and ranks by the scale-free quantized cosine (integer
+    dot over the stored int8 codes) — approximate within SQ8 fidelity.
     """
     import json
     import math
 
-    centroids = json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/centroids.json"))
+    sidecar = json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/centroids.json"))
+    if isinstance(sidecar, dict):
+        centroids, quantized = sidecar["centroids"], sidecar.get("quantize", False)
+    else:  # pre-r5 sidecar: bare centroid list, raw vectors
+        centroids, quantized = sidecar, False
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
     def _cos(c: list[float]) -> float:
@@ -438,4 +460,17 @@ def ivf_probe(
     probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i]))[:nprobe]
     vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
     pruned = vectors.filter(F.col(cluster_col).isin(probes))
-    return cosine_topk(pruned, query_vec, k, vec_col, id_col)
+    if not quantized:
+        return cosine_topk(pruned, query_vec, k, vec_col, id_col)
+
+    # same quantization arithmetic as quantize_embeddings, driver-side
+    scale = max((abs(float(x)) for x in query_vec), default=0.0)
+    scale = max(scale, 1e-30) / 127.0
+    q_codes = [max(-127, min(127, math.floor(float(x) / scale + 0.5))) for x in query_vec]
+    q_lit = F.expr("array(" + ",".join(str(int(c)) for c in q_codes) + ")")
+    score = quantized_cosine(F.col("q_vec"), q_lit)
+    return (
+        pruned.select(F.col(id_col), F.round(score, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

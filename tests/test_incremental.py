@@ -95,6 +95,42 @@ def test_append_extends_index(spark, corpus_and_batch, tmp_path):
     assert before.count() == after.count()
 
 
+def test_exact_probe_stream_matches_batch(spark, corpus_and_batch, index_path, tmp_path):
+    """The streaming probe (stream-static join) must agree doc-for-doc with
+    the batch probe on the same batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
+
+    _, batch = corpus_and_batch
+    src = str(tmp_path / "stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    flagged = I.exact_probe_stream(stream, index_path)
+    assert flagged.isStreaming
+
+    collected = []
+
+    def sink(bdf, bid):
+        collected.extend(
+            (r["doc_id"], r["is_known_dup"], r["matched_id"])
+            for r in bdf.select("doc_id", "is_known_dup", "matched_id").collect()
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_probe_")
+    q = foreach_batch_runner(flagged, sink, ckpt)
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    expected = {
+        (r["doc_id"], r["is_known_dup"], r["matched_id"])
+        for r in I.exact_probe(spark, index_path, batch).collect()
+    }
+    assert set(collected) == expected and len(collected) == batch.count()
+
+
 def test_sig_jaccard_estimate_bounds(spark):
     df = spark.createDataFrame([([1, 2, 3, 4], [1, 2, 9, 9])], ["a", "b"])
     got = df.select(I.sig_jaccard_estimate(F.col("a"), F.col("b"), 4).alias("e")).first()["e"]

@@ -486,7 +486,8 @@ def test_ivf_write_probe_partition_pruning(spark, sf_dir, tmp_path):
     import json as _json
     import math as _math
 
-    cents = _json.load(open(os.path.join(idx, "centroids.json")))
+    sidecar = _json.load(open(os.path.join(idx, "centroids.json")))
+    cents = sidecar["centroids"] if isinstance(sidecar, dict) else sidecar
     qn = _math.sqrt(sum(x * x for x in qvec)) or 1.0
     scores = [
         sum(a * b for a, b in zip(c, qvec)) / ((_math.sqrt(sum(x * x for x in c)) or 1.0) * qn)
@@ -500,6 +501,36 @@ def test_ivf_write_probe_partition_pruning(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert {r["vec_id"] for r in rows} == expect
+
+
+def test_ivf_quantized_index(spark, sf_dir, tmp_path):
+    """IVF+SQ8: a quantize=True index stores int8 codes (no raw vectors),
+    keeps partition pruning, and its approximate top-k strongly overlaps
+    the raw index's exact top-k."""
+    import os
+
+    from analyst_toolkit_spark.llm.similarity import ivf_build, ivf_probe, ivf_write
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = ivf_build(corpus, nlist=8, max_iter=4)
+    raw_idx, q_idx = str(tmp_path / "raw"), str(tmp_path / "sq8")
+    ivf_write(assigned, centroids, raw_idx)
+    ivf_write(assigned, centroids, q_idx, quantize=True)
+
+    stored = spark.read.parquet(os.path.join(q_idx, "vectors"))
+    assert "q_vec" in stored.columns and "q_scale" in stored.columns
+    assert "embedding" not in stored.columns  # codes only — the memory/4 point
+
+    out = ivf_probe(spark, q_idx, qvec, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf_cluster" in plan  # pruning intact
+
+    approx = [r["vec_id"] for r in out.collect()]
+    exact = [r["vec_id"] for r in ivf_probe(spark, raw_idx, qvec, k=10, nprobe=3).collect()]
+    assert len(approx) == 10
+    assert len(set(approx) & set(exact)) >= 8  # SQ8 fidelity keeps ranks stable
 
 
 def test_hash_split_deterministic_and_proportional(spark, sf_dir):

@@ -247,3 +247,41 @@ def test_connected_components_matches_union_find(spark, edges):
     # union-find's find() resolves transitively to the min id of the component
     # because unions always point larger roots at smaller ones
     assert got == exp
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=50).map(float), min_size=1, max_size=15),
+    rights=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50).map(float), st.integers(0, 99)),
+        min_size=1,
+        max_size=15,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    allow_exact=st.booleans(),
+)
+@SET
+def test_asof_matches_pandas_property(spark, lefts, rights, direction, allow_exact):
+    """asof_join vs pandas merge_asof over random timelines, all three
+    directions — including the nearest tie rule (equal distances abound with
+    integer-valued times)."""
+    from analyst_toolkit_spark.operators import joins as M_j
+
+    lp = pd.DataFrame({"t": sorted(lefts)}).reset_index(drop=True)
+    rp = (
+        pd.DataFrame(rights, columns=["t", "px"])
+        .drop_duplicates("t")  # merge_asof allows dup right keys but tie order is positional; keep it well-defined
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(lp, rp, on="t", direction=direction, allow_exact_matches=allow_exact)
+
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+    got = (
+        M_j.asof_join(left, right, on="t", direction=direction, allow_exact_matches=allow_exact)
+        .orderBy("t")
+        .toPandas()
+    )
+    assert list(got["px_asof" if "px_asof" in got.columns else "px"].fillna(-1)) == list(
+        exp["px"].fillna(-1)
+    ), (direction, allow_exact, lefts, rights)
