@@ -67,6 +67,22 @@ def test_infer_auto_heal_health(toolkit, csv_path):
     assert any(e["module"] == "infer_configs" for e in hist["ledger"])
 
 
+def test_auto_heal_skips_imputation_when_nothing_to_fill(toolkit, spark):
+    """Reference hardening scenario (tests/hardening/test_auto_heal_behavior
+    .py:87): a null-free input infers an EMPTY imputation strategy map and
+    the heal must do no imputation work — the report carries no filled
+    columns and no fill values."""
+    clean = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "cat", "val"]
+    )
+    res = toolkit.call("auto_heal", df=clean, run_id="clean_heal")
+    assert res["status"] == "pass"
+    import yaml
+
+    inferred = yaml.safe_load(res["inferred_configs"]["imputation"])
+    assert inferred["imputation"]["rules"]["strategies"] == {}
+
+
 def test_drift_tool(toolkit, spark):
     base = spark.createDataFrame([Row(x=float(i)) for i in range(50)])
     target = spark.createDataFrame([Row(x=float(i * 3)) for i in range(50)])
