@@ -150,8 +150,34 @@ _TOOL_SCHEMAS: dict[str, dict] = {
 # points without a tool call. Same URIs, Spark-flavored content.
 
 QUICKSTART_URI = "analyst://docs/quickstart"
+AGENT_PLAYBOOK_URI = "analyst://docs/agent-playbook"
 CAPABILITY_CATALOG_URI = "analyst://catalog/capabilities"
 GOLDEN_TEMPLATE_URI = "analyst://templates/golden/fraud_detection.yaml"
+
+#: Strict ordered workflow for client agents (reference resources.py
+#: AGENT_PLAYBOOK_URI / cockpit_content.agent_playbook_payload) — JSON so an
+#: agent can follow it mechanically.
+_AGENT_PLAYBOOK = {
+    "version": 1,
+    "workflow": [
+        {"step": 1, "tool": "load_session", "why": "register the input once; every later step reads the session"},
+        {"step": 2, "tool": "diagnostics", "why": "profile before touching anything; read null_pct and dtypes"},
+        {"step": 3, "tool": "preflight_config", "why": "validate any module config BEFORE running it"},
+        {"step": 4, "tool": "validation", "why": "audit rules first (fail_on_error=false), gate later"},
+        {"step": 5, "tool": "normalization", "why": "rename/standardize/parse before dedup so keys compare equal"},
+        {"step": 6, "tool": "duplicates", "why": "dedup after normalization, before stats-based steps"},
+        {"step": 7, "tool": "outlier_detection", "why": "detection must precede handling (M05->M06 edge)"},
+        {"step": 8, "tool": "outlier_handling", "why": "consumes detection flags; pick per-column strategies"},
+        {"step": 9, "tool": "imputation", "why": "fill after outlier handling so fills use clean stats"},
+        {"step": 10, "tool": "final_audit", "why": "certify; data_health for the 0-100 score"},
+    ],
+    "rules": [
+        "never call outlier_handling without a prior outlier_detection in the same session",
+        "long heals: auto_heal(async_mode=true), then poll get_job_status(job_id); cancel_job stops it",
+        "configs may be dicts or YAML strings; unknown keys are rejected by preflight_config",
+        "results embed bounded previews only — export via export_dashboard / module sinks",
+    ],
+}
 
 _QUICKSTART_MD = """\
 # analyst-toolkit-spark quickstart
@@ -239,6 +265,12 @@ def list_mcp_resources() -> list[dict]:
             "uri": QUICKSTART_URI,
             "description": "Human-oriented toolkit quickstart guide.",
             "mimeType": "text/markdown",
+        },
+        {
+            "name": "docs::agent_playbook",
+            "uri": AGENT_PLAYBOOK_URI,
+            "description": "Strict ordered workflow for client agents.",
+            "mimeType": "application/json",
         },
         {
             "name": "catalog::capabilities",
@@ -410,6 +442,8 @@ class RpcServer:
             uri = params.get("uri", "")
             if uri == QUICKSTART_URI:
                 text, mime = _QUICKSTART_MD, "text/markdown"
+            elif uri == AGENT_PLAYBOOK_URI:
+                text, mime = json.dumps(_AGENT_PLAYBOOK, separators=(",", ":")), "application/json"
             elif uri == GOLDEN_TEMPLATE_URI:
                 text, mime = _GOLDEN_FRAUD_YAML, "application/x-yaml"
             elif uri == CAPABILITY_CATALOG_URI:

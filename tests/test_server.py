@@ -325,6 +325,13 @@ def test_resources_list_and_read(rpc):
     catalog = json.loads(read("analyst://catalog/capabilities")["text"])
     assert catalog["status"] == "pass" and "modules" in catalog
 
+    playbook = json.loads(read("analyst://docs/agent-playbook")["text"])
+    steps = [s["tool"] for s in playbook["workflow"]]
+    assert steps.index("outlier_detection") < steps.index("outlier_handling")  # M05->M06 edge
+    # every playbook tool must actually exist on the server
+    tools = {t["name"] for t in rpc.list_tools()}
+    assert set(steps) <= tools
+
     golden = read("analyst://templates/golden/fraud_detection.yaml")
     master = yaml.safe_load(golden["text"])
     cfg = C.pipeline_config(master)  # must parse through the config plane
