@@ -833,7 +833,9 @@ def q_dedup_index_probe(spark, sf):
         .unionByName(docs.filter(F.col("doc_id") % 2 == 1))
     )
     path = tempfile.mkdtemp(prefix="dedup_idx_")
-    L_inc.dedup_index_write(corpus, path)
+    # exact layer only: this query never near-probes, and the near layer's
+    # signature fold is ~10x the fingerprint cost (round-5 scale sweep)
+    L_inc.dedup_index_write(corpus, path, layers=("exact",))
     out = L_inc.exact_probe(spark, path, batch)
     return out.select("doc_id", "is_known_dup", F.col("matched_id").cast("long").alias("matched_id"))
 

@@ -35,22 +35,52 @@ from analyst_toolkit_spark.llm.dedup import minhash_signature, shingles
 
 FP_PREFIX = "fp_prefix"
 
+#: Index metadata sidecar: records the layout knobs (prefix width) and the
+#: near-layer hash family parameters (k, bands, n_shingle) so probes
+#: self-configure — a probe with mismatched banding parameters would
+#: silently miss candidates, and a mismatched prefix width would prune the
+#: wrong partitions. Written via the Hadoop FS API (same scheme as the data).
+META_FILE = "meta.json"
 
-def _fingerprints(df: DataFrame, key: str, id_col: str) -> DataFrame:
+
+def _fingerprints(df: DataFrame, key: str, id_col: str, prefix_width: int = 2) -> DataFrame:
     fp = F.md5(F.col(key))
     return df.select(
         F.col(id_col),
         fp.alias("fp"),
-        F.substring(fp, 1, 2).alias(FP_PREFIX),
+        F.substring(fp, 1, prefix_width).alias(FP_PREFIX),
     )
+
+
+def _write_meta(spark: SparkSession, base: str, meta: dict) -> None:
+    import json
+
+    from analyst_toolkit_spark.llm.similarity import _hadoop_write_text
+
+    _hadoop_write_text(spark, base + "/" + META_FILE, json.dumps(meta))
+
+
+def _read_meta(spark: SparkSession, base: str) -> dict:
+    import json
+
+    from analyst_toolkit_spark.llm.similarity import _hadoop_read_text
+
+    try:
+        return json.loads(_hadoop_read_text(spark, base + "/" + META_FILE))
+    except Exception:
+        return {}  # pre-meta index: defaults apply
 
 
 def _banded_sigs(df: DataFrame, key: str, id_col: str, n_shingle: int, k: int, bands: int):
     """(sigs, banded): per-doc signature and its banded hashes — the exact
     minhash_candidates banding arithmetic (dedup.py:99-112) so index and
     ad-hoc paths collide identically."""
+    from analyst_toolkit_spark.llm.scale import ensure_parallelism
+
     r = k // bands
-    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+    # the shingle+signature fold is compute-bound: don't inherit file-count
+    # partitioning (same guard as minhash_dedup_pairs / simhash_near_pairs)
+    sh = ensure_parallelism(df).select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
     sigs = sh.filter(F.size("sh") > 0).select(
         F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig")
     )
@@ -86,16 +116,52 @@ def dedup_index_write(
     k: int = 64,
     bands: int = 8,
     mode: str = "overwrite",
+    layers: tuple[str, ...] = ("exact", "near"),
+    prefix_width: int = 2,
 ) -> None:
-    """Persist (or ``mode="append"``: extend) both index layers."""
+    """Persist (or ``mode="append"``: extend) the selected index layers.
+
+    ``layers`` lets exact-only pipelines skip the MinHash signature fold
+    entirely — the near layer's shingle+signature pass is ~10× the cost of
+    fingerprinting (measured in the round-5 scale sweep), and paying it for
+    an index that will only ever serve :func:`exact_probe` is waste at any
+    scale.
+
+    ``prefix_width`` sets the fingerprint partition fan-out (16^width
+    directories): 2 (256) is the 100 TB default; 1 (16) suits small corpora
+    where per-directory committer overhead dominates. Probes read the width
+    (and the near-layer hash parameters) from the ``meta.json`` sidecar, so
+    an index is always probed with the parameters it was built with.
+    """
     base = path.rstrip("/")
-    _fingerprints(df, key, id_col).write.mode(mode).partitionBy(FP_PREFIX).parquet(base + "/fingerprints")
-    sigs, banded = _banded_sigs(df, key, id_col, n_shingle, k, bands)
-    sigs.write.mode(mode).parquet(base + "/sigs")
-    banded.write.mode(mode).partitionBy("band").parquet(base + "/bands")
+    if "exact" in layers:
+        # shuffle by the partition column first: without it every write task
+        # holds rows for ~all prefixes and emits a file per (task, prefix) —
+        # 32x the file count, and small-file listing cost is what a probe
+        # pays forever after. With it each prefix lands in one task (scale
+        # the shuffle partition count up for 100 TB corpora).
+        fps = _fingerprints(df, key, id_col, prefix_width).repartition(F.col(FP_PREFIX))
+        fps.write.mode(mode).partitionBy(FP_PREFIX).parquet(base + "/fingerprints")
+    if "near" in layers:
+        sigs, banded = _banded_sigs(df, key, id_col, n_shingle, k, bands)
+        sigs.write.mode(mode).parquet(base + "/sigs")
+        banded.write.mode(mode).partitionBy("band").parquet(base + "/bands")
+    if mode != "append":
+        _write_meta(
+            df.sparkSession,
+            base,
+            {"prefix_width": prefix_width, "k": k, "bands": bands, "n_shingle": n_shingle},
+        )
 
 
 def dedup_index_append(df: DataFrame, path: str, **kwargs) -> None:
+    """Append a batch using the INDEX's recorded parameters — appending with
+    a different hash family or prefix width would corrupt probe semantics,
+    so meta.json wins over any passed k/bands/n_shingle/prefix_width."""
+    meta = _read_meta(df.sparkSession, path.rstrip("/"))
+    for param in ("k", "bands", "n_shingle", "prefix_width"):
+        if param in meta:
+            kwargs[param] = meta[param]
     dedup_index_write(df, path, mode="append", **kwargs)
 
 
@@ -111,11 +177,13 @@ def exact_probe(
     Output: (doc_id, is_known_dup, matched_id) — matched_id is the SMALLEST
     index doc id sharing the fingerprint (deterministic). The index read is
     filtered to the batch's fingerprint prefixes: the distinct-prefix set is
-    bounded at 256 values (collected driver-side), and for small batches the
-    ``isin`` on the partition column prunes index directories wholesale.
+    bounded at 16^width values (collected driver-side), and for small
+    batches the ``isin`` on the partition column prunes index directories
+    wholesale. The prefix width comes from the index's meta sidecar.
     """
-    fps = _fingerprints(batch, key, id_col)
-    prefixes = [r[0] for r in fps.select(FP_PREFIX).distinct().collect()]  # <= 256 rows
+    width = int(_read_meta(spark, path.rstrip("/")).get("prefix_width", 2))
+    fps = _fingerprints(batch, key, id_col, width)
+    prefixes = [r[0] for r in fps.select(FP_PREFIX).distinct().collect()]  # <= 16^width rows
     index = spark.read.parquet(path.rstrip("/") + "/fingerprints").filter(
         F.col(FP_PREFIX).isin(prefixes)
     )
@@ -183,9 +251,16 @@ def near_probe(
     meet, same S-curve as minhash_candidates; verification by signature
     Jaccard estimate over the k minhashes, fetched from ``sigs/`` ONLY for
     candidate index docs. Output: (batch_id, index_id, est_jaccard >=
-    threshold). Deterministic given the xxhash64 family.
+    threshold). Deterministic given the xxhash64 family. The hash-family
+    parameters (k, bands, n_shingle) come from the index's meta sidecar —
+    probing with a different banding than the index was built with would
+    silently miss candidates.
     """
     base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    k = int(meta.get("k", k))
+    bands = int(meta.get("bands", bands))
+    n_shingle = int(meta.get("n_shingle", n_shingle))
     b_sigs, b_banded = _banded_sigs(batch, key, id_col, n_shingle, k, bands)
     idx_banded = spark.read.parquet(base + "/bands")
     cands = (

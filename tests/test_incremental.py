@@ -131,6 +131,31 @@ def test_exact_probe_stream_matches_batch(spark, corpus_and_batch, index_path, t
     assert set(collected) == expected and len(collected) == batch.count()
 
 
+def test_meta_sidecar_drives_probe_parameters(spark, corpus_and_batch, tmp_path):
+    """prefix_width and the near-layer hash family live in meta.json: a
+    width-1 index probes correctly (probe derives 1-char prefixes from the
+    sidecar, not its own default), and appends reuse the recorded params
+    even when the caller passes different ones."""
+    corpus, batch = corpus_and_batch
+    path = str(tmp_path / "narrow_idx")
+    I.dedup_index_write(corpus, path, prefix_width=1, bands=4)
+    out = I.exact_probe(spark, path, batch)
+    copied = {r["doc_id"] for r in batch.filter(F.col("doc_id") > 99999).collect()}
+    flags = {r["doc_id"]: r["is_known_dup"] for r in out.collect()}
+    assert all(flags[d] for d in copied)
+
+    near = I.near_probe(spark, path, batch, threshold=0.9, bands=8)  # 8 ignored: meta says 4
+    got = {(r["batch_id"], r["index_id"]) for r in near.collect()}
+    assert all((d, d - 100000) in got for d in copied)
+
+    # append with conflicting params: meta wins, so the appended docs are
+    # findable through the same prefixes/banding
+    fresh = batch.filter(F.col("doc_id") < 99999).limit(10)
+    I.dedup_index_append(fresh, path, prefix_width=2, bands=16)
+    after = I.exact_probe(spark, path, fresh)
+    assert after.filter(~F.col("is_known_dup")).count() == 0
+
+
 def test_sig_jaccard_estimate_bounds(spark):
     df = spark.createDataFrame([([1, 2, 3, 4], [1, 2, 9, 9])], ["a", "b"])
     got = df.select(I.sig_jaccard_estimate(F.col("a"), F.col("b"), 4).alias("e")).first()["e"]

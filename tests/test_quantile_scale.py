@@ -49,10 +49,11 @@ def test_driver_tier_matches_builtin(spark, lineitem, monkeypatch):
         assert mm[c] == (float(row["mn"]), float(row["mx"]))
 
 
-def test_driver_tier_row_cap_falls_back_to_builtin(spark, lineitem, monkeypatch):
+def test_driver_tier_row_cap_falls_back_to_refined(spark, lineitem, monkeypatch):
     # simulate a wildly wrong plan-bytes estimate: the row cap trips and the
-    # answer comes from the distributed builtin aggregate — identical values,
-    # and the collect never exceeded cap+1 rows
+    # answer comes from the distributed REFINED tier (r5: the builtin
+    # percentile aggregate is slowest exactly where the cap trips — 45x on
+    # the 10x scale sweep) — identical values, zero rows collected
     cols_ps = {"l_extendedprice": [0.25, 0.5, 0.75]}
     expect, emm, enu = S.quantiles_driver(lineitem, cols_ps, minmax=True, nunique=True)
     monkeypatch.setattr(S, "QUANTILE_DRIVER_MAX_ROWS", 10)
