@@ -129,6 +129,24 @@ def test_auto_heal_async_submit_poll_result(toolkit, sf_dir):
     assert set(job["result"]) == set(sync) and sync["status"] == "pass"
 
 
+def test_concurrent_async_heals(toolkit, sf_dir):
+    """Two async heals submitted back-to-back share the SparkSession and the
+    ledger; both must complete independently with correct results (the
+    ledger lock and per-thread job groups keep them isolated)."""
+    r1 = toolkit.call("auto_heal", input_path=f"{sf_dir}/region.parquet", run_id="h1", async_mode=True)
+    r2 = toolkit.call("auto_heal", input_path=f"{sf_dir}/nation.parquet", run_id="h2", async_mode=True)
+    assert r1["job_id"] != r2["job_id"]
+    jobs = [
+        _wait_terminal(lambda j: toolkit.call("get_job_status", job_id=j)["job"], r["job_id"], timeout=180)
+        for r in (r1, r2)
+    ]
+    assert all(j["state"] == "succeeded" for j in jobs), [j.get("error") for j in jobs]
+    assert {j["run_id"] for j in jobs} == {"h1", "h2"}
+    listed = toolkit.call("list_jobs", state="succeeded", limit=50)
+    ids = {j["job_id"] for j in listed["jobs"]}
+    assert {r1["job_id"], r2["job_id"]} <= ids
+
+
 def test_auto_heal_async_resolve_errors_are_synchronous(toolkit):
     with pytest.raises(Exception):
         toolkit.call("auto_heal", input_path="/nonexistent/nope.parquet", async_mode=True)
