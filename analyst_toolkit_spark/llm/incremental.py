@@ -181,19 +181,28 @@ def exact_probe(
     batches the ``isin`` on the partition column prunes index directories
     wholesale. The prefix width comes from the index's meta sidecar.
     """
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
     width = int(_read_meta(spark, path.rstrip("/")).get("prefix_width", 2))
     fps = _fingerprints(batch, key, id_col, width)
     prefixes = [r[0] for r in fps.select(FP_PREFIX).distinct().collect()]  # <= 16^width rows
     index = spark.read.parquet(path.rstrip("/") + "/fingerprints").filter(
         F.col(FP_PREFIX).isin(prefixes)
     )
+    # broadcast the batch side only while it is provably small — a daily
+    # increment can itself be millions of docs, and force-broadcasting it
+    # would OOM executors; beyond the gate both joins run as plain shuffles
+    # (unknown size = local relation = small, same rule as llm/scale.py)
+    size = plan_size_bytes(batch)
+    small = not (0 <= (64 << 20) <= size)
+    probe_set = fps.select("fp").distinct()
     matches = (
-        index.join(F.broadcast(fps.select("fp").distinct()), "fp", "left_semi")
+        index.join(F.broadcast(probe_set) if small else probe_set, "fp", "left_semi")
         .groupBy("fp")
         .agg(F.min(F.col("doc_id")).alias("matched_id"))
     )
     return (
-        fps.join(F.broadcast(matches), "fp", "left")
+        fps.join(F.broadcast(matches) if small else matches, "fp", "left")
         .select(
             F.col(id_col),
             F.col("matched_id").isNotNull().alias("is_known_dup"),
