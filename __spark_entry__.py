@@ -834,8 +834,11 @@ def q_dedup_index_probe(spark, sf):
     )
     path = tempfile.mkdtemp(prefix="dedup_idx_")
     # exact layer only: this query never near-probes, and the near layer's
-    # signature fold is ~10x the fingerprint cost (round-5 scale sweep)
-    L_inc.dedup_index_write(corpus, path, layers=("exact",))
+    # signature fold is ~10x the fingerprint cost (round-5 scale sweep).
+    # prefix_width=1 (16 dirs): the documented small-corpus setting — at
+    # test scale per-directory committer overhead dominates; the probe reads
+    # the width from meta.json so pruning stays consistent.
+    L_inc.dedup_index_write(corpus, path, layers=("exact",), prefix_width=1)
     out = L_inc.exact_probe(spark, path, batch)
     return out.select("doc_id", "is_known_dup", F.col("matched_id").cast("long").alias("matched_id"))
 

@@ -28,6 +28,8 @@ an index written by one engine version probes identically in the next.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +43,12 @@ FP_PREFIX = "fp_prefix"
 #: silently miss candidates, and a mismatched prefix width would prune the
 #: wrong partitions. Written via the Hadoop FS API (same scheme as the data).
 META_FILE = "meta.json"
+
+#: Distinct-fingerprint ceiling for the point-lookup probe tier: below it
+#: the batch's fps inline as an isin predicate (directory + row-group
+#: pruning, no join); above it the probe joins. Bounded driver memory:
+#: the tier decision collects at most this many+1 (fp, prefix) rows.
+PROBE_ISIN_MAX = int(os.environ.get("SPARK_GRAFT_PROBE_ISIN_MAX", "1024"))
 
 
 def _fingerprints(df: DataFrame, key: str, id_col: str, prefix_width: int = 2) -> DataFrame:
@@ -140,7 +148,14 @@ def dedup_index_write(
         # 32x the file count, and small-file listing cost is what a probe
         # pays forever after. With it each prefix lands in one task (scale
         # the shuffle partition count up for 100 TB corpora).
-        fps = _fingerprints(df, key, id_col, prefix_width).repartition(F.col(FP_PREFIX))
+        # sortWithinPartitions(fp): parquet row groups get tight fp min/max
+        # stats, so the small-probe isin-pushdown tier skips row groups
+        # inside a partition, not just directories
+        fps = (
+            _fingerprints(df, key, id_col, prefix_width)
+            .repartition(F.col(FP_PREFIX))
+            .sortWithinPartitions("fp")
+        )
         fps.write.mode(mode).partitionBy(FP_PREFIX).parquet(base + "/fingerprints")
     if "near" in layers:
         sigs, banded = _banded_sigs(df, key, id_col, n_shingle, k, bands)
@@ -175,16 +190,45 @@ def exact_probe(
     """Flag batch docs whose exact content the index has seen.
 
     Output: (doc_id, is_known_dup, matched_id) — matched_id is the SMALLEST
-    index doc id sharing the fingerprint (deterministic). The index read is
-    filtered to the batch's fingerprint prefixes: the distinct-prefix set is
-    bounded at 16^width values (collected driver-side), and for small
-    batches the ``isin`` on the partition column prunes index directories
-    wholesale. The prefix width comes from the index's meta sidecar.
+    index doc id sharing the fingerprint (deterministic). Three probe tiers
+    by batch size, all value-identical:
+
+    - **point lookup** (≤ ``PROBE_ISIN_MAX`` distinct fingerprints): the fp
+      set is inlined as an ``isin`` predicate — directory pruning on the
+      prefix partition column AND row-group skipping via the fp min/max
+      stats the sorted write laid down. No join against the batch at all.
+    - **small batch**: prefix-pruned index semi-joined against the
+      broadcast batch fingerprint set.
+    - **large batch** (plan bytes over the broadcast gate): same joins as
+      plain shuffles — a huge increment must not be force-broadcast.
+
+    The prefix width comes from the index's meta sidecar.
     """
     from analyst_toolkit_spark.functions.stats import plan_size_bytes
 
     width = int(_read_meta(spark, path.rstrip("/")).get("prefix_width", 2))
     fps = _fingerprints(batch, key, id_col, width)
+
+    # one bounded collect decides the tier: <= cap+1 (fp, prefix) rows
+    probe_rows = fps.select("fp", FP_PREFIX).distinct().limit(PROBE_ISIN_MAX + 1).collect()
+    if len(probe_rows) <= PROBE_ISIN_MAX:
+        fp_list = [r["fp"] for r in probe_rows]
+        prefixes = sorted({r[FP_PREFIX] for r in probe_rows})
+        pruned = (
+            spark.read.parquet(path.rstrip("/") + "/fingerprints")
+            .filter(F.col(FP_PREFIX).isin(prefixes))
+            .filter(F.col("fp").isin(fp_list))
+        )
+        matches = pruned.groupBy("fp").agg(F.min(F.col("doc_id")).alias("matched_id"))
+        return (
+            fps.join(F.broadcast(matches), "fp", "left")
+            .select(
+                F.col(id_col),
+                F.col("matched_id").isNotNull().alias("is_known_dup"),
+                "matched_id",
+            )
+        )
+
     prefixes = [r[0] for r in fps.select(FP_PREFIX).distinct().collect()]  # <= 16^width rows
     index = spark.read.parquet(path.rstrip("/") + "/fingerprints").filter(
         F.col(FP_PREFIX).isin(prefixes)

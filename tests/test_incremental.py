@@ -58,6 +58,26 @@ def test_exact_probe_prunes_partitions(spark, corpus_and_batch, index_path):
     assert "PartitionFilters: [fp_prefix" in plan.replace("#", " #").replace("  ", " ") or "fp_prefix" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_probe_tiers_agree_and_point_tier_pushes_fp_filter(
+    spark, corpus_and_batch, index_path, monkeypatch
+):
+    """The point-lookup tier (fp isin pushdown) and the join tier must give
+    identical results; the point tier's plan must carry the fp IN predicate
+    into the parquet scan (row-group skipping via the sorted write)."""
+    _, batch = corpus_and_batch
+    point = I.exact_probe(spark, index_path, batch)  # fixture batch < 1024 fps
+    plan = point._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(fp" in plan.replace("fp#", "fp")
+
+    got_point = {(r["doc_id"], r["is_known_dup"], r["matched_id"]) for r in point.collect()}
+    monkeypatch.setattr(I, "PROBE_ISIN_MAX", 0)  # force the join tiers
+    got_join = {
+        (r["doc_id"], r["is_known_dup"], r["matched_id"])
+        for r in I.exact_probe(spark, index_path, batch).collect()
+    }
+    assert got_point == got_join
+
+
 def test_near_probe_matches_adhoc_minhash(spark, corpus_and_batch, index_path):
     """Index-probe candidates/verdicts must agree with the ad-hoc in-memory
     MinHash pipeline run over corpus+batch (same hash family, same banding):
