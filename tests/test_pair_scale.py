@@ -67,3 +67,17 @@ def test_pair_strategy_row_gate(spark):
     assert S.pair_strategy(big_rows) == "bucketed"  # tiny bytes, many rows
     # explicit cap override
     assert S.pair_strategy(small, max_exact_rows=10) == "bucketed"
+
+
+def test_ensure_parallelism(spark):
+    """Repartitions up only when the input has fewer partitions than slots;
+    already-parallel inputs pass through untouched (the 100 TB case)."""
+    from analyst_toolkit_spark.llm.scale import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    widened = ensure_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() >= min(target, 2)
+
+    wide = spark.range(100).repartition(target + 8)
+    assert ensure_parallelism(wide) is wide  # no-op, same object
