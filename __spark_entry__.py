@@ -843,6 +843,20 @@ def q_dedup_index_probe(spark, sf):
     return out.select("doc_id", "is_known_dup", F.col("matched_id").cast("long").alias("matched_id"))
 
 
+def q_pack_sequences_docs(spark, sf):
+    """Token-budget sequence packing census (llm/pack.py): documents walked
+    in doc_id order, seq_id = floor(running_tokens_before/budget) — the
+    concat-and-chunk packing LLM data prep ends with. Spark computes the
+    global cumsum via a distributed two-phase prefix sum (range partition +
+    per-partition window + driver offsets); the oracle is the plain global
+    windowed SQL — identical assignments prove the distributed prefix sum
+    exact."""
+    from analyst_toolkit_spark.llm import pack as L_pack
+
+    packed = L_pack.pack_sequences(load_table(spark, sf, "documents"), budget=512)
+    return L_pack.pack_stats(packed, budget=512)
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -1187,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "dedup_index_probe": q_dedup_index_probe,          # new r5: local oracle (incremental dedup)
         "embedding_quantize_int8": q_embedding_quantize_int8,  # new r5: local oracle (SQ8 fidelity)
+        "pack_sequences_docs": q_pack_sequences_docs,      # new r5: local oracle (budget packing)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -1643,6 +1658,23 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(approx - exact)), 6) AS avg_abs_err,
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
+    """
+    sqls["pack_sequences_docs"] = """
+        WITH t AS (
+          SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+        s AS (SELECT CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id, n_tokens FROM c),
+        per AS (SELECT seq_id, count(*) AS docs, sum(n_tokens) AS seq_tokens FROM s GROUP BY 1)
+        SELECT count(*) AS n_seqs,
+               CAST(sum(docs) AS BIGINT) AS total_docs,
+               CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+               round(avg(seq_tokens) / 512.0, 6) AS avg_fill,
+               CAST(max(docs) AS BIGINT) AS max_docs_per_seq
+        FROM per
     """
     sqls["rollup_returns"] = """
         SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -1,0 +1,44 @@
+"""Sequence packing (llm/pack.py): distributed prefix sum exactness and
+budget-packing semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.ingest import load_table
+from analyst_toolkit_spark.llm import pack as P
+
+
+def test_global_cumsum_matches_single_node_and_is_partitioning_independent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_tokens = docs.withColumn("n", P.token_count("text").cast("long"))
+
+    # single-node truth: pandas cumsum in doc_id order
+    pdf = with_tokens.select("doc_id", "n").toPandas().sort_values("doc_id")
+    truth = dict(zip(pdf["doc_id"], pdf["n"].cumsum()))
+
+    for arranged in (with_tokens.repartition(7), with_tokens.coalesce(1), with_tokens.orderBy(F.desc("doc_id"))):
+        got = {
+            r["doc_id"]: r["c"]
+            for r in P.with_global_cumsum(arranged, "n", "doc_id", out_col="c").collect()
+        }
+        assert got == truth
+
+
+def test_pack_sequences_hand_example(spark):
+    # budget 10; docs of 4,4,4 tokens: cum_before = 0,4,8 -> seqs 0,0,0
+    # then a 9-token doc: cum_before=12 -> seq 1; a 1-token doc: cum 21 -> seq 2
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([4, 4, 4, 9, 1])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = P.pack_sequences(df, budget=10)
+    seqs = {r["doc_id"]: r["seq_id"] for r in packed.collect()}
+    assert seqs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2}
+    stats = P.pack_stats(packed, budget=10).first()
+    assert stats["n_seqs"] == 3 and stats["total_docs"] == 5 and stats["total_tokens"] == 22
+    assert stats["max_docs_per_seq"] == 3
+
+
+def test_pack_deterministic_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["seq_id"] for r in P.pack_sequences(docs, 256).collect()}
+    b = {r["doc_id"]: r["seq_id"] for r in P.pack_sequences(docs.repartition(13), 256).collect()}
+    assert a == b and len(a) == docs.count()
