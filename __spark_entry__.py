@@ -843,6 +843,20 @@ def q_dedup_index_probe(spark, sf):
     return out.select("doc_id", "is_known_dup", F.col("matched_id").cast("long").alias("matched_id"))
 
 
+def q_weighted_sample_docs(spark, sf):
+    """Deterministic weighted downsampling census (llm/text.weighted_sample):
+    keep iff md5-uniform(doc_id) < weight; synthetic weight = (doc_id%10+1)/10
+    so survival counts step with the weight. The md5-uniform reproduces in
+    DuckDB, making the exact kept-set oracle-checkable."""
+    df = load_table(spark, sf, "documents").withColumn(
+        "w", ((F.col("doc_id") % 10) + 1) / F.lit(10.0)
+    )
+    kept = L_text.weighted_sample(df, "w")
+    return kept.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").cast("long").alias("first_doc")
+    )
+
+
 def q_pack_sequences_docs(spark, sf):
     """Token-budget sequence packing census (llm/pack.py): documents walked
     in doc_id order, seq_id = floor(running_tokens_before/budget) — the
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_probe": q_dedup_index_probe,          # new r5: local oracle (incremental dedup)
         "embedding_quantize_int8": q_embedding_quantize_int8,  # new r5: local oracle (SQ8 fidelity)
         "pack_sequences_docs": q_pack_sequences_docs,      # new r5: local oracle (budget packing)
+        "weighted_sample_docs": q_weighted_sample_docs,    # new r5: local oracle (md5-uniform sampling)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -1659,9 +1674,19 @@ def oracle_sql() -> dict[str, str]:
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
     """
+    sqls["weighted_sample_docs"] = """
+        WITH d AS (
+          SELECT doc_id, ((doc_id % 10) + 1) / 10.0 AS w FROM documents),
+        k AS (
+          SELECT * FROM d
+          WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|')), 1, 12)) AS UBIGINT)
+                / power(16.0, 12) < w)
+        SELECT w, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM k GROUP BY w
+    """
     sqls["pack_sequences_docs"] = """
         WITH t AS (
-          SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
           FROM documents),
         c AS (
           SELECT doc_id, n_tokens,

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from analyst_toolkit_spark.llm.text import token_count  # packing counts tokens the same way the text metrics do
+
 _PID = "__pack_pid"
 _OFF = "__pack_off"
 _CUM = "_cum_tokens"
@@ -80,10 +82,6 @@ def with_global_cumsum(
     )
 
 
-def token_count(col: Column | str) -> Column:
-    """Whitespace token count (matches llm/text.py's counting contract)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
 
 
 def pack_sequences(

@@ -384,3 +384,35 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", label)
+
+
+def hash_uniform(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from the row id: first 12 md5 hex
+    chars over 16^12. Same engine-portable construction as hash_split — the
+    exact value reproduces in DuckDB/Trino SQL, so anything gated on it is
+    oracle-checkable. 48 bits of resolution (~3e-15 granularity)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", c.cast("string"), F.lit(salt))), 1, 12), 16, 10
+    ).cast("double")
+    return h / F.lit(float(16**12))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted downsampling for corpus curation: keep a row
+    iff ``hash_uniform(id) < weight`` (weights in [0, 1], e.g. a quality
+    score — high-quality docs survive with high probability, junk rarely).
+
+    Unlike ``df.sample``/``rand()``, the decision is a pure function of the
+    row id: re-runs, repartitioning, and corpus growth never change which
+    existing docs are kept — the property an incremental training-data
+    pipeline needs so shards stay stable between snapshots. Map-only, no
+    shuffle, no UDF; vary ``salt`` to draw an independent sample.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(hash_uniform(id_col, salt) < w.cast("double"))

@@ -651,3 +651,26 @@ def test_quantized_dot_and_cosine_fidelity(spark, sf_dir):
     # dot relative error blows up near zero dots; the absolute-cos bound is
     # the meaningful fidelity metric, rel-dot just needs to be sane overall
     assert stats["dot_rel"] < 5.0
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    """weighted_sample invariants: partitioning-independent kept-set, weight-0
+    drops everything / weight-1 keeps everything, survival grows with weight,
+    and a different salt draws a (near-certainly) different sample."""
+    from analyst_toolkit_spark.ingest import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w03 = docs.withColumn("w", F.lit(0.3))
+    a = {r["doc_id"] for r in T.weighted_sample(w03, "w").collect()}
+    b = {r["doc_id"] for r in T.weighted_sample(w03.repartition(9), "w").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+
+    assert T.weighted_sample(docs.withColumn("w", F.lit(0.0)), "w").count() == 0
+    assert T.weighted_sample(docs.withColumn("w", F.lit(1.0)), "w").count() == docs.count()
+
+    # monotone: every doc kept at 0.3 is kept at 0.8 (same uniform, higher bar)
+    high = {r["doc_id"] for r in T.weighted_sample(docs.withColumn("w", F.lit(0.8)), "w").collect()}
+    assert a <= high
+
+    salted = {r["doc_id"] for r in T.weighted_sample(w03, "w", salt="resample-1").collect()}
+    assert salted != a
