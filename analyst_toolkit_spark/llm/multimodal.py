@@ -149,6 +149,10 @@ def binary_stats(df: DataFrame, blob_col: str = "content") -> DataFrame:
         .when(head.startswith("89504E47"), "png")
         .when(head.startswith("47494638"), "gif")
         .when(head.startswith("52494646"), "riff")
+        .when(head.startswith("49492A00") | head.startswith("4D4D002A"), "tiff")
+        # no 2-byte sniffs ('BM'): a 16-bit magic collides with ordinary
+        # text payloads; BMP identification happens in _parse_image_header
+        # where the header structure confirms it
         .otherwise("unknown")
     )
     return df.withColumn("blob_bytes", F.length(F.col(blob_col))).withColumn("blob_format", fmt)
@@ -163,12 +167,17 @@ def binary_stats(df: DataFrame, blob_col: str = "content") -> DataFrame:
 def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
     """(format, width, height) from container magic + header fields:
     PNG IHDR (big-endian at offset 16), GIF87a/89a logical screen (LE at 6),
-    BMP BITMAPINFOHEADER (LE at 18), JPEG SOFn marker walk. Unknown/short
+    BMP BITMAPINFOHEADER (LE at 18), JPEG SOFn marker walk, TIFF IFD tag
+    walk (both byte orders), WebP VP8/VP8L/VP8X chunk headers. Unknown/short
     payloads -> (None, None, None); never raises."""
     if not b:
         return (None, None, None)
     b = bytes(b)
     try:
+        if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+            return _parse_tiff(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 16:
+            return _parse_webp(b)  # per-chunk length checks inside
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
             return ("png", int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big"))
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
@@ -195,6 +204,52 @@ def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | 
     except (IndexError, ValueError):
         pass
     return (None, None, None)
+
+
+def _parse_tiff(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """TIFF: endianness from the magic, walk the first IFD's 12-byte entries
+    for ImageWidth (256) / ImageLength (257); SHORT(3) and LONG(4) values
+    with count 1 are inline in the entry's value field."""
+    order = "little" if b[:2] == b"II" else "big"
+    ifd = int.from_bytes(b[4:8], order)
+    if ifd + 2 > len(b):
+        return ("tiff", None, None)
+    n = int.from_bytes(b[ifd : ifd + 2], order)
+    width = height = None
+    for e in range(n):
+        o = ifd + 2 + e * 12
+        if o + 12 > len(b):
+            break
+        tag = int.from_bytes(b[o : o + 2], order)
+        typ = int.from_bytes(b[o + 2 : o + 4], order)
+        if tag in (256, 257) and typ in (3, 4):
+            raw = b[o + 8 : o + 12]
+            val = int.from_bytes(raw[:2] if typ == 3 else raw, order)
+            if tag == 256:
+                width = val
+            else:
+                height = val
+    return ("tiff", width, height)
+
+
+def _parse_webp(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """WebP: dimensions live in the first chunk after 'WEBP' — VP8X carries a
+    24-bit LE canvas (width-1/height-1), lossless VP8L packs two 14-bit
+    fields after its 0x2F signature, lossy VP8 stores 14-bit LE fields at
+    frame-header offset 6."""
+    chunk = b[12:16]
+    if chunk == b"VP8X" and len(b) >= 30:
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return ("webp", w, h)
+    if chunk == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+        bits = int.from_bytes(b[21:25], "little")
+        return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    if chunk == b"VP8 " and len(b) >= 30:
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return ("webp", w, h)
+    return ("webp", None, None)
 
 
 def image_header_meta(df: DataFrame, blob_col: str = "content") -> DataFrame:

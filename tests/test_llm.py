@@ -674,3 +674,43 @@ def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
 
     salted = {r["doc_id"] for r in T.weighted_sample(w03, "w", salt="resample-1").collect()}
     assert salted != a
+
+
+def _tiff(w, h, order="little"):
+    import struct
+
+    e = "<" if order == "little" else ">"
+    magic = b"II*\x00" if order == "little" else b"MM\x00*"
+    # IFD at offset 8: 2 entries (tags 256 SHORT, 257 LONG), next-IFD 0
+    entries = struct.pack(e + "HHIHxx", 256, 3, 1, w) + struct.pack(e + "HHII", 257, 4, 1, h)
+    return magic + struct.pack(e + "I", 8) + struct.pack(e + "H", 2) + entries + struct.pack(e + "I", 0)
+
+
+def _webp_vp8x(w, h):
+    payload = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 4
+    payload += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    return b"RIFF" + (len(payload) + 4).to_bytes(4, "little") + b"WEBP" + payload
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = b"VP8L" + (5).to_bytes(4, "little") + b"\x2f" + bits.to_bytes(4, "little")
+    return b"RIFF" + (len(payload) + 4).to_bytes(4, "little") + b"WEBP" + payload + b"\x00"
+
+
+def test_image_header_meta_tiff_webp(spark):
+    from analyst_toolkit_spark.llm.multimodal import image_header_meta
+
+    rows = [
+        (1, _tiff(1920, 1080, "little")),
+        (2, _tiff(256, 128, "big")),
+        (3, _webp_vp8x(3000, 2000)),
+        (4, _webp_vp8l(500, 300)),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: (r["img_format"], r["img_width"], r["img_height"])
+           for r in image_header_meta(df).collect()}
+    assert got[1] == ("tiff", 1920, 1080)
+    assert got[2] == ("tiff", 256, 128)
+    assert got[3] == ("webp", 3000, 2000)
+    assert got[4] == ("webp", 500, 300)
