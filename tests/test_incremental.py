@@ -176,6 +176,38 @@ def test_meta_sidecar_drives_probe_parameters(spark, corpus_and_batch, tmp_path)
     assert after.filter(~F.col("is_known_dup")).count() == 0
 
 
+def test_near_probe_composes_with_foreach_batch(spark, corpus_and_batch, index_path, tmp_path):
+    """Streaming near-dedup: near_probe is plain DataFrame ops, so it runs
+    per micro-batch under foreachBatch against the persisted index —
+    results must match the batch probe."""
+    import shutil
+    import tempfile
+
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
+
+    _, batch = corpus_and_batch
+    src = str(tmp_path / "near_stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    collected = set()
+
+    def sink(bdf, bid):
+        probe = I.near_probe(spark, index_path, bdf, threshold=0.9)
+        collected.update((r["batch_id"], r["index_id"]) for r in probe.collect())
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_near_")
+    q = foreach_batch_runner(stream, sink, ckpt)
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    expected = {
+        (r["batch_id"], r["index_id"])
+        for r in I.near_probe(spark, index_path, batch, threshold=0.9).collect()
+    }
+    assert collected == expected and expected  # non-empty: the copies match
+
+
 def test_sig_jaccard_estimate_bounds(spark):
     df = spark.createDataFrame([([1, 2, 3, 4], [1, 2, 9, 9])], ["a", "b"])
     got = df.select(I.sig_jaccard_estimate(F.col("a"), F.col("b"), 4).alias("e")).first()["e"]
