@@ -843,6 +843,64 @@ def q_dedup_index_probe(spark, sf):
     return out.select("doc_id", "is_known_dup", F.col("matched_id").cast("long").alias("matched_id"))
 
 
+def q_strip_html_docs(spark, sf):
+    """HTML stripping census (llm/text.strip_html): wrap each doc in a
+    deterministic HTML shell (tags + script + entities) and verify the
+    stripper recovers the text — round-trip char/token totals. Both engines
+    build the same HTML from the same columns; the regex chain is
+    RE2-compatible so DuckDB replicates it exactly."""
+    df = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1 &lt; 2;</script><!-- c --><p>tail &amp; end</p></body></html>"),
+    )
+    stripped = L_text.strip_html(html)
+    return df.select(stripped.alias("s")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("s")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("s"), " "))).cast("long").alias("total_tokens"),
+        F.sum(F.col("s").contains("tail & end").cast("long")).alias("entity_decoded"),
+        F.sum(F.col("s").contains("var x").cast("long")).alias("script_leaks"),
+    )
+
+
+def q_repetition_docs(spark, sf):
+    """Repetition-quality census (llm/text.repetition_score): duplicate
+    trigram fraction per doc; synthetic repetition injected by doubling the
+    text of every 10th doc (both engines build the same input)."""
+    df = load_table(spark, sf, "documents").withColumn(
+        "t2",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    rep = L_text.repetition_score(F.col("t2"), n=3)
+    return df.select(rep.alias("r")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("r"), 6).alias("avg_repetition"),
+        F.sum((F.col("r") > 0.2).cast("long")).alias("repetitive_docs"),
+    )
+
+
+def q_decontaminate_docs(spark, sf):
+    """Benchmark decontamination census (llm/text.decontaminate): every 25th
+    doc's text doubles as a benchmark entry, so those docs must flag with
+    overlap 1.0 and the rest stay ~0 (word-soup 8-grams rarely collide).
+    Oracle reproduces the n-gram semi-overlap with SQL joins."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    out = L_text.decontaminate(docs, bench, n=8, threshold=0.5)
+    return out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("contaminated_docs"),
+        F.round(F.avg("overlap_ratio"), 6).alias("avg_overlap"),
+        F.sum((F.col("overlap_ratio") == 1.0).cast("long")).alias("full_overlap_docs"),
+    )
+
+
 def q_weighted_sample_docs(spark, sf):
     """Deterministic weighted downsampling census (llm/text.weighted_sample):
     keep iff md5-uniform(doc_id) < weight; synthetic weight = (doc_id%10+1)/10
@@ -1217,6 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": q_embedding_quantize_int8,  # new r5: local oracle (SQ8 fidelity)
         "pack_sequences_docs": q_pack_sequences_docs,      # new r5: local oracle (budget packing)
         "weighted_sample_docs": q_weighted_sample_docs,    # new r5: local oracle (md5-uniform sampling)
+        "strip_html_docs": q_strip_html_docs,              # new r5: local oracle (HTML strip round-trip)
+        "repetition_docs": q_repetition_docs,              # new r5: local oracle (dup-ngram quality)
+        "decontaminate_docs": q_decontaminate_docs,        # new r5: local oracle (benchmark overlap)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -1673,6 +1734,66 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(approx - exact)), 6) AS avg_abs_err,
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
+    """
+    sqls["strip_html_docs"] = """
+        WITH h AS (
+          SELECT concat('<html><head><style>p{color:red}</style></head><body><h1>Doc ',
+                        CAST(doc_id AS VARCHAR), '</h1><p>', text,
+                        '</p><script>var x = 1 &lt; 2;</script><!-- c --><p>tail &amp; end</p></body></html>') AS html
+          FROM documents),
+        s0 AS (SELECT regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
+        s1 AS (SELECT regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM s0),
+        s2 AS (SELECT regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM s1),
+        s3 AS (SELECT regexp_replace(s, '(?s)<[^>]+>', ' ', 'g') AS s FROM s2),
+        s4 AS (SELECT replace(replace(replace(replace(replace(replace(s,
+                  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&#39;', '''') AS s FROM s3),
+        s5 AS (SELECT trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM s4)
+        SELECT count(*) AS docs,
+               CAST(sum(length(s)) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN position('tail & end' IN s) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS entity_decoded,
+               CAST(sum(CASE WHEN position('var x' IN s) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS script_leaks
+        FROM s5
+    """
+    sqls["repetition_docs"] = """
+        WITH d AS (
+          SELECT CASE WHEN doc_id % 10 = 0 THEN concat(text, ' ', text) ELSE text END AS t
+          FROM documents),
+        tk AS (SELECT regexp_extract_all(lower(t), '[a-z0-9'']+') AS toks FROM d),
+        g AS (SELECT CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END AS grams FROM tk),
+        r AS (SELECT CASE WHEN len(grams) > 0
+                     THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                     ELSE 0.0 END AS r FROM g)
+        SELECT count(*) AS docs,
+               round(avg(r), 6) AS avg_repetition,
+               CAST(sum(CASE WHEN r > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs
+        FROM r
+    """
+    sqls["decontaminate_docs"] = """
+        WITH grams8 AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(tk) >= 8
+                   THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+                   ELSE [] END) AS grams
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS tk FROM documents)),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM grams8 WHERE doc_id % 25 = 0),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM grams8),
+        hits AS (
+          SELECT e.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+          FROM ex e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id),
+        per AS (
+          SELECT d.doc_id, coalesce(h.n_grams, 0) AS n_grams, coalesce(h.n_cont, 0) AS n_cont
+          FROM (SELECT doc_id FROM documents) d LEFT JOIN hits h USING (doc_id)),
+        r AS (SELECT CASE WHEN n_grams > 0 THEN round(n_cont / CAST(n_grams AS DOUBLE), 6) ELSE 0.0 END AS ratio FROM per)
+        SELECT count(*) AS docs,
+               CAST(sum(CASE WHEN ratio > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+               round(avg(ratio), 6) AS avg_overlap,
+               CAST(sum(CASE WHEN ratio = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS full_overlap_docs
+        FROM r
     """
     sqls["weighted_sample_docs"] = """
         WITH d AS (

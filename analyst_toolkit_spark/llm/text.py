@@ -416,3 +416,88 @@ def weighted_sample(
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.filter(hash_uniform(id_col, salt) < w.cast("double"))
+
+
+def strip_html(col: str | Column) -> Column:
+    """Plain text from HTML-ish payloads — the first cleaning step of a web
+    training corpus. Pure regexp_replace chain (codegen'd, no parser, no
+    UDF): drop <script>/<style> blocks wholesale, strip tags, decode the
+    common entities, collapse whitespace. A real DOM parser is out of scope
+    (and out of the container); this is the standard regex tier used before
+    quality filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    # script/style as two patterns, NOT one with a backreference: RE2-based
+    # engines (DuckDB/Trino — the oracle plane) have no backreferences, and
+    # the stripper must reproduce cross-engine
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def repetition_score(col: str | Column, n: int = 3) -> Column:
+    """Repetition quality signal: fraction of DUPLICATE word n-grams,
+    ``1 - distinct_ngrams/total_ngrams`` (0 = no repetition, →1 = loops).
+    The classic filter for degenerate/boilerplate documents. Docs shorter
+    than n words score 0. Pure higher-order expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))).otherwise(
+        F.array()
+    )
+    total = F.size(grams)
+    return F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    bench_key: str = "text",
+    n: int = 8,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its word
+    n-grams that appear ANYWHERE in the benchmark set — the standard n-gram
+    overlap check run before training so eval data is not memorized.
+
+    Plan shape for 100 TB of docs vs a small benchmark: the benchmark's
+    distinct n-gram set builds once and BROADCASTS; docs explode to
+    (doc, gram) pairs map-side, the semi-overlap resolves in a broadcast
+    hash join, and a single groupBy recovers the per-doc ratio. No shuffle
+    of document text; flagged = overlap_ratio > threshold.
+
+    Output: (id_col, n_grams, n_contaminated, overlap_ratio, contaminated).
+    Docs with fewer than ``n`` words have 0 grams and ratio 0.0.
+    """
+    from analyst_toolkit_spark.llm.dedup import shingles
+
+    bench_grams = (
+        benchmark.select(F.explode(shingles(bench_key, n)).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(shingles(key, n)).alias("gram")
+    )
+    hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
+    joined = doc_grams.join(
+        F.broadcast(bench_grams.withColumnRenamed("gram", "hit_gram")),
+        F.col("gram") == F.col("hit_gram"),
+        "left",
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0)).alias("n_grams"),
+        F.sum(hit).alias("n_contaminated"),
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_contaminated") / F.col("n_grams").cast("double")
+    ).otherwise(F.lit(0.0))
+    return per_doc.withColumn("overlap_ratio", F.round(ratio, 6)).withColumn(
+        "contaminated", F.col("overlap_ratio") > F.lit(float(threshold))
+    )

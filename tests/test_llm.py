@@ -714,3 +714,51 @@ def test_image_header_meta_tiff_webp(spark):
     assert got[2] == ("tiff", 256, 128)
     assert got[3] == ("webp", 3000, 2000)
     assert got[4] == ("webp", 500, 300)
+
+
+def test_strip_html(spark):
+    rows = [
+        ("<p>Hello <b>world</b></p>",),
+        ("<script>evil()</script>ok<style>x{}</style>",),
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39; &nbsp;f",),
+        ("<!-- comment -->text",),
+        ("plain already",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r[0] for r in df.select(T.strip_html("text")).collect()]
+    assert got[0] == "Hello world"
+    assert got[1] == "ok"              # script/style bodies dropped wholesale
+    assert got[2] == "a & b <c> \"d\" 'e' f"
+    assert got[3] == "text"
+    assert got[4] == "plain already"
+
+
+def test_repetition_score(spark):
+    rows = [
+        ("one two three four five six",),                # all unique trigrams
+        ("loop loop loop loop loop loop loop",),          # one trigram repeated
+        ("a b",),                                        # shorter than n -> 0
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r[0] for r in df.select(T.repetition_score("text", 3)).collect()]
+    assert got[0] == 0.0
+    assert got[1] > 0.7
+    assert got[2] == 0.0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words with no benchmark overlap at all here"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
+    )
+    out = {r["doc_id"]: r for r in T.decontaminate(docs, bench, n=8, threshold=0.5).collect()}
+    assert out[1]["n_contaminated"] >= 1 and out[1]["overlap_ratio"] > 0
+    assert out[2]["overlap_ratio"] == 0.0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and out[3]["overlap_ratio"] == 0.0
