@@ -929,6 +929,32 @@ def q_pack_sequences_docs(spark, sf):
     return L_pack.pack_stats(packed, budget=512)
 
 
+def q_curate_docs(spark, sf):  # NON-SQL (multi-stage orchestration; stages oracle-checked individually)
+    """End-to-end curation chain census (llm/curate.py): quality gate →
+    exact dedup → near dedup → decontaminate → split → pack over documents.
+    Each constituent operator has its own oracle-green query; the chain
+    itself is procedural, so this records the rows-only check."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out, _ = L_cur.curate_corpus(
+        docs,
+        min_quality=0.2,
+        max_repetition=0.5,
+        exact_dedup=True,
+        near_dedup_threshold=0.8,
+        benchmark=bench,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        pack_budget=512,
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -1281,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
+        "curate_docs": q_curate_docs,                      # new r5: curation chain (rows-only; stages oracle-checked)
     }
 
 

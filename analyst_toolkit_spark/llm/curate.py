@@ -1,0 +1,135 @@
+"""End-to-end corpus curation — the LLM training-data pipeline as ONE lazy
+chain over the operators in this package.
+
+Mirrors what plans/pipeline.py is for the QA modules: each stage is optional,
+config-driven, and composes lazily (one DataFrame flows through; only the
+stage-count report materializes anything, and that is opt-in). The stage
+order is the one production pipelines use:
+
+  clean (strip_html) → quality gate (score / repetition / language)
+  → exact dedup (normalized fingerprint, keep smallest id)
+  → near dedup (MinHash-LSH pairs → connected components → representatives)
+  → decontaminate (benchmark n-gram overlap)
+  → weighted sample (deterministic md5-uniform)
+  → split (stable md5-bucket train/val/test)
+  → pack (token-budget sequence assignment)
+
+Every stage is deterministic — given the same input and config, the curated
+corpus is byte-identical across runs and partitionings, which is what makes
+incremental corpus builds diffable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.llm import dedup as D
+from analyst_toolkit_spark.llm import pack as P
+from analyst_toolkit_spark.llm import text as T
+
+
+@dataclass
+class CurationConfig:
+    key: str = "text"
+    id_col: str = "doc_id"
+    strip_html: bool = False
+    min_quality: float | None = None
+    max_repetition: float | None = None
+    languages: list[str] | None = None
+    exact_dedup: bool = True
+    near_dedup_threshold: float | None = None  # e.g. 0.8 enables MinHash stage
+    benchmark: DataFrame | None = None
+    max_benchmark_overlap: float = 0.5
+    sample_weight: str | None = None  # column name; None disables
+    splits: dict[str, float] | None = None
+    pack_budget: int | None = None
+    report_counts: bool = False  # per-stage count() actions (full scans)
+    _extra: dict[str, Any] = field(default_factory=dict)
+
+
+def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides):
+    """Run the curation chain. Returns ``(curated_df, report)`` where report
+    maps stage name → config applied (+ row counts when
+    ``report_counts=True``). Stages not configured are skipped entirely —
+    the chain stays a single lazy plan until the caller acts."""
+    cfg = cfg or CurationConfig()
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    key, id_col = cfg.key, cfg.id_col
+    report: dict[str, dict] = {}
+    out = df
+
+    def _record(stage: str, **info):
+        if cfg.report_counts:
+            info["rows"] = out.count()
+        report[stage] = info
+
+    _record("input")
+
+    if cfg.strip_html:
+        out = out.withColumn(key, T.strip_html(key))
+        _record("clean", op="strip_html")
+
+    quality_preds = []
+    if cfg.min_quality is not None:
+        quality_preds.append(T.quality_score(key) >= cfg.min_quality)
+    if cfg.max_repetition is not None:
+        quality_preds.append(T.repetition_score(key) <= cfg.max_repetition)
+    if cfg.languages:
+        quality_preds.append(T.detect_language(key).isin(list(cfg.languages)))
+    if quality_preds:
+        pred = quality_preds[0]
+        for p in quality_preds[1:]:
+            pred = pred & p
+        out = out.filter(pred)
+        _record(
+            "quality_gate",
+            min_quality=cfg.min_quality,
+            max_repetition=cfg.max_repetition,
+            languages=cfg.languages,
+        )
+
+    if cfg.exact_dedup:
+        # keep the smallest id per normalized fingerprint — one shuffle on
+        # the (short) fingerprint key
+        fp = T.fingerprint(F.col(key)).alias("__fp")
+        keep = (
+            out.select(F.col(id_col), fp)
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        out = out.join(keep, id_col, "left_semi")
+        _record("exact_dedup", method="normalized_fingerprint_keep_min_id")
+
+    if cfg.near_dedup_threshold is not None:
+        pairs = D.minhash_dedup_pairs(out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold)
+        out = D.dedup_representatives(out, pairs, id_col=id_col)
+        _record("near_dedup", method="minhash_lsh+components", threshold=cfg.near_dedup_threshold)
+
+    if cfg.benchmark is not None:
+        cont = T.decontaminate(
+            out, cfg.benchmark, key=key, id_col=id_col, threshold=cfg.max_benchmark_overlap
+        )
+        clean_ids = cont.filter(~F.col("contaminated")).select(id_col)
+        out = out.join(clean_ids, id_col, "left_semi")
+        _record("decontaminate", max_overlap=cfg.max_benchmark_overlap)
+
+    if cfg.sample_weight is not None:
+        out = T.weighted_sample(out, cfg.sample_weight, id_col=id_col)
+        _record("weighted_sample", weight_col=cfg.sample_weight)
+
+    if cfg.splits:
+        out = T.hash_split(out, id_col=id_col, splits=cfg.splits)
+        _record("split", splits=cfg.splits)
+
+    if cfg.pack_budget:
+        out = P.pack_sequences(out, cfg.pack_budget, key=key, id_col=id_col)
+        _record("pack", budget=cfg.pack_budget)
+
+    _record("output")
+    return out, report

@@ -1,0 +1,70 @@
+"""End-to-end corpus curation chain (llm/curate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyst_toolkit_spark.ingest import load_table
+from analyst_toolkit_spark.llm import curate as C
+from analyst_toolkit_spark.llm import text as T
+
+
+def test_curate_full_chain(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out, report = C.curate_corpus(
+        docs,
+        min_quality=0.2,
+        max_repetition=0.5,
+        languages=["en", "und"],
+        exact_dedup=True,
+        near_dedup_threshold=0.8,
+        benchmark=bench,
+        sample_weight=None,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        pack_budget=512,
+        report_counts=True,
+    )
+    stages = list(report)
+    assert stages == [
+        "input", "quality_gate", "exact_dedup", "near_dedup",
+        "decontaminate", "split", "pack", "output",
+    ]
+    # counts are monotone non-increasing through the filtering stages
+    counts = [report[s]["rows"] for s in ("input", "quality_gate", "exact_dedup", "near_dedup", "decontaminate")]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the benchmark members themselves were filtered out by decontamination
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    bench_ids = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 50 == 0).collect()}
+    surviving_bench = kept & bench_ids
+    assert not surviving_bench
+    # output schema carries the split and packing columns
+    assert {"split", "seq_id", "n_tokens"} <= set(out.columns)
+    assert report["output"]["rows"] == out.count() > 0
+
+
+def test_curate_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = dict(min_quality=0.2, exact_dedup=True, splits={"train": 0.8, "val": 0.2})
+    a, _ = C.curate_corpus(docs, **cfg)
+    b, _ = C.curate_corpus(docs.repartition(11), **cfg)
+    rows_a = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
+    rows_b = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
+    assert rows_a == rows_b
+
+
+def test_curate_stages_optional(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world document with plenty of ordinary words in it")], ["doc_id", "text"]
+    )
+    out, report = C.curate_corpus(docs, exact_dedup=False)
+    assert list(report) == ["input", "output"]
+    assert out.count() == 1 and out.columns == ["doc_id", "text"]
+
+
+def test_curate_html_stage(spark):
+    docs = spark.createDataFrame(
+        [(1, "<p>clean me <script>x()</script>now</p>")], ["doc_id", "text"]
+    )
+    out, report = C.curate_corpus(docs, strip_html=True, exact_dedup=False)
+    assert out.first()["text"] == "clean me now"
+    assert "clean" in report
