@@ -21,8 +21,7 @@ incremental corpus builds diffable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,7 +47,13 @@ class CurationConfig:
     splits: dict[str, float] | None = None
     pack_budget: int | None = None
     report_counts: bool = False  # per-stage count() actions (full scans)
-    _extra: dict[str, Any] = field(default_factory=dict)
+    #: Cut lineage after each self-referencing stage (localCheckpoint, lazy).
+    #: The dedup/decontaminate stages reference the running frame in TWO
+    #: subtrees (the keep-set build and the semi-join back); without a cut
+    #: every later stage recomputes the whole upstream chain once per
+    #: reference — multiplicative blowup, measured 142 s -> ~30 s on the 10x
+    #: corpus. At real scale replace with durable checkpoints between stages.
+    checkpoint: bool = True
 
 
 def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides):
@@ -67,6 +72,9 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         if cfg.report_counts:
             info["rows"] = out.count()
         report[stage] = info
+
+    def _cut(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if cfg.checkpoint else frame
 
     _record("input")
 
@@ -103,12 +111,12 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)
         )
-        out = out.join(keep, id_col, "left_semi")
+        out = _cut(out.join(keep, id_col, "left_semi"))
         _record("exact_dedup", method="normalized_fingerprint_keep_min_id")
 
     if cfg.near_dedup_threshold is not None:
         pairs = D.minhash_dedup_pairs(out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold)
-        out = D.dedup_representatives(out, pairs, id_col=id_col)
+        out = _cut(D.dedup_representatives(out, pairs, id_col=id_col))
         _record("near_dedup", method="minhash_lsh+components", threshold=cfg.near_dedup_threshold)
 
     if cfg.benchmark is not None:
@@ -116,7 +124,7 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             out, cfg.benchmark, key=key, id_col=id_col, threshold=cfg.max_benchmark_overlap
         )
         clean_ids = cont.filter(~F.col("contaminated")).select(id_col)
-        out = out.join(clean_ids, id_col, "left_semi")
+        out = _cut(out.join(clean_ids, id_col, "left_semi"))
         _record("decontaminate", max_overlap=cfg.max_benchmark_overlap)
 
     if cfg.sample_weight is not None:
