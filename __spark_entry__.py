@@ -438,6 +438,60 @@ def q_product_profit_nation(spark, sf):
     )
 
 
+def q_local_supplier_volume(spark, sf):
+    """Q5-shape: revenue by nation where the CUSTOMER and the SUPPLIER sit in
+    the same nation, region-filtered — the classic 6-table join. Every
+    dimension (region→nation, customer, supplier) broadcasts; the only
+    shuffles are orders⋈lineitem and the final group-by."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_volume_shipping(spark, sf):
+    """Q7-shape: bilateral trade volume between two nation pairs by ship
+    year — supplier nation x customer nation with a symmetric pair filter.
+    Both nation lookups broadcast under distinct aliases."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
 def q_rollup_returns(spark, sf):
     # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
     # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
@@ -1308,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
         "curate_docs": q_curate_docs,                      # new r5: curation chain (rows-only; stages oracle-checked)
+        "local_supplier_volume": q_local_supplier_volume,  # new r5: local oracle (Q5 6-table join)
+        "volume_shipping": q_volume_shipping,              # new r5: local oracle (Q7 bilateral)
     }
 
 
@@ -1761,6 +1817,34 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(approx - exact)), 6) AS avg_abs_err,
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
+    """
+    sqls["local_supplier_volume"] = """
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'AMERICA')
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """
+    sqls["volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY 1, 2, 3
     """
     sqls["strip_html_docs"] = """
         WITH h AS (
