@@ -492,6 +492,28 @@ def q_volume_shipping(spark, sf):
     )
 
 
+def q_sales_opportunity(spark, sf):
+    """Q22-shape: customers with above-average positive balance and no
+    URGENT orders — a scalar subquery plus NOT EXISTS over a filtered
+    subquery. Spark-first: the scalar
+    average rides a broadcast 1-row cross join (no driver round trip, the
+    plan stays lazy) and NOT EXISTS is a left_anti join; one group-by
+    shuffle at the end."""
+    c = load_table(spark, sf, "customer")
+    urgent = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_row = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
 def q_rollup_returns(spark, sf):
     # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
     # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
@@ -1364,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,                      # new r5: curation chain (rows-only; stages oracle-checked)
         "local_supplier_volume": q_local_supplier_volume,  # new r5: local oracle (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # new r5: local oracle (Q7 bilateral)
+        "sales_opportunity": q_sales_opportunity,          # new r5: local oracle (Q22 scalar-subquery + anti-join)
     }
 
 
@@ -1817,6 +1840,15 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(approx - exact)), 6) AS avg_abs_err,
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
+    """
+    sqls["sales_opportunity"] = """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
     """
     sqls["local_supplier_volume"] = """
         SELECT n_name AS nation,
