@@ -345,6 +345,30 @@ def test_resources_list_and_read(rpc):
     assert err["error"]["code"] == -32602
 
 
+def test_rpc_never_crashes_on_malformed_input(rpc):
+    """Fuzz the dispatch layer: every malformed payload must come back as a
+    JSON-RPC error envelope (or None for notification-shaped junk), never an
+    exception — the wire layer is the trust boundary."""
+    import random
+
+    rng = random.Random(42)
+    cases = [
+        b"", b"{", b"[]", b"null", b"42", b'"str"',
+        b'{"jsonrpc": "2.0"}',
+        b'{"method": 5, "id": 1}',
+        b'{"method": "tools/call", "id": 1}',
+        b'{"method": "tools/call", "id": 1, "params": {"name": 123}}',
+        b'{"method": "tools/call", "id": 1, "params": {"name": "diagnostics", "arguments": {"config": {"a": ["x"]}}}}',
+        b'{"method": "resources/read", "id": 1, "params": {"uri": 7}}',
+        b'{"method": "x" * 10000, "id": 1}',
+    ] + [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200))) for _ in range(20)]
+    for raw in cases:
+        resp = rpc.handle_json(raw)
+        assert resp is None or ("error" in resp or "result" in resp), raw[:40]
+        if resp is not None:
+            json.dumps(resp, default=str)  # must be serializable
+
+
 def test_http_refuses_nonloopback_without_token(toolkit, monkeypatch):
     monkeypatch.delenv("ANALYST_MCP_AUTH_TOKEN", raising=False)
     with pytest.raises(ValueError, match="non-loopback"):
