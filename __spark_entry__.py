@@ -1175,6 +1175,25 @@ def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
     return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).drop("__ivf_cluster")
 
 
+def q_embedding_cluster(spark, sf):
+    """Embedding near-dup CLUSTER resolution: cosine ≥ 0.9 pairs collapsed
+    via connected components — the pairs→clusters loop closed for the
+    embedding modality exactly as dedup_cluster_docs closes it for text.
+    The corpus embeddings are near-orthogonal (max pairwise cosine ~0.51),
+    so both engines add SCALED copies of vec_id<20 (×1.1, new id +100000):
+    scaling preserves direction, so each copy pairs with its source at
+    cosine exactly 1.0 — 20 deterministic two-member clusters. Oracle:
+    recursive CTE over the exact quadratic cosine pair list."""
+    df = load_table(spark, sf, "embeddings")
+    copies = df.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.1).alias("embedding"),
+    )
+    corpus = df.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(copies)
+    pairs = L_sim.cosine_pairs(corpus, threshold=0.9)
+    return L_dedup.connected_components(pairs)
+
+
 def q_embedding_quantize_int8(spark, sf):
     """int8 scalar quantization fidelity census (llm/similarity.quantize_
     embeddings — the FAISS SQ8 memory/4 shape): quantize the corpus and the
@@ -1387,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,  # new r5: local oracle (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # new r5: local oracle (Q7 bilateral)
         "sales_opportunity": q_sales_opportunity,          # new r5: local oracle (Q22 scalar-subquery + anti-join)
+        "embedding_cluster": q_embedding_cluster,          # new r5: local oracle (cosine pairs -> components)
     }
 
 
@@ -2210,6 +2230,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
               / (a.n * b.n), 6) >= 0.9
+    """
+    sqls["embedding_cluster"] = """
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1)
+          FROM embeddings WHERE vec_id < 20),
+        v AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x * x))) AS n
+          FROM corpus),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i] * b.embedding[i]))
+                / (a.n * b.n), 6) >= 0.9),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+        SELECT node, min(lbl) AS component FROM walk GROUP BY node
     """
     # PII / chunking / URL extraction — regexes mirror llm/text.py
     # EMAIL_RE/PHONE_RE/URL_RE (RE2-compatible subset, identical in Java and
