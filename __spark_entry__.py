@@ -514,6 +514,44 @@ def q_sales_opportunity(spark, sf):
     )
 
 
+def q_shipmode_priority(spark, sf):
+    """Q12-shape: per ship mode, counts of high- vs low-priority line items
+    under a receipt-window filter — CASE-WHEN conditional aggregation, one
+    group-by shuffle."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_priority"),
+            F.sum((~high).cast("long")).alias("low_priority"),
+        )
+    )
+
+
+def q_promo_revenue(spark, sf):
+    """Q14-shape: promotional revenue share — a conditional-sum over a join
+    expressed as one ratio (the CASE-WHEN numerator and the full denominator
+    ride the same agg pass)."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(promo, rev).otherwise(0)) * 100.0 / F.sum(rev), 6).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
 def q_rollup_returns(spark, sf):
     # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
     # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
@@ -1407,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,              # new r5: local oracle (Q7 bilateral)
         "sales_opportunity": q_sales_opportunity,          # new r5: local oracle (Q22 scalar-subquery + anti-join)
         "embedding_cluster": q_embedding_cluster,          # new r5: local oracle (cosine pairs -> components)
+        "shipmode_priority": q_shipmode_priority,          # new r5: local oracle (Q12 conditional agg)
+        "promo_revenue": q_promo_revenue,                  # new r5: local oracle (Q14 conditional ratio)
     }
 
 
@@ -1860,6 +1900,22 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(approx - exact)), 6) AS avg_abs_err,
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
+    """
+    sqls["shipmode_priority"] = """
+        SELECT l_returnflag AS flag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """
+    sqls["promo_revenue"] = """
+        SELECT round(sum(CASE WHEN p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
     """
     sqls["sales_opportunity"] = """
         SELECT c_mktsegment AS segment,

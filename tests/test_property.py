@@ -285,3 +285,28 @@ def test_asof_matches_pandas_property(spark, lefts, rights, direction, allow_exa
     assert list(got["px_asof" if "px_asof" in got.columns else "px"].fillna(-1)) == list(
         exp["px"].fillna(-1)
     ), (direction, allow_exact, lefts, rights)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=60),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_pack_prefix_sum_matches_single_node(spark, sizes, budget, parts):
+    """The distributed prefix sum behind pack_sequences equals the plain
+    sequential cumsum for any token-size profile, budget, and input
+    partitioning — including zero-token docs and budget-1 edge cases."""
+    from analyst_toolkit_spark.llm import pack as P
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id int, n long").repartition(parts)
+    got = {
+        r["doc_id"]: (r["_cum_tokens"], r["seq_id"])
+        for r in P.pack_sequences(df, budget, tokens_col="n").collect()
+    }
+    running = 0
+    for i, n in enumerate(sizes):
+        before = running
+        running += n
+        assert got[i] == (running, before // budget), (i, sizes, budget)
