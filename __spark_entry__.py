@@ -552,6 +552,31 @@ def q_promo_revenue(spark, sf):
     )
 
 
+def q_large_volume_orders(spark, sf):
+    """Q18-shape: orders whose total line quantity exceeds a threshold
+    (HAVING over a groupBy), joined back to customer — the aggregate-then-
+    semi-join pattern. The HAVING set is small, so it broadcasts into the
+    customer join; shuffles: the quantity group-by + none after."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
 def q_rollup_returns(spark, sf):
     # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
     # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
@@ -1447,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster": q_embedding_cluster,          # new r5: local oracle (cosine pairs -> components)
         "shipmode_priority": q_shipmode_priority,          # new r5: local oracle (Q12 conditional agg)
         "promo_revenue": q_promo_revenue,                  # new r5: local oracle (Q14 conditional ratio)
+        "large_volume_orders": q_large_volume_orders,      # new r5: local oracle (Q18 having semi-join)
     }
 
 
@@ -1900,6 +1926,15 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(approx - exact)), 6) AS avg_abs_err,
                round(max(abs(approx - exact)), 6) AS max_abs_err
         FROM metrics
+    """
+    sqls["large_volume_orders"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS custkey, o_orderkey AS orderkey,
+               o_totalprice AS totalprice, round(total_qty, 2) AS total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """
     sqls["shipmode_priority"] = """
         SELECT l_returnflag AS flag,
