@@ -34,6 +34,27 @@ from analyst_toolkit_spark.operators import validation as M_val
 # helpers
 
 
+def _bc(df: DataFrame, gate: int = 64 << 20) -> DataFrame:
+    """Size-gated broadcast hint for tables that SCALE WITH THE CORPUS
+    (customer, supplier, part, data-dependent aggregate sets).
+
+    A hard ``F.broadcast()`` hint is honored regardless of
+    autoBroadcastJoinThreshold — AQE will NOT demote a hinted broadcast to a
+    sort-merge join, so at 100× a multi-GB customer table would be
+    force-broadcast and OOM executors. Instead: hint only when the optimizer
+    size estimate (parquet footers, no scan) is KNOWN and under the gate;
+    otherwise return the frame unhinted and let AQE's runtime statistics
+    pick broadcast vs shuffle. Fixed-size dims (nation=25, region=5 rows)
+    keep their unconditional hints — they cannot scale.
+    Same trust-nothing rule as llm/incremental.exact_probe and
+    llm/scale.pair_strategy: unknown size (-1) is NOT small.
+    """
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    return F.broadcast(df) if 0 <= size <= gate else df
+
+
 def _round(df: DataFrame, cols: list[str], n: int = 6) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.round(F.col(c), n))
@@ -347,7 +368,7 @@ def q_join_region_revenue(spark, sf):
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_bc(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -386,7 +407,7 @@ def q_shipping_priority(spark, sf):
     l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_bc(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -406,7 +427,7 @@ def q_returned_revenue_customers(spark, sf):
     n = load_table(spark, sf, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(_bc(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("lost_revenue"))
@@ -424,8 +445,8 @@ def q_product_profit_nation(spark, sf):
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(_bc(p), l.l_partkey == p.p_partkey)
+        .join(_bc(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
         .agg(
@@ -454,8 +475,8 @@ def q_local_supplier_volume(spark, sf):
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(_bc(c), o.o_custkey == c.c_custkey)
+        .join(_bc(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -482,8 +503,8 @@ def q_volume_shipping(spark, sf):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(_bc(c), o.o_custkey == c.c_custkey)
+        .join(_bc(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nk"))
         .filter(pair)
@@ -544,7 +565,7 @@ def q_promo_revenue(spark, sf):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(_bc(p), l.l_partkey == p.p_partkey)
         .agg(
             F.round(F.sum(F.when(promo, rev).otherwise(0)) * 100.0 / F.sum(rev), 6).alias("promo_pct"),
             F.round(F.sum(rev), 2).alias("total_revenue"),
@@ -566,8 +587,8 @@ def q_large_volume_orders(spark, sf):
         .filter(F.col("total_qty") > 250)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(_bc(big), o.o_orderkey == big.l_orderkey)
+        .join(_bc(c), o.o_custkey == c.c_custkey)
         .select(
             F.col("c_custkey").cast("long").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
@@ -592,14 +613,37 @@ def q_rollup_returns(spark, sf):
 
 
 def q_decile_bands_orders(spark, sf):
-    # NTILE window: decile bands of order value, then per-band aggregates —
-    # one window shuffle + one groupBy (the band census is tiny).
-    from pyspark.sql import Window
+    # Decile bands of order value WITHOUT a global-order window: a
+    # partitionBy-less NTILE funnels the whole table through ONE task at
+    # scale (the collapse llm/pack.py exists to avoid). Instead the global
+    # row number comes from the range-partitioned distributed prefix sum
+    # (with_global_cumsum of 1 ordered by (price, orderkey) — every pass
+    # parallel, driver holds N partition totals), and the band is the exact
+    # NTILE arithmetic applied map-only: with n rows, q = n//10, r = n%10,
+    # the first r bands take q+1 rows. Ties split across bands identically
+    # to SQL NTILE because the row number is computed over the same total
+    # order the oracle's OVER (ORDER BY price, orderkey) uses.
+    from analyst_toolkit_spark.llm.pack import with_global_cumsum
 
-    o = load_table(spark, sf, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    n = o.count()
+    q, r = divmod(n, 10)
+    rn_df = with_global_cumsum(
+        o.withColumn("__one", F.lit(1).cast("long")),
+        "__one",
+        ["o_totalprice", "o_orderkey"],
+        out_col="__rn",
+    )
+    rn = F.col("__rn")
+    if q == 0:
+        decile = rn
+    else:
+        head = F.lit(r * (q + 1))
+        decile = F.when(rn <= head, F.ceil(rn / F.lit(q + 1))).otherwise(
+            F.lit(r) + F.ceil((rn - head) / F.lit(q))
+        )
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        rn_df.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -790,6 +834,51 @@ def q_events_anomaly(spark, sf):
         )
         .withColumn("is_anomaly", F.coalesce(F.abs(F.col("z")) > 2, F.lit(False)))
         .select("event_type", "day", "n", "z", "is_anomaly")
+    )
+
+
+def q_events_stream_validate(spark, sf):
+    """REAL Structured Streaming through the driver gate: readStream over the
+    events parquet -> validate_stream (streaming/rules.py: stateless per-row
+    violation flags) -> foreachBatch parquet sink with availableNow trigger,
+    then a batch aggregate over the SINK. Totals are micro-batch-invariant
+    (pure per-row flags + append sink), so the result is deterministic and
+    the DuckDB oracle is the same validation arithmetic over the raw table.
+    This is the streaming surface's hard-evidence query — everything else
+    about it (watermarks, sessionization, stream-static probes) is local-
+    test-covered in tests/test_streaming.py."""
+    import tempfile
+
+    from analyst_toolkit_spark.operators.validation import ValidationConfig
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner, validate_stream
+
+    ev_path = f"{sf}/events.parquet"
+    schema = spark.read.parquet(ev_path).schema
+    # FileStreamSource requires a directory or glob, not a bare file path
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
+    cfg = ValidationConfig(
+        categorical_values={"event_type": ["click", "view", "purchase", "signup"]},
+        numeric_ranges={"value": {"min": 0.0, "max": 300.0}},
+        non_null_columns=["user_id"],
+    )
+    flagged = validate_stream(stream, cfg)
+    sink = tempfile.mkdtemp(prefix="ev_stream_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="ev_stream_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    foreach_batch_runner(flagged, write_batch, ckpt).awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("viol_categorical_event_type").cast("long")).alias("cat_violations"),
+            F.sum(F.col("viol_range_value").cast("long")).alias("range_violations"),
+            F.sum(F.col("viol_not_null_user_id").cast("long")).alias("null_violations"),
+            F.sum(F.col("any_violation").cast("long")).alias("any_violations"),
+        )
     )
 
 
@@ -1351,25 +1440,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (transparent, semantics-neutral): most registry queries
     # have DuckDB oracles but the driver verifies only the first 50 dict
-    # entries per round. Rounds 2-4 together gave every pre-r4 entry a green
-    # driver row (CORRECTNESS_r02-r04.json — zero failures). Round 5 rotates
-    # the 9 r4-authored oracle-backed queries (never driver-checked; local
-    # oracle only) into the window; the entries parked in the tail to make
-    # room are each r04-green (noted inline), and the 3 seeded rows-only
-    # queries that got their rows-only row in r04 move to the tail too, so
-    # the r5 window is 50/50 oracle-backed. Every deterministic query —
-    # windowed or not — also runs against the same oracle in the local test
-    # suite (tests/test_entry_contract.py) at sf0.01 every run, so rotation
-    # never leaves a query unverified.
+    # entries per round. Rounds 2-5 together gave every pre-r5 entry a green
+    # driver row (CORRECTNESS_r02-r05.json — zero failures; the r5 window was
+    # 50/50 oracle-backed). Round 6 rotates the 14 r5-authored oracle-backed
+    # queries (never driver-checked; local oracle only) into the window, plus
+    # the NEW events_stream_validate (first driver-checked Structured
+    # Streaming query — r5 VERDICT directive #8). The 15 entries parked in
+    # the tail to make room are each r05-green (noted inline). Every
+    # deterministic query — windowed or not — also runs against the same
+    # oracle in the local test suite (tests/test_entry_contract.py) at
+    # sf0.01 every run, so rotation never leaves a query unverified.
     return {
         # -- profiling / stats ------------------------------------------------
         "profile_lineitem": q_profile_lineitem,
         "dup_clusters_lineitem": q_dup_clusters_lineitem,
         "value_counts_topn_priority": q_value_counts_topn_priority,
         "corr_lineitem": q_corr_lineitem,
-        "crosstab_lineitem": q_crosstab_lineitem,
         "dtype_composition_lineitem": q_dtype_composition_lineitem,
-        "histogram_price": q_histogram_price,
         # -- validation / duplicates / outliers / impute ----------------------
         "validation_summary_orders": q_validation_summary_orders,
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,
@@ -1381,17 +1468,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_parse_orders": q_datetime_parse_orders,
         "fuzzy_correction_customer": q_fuzzy_correction_customer,
         # -- SQL / join / window showcase -------------------------------------
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "window_running_total": q_window_running_total,
-        "returned_revenue_customers": q_returned_revenue_customers,  # r5 rotate-in (Q10)
-        "product_profit_nation": q_product_profit_nation,  # r5 rotate-in (Q9)
-        "late_orders_priority": q_late_orders_priority,    # r5 rotate-in (Q4 semi-join)
-        "rollup_returns": q_rollup_returns,                # r5 rotate-in (ROLLUP)
-        "decile_bands_orders": q_decile_bands_orders,      # r5 rotate-in (NTILE)
-        # -- events / streaming-parity / temporal joins ------------------------
+        "decile_bands_orders": q_decile_bands_orders,  # KEPT in-window: impl changed r6 (global NTILE window -> distributed prefix-sum row numbers; needs a fresh row)
+        "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
+        "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
+        "sales_opportunity": q_sales_opportunity,          # r6 rotate-in (Q22 scalar-subquery + anti-join)
+        "shipmode_priority": q_shipmode_priority,          # r6 rotate-in (Q12 conditional agg)
+        "promo_revenue": q_promo_revenue,                  # r6 rotate-in (Q14 conditional ratio)
+        "large_volume_orders": q_large_volume_orders,      # r6 rotate-in (Q18 having semi-join)
+        # -- events / streaming / temporal joins ------------------------------
         "events_sessions": q_events_sessions,
-        "events_anomaly": q_events_anomaly,                # r5 rotate-in (TS anomaly)
+        "events_stream_validate": q_events_stream_validate,  # NEW r6: real readStream->foreachBatch through the driver gate
         "asof_join_events": q_asof_join_events,
         "range_join_bands": q_range_join_bands,
         # -- diff / drift / audit ---------------------------------------------
@@ -1414,17 +1500,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
-        "hash_split_docs": q_hash_split_docs,              # r5 rotate-in (md5 split)
-        "simhash_md5_groups": q_simhash_md5_groups,        # r5 rotate-in (cross-engine simhash)
-        "simhash_md5_near": q_simhash_md5_near,            # r5 rotate-in (banding completeness)
-        "dupes_flag_lineitem": q_dupes_flag_lineitem,      # r04 green (sibling of dedup_keep_first)
-        "events_json_props": q_events_json_props,          # r04 green
+        "dedup_index_probe": q_dedup_index_probe,          # r6 rotate-in (incremental dedup)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # r6 rotate-in (SQ8 fidelity)
+        "pack_sequences_docs": q_pack_sequences_docs,      # r6 rotate-in (budget packing)
+        "weighted_sample_docs": q_weighted_sample_docs,    # r6 rotate-in (md5-uniform sampling)
+        "strip_html_docs": q_strip_html_docs,              # r6 rotate-in (HTML strip round-trip)
+        "repetition_docs": q_repetition_docs,              # r6 rotate-in (dup-ngram quality)
+        "decontaminate_docs": q_decontaminate_docs,        # r6 rotate-in (benchmark overlap)
+        "embedding_cluster": q_embedding_cluster,          # r6 rotate-in (cosine pairs -> components)
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
-        # ---- run via tests/test_entry_contract.py. Parked r5: profile_   ----
-        # ---- customer, impute_mean, outlier_zscore, embedding_knn (r04   ----
-        # ---- green near-duplicates of in-window siblings) + the 3 seeded ----
-        # ---- rows-only queries that received their r04 rows-only row.    ----
+        # ---- run via tests/test_entry_contract.py. Parked r6: 15 entries ----
+        # ---- each r05-green (TPC-H shapes, md5-simhash pair, histogram/  ----
+        # ---- crosstab, events near-duplicates of in-window siblings).    ----
+        "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
+        "shipping_priority": q_shipping_priority,          # r05 green (Q3)
+        "window_running_total": q_window_running_total,    # r05 green
+        "returned_revenue_customers": q_returned_revenue_customers,  # r05 green (Q10)
+        "product_profit_nation": q_product_profit_nation,  # r05 green (Q9)
+        "late_orders_priority": q_late_orders_priority,    # r05 green (Q4)
+        "rollup_returns": q_rollup_returns,                # r05 green (ROLLUP)
+        "crosstab_lineitem": q_crosstab_lineitem,          # r05 green
+        "histogram_price": q_histogram_price,              # r05 green
+        "events_anomaly": q_events_anomaly,                # r05 green
+        "events_json_props": q_events_json_props,          # r04+r05 green
+        "dupes_flag_lineitem": q_dupes_flag_lineitem,      # r04+r05 green
+        "simhash_md5_groups": q_simhash_md5_groups,        # r05 green
+        "simhash_md5_near": q_simhash_md5_near,            # r05 green
+        "hash_split_docs": q_hash_split_docs,              # r05 green
         "profile_customer": q_profile_customer,            # r04 green
         "impute_mean_customer": q_impute_mean_customer,    # r04 green
         "outlier_zscore_orders": q_outlier_zscore_orders,  # r04 green
@@ -1455,24 +1558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
-        "dedup_index_probe": q_dedup_index_probe,          # new r5: local oracle (incremental dedup)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # new r5: local oracle (SQ8 fidelity)
-        "pack_sequences_docs": q_pack_sequences_docs,      # new r5: local oracle (budget packing)
-        "weighted_sample_docs": q_weighted_sample_docs,    # new r5: local oracle (md5-uniform sampling)
-        "strip_html_docs": q_strip_html_docs,              # new r5: local oracle (HTML strip round-trip)
-        "repetition_docs": q_repetition_docs,              # new r5: local oracle (dup-ngram quality)
-        "decontaminate_docs": q_decontaminate_docs,        # new r5: local oracle (benchmark overlap)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
-        "curate_docs": q_curate_docs,                      # new r5: curation chain (rows-only; stages oracle-checked)
-        "local_supplier_volume": q_local_supplier_volume,  # new r5: local oracle (Q5 6-table join)
-        "volume_shipping": q_volume_shipping,              # new r5: local oracle (Q7 bilateral)
-        "sales_opportunity": q_sales_opportunity,          # new r5: local oracle (Q22 scalar-subquery + anti-join)
-        "embedding_cluster": q_embedding_cluster,          # new r5: local oracle (cosine pairs -> components)
-        "shipmode_priority": q_shipmode_priority,          # new r5: local oracle (Q12 conditional agg)
-        "promo_revenue": q_promo_revenue,                  # new r5: local oracle (Q14 conditional ratio)
-        "large_volume_orders": q_large_volume_orders,      # new r5: local oracle (Q18 having semi-join)
+        "curate_docs": q_curate_docs,                      # curation chain (rows-only; stages oracle-checked)
     }
 
 
@@ -1877,6 +1966,18 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN sd > 0 THEN round((n - mu) / sd, 6) END AS z,
                coalesce(CASE WHEN sd > 0 THEN abs(round((n - mu) / sd, 6)) > 2 END, FALSE) AS is_anomaly
         FROM roll
+    """
+    sqls["events_stream_validate"] = """
+        SELECT event_type, count(*) AS rows,
+               CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                              AND event_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cat_violations,
+               CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 300)
+                              AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS range_violations,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations,
+               CAST(sum(CASE WHEN (event_type NOT IN ('click','view','purchase','signup') AND event_type IS NOT NULL)
+                              OR (NOT (value BETWEEN 0 AND 300) AND value IS NOT NULL)
+                              OR user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS any_violations
+        FROM events GROUP BY 1
     """
     sqls["hash_split_docs"] = """
         WITH b AS (

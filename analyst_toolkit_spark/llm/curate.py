@@ -52,8 +52,15 @@ class CurationConfig:
     #: subtrees (the keep-set build and the semi-join back); without a cut
     #: every later stage recomputes the whole upstream chain once per
     #: reference — multiplicative blowup, measured 142 s -> ~30 s on the 10x
-    #: corpus. At real scale replace with durable checkpoints between stages.
+    #: corpus.
     checkpoint: bool = True
+    #: Durable checkpoint directory. localCheckpoint blocks are executor-local
+    #: — lost on executor failure, which on a long 100 TB chain means a
+    #: mid-pipeline crash restarts from the raw scan. With ``checkpoint_dir``
+    #: set, each lineage cut is a *reliable* parquet round-trip under this
+    #: directory instead (survives executor loss; resumable). Prefer an
+    #: object-store / HDFS path in production.
+    checkpoint_dir: str | None = None
 
 
 def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides):
@@ -73,7 +80,16 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             info["rows"] = out.count()
         report[stage] = info
 
+    cut_seq = [0]
+
     def _cut(frame: DataFrame) -> DataFrame:
+        if cfg.checkpoint_dir:
+            # reliable cut: parquet round-trip — severed lineage that survives
+            # executor failure (the 100 TB posture; localCheckpoint does not).
+            cut_seq[0] += 1
+            path = f"{cfg.checkpoint_dir.rstrip('/')}/stage_{cut_seq[0]:02d}"
+            frame.write.mode("overwrite").parquet(path)
+            return frame.sparkSession.read.parquet(path)
         return frame.localCheckpoint(eager=False) if cfg.checkpoint else frame
 
     _record("input")
@@ -136,8 +152,13 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         _record("split", splits=cfg.splits)
 
     if cfg.pack_budget:
-        out = P.pack_sequences(out, cfg.pack_budget, key=key, id_col=id_col)
-        _record("pack", budget=cfg.pack_budget)
+        # Pack each split as an independent stream: without split_col the
+        # global cumsum walks ALL docs in id order, so one packed training
+        # sequence could mix train/val/test docs — leaking eval data into
+        # training sequences, the exact contamination this chain prevents.
+        split_col = "split" if cfg.splits else None
+        out = P.pack_sequences(out, cfg.pack_budget, key=key, id_col=id_col, split_col=split_col)
+        _record("pack", budget=cfg.pack_budget, per_split=bool(split_col))
 
     _record("output")
     return out, report

@@ -162,10 +162,18 @@ def dedup_index_write(
         sigs.write.mode(mode).parquet(base + "/sigs")
         banded.write.mode(mode).partitionBy("band").parquet(base + "/bands")
     if mode != "append":
+        # id_col is recorded because the index persists the id COLUMN NAME
+        # verbatim — probes resolve it from here rather than assuming doc_id
         _write_meta(
             df.sparkSession,
             base,
-            {"prefix_width": prefix_width, "k": k, "bands": bands, "n_shingle": n_shingle},
+            {
+                "prefix_width": prefix_width,
+                "k": k,
+                "bands": bands,
+                "n_shingle": n_shingle,
+                "id_col": id_col,
+            },
         )
 
 
@@ -174,7 +182,7 @@ def dedup_index_append(df: DataFrame, path: str, **kwargs) -> None:
     a different hash family or prefix width would corrupt probe semantics,
     so meta.json wins over any passed k/bands/n_shingle/prefix_width."""
     meta = _read_meta(df.sparkSession, path.rstrip("/"))
-    for param in ("k", "bands", "n_shingle", "prefix_width"):
+    for param in ("k", "bands", "n_shingle", "prefix_width", "id_col"):
         if param in meta:
             kwargs[param] = meta[param]
     dedup_index_write(df, path, mode="append", **kwargs)
@@ -206,7 +214,11 @@ def exact_probe(
     """
     from analyst_toolkit_spark.functions.stats import plan_size_bytes
 
-    width = int(_read_meta(spark, path.rstrip("/")).get("prefix_width", 2))
+    meta = _read_meta(spark, path.rstrip("/"))
+    width = int(meta.get("prefix_width", 2))
+    # the index persists the id under the WRITER's id column name — resolve
+    # it from meta (falling back to the probe's id_col for pre-meta indexes)
+    idx_id = meta.get("id_col", id_col)
     fps = _fingerprints(batch, key, id_col, width)
 
     # one bounded collect decides the tier: <= cap+1 (fp, prefix) rows
@@ -219,7 +231,7 @@ def exact_probe(
             .filter(F.col(FP_PREFIX).isin(prefixes))
             .filter(F.col("fp").isin(fp_list))
         )
-        matches = pruned.groupBy("fp").agg(F.min(F.col("doc_id")).alias("matched_id"))
+        matches = pruned.groupBy("fp").agg(F.min(F.col(idx_id)).alias("matched_id"))
         return (
             fps.join(F.broadcast(matches), "fp", "left")
             .select(
@@ -233,17 +245,19 @@ def exact_probe(
     index = spark.read.parquet(path.rstrip("/") + "/fingerprints").filter(
         F.col(FP_PREFIX).isin(prefixes)
     )
-    # broadcast the batch side only while it is provably small — a daily
+    # broadcast the batch side only while it is PROVABLY small — a daily
     # increment can itself be millions of docs, and force-broadcasting it
-    # would OOM executors; beyond the gate both joins run as plain shuffles
-    # (unknown size = local relation = small, same rule as llm/scale.py)
+    # would OOM executors. Unknown size (-1: stats unavailable) is NOT
+    # treated as small: a large batch with no stats must fall back to the
+    # plain shuffle join, which AQE can still upgrade at runtime (same
+    # trust-nothing rule llm/scale.py's pair_strategy now applies).
     size = plan_size_bytes(batch)
-    small = not (0 <= (64 << 20) <= size)
+    small = 0 <= size <= (64 << 20)
     probe_set = fps.select("fp").distinct()
     matches = (
         index.join(F.broadcast(probe_set) if small else probe_set, "fp", "left_semi")
         .groupBy("fp")
-        .agg(F.min(F.col("doc_id")).alias("matched_id"))
+        .agg(F.min(F.col(idx_id)).alias("matched_id"))
     )
     return (
         fps.join(F.broadcast(matches) if small else matches, "fp", "left")
@@ -274,10 +288,11 @@ def exact_probe_stream(
     stream's own columns.
     """
     spark = stream_df.sparkSession
+    idx_id = _read_meta(spark, path.rstrip("/")).get("id_col", id_col)
     seen = (
         spark.read.parquet(path.rstrip("/") + "/fingerprints")
         .groupBy("fp")
-        .agg(F.min(F.col(id_col)).alias("matched_id"))
+        .agg(F.min(F.col(idx_id)).alias("matched_id"))
     )
     return (
         stream_df.withColumn("fp", F.md5(F.col(key)))
@@ -314,12 +329,13 @@ def near_probe(
     k = int(meta.get("k", k))
     bands = int(meta.get("bands", bands))
     n_shingle = int(meta.get("n_shingle", n_shingle))
+    idx_id = meta.get("id_col", id_col)  # index persists the WRITER's id name
     b_sigs, b_banded = _banded_sigs(batch, key, id_col, n_shingle, k, bands)
     idx_banded = spark.read.parquet(base + "/bands")
     cands = (
         b_banded.withColumnRenamed(id_col, "batch_id")
         .join(
-            idx_banded.withColumnRenamed(id_col, "index_id"),
+            idx_banded.withColumnRenamed(idx_id, "index_id"),
             ["band", "band_hash"],
         )
         .select("batch_id", "index_id")
@@ -327,7 +343,7 @@ def near_probe(
     )
     idx_sigs = (
         spark.read.parquet(base + "/sigs")
-        .withColumnsRenamed({id_col: "index_id", "sig": "index_sig"})
+        .withColumnsRenamed({idx_id: "index_id", "sig": "index_sig"})
         .join(F.broadcast(cands.select("index_id").distinct()), "index_id", "left_semi")
         .groupBy("index_id")
         .agg(F.first("index_sig").alias("index_sig"))  # appends may duplicate rows

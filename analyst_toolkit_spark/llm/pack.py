@@ -37,16 +37,31 @@ _CUM = "_cum_tokens"
 def with_global_cumsum(
     df: DataFrame,
     value_col: str,
-    order_col: str,
+    order_col: str | list[str],
     out_col: str = _CUM,
     num_partitions: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order_col`` order,
     WITHOUT a single-partition global window.
 
-    ``order_col`` must be unique (document ids are): the range partitioner
-    may split runs of equal keys across partitions, which would make the
-    per-partition cumsum order-ambiguous.
+    ``order_col`` (a column name or a list for composite ordering) must be
+    unique as a whole (document ids are; (price, pk) pairs are): the range
+    partitioner may split runs of equal keys across partitions, which would
+    make the per-partition cumsum order-ambiguous.
+
+    ``group_col`` (optional) resets the running sum per group — rows are
+    range-partitioned on (group, order) and the driver computes offsets per
+    group in partition-id order, so each group gets its own independent exact
+    cumsum in a single pair of jobs (no per-group loop).
+
+    The partitioning is MATERIALIZED (``localCheckpoint``) before the totals
+    are collected: ``repartitionByRange`` derives its range boundaries from
+    reservoir sampling whose result depends on within-partition row order,
+    which is nondeterministic after an upstream shuffle. Without the pin, the
+    totals job and the final windowed job could see *different* partition
+    boundaries, silently misaligning the driver offsets. With the pin, both
+    jobs read one materialization.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -54,29 +69,52 @@ def with_global_cumsum(
             num_partitions = spark.sparkContext.defaultParallelism
         except Exception:
             num_partitions = 32
-    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        _PID, F.spark_partition_id()
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    range_keys = ([F.col(group_col)] if group_col else []) + [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *range_keys)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    # phase 1+2: per-partition totals -> driver prefix offsets (N scalars)
-    totals = {
-        r[_PID]: r["t"]
-        for r in ranged.groupBy(_PID).agg(F.sum(F.col(value_col)).alias("t")).collect()
-    }
-    offsets, running = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = running
-        running += totals[pid] or 0
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], f"{_PID} int, {_OFF} long"
-    )
+    # phase 1+2: per-(partition[, group]) totals -> driver prefix offsets.
+    # The collect is N scalars for N partitions (× groups) — never row data.
+    grp_keys = [_PID] + ([group_col] if group_col else [])
+    rows = ranged.groupBy(*grp_keys).agg(F.sum(F.col(value_col)).alias("t")).collect()
+    if group_col:
+        # offsets restart at 0 per group; partitions within a group are
+        # contiguous in pid order because the range keys lead with the group.
+        offsets: dict[tuple, int] = {}
+        running_by_group: dict = {}
+        for r in sorted(rows, key=lambda r: (str(r[group_col]), r[_PID])):
+            g = r[group_col]
+            offsets[(r[_PID], g)] = running_by_group.get(g, 0)
+            running_by_group[g] = running_by_group.get(g, 0) + (r["t"] or 0)
+        grp_type = dict(df.dtypes)[group_col]
+        off_df = spark.createDataFrame(
+            [(pid, g, off) for (pid, g), off in offsets.items()],
+            schema=f"{_PID} int, {group_col} {grp_type}, {_OFF} long",
+        )
+        join_keys = [_PID, group_col]
+        w_part = [F.col(_PID), F.col(group_col)]
+    else:
+        totals = {r[_PID]: r["t"] for r in rows}
+        off_map, running = {}, 0
+        for pid in sorted(totals):
+            off_map[pid] = running
+            running += totals[pid] or 0
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in off_map.items()], f"{_PID} int, {_OFF} long"
+        )
+        join_keys = [_PID]
+        w_part = [F.col(_PID)]
     # phase 3: local cumsum + offset == exact global cumsum
     w = (
-        Window.partitionBy(_PID)
-        .orderBy(F.col(order_col))
+        Window.partitionBy(*w_part)
+        .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.join(F.broadcast(off_df), _PID)
+        ranged.join(F.broadcast(off_df), join_keys)
         .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col(_OFF))
         .drop(_PID, _OFF)
     )
@@ -90,6 +128,7 @@ def pack_sequences(
     key: str = "text",
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    split_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a training sequence under a token budget
     (concat-and-chunk semantics): documents are taken in ``id_col`` order and
@@ -101,13 +140,20 @@ def pack_sequences(
     total INCLUDING the doc), ``seq_id``. Deterministic and
     partitioning-independent; the whole assignment reproduces as one
     windowed SQL expression, so it is fully oracle-checkable.
+
+    ``split_col`` (optional): pack each split ("train"/"val"/"test") as an
+    INDEPENDENT stream — the running total resets per split and ``seq_id``
+    is namespaced by split, so a packed training sequence can never mix
+    documents from different splits (the contamination curate_corpus exists
+    to prevent).
     """
     toks = F.col(tokens_col) if tokens_col else token_count(key)
     with_tokens = df.withColumn("n_tokens", toks.cast("long"))
-    cum = with_global_cumsum(with_tokens, "n_tokens", id_col)
-    return cum.withColumn(
-        "seq_id", F.floor((F.col(_CUM) - F.col("n_tokens")) / F.lit(int(budget)))
-    )
+    cum = with_global_cumsum(with_tokens, "n_tokens", id_col, group_col=split_col)
+    seq = F.floor((F.col(_CUM) - F.col("n_tokens")) / F.lit(int(budget)))
+    if split_col:
+        seq = F.concat_ws("/", F.col(split_col), seq.cast("string"))
+    return cum.withColumn("seq_id", seq)
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:

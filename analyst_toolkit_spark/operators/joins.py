@@ -276,8 +276,19 @@ def range_join(
     # the left columns: plain column equality is not null-safe, so a matched
     # left row with a null in any payload column would fail to match itself
     # and be re-emitted with null right columns (duplicate output row).
+    # The id MUST be read from one materialization: mIId depends on runtime
+    # partition layout, and l_src feeds TWO subtrees (the bin join and the
+    # anti-join recovery). Recomputed independently after an upstream shuffle,
+    # the subtrees could assign different ids — duplicating matched rows or
+    # dropping unmatched ones. localCheckpoint(eager) pins one assignment;
+    # the materialization cost is the price of a stable synthetic key (the
+    # null-safe-on-all-columns alternative shuffles the full row width twice).
     lid = "__range_lid"
-    l_src = left.withColumn(lid, F.monotonically_increasing_id()) if how == "left" else left
+    l_src = (
+        left.withColumn(lid, F.monotonically_increasing_id()).localCheckpoint(eager=True)
+        if how == "left"
+        else left
+    )
     binned_r = r_renamed.withColumn(
         "__bin",
         F.explode(

@@ -68,3 +68,48 @@ def test_curate_html_stage(spark):
     out, report = C.curate_corpus(docs, strip_html=True, exact_dedup=False)
     assert out.first()["text"] == "clean me now"
     assert "clean" in report
+
+
+def test_curate_checkpoint_dir_durable_and_identical(spark, sf_dir, tmp_path):
+    """checkpoint_dir swaps executor-local lineage cuts for durable parquet
+    round-trips: identical output, severed lineage (the plan reads the
+    checkpoint files, not the raw corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = dict(
+        min_quality=0.2,
+        exact_dedup=True,
+        near_dedup_threshold=0.8,
+        splits={"train": 0.8, "val": 0.2},
+    )
+    local, _ = C.curate_corpus(docs, **cfg)
+    ckpt = str(tmp_path / "curate_ckpt")
+    durable, _ = C.curate_corpus(docs, checkpoint_dir=ckpt, **cfg)
+    a = {(r["doc_id"], r["split"]) for r in local.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in durable.select("doc_id", "split").collect()}
+    assert a == b and a
+    # lineage severed: the durable plan scans the checkpoint dir, not the corpus
+    files = durable.inputFiles()
+    assert files and all("curate_ckpt" in f for f in files)
+    import os
+
+    assert any(d.startswith("stage_") for d in os.listdir(ckpt))
+
+
+def test_curate_pack_never_mixes_splits(spark, sf_dir):
+    """Packing runs per split: no packed sequence may span train/val/test
+    (eval docs inside a training sequence = contamination)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out, report = C.curate_corpus(
+        docs,
+        exact_dedup=True,
+        splits={"train": 0.7, "val": 0.15, "test": 0.15},
+        pack_budget=64,  # small budget -> many sequences -> real mixing risk
+    )
+    assert report["pack"]["per_split"] is True
+    mixed = (
+        out.groupBy("seq_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0

@@ -212,3 +212,45 @@ def test_sig_jaccard_estimate_bounds(spark):
     df = spark.createDataFrame([([1, 2, 3, 4], [1, 2, 9, 9])], ["a", "b"])
     got = df.select(I.sig_jaccard_estimate(F.col("a"), F.col("b"), 4).alias("e")).first()["e"]
     assert got == 0.5
+
+
+def test_probe_respects_writer_id_col(spark, corpus_and_batch, tmp_path):
+    """An index written with id_col != 'doc_id' must probe without
+    unresolved-column errors in EVERY tier — the probes resolve the index's
+    id column from meta.json, not from an assumed name (ADVICE r5)."""
+    corpus, batch = corpus_and_batch
+    path = str(tmp_path / "idx_custom_id")
+    I.dedup_index_write(corpus.withColumnRenamed("doc_id", "item_id"), path, id_col="item_id")
+
+    # point-lookup tier (tiny batch) and join tier (full batch), batch keeps
+    # its OWN id name — only the index side uses the writer's
+    for b in (batch.limit(3), batch):
+        out = I.exact_probe(spark, path, b)
+        rows = {r["doc_id"]: r["is_known_dup"] for r in out.collect()}
+        assert len(rows) == b.count()
+    # copied docs still resolve to their corpus source id
+    full = {r["doc_id"]: (r["is_known_dup"], r["matched_id"]) for r in I.exact_probe(spark, path, batch).collect()}
+    for r in batch.filter(F.col("doc_id") > 99999).limit(5).collect():
+        assert full[r["doc_id"]] == (True, r["doc_id"] - 100000)
+    # near layer too
+    probe = I.near_probe(spark, path, batch.limit(10), threshold=0.9)
+    probe.collect()  # must not raise
+
+
+def test_exact_probe_unknown_size_never_force_broadcasts(spark, corpus_and_batch, index_path, monkeypatch):
+    """plan_size_bytes == -1 (stats unavailable) must NOT be treated as
+    provably-small: the probe falls back to the shuffle join instead of
+    force-broadcasting a batch of unknown size (ADVICE r5)."""
+    from analyst_toolkit_spark.functions import stats as S
+
+    _, batch = corpus_and_batch
+    normal_rows = sorted(map(tuple, I.exact_probe(spark, index_path, batch).collect()))
+    monkeypatch.setattr(I, "PROBE_ISIN_MAX", 5)  # force the join tier
+    monkeypatch.setattr(S, "plan_size_bytes", lambda df: -1)
+    out = I.exact_probe(spark, index_path, batch)
+    # no broadcast HINT forced anywhere in the plan (AQE may still choose a
+    # broadcast join from runtime stats — that's fine; the hint is not)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # semantics unchanged vs the normal (point-lookup tier) path
+    assert sorted(map(tuple, out.collect())) == normal_rows

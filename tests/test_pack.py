@@ -42,3 +42,52 @@ def test_pack_deterministic_under_repartition(spark, sf_dir):
     a = {r["doc_id"]: r["seq_id"] for r in P.pack_sequences(docs, 256).collect()}
     b = {r["doc_id"]: r["seq_id"] for r in P.pack_sequences(docs.repartition(13), 256).collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_grouped_cumsum_resets_per_group(spark):
+    # groups must get INDEPENDENT running sums (the split-aware packing path)
+    rows = [(i, "g" + str(i % 3), (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "grp", "n"])
+    got = {
+        (r["grp"], r["id"]): r["c"]
+        for r in P.with_global_cumsum(df.repartition(9), "n", "id", out_col="c", group_col="grp").collect()
+    }
+    truth: dict = {}
+    running: dict = {}
+    for i in range(200):  # ids ascend, so per-group order is id order
+        g = "g" + str(i % 3)
+        running[g] = running.get(g, 0) + (i % 7) + 1
+        truth[(g, i)] = running[g]
+    assert got == truth
+
+
+def test_pack_split_col_never_mixes_splits(spark):
+    # a packed sequence containing docs from >1 split would leak eval data
+    # into training sequences — the exact contamination split_col prevents
+    rows = [(i, " ".join(["w"] * ((i % 5) + 1))) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from analyst_toolkit_spark.llm.text import hash_split
+
+    split_df = hash_split(df, id_col="doc_id")
+    packed = P.pack_sequences(split_df, budget=16, split_col="split")
+    mixed = (
+        packed.groupBy("seq_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # seq_ids are namespaced by split and every doc is assigned
+    assert packed.filter(~F.col("seq_id").startswith(F.col("split"))).count() == 0
+    assert packed.count() == 300
+    # per-split assignment equals packing that split alone
+    for label in ("train", "val", "test"):
+        alone = {
+            r["doc_id"]: r["seq_id"]
+            for r in P.pack_sequences(split_df.filter(F.col("split") == label), budget=16).collect()
+        }
+        together = {
+            r["doc_id"]: int(r["seq_id"].split("/")[1])
+            for r in packed.filter(F.col("split") == label).collect()
+        }
+        assert together == {k: int(v) for k, v in alone.items()}

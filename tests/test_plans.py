@@ -67,3 +67,47 @@ def test_tpch_shapes_broadcast_dims_single_shuffle(spark, sf_dir):
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastExchange") == n_bcast, name
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SKIP_PLAN_SCAN))
+def test_no_global_order_window(name, spark, sf_dir):
+    """No registry plan may contain a partitionBy-less window: at 100x the
+    whole table funnels through ONE task (the collapse llm/pack.py's
+    distributed prefix sum exists to avoid — r5 VERDICT 'what's wrong' #1).
+    Detected as a Window whose direct child exchange is SinglePartition."""
+    lines = _plan(QUERIES[name](spark, sf_dir)).splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" in line:
+            child = "\n".join(lines[i + 1 : i + 4])
+            assert "Exchange SinglePartition" not in child, (
+                f"{name} has a global-order window (single-task at scale)"
+            )
+
+
+def test_corpus_scaling_broadcasts_are_size_gated(spark, sf_dir):
+    """customer/supplier/part and data-dependent aggregate sets must NOT
+    carry hard broadcast hints (AQE cannot demote a hint; at 100x a multi-GB
+    customer table would OOM executors). At sf0.1 the gate still hints them
+    (provably small), so the cheap plan is unchanged — asserted via the
+    resolved hint on a known-small input and its ABSENCE when the size
+    estimate is unknown."""
+    import pyspark.sql.functions as F
+
+    from __spark_entry__ import _bc
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    hinted = _bc(c)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # unknown-size plans (no stats) must come back unhinted
+    import analyst_toolkit_spark.functions.stats as S
+
+    orig = S.plan_size_bytes
+    try:
+        S.plan_size_bytes = lambda df: -1
+        unhinted = _bc(c)
+    finally:
+        S.plan_size_bytes = orig
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    # and the registry queries still broadcast the gated dims at test scale
+    plan = _plan(QUERIES["returned_revenue_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
