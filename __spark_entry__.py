@@ -598,6 +598,159 @@ def q_large_volume_orders(spark, sf):
     )
 
 
+def q_market_share(spark, sf):
+    """Q8-shape: a nation's market share inside one region by order year —
+    share = revenue from NATION_3 suppliers / all revenue, among customers
+    whose nation sits in AMERICA. Conditional-sum ratio over one joined
+    frame: fixed dims (both nation aliases + region) broadcast hard,
+    customer/supplier size-gated, one group-by shuffle on year."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n_c = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_regionkey").alias("cust_rk")
+    )
+    n_s = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(_bc(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(F.broadcast(r), F.col("cust_rk") == F.col("r_regionkey"))
+        .join(_bc(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("supp_nk"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_order_count_distribution(spark, sf):
+    """Q13-shape: distribution of per-customer order counts INCLUDING
+    zero-order customers — the left-outer-join + double-aggregate shape.
+    First aggregate is keyed on custkey (fact shuffle); the second runs on
+    ~|customers| rows, and the orders side is pre-aggregated BEFORE the join
+    so the left join is customer × counts, never customer × orders rows."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_top_supplier_revenue(spark, sf):
+    """Q15-shape: supplier(s) achieving the MAXIMUM quarterly revenue — the
+    revenue view + scalar-max subquery. The per-supplier aggregate shuffles
+    once on suppkey; the max rides a broadcast 1-row cross join (no driver
+    round trip); supplier lookup is size-gated."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    max_row = rev.agg(F.max("total_rev").alias("__max_rev"))
+    s = load_table(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_row))
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .join(_bc(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"), "total_rev")
+    )
+
+
+def q_small_quantity_revenue(spark, sf):
+    """Q17-shape: revenue lost to small orders — lineitems of one brand's
+    parts whose quantity is under 20% of that part's average quantity.
+    The correlated per-part average becomes a pre-aggregate on the FILTERED
+    part set (tiny), broadcast back into the fact scan — the fact shuffles
+    once for the per-part average and never for the final scalar."""
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    l = load_table(spark, sf, "lineitem")
+    brand_lines = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = brand_lines.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("__thr"))
+    return (
+        brand_lines.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "__pk")), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_bracketed_revenue(spark, sf):
+    """Q19-shape: revenue under DISJUNCTIVE cross-table predicate brackets
+    (brand x size-range x quantity-range). The whole OR-of-ANDs stays one
+    JVM predicate after the part join, so Catalyst can still push the
+    per-table conjuncts (p_size bounds, l_quantity bounds) to the scans."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = l.join(_bc(p), l.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 40) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_waiting_suppliers(spark, sf):
+    """Q21-shape: suppliers who were the SOLE late supplier on multi-supplier
+    orders ("kept the order waiting"); late = shipped >60 days after the
+    order date (the testdata carries no receipt/commit dates — same join
+    topology, adapted predicate). Spark-first: ONE order-level aggregate
+    (distinct suppliers, distinct late suppliers per order) replaces the
+    classic EXISTS + NOT-EXISTS pair of correlated self-joins; late lines
+    then semi-join the qualifying orders and count per supplier. Two keyed
+    shuffles (orderkey, suppkey), nothing correlated."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf, "supplier")
+    lines = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("__late"),
+    )
+    order_stats = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    )
+    qualifying = order_stats.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)).select("l_orderkey")
+    waits = (
+        lines.filter(F.col("__late"))
+        .join(qualifying, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waits.join(_bc(s), waits.l_suppkey == s.s_suppkey)
+        .select(F.col("s_name").alias("name"), "numwait")
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(20)
+    )
+
+
 def q_rollup_returns(spark, sf):
     # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
     # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
@@ -1558,6 +1711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
+        "market_share": q_market_share,                    # new r6: local oracle (Q8 share ratio)
+        "order_count_distribution": q_order_count_distribution,  # new r6: local oracle (Q13 left-join distribution)
+        "top_supplier_revenue": q_top_supplier_revenue,    # new r6: local oracle (Q15 scalar-max)
+        "small_quantity_revenue": q_small_quantity_revenue,  # new r6: local oracle (Q17 correlated avg)
+        "bracketed_revenue": q_bracketed_revenue,          # new r6: local oracle (Q19 disjunctive brackets)
+        "waiting_suppliers": q_waiting_suppliers,          # new r6: local oracle (Q21 sole-late-supplier)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2075,6 +2234,77 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY n_name
+    """
+    sqls["market_share"] = """
+        SELECT year(o_orderdate) AS order_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        GROUP BY 1
+    """
+    sqls["order_count_distribution"] = """
+        WITH per_cust AS (
+          SELECT c_custkey, coalesce(cnt, 0) AS c_count
+          FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+          ) ON c_custkey = o_custkey)
+        SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+    """
+    sqls["top_supplier_revenue"] = """
+        WITH rev AS (
+          SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey AS suppkey, s_name AS name, total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """
+    sqls["small_quantity_revenue"] = """
+        WITH brand_lines AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#2'),
+        thr AS (SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS t FROM brand_lines GROUP BY 1)
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM brand_lines JOIN thr ON l_partkey = pk
+        WHERE l_quantity < t
+    """
+    sqls["bracketed_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 30)
+    """
+    sqls["waiting_suppliers"] = """
+        WITH lines AS (
+          SELECT l_orderkey, l_suppkey,
+                 (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        stats AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+          FROM lines GROUP BY 1)
+        SELECT s_name AS name, count(*) AS numwait
+        FROM lines
+        JOIN stats USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late AND n_supp > 1 AND n_late = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, name ASC
+        LIMIT 20
     """
     sqls["volume_shipping"] = """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -117,7 +117,14 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             languages=cfg.languages,
         )
 
+    # Each of the next three stages references the running frame in TWO
+    # subtrees (the keep-set build and the join back), so the cut goes
+    # BEFORE the stage: both subtrees then read one materialization instead
+    # of each re-paying the whole upstream chain (cutting only after the
+    # join, as pre-r6, still recomputed the quality gate once per subtree —
+    # measured 28 -> ~18 s on the sf0.1 8-stage chain).
     if cfg.exact_dedup:
+        out = _cut(out)
         # keep the smallest id per normalized fingerprint — one shuffle on
         # the (short) fingerprint key
         fp = T.fingerprint(F.col(key)).alias("__fp")
@@ -127,20 +134,22 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)
         )
-        out = _cut(out.join(keep, id_col, "left_semi"))
+        out = out.join(keep, id_col, "left_semi")
         _record("exact_dedup", method="normalized_fingerprint_keep_min_id")
 
     if cfg.near_dedup_threshold is not None:
+        out = _cut(out)
         pairs = D.minhash_dedup_pairs(out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold)
-        out = _cut(D.dedup_representatives(out, pairs, id_col=id_col))
+        out = D.dedup_representatives(out, pairs, id_col=id_col)
         _record("near_dedup", method="minhash_lsh+components", threshold=cfg.near_dedup_threshold)
 
     if cfg.benchmark is not None:
+        out = _cut(out)
         cont = T.decontaminate(
             out, cfg.benchmark, key=key, id_col=id_col, threshold=cfg.max_benchmark_overlap
         )
         clean_ids = cont.filter(~F.col("contaminated")).select(id_col)
-        out = _cut(out.join(clean_ids, id_col, "left_semi"))
+        out = out.join(clean_ids, id_col, "left_semi")
         _record("decontaminate", max_overlap=cfg.max_benchmark_overlap)
 
     if cfg.sample_weight is not None:

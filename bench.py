@@ -108,12 +108,59 @@ def main() -> None:
         print(f"# {name}: median={timings[name]:.3f}s spread={spread[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Non-headline tracked operators (VERDICT r5 item 5): the heaviest work
+    # the engine does — incremental index write/probe (both tiers) and the
+    # full curation chain — lives outside the frozen 35-query HEADLINE so
+    # round-over-round comparisons stay stable, but a regression there must
+    # still be visible to the driver. Recorded in BENCH_DETAIL.json only;
+    # excluded from the headline total and the compact printed line.
+    import tempfile
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    nh_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_NH_RUNS", "2")))
+    non_headline: dict[str, float] = {}
+    nh_spread: dict[str, list[float]] = {}
+
+    def _nh(name, fn):
+        samples = []
+        for _ in range(nh_runs):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        non_headline[name] = round(statistics.median(samples), 3)
+        nh_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        print(
+            f"# [non-headline] {name}: median={non_headline[name]:.3f}s spread={nh_spread[name]}",
+            file=sys.stderr,
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _nh(
+        "dedup_index_write_exact_near",
+        lambda: L_inc.dedup_index_write(docs, tempfile.mkdtemp(prefix="bench_idx_"), layers=("exact", "near")),
+    )
+    probe_idx = tempfile.mkdtemp(prefix="bench_idx_probe_")
+    L_inc.dedup_index_write(docs, probe_idx, layers=("exact", "near"))  # untimed setup
+    tiny = docs.limit(3).localCheckpoint(eager=True)  # point-lookup tier (isin pushdown)
+    _nh("dedup_index_probe_point", lambda: _materialize(L_inc.exact_probe(spark, probe_idx, tiny)))
+    # full corpus as the batch: > PROBE_ISIN_MAX distinct fps -> join tier
+    _nh("dedup_index_probe_join", lambda: _materialize(L_inc.exact_probe(spark, probe_idx, docs)))
+    _nh("dedup_index_near_probe", lambda: _materialize(L_inc.near_probe(spark, probe_idx, tiny)))
+    if "curate_docs" in qs:
+        _nh("curate_chain_8stage", lambda: _materialize(qs["curate_docs"](spark, sf_dir)))
+
     detail = {
         "metric": "module_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "non_headline": non_headline,
+        "non_headline_spread": nh_spread,
+        "non_headline_runs": nh_runs,
         "runs": runs,
         "materialize": "noop-write",
         "sf": sf,

