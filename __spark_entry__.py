@@ -1522,6 +1522,70 @@ def q_embedding_quantize_int8(spark, sf):
     )
 
 
+# Fixed 4x4 grid codebook shared by q_embedding_pq_census and its oracle:
+# 16 two-dim codewords over the corpus value range. Deterministic (no
+# k-means), so the PQ ENCODE arithmetic itself is oracle-checkable — the
+# trained-codebook path stays rows-only (embedding_pq_topk), same split as
+# SQ8-census vs IVF.
+_PQ_GRID = [[x, y] for x in (-0.45, -0.15, 0.15, 0.45) for y in (-0.45, -0.15, 0.15, 0.45)]
+_PQ_M = 32  # 64-dim embeddings, 2-dim subspaces
+
+
+def q_embedding_pq_census(spark, sf):
+    """Product-quantization fidelity census with FIXED grid codebooks
+    (llm/similarity.pq_encode semantics): every embedding encodes to 32
+    4-bit codes; rows group by the first subspace's code with count and
+    reconstruction-error stats. Error uses the argmax identity directly
+    (min dist^2 = ||sub||^2 - 2*max(x.c - ||c||^2/2)), so the oracle can
+    reproduce the exact double arithmetic term-for-term in SQL."""
+    df = load_table(spark, sf, "embeddings")
+    books = [_PQ_GRID] * _PQ_M
+    enc = L_sim.pq_encode(df, books)
+    dist2 = []
+    for j in range(_PQ_M):
+        sub = F.slice(F.col("embedding"), j * 2 + 1, 2)
+        scores = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(sub, L_sim.lit_vec(c), lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                - F.lit(0.5 * sum(x * x for x in c))
+                for c in _PQ_GRID
+            ]
+        )
+        self_dot = F.aggregate(
+            F.zip_with(sub, sub, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        dist2.append(self_dot - F.lit(2.0) * F.array_max(scores))
+    err = F.sqrt(F.greatest(sum(dist2[1:], dist2[0]), F.lit(0.0)))
+    return (
+        enc.withColumn("__err", err)
+        .groupBy(F.element_at(F.col("pq_code"), 1).alias("code0"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__err"), 6).alias("avg_err"),
+            F.round(F.max("__err"), 6).alias("max_err"),
+        )
+    )
+
+
+def q_embedding_pq_topk(spark, sf):  # NON-SQL (k-means-trained codebooks)
+    """PQ ANN through TRAINED codebooks (llm/similarity.pq_train/pq_topk):
+    ADC lookup-table scoring + exact rerank of the shortlist. k-means makes
+    it non-oracleable (rows-only check); the encode arithmetic itself is
+    oracle-green via embedding_pq_census."""
+    df = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = df.filter(F.col("vec_id") != 0)
+    books = L_sim.pq_train(corpus, m=32, nbits=4)
+    enc = L_sim.pq_encode(corpus, books)
+    return L_sim.pq_topk(enc, books, qvec, k=10, rerank_factor=4)
+
+
 def q_embedding_lsh_pairs(spark, sf):
     """Hyperplane-LSH near pairs. The seed-42 planes are inlined as literals
     into the DuckDB oracle, so this is fully oracle-checked (bucket bits +
@@ -1717,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,  # new r6: local oracle (Q17 correlated avg)
         "bracketed_revenue": q_bracketed_revenue,          # new r6: local oracle (Q19 disjunctive brackets)
         "waiting_suppliers": q_waiting_suppliers,          # new r6: local oracle (Q21 sole-late-supplier)
+        "embedding_pq_census": q_embedding_pq_census,      # new r6: local oracle (PQ grid-encode fidelity)
+        "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2159,6 +2225,43 @@ def oracle_sql() -> dict[str, str]:
                s.matched_id IS NOT NULL AS is_known_dup,
                CAST(s.matched_id AS BIGINT) AS matched_id
         FROM batch b LEFT JOIN seen s ON b.text = s.text
+    """
+    # PQ census oracle: generated SQL mirroring pq_encode's grid arithmetic
+    # term-for-term (same double ops in the same association order, so the
+    # rounded aggregates hash-match bit-for-bit).
+    def _pq_score(j: int, c: list[float]) -> str:
+        a, b = 2 * j + 1, 2 * j + 2
+        k = 0.5 * sum(x * x for x in c)
+        return (
+            f"(((0.0 + (embedding[{a}]::DOUBLE * {c[0]!r})) + (embedding[{b}]::DOUBLE * {c[1]!r})) - {k!r})"
+        )
+
+    def _pq_dist2(j: int) -> str:
+        a, b = 2 * j + 1, 2 * j + 2
+        self_dot = (
+            f"((0.0 + (embedding[{a}]::DOUBLE * embedding[{a}]::DOUBLE))"
+            f" + (embedding[{b}]::DOUBLE * embedding[{b}]::DOUBLE))"
+        )
+        mx = "greatest(" + ", ".join(_pq_score(j, c) for c in _PQ_GRID) + ")"
+        return f"({self_dot} - (2.0 * {mx}))"
+
+    _s0 = ",\n               ".join(f"{_pq_score(0, c)} AS s{i}" for i, c in enumerate(_PQ_GRID))
+    _derr = " + ".join(f"d{j}" for j in range(_PQ_M))
+    _dists = ",\n               ".join(f"{_pq_dist2(j)} AS d{j}" for j in range(_PQ_M))
+    _case = " ".join(f"WHEN s{i} = m THEN {i}" for i in range(len(_PQ_GRID)))
+    sqls["embedding_pq_census"] = f"""
+        WITH s AS (
+          SELECT {_s0},
+               {_dists}
+          FROM embeddings),
+        e AS (
+          SELECT {', '.join(f's{i}' for i in range(len(_PQ_GRID)))},
+                 greatest({', '.join(f's{i}' for i in range(len(_PQ_GRID)))}) AS m,
+                 sqrt(greatest(({_derr}), 0.0)) AS err
+          FROM s)
+        SELECT (CASE {_case} END) AS code0, count(*) AS n,
+               round(avg(err), 6) AS avg_err, round(max(err), 6) AS max_err
+        FROM e GROUP BY 1
     """
     sqls["embedding_quantize_int8"] = """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

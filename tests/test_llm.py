@@ -861,3 +861,60 @@ def test_png_real_decode_through_spark(spark):
     # small images pass through byte-identical
     small = MM.resize_images(df, max_side=512).first()
     assert bytes(small["resized"]) == blob
+
+
+def test_pq_encode_exact_when_vectors_are_centroids(spark):
+    """If every subvector IS one of its subspace's centroids, PQ is lossless:
+    the ADC score equals the exact cosine and top-k ranking matches."""
+    import math
+
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    # 4-dim vectors, m=2 subspaces of dim 2; centroids trained on the corpus
+    # itself with enough iterations collapse onto the distinct subvectors
+    base = [[1.0, 0.0], [0.0, 1.0], [2.0, 2.0], [3.0, -1.0]]
+    vecs = [a + b for a in base for b in base]  # 16 vectors, subvectors in base
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)])
+    books = S.pq_train(df, m=2, nbits=2, max_iter=25, train_cap=100)
+    enc = S.pq_encode(df, books)
+    q = [1.0, 0.5, -0.5, 2.0]
+    got = [(r["vec_id"], r["pq_cosine"]) for r in S.pq_topk(enc, books, q, k=5).collect()]
+    qn = math.sqrt(sum(x * x for x in q))
+    exact = sorted(
+        (
+            (
+                i,
+                round(sum(a * b for a, b in zip(v, q)) / (math.sqrt(sum(x * x for x in v)) * qn), 6),
+            )
+            for i, v in enumerate(vecs)
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == exact
+
+
+def test_pq_recall_and_plan_shape(spark, oracle_sf_dir):
+    """PQ ADC ranking on the real embeddings table: decent recall@10 vs the
+    exact ranking, and the scoring plan is map-only (zero exchanges — codes
+    + lookup tables, no shuffle, no join)."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    df = load_table(spark, oracle_sf_dir, "embeddings")
+    qvec = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    corpus = df.filter("vec_id != 0")
+    books = S.pq_train(corpus, m=32, nbits=4)
+    enc = S.pq_encode(corpus, books)
+    approx = [r["vec_id"] for r in S.pq_topk(enc, books, qvec, k=10).collect()]
+    exact = [r["vec_id"] for r in S.cosine_topk(corpus, qvec, k=10).collect()]
+    assert len(set(approx) & set(exact)) / 10 >= 0.5
+    # two-stage ADC shortlist + exact rerank recovers (near-)exact recall
+    rr = [r["vec_id"] for r in S.pq_topk(enc, books, qvec, k=10, rerank_factor=4).collect()]
+    assert len(set(rr) & set(exact)) / 10 >= 0.9
+    plan = S.pq_topk(enc, books, qvec, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "TakeOrdered" in plan
+    # compression contract: m int codes per vector, all < 2^nbits
+    row = enc.select("pq_code").first()["pq_code"]
+    assert len(row) == 32 and all(0 <= c < 16 for c in row)
