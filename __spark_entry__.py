@@ -1438,6 +1438,21 @@ def q_stopword_vocab_docs(spark, sf):
     return ratios.crossJoin(vocab)
 
 
+def q_vocab_coverage_docs(spark, sf):
+    """Tokenizer-budget census (llm/text.vocab_coverage): fraction of all
+    token occurrences a top-500 frequency vocabulary covers. Integer
+    arithmetic end-to-end; the 500-row vocab side broadcasts (bounded by
+    the parameter, safe at any corpus scale)."""
+    return L_text.vocab_coverage(load_table(spark, sf, "documents"), vocab_size=500)
+
+
+def q_token_rarity_docs(spark, sf):
+    """Per-doc average inverse unigram frequency (llm/text.token_rarity) —
+    the log-free surprisal proxy used for quality filtering. Rational
+    arithmetic (no libm), so DuckDB reproduces it exactly."""
+    return L_text.token_rarity(load_table(spark, sf, "documents"))
+
+
 def q_quality_docs(spark, sf):
     df = load_table(spark, sf, "documents")
     # score once in a projection (the expression expands to 4 regex passes per
@@ -1540,31 +1555,25 @@ def q_embedding_pq_census(spark, sf):
     reproduce the exact double arithmetic term-for-term in SQL."""
     df = load_table(spark, sf, "embeddings")
     books = [_PQ_GRID] * _PQ_M
-    enc = L_sim.pq_encode(df, books)
+    # score arrays land as NAMED COLUMNS in one projection so the argmax
+    # (code) and the distance both read the same 32 arrays instead of
+    # re-expanding the 16-codeword arithmetic at every use site
+    arrays = L_sim.pq_score_arrays(books, "embedding")
+    staged = df.select(
+        "vec_id", "embedding", *[a.alias(f"__s{j}") for j, a in enumerate(arrays)]
+    )
     dist2 = []
     for j in range(_PQ_M):
-        sub = F.slice(F.col("embedding"), j * 2 + 1, 2)
-        scores = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(sub, L_sim.lit_vec(c), lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                - F.lit(0.5 * sum(x * x for x in c))
-                for c in _PQ_GRID
-            ]
-        )
-        self_dot = F.aggregate(
-            F.zip_with(sub, sub, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        dist2.append(self_dot - F.lit(2.0) * F.array_max(scores))
+        a, b = j * 2 + 1, j * 2 + 2
+        e1 = F.element_at(F.col("embedding"), a).cast("double")
+        e2 = F.element_at(F.col("embedding"), b).cast("double")
+        self_dot = e1 * e1 + e2 * e2
+        dist2.append(self_dot - F.lit(2.0) * F.array_max(F.col(f"__s{j}")))
     err = F.sqrt(F.greatest(sum(dist2[1:], dist2[0]), F.lit(0.0)))
+    code0 = (F.array_position(F.col("__s0"), F.array_max(F.col("__s0"))) - 1).cast("int")
     return (
-        enc.withColumn("__err", err)
-        .groupBy(F.element_at(F.col("pq_code"), 1).alias("code0"))
+        staged.select(code0.alias("code0"), err.alias("__err"))
+        .groupBy("code0")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("__err"), 6).alias("avg_err"),
@@ -1783,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,          # new r6: local oracle (Q21 sole-late-supplier)
         "embedding_pq_census": q_embedding_pq_census,      # new r6: local oracle (PQ grid-encode fidelity)
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
+        "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6: local oracle (tokenizer budget census)
+        "token_rarity_docs": q_token_rarity_docs,          # new r6: local oracle (inverse-frequency surprisal proxy)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2226,6 +2237,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(s.matched_id AS BIGINT) AS matched_id
         FROM batch b LEFT JOIN seen s ON b.text = s.text
     """
+    sqls["vocab_coverage_docs"] = """
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+          FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        vocab AS (SELECT cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 500)
+        SELECT 500 AS vocab_size,
+               (SELECT count(*) FROM counts) AS distinct_tokens,
+               (SELECT CAST(sum(cnt) AS BIGINT) FROM counts) AS total_tokens,
+               (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab) AS covered_tokens,
+               round(((SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab)
+                      / (SELECT CAST(sum(cnt) AS DOUBLE) FROM counts)) * 100.0, 6) AS coverage_pct
+    """
+    sqls["token_rarity_docs"] = """
+        WITH stream AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+          FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM stream GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+        SELECT d.doc_id, count(s.token) AS n_tokens,
+               round(avg((SELECT total FROM tot) / cnt), 6) AS avg_rarity
+        FROM documents d
+        LEFT JOIN stream s ON d.doc_id = s.doc_id
+        LEFT JOIN counts c ON s.token = c.token
+        GROUP BY 1
+    """
     # PQ census oracle: generated SQL mirroring pq_encode's grid arithmetic
     # term-for-term (same double ops in the same association order, so the
     # rounded aggregates hash-match bit-for-bit).
@@ -2233,14 +2270,14 @@ def oracle_sql() -> dict[str, str]:
         a, b = 2 * j + 1, 2 * j + 2
         k = 0.5 * sum(x * x for x in c)
         return (
-            f"(((0.0 + (embedding[{a}]::DOUBLE * {c[0]!r})) + (embedding[{b}]::DOUBLE * {c[1]!r})) - {k!r})"
+            f"((((embedding[{a}]::DOUBLE * {c[0]!r})) + (embedding[{b}]::DOUBLE * {c[1]!r})) - {k!r})"
         )
 
     def _pq_dist2(j: int) -> str:
         a, b = 2 * j + 1, 2 * j + 2
         self_dot = (
-            f"((0.0 + (embedding[{a}]::DOUBLE * embedding[{a}]::DOUBLE))"
-            f" + (embedding[{b}]::DOUBLE * embedding[{b}]::DOUBLE))"
+            f"(((embedding[{a}]::DOUBLE * embedding[{a}]::DOUBLE))"
+            f" + ((embedding[{b}]::DOUBLE * embedding[{b}]::DOUBLE)))"
         )
         mx = "greatest(" + ", ".join(_pq_score(j, c) for c in _PQ_GRID) + ")"
         return f"({self_dot} - (2.0 * {mx}))"

@@ -362,6 +362,32 @@ def pq_train(
     ]
 
 
+def pq_score_arrays(codebooks: list[list[list[float]]], vec_col: str = "embedding") -> list[Column]:
+    """Per-subspace codeword-score arrays: scores[j][c] = x_j . c - ||c||^2/2
+    (the argmax identity — nearest sub-centroid = max score). Built as
+    direct element_at arithmetic, NOT aggregate(zip_with(lit_vec)): the
+    higher-order form paid one SQL parse per codeword (m * 2^nbits driver
+    round trips) and a codegen tree ~20x this size — measured 27 -> ~4 s on
+    the sf0.1 census."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    arrays = []
+    for j, book in enumerate(codebooks):
+        elems = [F.element_at(F.col(vec_col), j * dsub + d + 1).cast("double") for d in range(dsub)]
+        scores = F.array(
+            *[
+                sum(
+                    (elems[d] * F.lit(float(c[d])) for d in range(1, dsub)),
+                    elems[0] * F.lit(float(c[0])),
+                )
+                - F.lit(0.5 * sum(x * x for x in c))
+                for c in book
+            ]
+        )
+        arrays.append(scores)
+    return arrays
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -371,23 +397,10 @@ def pq_encode(
     """Map-only PQ encoding: per subspace, nearest sub-centroid by the same
     argmax(x.c - ||c||^2/2) identity ivf_assign uses; output is an
     array<int> of m codes. Pure JVM expressions — no UDF, no shuffle."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-        scores = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(sub, lit_vec(c), lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                - F.lit(0.5 * sum(x * x for x in c))
-                for c in book
-            ]
-        )
-        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    codes = [
+        (F.array_position(s, F.array_max(s)) - 1).cast("int")
+        for s in pq_score_arrays(codebooks, vec_col)
+    ]
     return df.withColumn(code_col, F.array(*codes))
 
 

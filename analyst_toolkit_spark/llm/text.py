@@ -506,3 +506,87 @@ def decontaminate(
     return per_doc.withColumn("overlap_ratio", F.round(ratio, 6)).withColumn(
         "contaminated", F.col("overlap_ratio") > F.lit(float(threshold))
     )
+
+
+# -- vocabulary induction / rarity scoring ------------------------------------
+# The tokenizer-prep side of a training pipeline: induce a frequency vocab
+# from the corpus, measure how much of the token mass a budget-V vocabulary
+# covers (the number that drives tokenizer sizing), and score documents by
+# average token rarity (inverse unigram frequency — the cheap surprisal
+# proxy used for quality filtering; rational arithmetic instead of log so
+# the operator reproduces exactly in any SQL engine).
+
+_VOCAB_TOKEN_RE = r"[a-z0-9']+"
+
+
+def token_stream(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded (id, token) stream — lowercase word tokens, map-only."""
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def build_vocab(df: DataFrame, key: str = "text", size: int = 1000) -> DataFrame:
+    """Top-``size`` tokens by corpus frequency: (token, count, rank), ties
+    broken lexicographically so the vocab is deterministic. One shuffle on
+    token (map-side partial counts first), then TakeOrdered — the full
+    count table is never globally sorted."""
+    from pyspark.sql import Window
+
+    counts = token_stream(df, key).groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(int(size))
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    # the rank window runs over <= `size` rows (post-limit), not the corpus:
+    # single-partition is correct and bounded here, same as any driver top-k
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def vocab_coverage(df: DataFrame, key: str = "text", vocab_size: int = 500) -> DataFrame:
+    """Corpus census: what fraction of all token OCCURRENCES a budget-V
+    frequency vocab covers. Integer arithmetic end-to-end (exact across
+    engines). The vocab side is <= vocab_size rows — bounded by the
+    parameter, so the hard broadcast is safe at any corpus scale."""
+    counts = token_stream(df, key).groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    vocab = counts.orderBy(F.desc("count"), F.asc("token")).limit(int(vocab_size))
+    covered = vocab.agg(F.sum("count").alias("covered_tokens"))
+    total = counts.agg(
+        F.sum("count").alias("total_tokens"), F.count(F.lit(1)).alias("distinct_tokens")
+    )
+    return (
+        total.crossJoin(F.broadcast(covered))
+        .select(
+            F.lit(int(vocab_size)).alias("vocab_size"),
+            "distinct_tokens",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.round(F.col("covered_tokens") / F.col("total_tokens") * 100.0, 6).alias("coverage_pct"),
+        )
+    )
+
+
+def token_rarity(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document average token rarity: mean over the doc's token
+    occurrences of ``total_occurrences / corpus_count(token)`` — inverse
+    unigram frequency, the log-free surprisal proxy (rational arithmetic:
+    no libm, so DuckDB/Trino reproduce it bit-for-bit before rounding).
+    High = rare/unnatural vocabulary; the standard cheap quality signal.
+
+    Plan: one token-keyed shuffle for corpus counts, one token-keyed join
+    back to the stream (AQE's skew handling splits the stopword keys), one
+    groupBy doc. Docs with zero tokens are kept with null rarity
+    (explode_outer) so the census covers the whole corpus."""
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    stream = df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    counts = (
+        stream.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    total = counts.agg(F.sum("__cnt").cast("double").alias("__total"))
+    joined = stream.join(counts, "token", "left").crossJoin(F.broadcast(total))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.col("token")).alias("n_tokens"),
+            F.round(F.avg(F.col("__total") / F.col("__cnt")), 6).alias("avg_rarity"),
+        )
+    )

@@ -918,3 +918,32 @@ def test_pq_recall_and_plan_shape(spark, oracle_sf_dir):
     # compression contract: m int codes per vector, all < 2^nbits
     row = enc.select("pq_code").first()["pq_code"]
     assert len(row) == 32 and all(0 <= c < 16 for c in row)
+
+
+def test_vocab_and_rarity_semantics(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the hat"),
+            Row(doc_id=2, text="the dog"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    vocab = {r["token"]: (r["count"], r["rank"]) for r in T.build_vocab(df, size=3).collect()}
+    # 'the' x3 then ties broken lexicographically: and, cat
+    assert vocab == {"the": (3, 1), "and": (1, 2), "cat": (1, 3)}
+
+    cov = T.vocab_coverage(df, vocab_size=2).first()
+    # top-2 vocab = {the:3, and:1} over 7 total occurrences
+    assert cov["total_tokens"] == 7 and cov["covered_tokens"] == 4
+    assert cov["distinct_tokens"] == 5
+    assert abs(cov["coverage_pct"] - 400 / 7) < 1e-4
+
+    rarity = {r["doc_id"]: (r["n_tokens"], r["avg_rarity"]) for r in T.token_rarity(df).collect()}
+    # doc 2: tokens the(3), dog(1) -> avg(7/3, 7/1) = 14/3
+    assert rarity[2][0] == 2 and abs(rarity[2][1] - 14 / 3) < 1e-5
+    # empty doc kept with null rarity
+    assert rarity[3] == (0, None)
