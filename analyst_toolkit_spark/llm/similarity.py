@@ -501,8 +501,10 @@ def ivf_write(
     centroids: list[list[float]],
     path: str,
     cluster_col: str = "__ivf_cluster",
-    quantize: bool = False,
+    quantize: bool | str = False,
     vec_col: str = "embedding",
+    pq_m: int = 32,
+    pq_nbits: int = 4,
 ) -> None:
     """Persist an IVF index as a cluster-partitioned parquet layout plus a
     centroid sidecar. THIS is the IVF win at 100 TB: the probe's cluster
@@ -510,12 +512,17 @@ def ivf_write(
     reads only that fraction of the files, no footer even opened elsewhere
     (asserted by plan in tests/test_llm.py).
 
-    ``quantize=True`` stores int8 SQ8 codes INSTEAD of the raw vectors
-    (``q_vec`` + ``q_scale`` columns; the FAISS IVF+SQ8 combination): 4×
-    smaller index, probes score the scale-free quantized cosine — ranks are
-    approximate within SQ8 fidelity (~1e-3 cosine error measured on the
-    test corpus; the oracle-checked census query embedding_quantize_int8
-    tracks it). The sidecar records the storage mode.
+    ``quantize`` selects the storage tier (the FAISS index family):
+    - ``False`` / ``"raw"``: full float vectors — exact probe re-rank.
+    - ``True`` / ``"sq8"``: int8 scalar codes (``q_vec`` + ``q_scale``) —
+      4× smaller, probes score the scale-free quantized cosine (~1e-3
+      cosine error; the oracle-checked embedding_quantize_int8 census
+      tracks it).
+    - ``"pq"``: product-quantization codes (``pq_code``, m codes of nbits
+      each — 64 floats become 32 4-bit codes by default, ~16× smaller than
+      SQ8's payload) — probes score by ADC lookup tables; codebooks train
+      here (bounded driver sample) and persist in the sidecar so probes
+      self-configure. The sidecar records the storage mode.
 
     Layout: ``{path}/vectors/`` partitioned by the cluster id;
     ``{path}/centroids.json`` holds the quantizer (tiny, driver-written).
@@ -526,14 +533,21 @@ def ivf_write(
     """
     import json
 
-    out = assigned
-    if quantize:
+    storage = {False: "raw", True: "sq8"}.get(quantize, quantize)
+    if storage not in ("raw", "sq8", "pq"):
+        raise ValueError(f"ivf_write: unknown storage tier {quantize!r}")
+    out, meta = assigned, {"centroids": centroids, "quantize": storage != "raw", "storage": storage}
+    if storage == "sq8":
         out = quantize_embeddings(assigned, vec_col=vec_col).drop(vec_col)
+    elif storage == "pq":
+        books = pq_train(assigned, vec_col=vec_col, m=pq_m, nbits=pq_nbits)
+        out = pq_encode(assigned, books, vec_col=vec_col).drop(vec_col)
+        meta["pq_codebooks"] = books
     out.write.mode("overwrite").partitionBy(cluster_col).parquet(path.rstrip("/") + "/vectors")
     _hadoop_write_text(
         assigned.sparkSession,
         path.rstrip("/") + "/centroids.json",
-        json.dumps({"centroids": centroids, "quantize": bool(quantize)}),
+        json.dumps(meta),
     )
 
 
@@ -589,9 +603,10 @@ def ivf_probe(
 
     sidecar = json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/centroids.json"))
     if isinstance(sidecar, dict):
-        centroids, quantized = sidecar["centroids"], sidecar.get("quantize", False)
+        centroids = sidecar["centroids"]
+        storage = sidecar.get("storage", "sq8" if sidecar.get("quantize") else "raw")
     else:  # pre-r5 sidecar: bare centroid list, raw vectors
-        centroids, quantized = sidecar, False
+        centroids, storage = sidecar, "raw"
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
     def _cos(c: list[float]) -> float:
@@ -601,8 +616,15 @@ def ivf_probe(
     probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i]))[:nprobe]
     vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
     pruned = vectors.filter(F.col(cluster_col).isin(probes))
-    if not quantized:
+    if storage == "raw":
         return cosine_topk(pruned, query_vec, k, vec_col, id_col)
+    if storage == "pq":
+        # ADC over the pruned partitions: the probe never reconstructs a
+        # float vector — codebooks from the sidecar, lookup tables driver-side
+        books = sidecar["pq_codebooks"]
+        return pq_topk(pruned, books, query_vec, k=k, id_col=id_col).withColumnRenamed(
+            "pq_cosine", "cosine"
+        )
 
     # same quantization arithmetic as quantize_embeddings, driver-side
     scale = max((abs(float(x)) for x in query_vec), default=0.0)

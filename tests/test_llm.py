@@ -947,3 +947,35 @@ def test_vocab_and_rarity_semantics(spark):
     assert rarity[2][0] == 2 and abs(rarity[2][1] - 14 / 3) < 1e-5
     # empty doc kept with null rarity
     assert rarity[3] == (0, None)
+
+
+def test_ivf_pq_index(spark, sf_dir, tmp_path):
+    """IVF+PQ: quantize='pq' stores m small codes per vector (no floats at
+    all), codebooks persist in the sidecar, partition pruning survives, and
+    the ADC probe strongly overlaps the raw index's exact top-k."""
+    import os
+
+    from analyst_toolkit_spark.llm.similarity import ivf_build, ivf_probe, ivf_write
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = ivf_build(corpus, nlist=8, max_iter=4)
+    raw_idx, pq_idx = str(tmp_path / "raw"), str(tmp_path / "pq")
+    ivf_write(assigned, centroids, raw_idx)
+    ivf_write(assigned, centroids, pq_idx, quantize="pq")
+
+    stored = spark.read.parquet(os.path.join(pq_idx, "vectors"))
+    assert "pq_code" in stored.columns and "embedding" not in stored.columns
+    row = stored.select("pq_code").first()["pq_code"]
+    assert len(row) == 32 and all(0 <= c < 16 for c in row)
+
+    out = ivf_probe(spark, pq_idx, qvec, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf_cluster" in plan  # pruning intact
+    assert out.columns == ["vec_id", "cosine"]
+
+    approx = [r["vec_id"] for r in out.collect()]
+    exact = [r["vec_id"] for r in ivf_probe(spark, raw_idx, qvec, k=10, nprobe=3).collect()]
+    assert len(approx) == 10
+    assert len(set(approx) & set(exact)) >= 6  # ADC fidelity at 2 bytes/vector
