@@ -266,12 +266,48 @@ def resize_images(df: DataFrame, blob_col: str = "content", max_side: int = 512)
     return df.mapInPandas(mapper, schema=out_schema)
 
 
+def decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL PCM decode for RIFF/WAVE blobs, pure stdlib: (sample_rate,
+    channels, bits, samples normalized to [-1, 1]). Supports PCM 8/16/32-bit
+    (format tag 1); compressed WAVs raise DecoderUnavailable."""
+    import struct
+
+    b = bytes(content or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise DecoderUnavailable("not a RIFF/WAVE payload")
+    pos, rate, ch, bits, fmt_tag, data = 12, None, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, ch, rate = struct.unpack("<HHI", body[:8])
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if not (rate and ch and bits and data is not None):
+        raise DecoderUnavailable("truncated WAV (missing fmt/data)")
+    if fmt_tag != 1 or bits not in (8, 16, 32):
+        raise DecoderUnavailable(f"non-PCM WAV (fmt={fmt_tag}, bits={bits})")
+    width = bits // 8
+    n = len(data) // width
+    if bits == 8:  # unsigned
+        samples = [(x - 128) / 128.0 for x in data[:n]]
+    else:
+        fmt = "<" + ("h" if bits == 16 else "i") * n
+        full = float(1 << (bits - 1))
+        samples = [x / full for x in struct.unpack(fmt, data[: n * width])]
+    return rate, ch, bits, samples
+
+
 def extract_audio_features(df: DataFrame, blob_col: str = "content", deterministic_fake: bool = True) -> DataFrame:
-    """Audio feature seam (stub): duration + RMS-energy columns from a
-    deterministic crc32 fake (librosa/ffmpeg not installed here); the
-    mapInPandas batch shape and output schema are the production contract."""
-    if not deterministic_fake:
-        raise DecoderUnavailable("audio codecs not installed in this environment")
+    """Duration + RMS energy over Arrow batches. PCM WAV blobs take the REAL
+    stdlib decode path (RMS computed from actual samples); other formats
+    fall back to a deterministic crc32 fake (mp3/ogg codecs genuinely need
+    native libraries — the documented seam). ``deterministic_fake=False``
+    disables the fallback and raises for non-WAV payloads."""
+    import math
     import zlib
 
     out_schema = T.StructType(df.schema.fields + [
@@ -279,16 +315,29 @@ def extract_audio_features(df: DataFrame, blob_col: str = "content", determinist
         T.StructField("audio_rms", T.DoubleType(), True),
     ])
 
+    def _features(b) -> tuple[float | None, float | None]:
+        if b is None:
+            return (None, None)
+        raw = bytes(b)
+        if raw[:4] == b"RIFF":
+            try:
+                rate, ch, _bits, samples = decode_wav(raw)
+                if not samples:
+                    return (0.0, 0.0)
+                secs = len(samples) / float(rate * ch)
+                rms = math.sqrt(sum(x * x for x in samples) / len(samples))
+                return (round(secs, 6), round(rms, 6))
+            except DecoderUnavailable:
+                pass  # compressed/corrupt RIFF: deterministic fallback below
+        if not deterministic_fake:
+            raise DecoderUnavailable("audio codecs not installed in this environment")
+        h = zlib.crc32(raw)
+        return ((h % 6000) / 10.0, ((h >> 8) % 1000) / 1000.0)
+
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            feats = [
-                (None, None) if b is None else (
-                    (zlib.crc32(bytes(b)) % 6000) / 10.0,
-                    ((zlib.crc32(bytes(b)) >> 8) % 1000) / 1000.0,
-                )
-                for b in pdf[blob_col]
-            ]
+            feats = [_features(b) for b in pdf[blob_col]]
             pdf["audio_seconds"] = [f[0] for f in feats]
             pdf["audio_rms"] = [f[1] for f in feats]
             yield pdf

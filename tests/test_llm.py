@@ -183,8 +183,10 @@ def test_multimodal_resize_and_audio_seams(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(MM.DecoderUnavailable):
-        MM.extract_audio_features(df, deterministic_fake=False)
+    # fake disabled: non-WAV payloads raise through the Arrow worker at
+    # execution (WAV itself now has a real stdlib decode path)
+    with _pytest.raises(Exception, match="DecoderUnavailable|audio codecs"):
+        MM.extract_audio_features(df, deterministic_fake=False).collect()
 
 
 def test_stopword_ratio_and_vocabulary(spark):
@@ -979,3 +981,44 @@ def test_ivf_pq_index(spark, sf_dir, tmp_path):
     exact = [r["vec_id"] for r in ivf_probe(spark, raw_idx, qvec, k=10, nprobe=3).collect()]
     assert len(approx) == 10
     assert len(set(approx) & set(exact)) >= 6  # ADC fidelity at 2 bytes/vector
+
+
+def test_wav_real_decode_features(spark):
+    """Real PCM path: a synthesized 16-bit sine WAV yields its true duration
+    and the analytic RMS (amplitude/sqrt(2)), agreeing with the header
+    parser; 8-bit square wave exercises the unsigned path."""
+    import math
+    import struct
+
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    def make_wav(rate, ch, bits, frames):
+        width = bits // 8
+        data = b""
+        if bits == 16:
+            amp = 0.5
+            data = b"".join(
+                struct.pack("<h", int(amp * 32768 * math.sin(2 * math.pi * 440 * i / rate)) if True else 0)
+                for i in range(frames)
+            )
+        else:  # 8-bit unsigned square wave at half amplitude
+            data = bytes(128 + (64 if (i // 50) % 2 == 0 else -64) for i in range(frames))
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * width, ch * width, bits)
+        return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+    sine = make_wav(8000, 1, 16, 8000)  # exactly 1 s
+    square = make_wav(4000, 1, 8, 2000)  # 0.5 s
+    df = spark.createDataFrame(
+        [(1, bytearray(sine)), (2, bytearray(square)), (3, bytearray(b"\xff\xd8notaudio"))],
+        "id long, content binary",
+    )
+    rows = {r["id"]: (r["audio_seconds"], r["audio_rms"]) for r in MM.extract_audio_features(df).collect()}
+    assert rows[1][0] == 1.0
+    assert abs(rows[1][1] - 0.5 / math.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert rows[2][0] == 0.5
+    assert abs(rows[2][1] - 0.5) < 0.01  # square RMS = |A|
+    assert rows[3][0] is not None  # non-audio: deterministic fake, not a crash
+    # agreement with the header-only parser on duration
+    rate, chn, bits, dur = MM._parse_wav_header(sine)
+    assert (rate, chn, bits, dur) == (8000, 1, 16, 1.0)
