@@ -1453,6 +1453,37 @@ def q_token_rarity_docs(spark, sf):
     return L_text.token_rarity(load_table(spark, sf, "documents"))
 
 
+def q_stratified_sample_customers(spark, sf):
+    """Per-stratum deterministic sampling (llm/text.stratified_sample):
+    rebalance market segments with different keep fractions. md5-uniform
+    gate — which rows survive is a pure function of the id, exactly
+    reproducible in the oracle."""
+    df = load_table(spark, sf, "customer")
+    out = L_text.stratified_sample(
+        df, "c_mktsegment", {"BUILDING": 0.5, "AUTOMOBILE": 0.25}, id_col="c_custkey"
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+def q_mixture_sample_docs(spark, sf):
+    """Domain-mixture census (llm/text.mixture_sample): two synthetic
+    sources (even/odd doc ids) sampled at different mixture weights, tagged
+    with provenance, unioned; census by source. Per-source salted md5 gates
+    reproduce exactly in SQL."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    mixed = L_text.mixture_sample(
+        {
+            "web": docs.filter(F.col("doc_id") % 2 == 0),
+            "books": docs.filter(F.col("doc_id") % 2 == 1),
+        },
+        {"web": 0.8, "books": 0.3},
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(L_text.token_count("text")).cast("long").alias("tokens"),
+    )
+
+
 def q_quality_docs(spark, sf):
     df = load_table(spark, sf, "documents")
     # score once in a projection (the expression expands to 4 regex passes per
@@ -1794,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
         "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6: local oracle (tokenizer budget census)
         "token_rarity_docs": q_token_rarity_docs,          # new r6: local oracle (inverse-frequency surprisal proxy)
+        "stratified_sample_customers": q_stratified_sample_customers,  # new r6: local oracle (per-stratum md5 gate)
+        "mixture_sample_docs": q_mixture_sample_docs,      # new r6: local oracle (domain-mixture census)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2519,6 +2552,29 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ratio), 6) AS avg_overlap,
                CAST(sum(CASE WHEN ratio = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS full_overlap_docs
         FROM r
+    """
+    sqls["stratified_sample_customers"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR), '|')), 1, 12)) AS UBIGINT)
+              / power(16.0, 12)
+              < (CASE WHEN c_mktsegment = 'BUILDING' THEN 0.5
+                      WHEN c_mktsegment = 'AUTOMOBILE' THEN 0.25
+                      ELSE 0.0 END)
+    """
+    sqls["mixture_sample_docs"] = """
+        WITH mixed AS (
+          SELECT 'web' AS source, text FROM documents
+          WHERE doc_id % 2 = 0
+            AND CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', '|web')), 1, 12)) AS UBIGINT)
+                / power(16.0, 12) < 0.8
+          UNION ALL
+          SELECT 'books' AS source, text FROM documents
+          WHERE doc_id % 2 = 1
+            AND CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', '|books')), 1, 12)) AS UBIGINT)
+                / power(16.0, 12) < 0.3)
+        SELECT source, count(*) AS docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+        FROM mixed GROUP BY 1
     """
     sqls["weighted_sample_docs"] = """
         WITH d AS (

@@ -590,3 +590,52 @@ def token_rarity(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> Da
             F.round(F.avg(F.col("__total") / F.col("__cnt")), 6).alias("avg_rarity"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (class rebalancing): keep a row
+    iff ``hash_uniform(id) < fractions[stratum]``. Same md5-uniform gate as
+    weighted_sample, so which rows survive is a pure function of (id, salt)
+    — stable under re-runs, repartitioning, and corpus growth, and exactly
+    reproducible in the SQL oracle plane. Map-only: the fraction lookup is
+    a literal CASE chain, never a join. Strata absent from ``fractions``
+    keep ``default`` (0 = drop)."""
+    gate = F.lit(float(default))
+    for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        gate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(gate)
+    return df.filter(hash_uniform(id_col, salt) < gate)
+
+
+def mixture_sample(
+    sources: dict,
+    weights: dict,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture construction — the "sample each corpus at its mixture
+    weight, tag provenance, interleave" step every multi-source LLM dataset
+    build ends with. ``sources`` maps name -> DataFrame (same schema);
+    ``weights`` maps name -> keep fraction in [0, 1]. Each source is gated
+    independently by the deterministic md5-uniform (salted with the source
+    name, so the same doc id in two corpora draws independently), tagged
+    with ``source_col``, and unioned lazily — no shuffle; downstream writes
+    interleave by whatever partitioning follows."""
+    if set(sources) - set(weights):
+        raise ValueError(f"missing weights for {sorted(set(sources) - set(weights))}")
+    parts = []
+    for name in sorted(sources):
+        frac = float(weights[name])
+        gated = sources[name].filter(hash_uniform(id_col, f"{salt}|{name}") < F.lit(frac))
+        parts.append(gated.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1022,3 +1022,38 @@ def test_wav_real_decode_features(spark):
     # agreement with the header-only parser on duration
     rate, chn, bits, dur = MM._parse_wav_header(sine)
     assert (rate, chn, bits, dur) == (8000, 1, 16, 1.0)
+
+
+def test_stratified_and_mixture_sampling(spark):
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import text as T
+
+    rows = [Row(doc_id=i, grp="a" if i % 2 == 0 else "b", text="x y z") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = T.stratified_sample(df, "grp", {"a": 0.5, "b": 0.1}, id_col="doc_id")
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # md5-uniform: proportions within a loose band of the fractions
+    assert 0.4 <= by["a"] / 1000 <= 0.6 and 0.02 <= by["b"] / 1000 <= 0.2
+    # deterministic under repartition
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in T.stratified_sample(df.repartition(7), "grp", {"a": 0.5, "b": 0.1}, id_col="doc_id").collect()}
+    assert a == b
+    # unlisted strata drop by default
+    assert T.stratified_sample(df, "grp", {"a": 1.0}).filter("grp = 'b'").count() == 0
+
+    mixed = T.mixture_sample(
+        {"w": df.filter("grp = 'a'"), "k": df.filter("grp = 'b'")},
+        {"w": 0.9, "k": 0.2},
+    )
+    counts = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 0.8 <= counts["w"] / 1000 <= 1.0 and 0.1 <= counts["k"] / 1000 <= 0.3
+    # the same doc id draws INDEPENDENTLY per source (salted by name)
+    both = T.mixture_sample({"w": df, "k": df}, {"w": 0.5, "k": 0.5})
+    w_ids = {r["doc_id"] for r in both.filter("source = 'w'").collect()}
+    k_ids = {r["doc_id"] for r in both.filter("source = 'k'").collect()}
+    assert w_ids != k_ids  # independent draws: overlap but not identical
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        T.mixture_sample({"w": df}, {})
