@@ -1035,6 +1035,46 @@ def q_events_stream_validate(spark, sf):
     )
 
 
+def q_events_stream_windowed(spark, sf):
+    """Watermarked tumbling-window profile through a REAL stream
+    (streaming/rules.windowed_profile): readStream -> withWatermark(2h) ->
+    1h window aggregate -> foreachBatch complete-mode sink, then the sink is
+    returned. With availableNow every row arrives before the watermark
+    advances, so no window is dropped and the totals equal the batch window
+    aggregate — which is exactly what the DuckDB oracle computes."""
+    import tempfile
+
+    from analyst_toolkit_spark.streaming.rules import windowed_profile
+
+    ev_path = f"{sf}/events.parquet"
+    schema = spark.read.parquet(ev_path).schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
+    prof = windowed_profile(stream, ts_col="ts", window="1 hour", watermark="2 hours")
+    sink = tempfile.mkdtemp(prefix="ev_win_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="ev_win_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(sink)
+
+    (
+        prof.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "rows",
+        "nulls",
+        F.round("mean", 6).alias("mean"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+    )
+
+
 def q_drift_orders(spark, sf):
     df = load_table(spark, sf, "orders")
     base = df.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
@@ -1827,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_docs": q_token_rarity_docs,          # new r6: local oracle (inverse-frequency surprisal proxy)
         "stratified_sample_customers": q_stratified_sample_customers,  # new r6: local oracle (per-stratum md5 gate)
         "mixture_sample_docs": q_mixture_sample_docs,      # new r6: local oracle (domain-mixture census)
+        "events_stream_windowed": q_events_stream_windowed,  # new r6: local oracle (watermarked windowed profile, real stream)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2246,6 +2287,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN (event_type NOT IN ('click','view','purchase','signup') AND event_type IS NOT NULL)
                               OR (NOT (value BETWEEN 0 AND 300) AND value IS NOT NULL)
                               OR user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS any_violations
+        FROM events GROUP BY 1
+    """
+    sqls["events_stream_windowed"] = """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+               count(*) AS rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+               round(avg(value), 6) AS mean,
+               round(min(value), 6) AS min,
+               round(max(value), 6) AS max
         FROM events GROUP BY 1
     """
     sqls["hash_split_docs"] = """
