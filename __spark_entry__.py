@@ -776,27 +776,11 @@ def q_decile_bands_orders(spark, sf):
     # the first r bands take q+1 rows. Ties split across bands identically
     # to SQL NTILE because the row number is computed over the same total
     # order the oracle's OVER (ORDER BY price, orderkey) uses.
-    from analyst_toolkit_spark.llm.pack import with_global_cumsum
+    from analyst_toolkit_spark.llm.pack import global_ntile
 
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    n = o.count()
-    q, r = divmod(n, 10)
-    rn_df = with_global_cumsum(
-        o.withColumn("__one", F.lit(1).cast("long")),
-        "__one",
-        ["o_totalprice", "o_orderkey"],
-        out_col="__rn",
-    )
-    rn = F.col("__rn")
-    if q == 0:
-        decile = rn
-    else:
-        head = F.lit(r * (q + 1))
-        decile = F.when(rn <= head, F.ceil(rn / F.lit(q + 1))).otherwise(
-            F.lit(r) + F.ceil((rn - head) / F.lit(q))
-        )
     return (
-        rn_df.withColumn("decile", decile.cast("int"))
+        global_ntile(o, 10, ["o_totalprice", "o_orderkey"], out_col="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

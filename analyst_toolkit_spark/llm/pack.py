@@ -169,3 +169,46 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.round(F.avg("seq_tokens") / F.lit(float(budget)), 6).alias("avg_fill"),
         F.max("docs").cast("long").alias("max_docs_per_seq"),
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_col: str | list[str],
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL-NTILE(n) over a GLOBAL order without the single-task
+    global window (``Window.orderBy`` with no partitionBy funnels the whole
+    table through one task at scale — the collapse this module exists to
+    avoid).
+
+    Row numbers come from the distributed prefix sum of 1 over the
+    (composite) ordering key; the band is NTILE's exact arithmetic applied
+    map-only: with N rows, q = N // n and r = N %% n, the first r bands take
+    q+1 rows. Ties split across bands identically to ``ntile(n) OVER
+    (ORDER BY ...)`` because the row number is computed over the same total
+    order. The ordering key must be unique as a whole (append a primary key
+    as the last element, exactly as SQL NTILE users do for determinism).
+
+    Cost: one count, one range shuffle + materialization, one broadcast
+    offsets join — every pass parallel; the driver holds one scalar per
+    partition."""
+    total = df.count()
+    q, r = divmod(total, int(n))
+    rn_df = with_global_cumsum(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        "__one",
+        order_col,
+        out_col="__rn",
+        num_partitions=num_partitions,
+    )
+    rn = F.col("__rn")
+    if q == 0:
+        band = rn
+    else:
+        head = F.lit(r * (q + 1))
+        band = F.when(rn <= head, F.ceil(rn / F.lit(q + 1))).otherwise(
+            F.lit(r) + F.ceil((rn - head) / F.lit(q))
+        )
+    return rn_df.withColumn(out_col, band.cast("int")).drop("__one", "__rn")

@@ -91,3 +91,28 @@ def test_pack_split_col_never_mixes_splits(spark):
             for r in packed.filter(F.col("split") == label).collect()
         }
         assert together == {k: int(v) for k, v in alone.items()}
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile must equal SQL NTILE over the same total order — ties,
+    uneven bands, n > rows, all of it — without any global-order window."""
+    from pyspark.sql import Window
+
+    from analyst_toolkit_spark.llm.pack import global_ntile
+
+    rows = [(i, float((i * 37) % 11)) for i in range(257)]  # heavy ties
+    df = spark.createDataFrame(rows, ["pk", "v"])
+    for n in (2, 10, 300):
+        got = {
+            r["pk"]: r["ntile"]
+            for r in global_ntile(df.repartition(13), n, ["v", "pk"]).collect()
+        }
+        w = Window.orderBy(F.col("v"), F.col("pk"))
+        want = {r["pk"]: r["t"] for r in df.withColumn("t", F.ntile(n).over(w)).collect()}
+        assert got == want, f"n={n}"
+    # plan shape: no partitionBy-less window anywhere
+    plan = global_ntile(df, 10, ["v", "pk"])._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" in line:
+            assert "Exchange SinglePartition" not in "\n".join(lines[i + 1 : i + 4])
