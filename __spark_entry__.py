@@ -732,16 +732,25 @@ def q_waiting_suppliers(spark, sf):
         "l_suppkey",
         (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("__late"),
     )
-    order_stats = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    # per-(order, supplier) pre-aggregate FIRST: two countDistincts in one
+    # groupBy would compile to a fact-scale EXPAND (x2 shuffle volume at
+    # 100 TB); after the pre-agg the order-level stats are plain count/sum
+    # over the already-distinct keys, and the wait counts reuse the same
+    # pre-aggregate (late_lines) instead of re-scanning the fact
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("__late").cast("int")).alias("__any_late"),
+        F.sum(F.col("__late").cast("long")).alias("__late_lines"),
+    )
+    order_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__any_late").alias("__n_late"),
     )
     qualifying = order_stats.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)).select("l_orderkey")
     waits = (
-        lines.filter(F.col("__late"))
+        per_supp.filter(F.col("__any_late") == 1)
         .join(qualifying, "l_orderkey", "left_semi")
         .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__late_lines").cast("long").alias("numwait"))
     )
     return (
         waits.join(_bc(s), waits.l_suppkey == s.s_suppkey)

@@ -364,27 +364,31 @@ def pq_train(
 
 def pq_score_arrays(codebooks: list[list[list[float]]], vec_col: str = "embedding") -> list[Column]:
     """Per-subspace codeword-score arrays: scores[j][c] = x_j . c - ||c||^2/2
-    (the argmax identity — nearest sub-centroid = max score). Built as
-    direct element_at arithmetic, NOT aggregate(zip_with(lit_vec)): the
-    higher-order form paid one SQL parse per codeword (m * 2^nbits driver
-    round trips) and a codegen tree ~20x this size — measured 27 -> ~4 s on
-    the sf0.1 census."""
-    m = len(codebooks)
+    (the argmax identity — nearest sub-centroid = max score).
+
+    Each array is rendered as ONE parsed SQL expression (the lit_vec
+    lesson): building the same tree from Column operators costs one py4j
+    round trip per operator — m * 2^nbits * dsub * 3 RPCs ≈ 4 s of pure
+    driver time at (32, 16, 2) — while a string parse is one RPC per
+    subspace. Same arithmetic, same association (left-assoc dot, then the
+    -||c||^2/2 constant), so results are bit-identical and the census
+    oracle still hash-matches. Earlier form (aggregate+zip_with+lit_vec
+    per codeword) was 20x worse again in codegen size — 27 -> 4.8 -> ~1 s
+    on the sf0.1 census across the three generations."""
     dsub = len(codebooks[0][0])
     arrays = []
     for j, book in enumerate(codebooks):
-        elems = [F.element_at(F.col(vec_col), j * dsub + d + 1).cast("double") for d in range(dsub)]
-        scores = F.array(
-            *[
-                sum(
-                    (elems[d] * F.lit(float(c[d])) for d in range(1, dsub)),
-                    elems[0] * F.lit(float(c[0])),
-                )
-                - F.lit(0.5 * sum(x * x for x in c))
-                for c in book
-            ]
-        )
-        arrays.append(scores)
+        elems = [
+            f"(CAST(element_at({vec_col}, {j * dsub + d + 1}) AS DOUBLE) * {{}})"
+            for d in range(dsub)
+        ]
+        terms = []
+        for c in book:
+            acc = elems[0].format(repr(float(c[0])))
+            for d in range(1, dsub):
+                acc = f"({acc} + {elems[d].format(repr(float(c[d])))})"
+            terms.append(f"({acc} - {0.5 * sum(x * x for x in c)!r})")
+        arrays.append(F.expr("array(" + ", ".join(terms) + ")"))
     return arrays
 
 
@@ -396,12 +400,21 @@ def pq_encode(
 ) -> DataFrame:
     """Map-only PQ encoding: per subspace, nearest sub-centroid by the same
     argmax(x.c - ||c||^2/2) identity ivf_assign uses; output is an
-    array<int> of m codes. Pure JVM expressions — no UDF, no shuffle."""
-    codes = [
-        (F.array_position(s, F.array_max(s)) - 1).cast("int")
-        for s in pq_score_arrays(codebooks, vec_col)
-    ]
-    return df.withColumn(code_col, F.array(*codes))
+    array<int> of m codes. Pure JVM expressions — no UDF, no shuffle.
+
+    Score arrays are STAGED as named columns in their own projection:
+    array_position + array_max reference each array twice, and inlined
+    references would re-expand the full 2^nbits codeword arithmetic at
+    every use site."""
+    arrays = pq_score_arrays(codebooks, vec_col)
+    staged = df.select("*", *[a.alias(f"__pqs{j}") for j, a in enumerate(arrays)])
+    code = F.array(
+        *[
+            (F.array_position(F.col(f"__pqs{j}"), F.array_max(F.col(f"__pqs{j}"))) - 1).cast("int")
+            for j in range(len(arrays))
+        ]
+    )
+    return staged.withColumn(code_col, code).drop(*[f"__pqs{j}" for j in range(len(arrays))])
 
 
 def pq_topk(
