@@ -132,13 +132,22 @@ def load_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         if storage.resolve_store(path) is not None:
             return storage.load_uri(spark, path, fmt)
     if fmt is None:
-        if path.endswith(".csv"):
+        # compressed variants keep their logical format (Spark's text-based
+        # readers decompress .gz/.bz2/... transparently, one file per task)
+        stem = path
+        for codec_ext in (".gz", ".bz2", ".zst", ".snappy"):
+            if stem.endswith(codec_ext):
+                stem = stem[: -len(codec_ext)]
+                break
+        if stem.endswith(".csv"):
             fmt = "csv"
-        elif path.endswith(".json"):
+        elif stem.endswith((".json", ".jsonl", ".ndjson")):
+            # .jsonl/.ndjson — the standard LLM-corpus layout (one doc per
+            # line) — IS Spark's default json source format
             fmt = "json"
-        elif path.endswith(".parquet"):
+        elif stem.endswith(".parquet"):
             fmt = "parquet"
-        elif path.endswith(".orc"):
+        elif stem.endswith(".orc"):
             fmt = "orc"
         elif os.path.isdir(path):
             # distributed writers emit extension-less directories: sniff the

@@ -169,3 +169,30 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # the year predicate resolves against directory partitions, not data
     assert "PartitionFilters: [isnotnull(o_year" in plan
     assert back.count() == df.filter("o_year = 1995").count()
+
+
+def test_load_any_jsonl_and_gz(spark, tmp_path):
+    """.jsonl/.ndjson (the standard LLM-corpus layout) and .gz-compressed
+    variants dispatch to the json/csv readers, not the parquet fallback."""
+    import gzip
+    import json as _json
+
+    from analyst_toolkit_spark.sources.io import load_any
+
+    docs = [{"doc_id": i, "text": f"doc {i}"} for i in range(20)]
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text("\n".join(_json.dumps(d) for d in docs))
+    out = load_any(spark, str(jl))
+    assert out.count() == 20 and set(out.columns) == {"doc_id", "text"}
+
+    gz = tmp_path / "corpus2.jsonl.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("\n".join(_json.dumps(d) for d in docs))
+    out2 = load_any(spark, str(gz))
+    assert out2.count() == 20 and set(out2.columns) == {"doc_id", "text"}
+
+    csv_gz = tmp_path / "t.csv.gz"
+    with gzip.open(csv_gz, "wt") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    out3 = load_any(spark, str(csv_gz))
+    assert out3.count() == 2 and set(out3.columns) == {"a", "b"}
