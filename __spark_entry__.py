@@ -930,6 +930,48 @@ def q_asof_join_events(spark, sf):
     )
 
 
+def q_asof_nearest_events(spark, sf):
+    """As-of join, direction='nearest' (operators/joins._asof_nearest —
+    pandas merge_asof nearest parity incl. ties-to-backward): each purchase
+    matched to its user's CLOSEST view event in either direction. Oracle:
+    two DuckDB ASOF joins (backward + forward) resolved by absolute
+    distance with the same tie rule."""
+    from analyst_toolkit_spark.operators import joins as M_j
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id", "value")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return M_j.asof_join(purchases, views, on="ts", by="user_id", direction="nearest").select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+def q_range_join_binned_bands(spark, sf):
+    """The BINNED range-join strategy forced (mode='binned' — the
+    both-sides-big path: intervals explode into fixed-width bins, plain
+    hash join on the bin, exact-bounds post-filter). Same result set as
+    the broadcast strategy, so the same oracle checks both physical
+    plans against each other across engines."""
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.operators import joins as M_j
+
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [Row(band=i, lo=float(i * 50), hi=float(i * 50 + 49.999999)) for i in range(10)]
+    )
+    return (
+        M_j.range_join(ev, bands, "value", "lo", "hi", mode="binned")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
 def q_range_join_bands(spark, sf):
     """Interval join (operators/joins.py): event values into fixed 50-wide
     bands, then a per-band census. Band side is 10 literal rows → broadcast
@@ -1861,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_customers": q_stratified_sample_customers,  # new r6: local oracle (per-stratum md5 gate)
         "mixture_sample_docs": q_mixture_sample_docs,      # new r6: local oracle (domain-mixture census)
         "events_stream_windowed": q_events_stream_windowed,  # new r6: local oracle (watermarked windowed profile, real stream)
+        "asof_nearest_events": q_asof_nearest_events,      # new r6: local oracle (nearest-direction as-of, dual-ASOF oracle)
+        "range_join_binned_bands": q_range_join_binned_bands,  # new r6: local oracle (binned strategy forced)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2701,6 +2745,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT band, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events JOIN bands ON value BETWEEN lo AND hi
         GROUP BY band
+    """
+    sqls["range_join_binned_bands"] = sqls["range_join_bands"]
+    sqls["asof_nearest_events"] = """
+        WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type='purchase'),
+        v AS (SELECT user_id, ts, value AS view_value FROM events WHERE event_type='view'),
+        b AS (SELECT p.event_id, v.ts AS m_ts, v.view_value
+              FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+        f AS (SELECT p.event_id, v.ts AS m_ts, v.view_value
+              FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+        SELECT p.user_id, p.event_id, round(p.value, 6) AS purchase_value,
+               round(CASE WHEN b.m_ts IS NULL THEN f.view_value
+                          WHEN f.m_ts IS NULL THEN b.view_value
+                          WHEN (p.ts - b.m_ts) <= (f.m_ts - p.ts) THEN b.view_value
+                          ELSE f.view_value END, 6) AS view_value
+        FROM p
+        LEFT JOIN b ON p.event_id = b.event_id
+        LEFT JOIN f ON p.event_id = f.event_id
     """
     sqls["drift_orders"] = """
         WITH lng AS (
