@@ -310,3 +310,28 @@ def test_pack_prefix_sum_matches_single_node(spark, sizes, budget, parts):
         before = running
         running += n
         assert got[i] == (running, before // budget), (i, sizes, budget)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+    n=st.integers(min_value=1, max_value=12),
+)
+@SET
+def test_global_ntile_band_invariants(spark, vals, n):
+    """NTILE invariants under arbitrary data/bucket counts: bands are
+    1..min(n, N), sizes differ by at most 1, larger bands come first, and
+    band assignment is monotone in the total order."""
+    from analyst_toolkit_spark.llm.pack import global_ntile
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], ["pk", "v"])
+    rows = global_ntile(df, n, ["v", "pk"]).orderBy("v", "pk").collect()
+    bands = [r["ntile"] for r in rows]
+    n_rows = len(vals)
+    assert bands == sorted(bands)  # monotone in the total order
+    assert set(bands) == set(range(1, min(n, n_rows) + 1))
+    from collections import Counter
+
+    sizes = Counter(bands)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    ordered_sizes = [sizes[b] for b in sorted(sizes)]
+    assert ordered_sizes == sorted(ordered_sizes, reverse=True)  # larger first
