@@ -1513,6 +1513,21 @@ def q_stopword_vocab_docs(spark, sf):
     return ratios.crossJoin(vocab)
 
 
+def q_bpe_token_stats_docs(spark, sf):  # NON-SQL (iterative merge induction + per-word encoder loop)
+    """Trained-BPE corpus census (llm/bpe.py): induce 200 merges from a
+    bounded sample (driver-side — the standard tokenizer practice), then
+    tokenize the corpus DISTRIBUTED via the Arrow mapInPandas seam and
+    report subword totals + compression vs whitespace words. The encoder
+    loop is genuinely inexpressible in Spark SQL, so this is the one
+    registry query that legitimately carries an ArrowEvalPython node
+    (allow-listed in test_plans); rows-only driver check."""
+    from analyst_toolkit_spark.llm import bpe as L_bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = L_bpe.bpe_train(docs, num_merges=200, sample_cap=5000)
+    return L_bpe.bpe_token_stats(docs, merges)
+
+
 def q_vocab_coverage_docs(spark, sf):
     """Tokenizer-budget census (llm/text.vocab_coverage): fraction of all
     token occurrences a top-500 frequency vocabulary covers. Integer
@@ -1909,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
         "curate_docs": q_curate_docs,                      # curation chain (rows-only; stages oracle-checked)
+        "bpe_token_stats_docs": q_bpe_token_stats_docs,    # new r6: rows-only (trained BPE; the legitimate Arrow-UDF seam)
     }
 
 

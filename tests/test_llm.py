@@ -1057,3 +1057,39 @@ def test_stratified_and_mixture_sampling(spark):
 
     with _p.raises(ValueError):
         T.mixture_sample({"w": df}, {})
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE induction + distributed encoding: hand-checkable merges on a tiny
+    corpus, encode/train consistency, determinism under repartitioning, and
+    round-trip reconstruction (concat of subwords == word + marker)."""
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import bpe as B
+
+    corpus = ["low low low low low", "lower lower newest newest", "newest newest newest newest", "wider wider"]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(corpus)])
+    merges = B.bpe_train(df, num_merges=10, sample_cap=100)
+    assert merges and all(isinstance(p, tuple) and len(p) == 2 for p in merges)
+    # 'newest' (6x) and 'low' (5x+2 lower) dominate: their pairs merge first
+    flat = ["".join(p) for p in merges]
+    assert any("es" in m or "ne" in m or "lo" in m for m in flat[:3])
+
+    enc = B.bpe_encode(df, merges)
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in enc.collect()}
+    # round-trip: subwords concatenate back to words + end-of-word markers
+    for i, t in enumerate(corpus):
+        words = t.split()
+        joined = "".join(rows[i])
+        assert joined == "".join(w + "</w>" for w in words)
+    # determinism: repartitioned training yields identical merges
+    merges2 = B.bpe_train(df.repartition(5), num_merges=10, sample_cap=100)
+    assert merges2 == merges
+    # the most frequent trained word encodes to ONE symbol once merges cover it
+    big = B.bpe_train(df, num_merges=50, sample_cap=100)
+    enc_one = B._encode_word("newest", {tuple(p): i for i, p in enumerate(big)})
+    assert enc_one == ["newest</w>"]
+
+    stats = B.bpe_token_stats(df, merges).first()
+    assert stats["docs"] == 4 and stats["bpe_tokens"] >= stats["ws_tokens"]
+    assert stats["subwords_per_word"] >= 1.0
