@@ -46,6 +46,46 @@ def save_output(
         writer.parquet(path)
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Size-targeted write: choose the output file count from the
+    optimizer's size estimate so files land near ``target_mb`` — the
+    small-files discipline a 100 TB table needs (every downstream scan pays
+    listing + footer + task-schedule cost PER FILE forever after; the
+    dedup-index write learned this lesson in round 5).
+
+    Uses the plan size estimate (parquet footers propagated through the
+    plan — free, no scan). Parquet compresses ~3-4x from the in-plan
+    estimate, so the estimate is divided by ``_PARQUET_COMPRESSION_GUESS``
+    before sizing. Unknown estimate (-1) falls back to
+    ``spark.sparkContext.defaultParallelism`` files rather than guessing —
+    never a single file (one 100 GB file = one reader task downstream).
+    ``coalesce`` (no shuffle) when shrinking; ``repartition`` only when the
+    frame has FEWER partitions than the target (growing needs the shuffle).
+    Returns the file count used."""
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
+    est = plan_size_bytes(df)
+    if est >= 0:
+        est = est // _PARQUET_COMPRESSION_GUESS if fmt == "parquet" else est
+        n_files = max(1, -(-est // (target_mb << 20)))  # ceil div
+    else:
+        n_files = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    current = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_files) if n_files <= current else df.repartition(n_files)
+    save_output(sized, path, fmt=fmt, mode=mode, partition_by=partition_by)
+    return int(n_files)
+
+
+_PARQUET_COMPRESSION_GUESS = 3  # in-plan bytes -> snappy parquet, conservative
+
+
 def checkpoint(df: DataFrame, path: str) -> DataFrame:
     """S10/S5: parquet checkpoint — breaks lineage, replaces joblib pickling."""
     df.write.mode("overwrite").parquet(path)
