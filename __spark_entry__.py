@@ -1658,6 +1658,27 @@ def q_embedding_quantize_int8(spark, sf):
     )
 
 
+def q_embedding_norm_outliers(spark, sf):
+    """Embedding-quality audit: vectors whose L2 norm deviates > 2 sample
+    std-devs from the corpus mean — the cheap sanity gate run before any
+    ANN indexing (zero/huge norms break cosine). Norm is map-only
+    (aggregate over the array); mean/std one agg; flags via a broadcast
+    1-row cross join. Oracle reproduces the same list-fold arithmetic."""
+    df = load_table(spark, sf, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+    )
+    with_norm = df.select("vec_id", F.sqrt(norm2).alias("l2"))
+    stats = with_norm.agg(
+        F.avg("l2").alias("__m"), F.stddev_samp("l2").alias("__s")
+    )
+    return (
+        with_norm.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col("l2") - F.col("__m")) > 2 * F.col("__s"))
+        .select("vec_id", F.round("l2", 6).alias("l2"))
+    )
+
+
 # Fixed 4x4 grid codebook shared by q_embedding_pq_census and its oracle:
 # 16 two-dim codewords over the corpus value range. Deterministic (no
 # k-means), so the PQ ENCODE arithmetic itself is oracle-checkable — the
@@ -1912,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bracketed_revenue": q_bracketed_revenue,          # new r6: local oracle (Q19 disjunctive brackets)
         "waiting_suppliers": q_waiting_suppliers,          # new r6: local oracle (Q21 sole-late-supplier)
         "embedding_pq_census": q_embedding_pq_census,      # new r6: local oracle (PQ grid-encode fidelity)
+        "embedding_norm_outliers": q_embedding_norm_outliers,  # new r6: local oracle (pre-index norm sanity gate)
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
         "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6: local oracle (tokenizer budget census)
         "token_rarity_docs": q_token_rarity_docs,          # new r6: local oracle (inverse-frequency surprisal proxy)
@@ -2398,6 +2420,16 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN stream s ON d.doc_id = s.doc_id
         LEFT JOIN counts c ON s.token = c.token
         GROUP BY 1
+    """
+    sqls["embedding_norm_outliers"] = """
+        WITH n AS (
+          SELECT vec_id,
+                 sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                                  (a, b) -> a + b)) AS l2
+          FROM embeddings),
+        s AS (SELECT avg(l2) AS m, stddev_samp(l2) AS sd FROM n)
+        SELECT vec_id, round(l2, 6) AS l2
+        FROM n, s WHERE abs(l2 - m) > 2 * sd
     """
     # PQ census oracle: generated SQL mirroring pq_encode's grid arithmetic
     # term-for-term (same double ops in the same association order, so the
