@@ -760,6 +760,93 @@ def q_waiting_suppliers(spark, sf):
     )
 
 
+def q_min_cost_supplier(spark, sf):
+    """Q2-shape: the minimum-cost supplier per part within one region — the
+    correlated-min subquery over the supplier catalog. Testdata carries no
+    partsupp table, so the catalog is DERIVED from lineitem (cost(part,
+    supp) = minimum unit price ever charged on a line); the join topology is
+    TPC-H Q2's (part x supplier x nation x region with a per-part min join
+    back). Spark-first: ONE fact shuffle builds the derived catalog; dims
+    ride broadcasts (nation/region unconditional — fixed size; supplier/part
+    size-gated via _bc); the per-part min is a pre-aggregate of the already
+    part-filtered catalog joined back on (partkey, cost) — never a
+    correlated re-scan. min() over doubles is order-independent, so the
+    equality join is deterministic on both engines."""
+    l = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 15)
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost")
+    )
+    regional = (
+        cost.join(_bc(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(_bc(p), cost.l_partkey == p.p_partkey)
+        .select("l_partkey", "__cost", "s_acctbal", "s_name", "n_name")
+    )
+    mn = regional.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("__cost").alias("__mc"))
+    return (
+        regional.join(
+            _bc(mn), (F.col("l_partkey") == F.col("__pk")) & (F.col("__cost") == F.col("__mc"))
+        )
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("__cost"), 6).alias("cost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("nation"), F.asc("supplier"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+def q_excess_share_suppliers(spark, sf):
+    """Q20-shape: suppliers holding an EXCESS SHARE of a part family's supply
+    in one year — TPC-H Q20's "availqty > half of shipped quantity"
+    correlated subquery, adapted to the derived catalog (no partsupp in
+    testdata): a supplier qualifies if, for some Brand#1 part, it shipped
+    MORE THAN HALF of that part's 1995 total. Spark-first: the correlated
+    pair becomes per-(part, supplier) and per-part pre-aggregates (the
+    second derived FROM the first — no second fact scan) joined back; the
+    qualifying supplier set is distinct-projected and joined to
+    supplier x nation (Q20's semi-join essence). Shuffles: one fact groupBy
+    + one bounded catalog join — nothing correlated, nothing quadratic."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(F.sum("__qty").alias("__tot"))
+    excess = (
+        shipped.join(_bc(totals), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("__qty") > 0.5 * F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(_bc(s), excess.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+        .orderBy("supplier")
+    )
+
+
 def q_rollup_returns(spark, sf):
     # OLAP ROLLUP: lineitem revenue at (returnflag, linestatus), per-flag
     # subtotals, and the grand total in ONE pass (Catalyst EXPAND — the
@@ -1341,6 +1428,43 @@ def q_repetition_docs(spark, sf):
     )
 
 
+def q_repeated_spans_docs(spark, sf):
+    """Exact-substring dedup census (llm/dedup.repeated_span_stats — the Lee
+    et al. arXiv:2107.06499 mode at token granularity): per-doc maximal
+    cross-document repeated 8-token spans, rolled up per doc. Spark groups
+    grams by xxhash64 (shuffle-byte economy at scale); the oracle groups the
+    raw gram strings — agreement also certifies the hash path collision-free
+    at this scale."""
+    docs = load_table(spark, sf, "documents")
+    return L_dedup.repeated_span_stats(docs, n=8, min_docs=2).select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "longest_span",
+    )
+
+
+def q_charlm_quality_docs(spark, sf):
+    """CCNet-style LM quality filter (llm/lm): train a conditional char-
+    trigram model on the English slice, score EVERY doc by mean conditional
+    probability (log-free perplexity analogue — see llm/lm.py docstring),
+    roll up per language. Model joins without a hint (its size is corpus-
+    dependent); the whole plan is two bounded aggs + one gram-keyed join."""
+    from analyst_toolkit_spark.llm import lm as L_lm
+
+    docs = load_table(spark, sf, "documents")
+    model = L_lm.train_char_lm(docs.filter(F.col("lang") == "en"))
+    scored = L_lm.charlm_score(docs, model, keep_cols=["lang"])
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("oov_grams").cast("long").alias("oov_grams"),
+            F.round(F.avg("mean_prob"), 6).alias("mean_prob"),
+        )
+    )
+
+
 def q_decontaminate_docs(spark, sf):
     """Benchmark decontamination census (llm/text.decontaminate): every 25th
     doc's text doubles as a benchmark entry, so those docs must flag with
@@ -1808,66 +1932,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (transparent, semantics-neutral): most registry queries
     # have DuckDB oracles but the driver verifies only the first 50 dict
-    # entries per round. Rounds 2-5 together gave every pre-r5 entry a green
-    # driver row (CORRECTNESS_r02-r05.json — zero failures; the r5 window was
-    # 50/50 oracle-backed). Round 6 rotates the 14 r5-authored oracle-backed
-    # queries (never driver-checked; local oracle only) into the window, plus
-    # the NEW events_stream_validate (first driver-checked Structured
-    # Streaming query — r5 VERDICT directive #8). The 15 entries parked in
-    # the tail to make room are each r05-green (noted inline). Every
-    # deterministic query — windowed or not — also runs against the same
-    # oracle in the local test suite (tests/test_entry_contract.py) at
-    # sf0.01 every run, so rotation never leaves a query unverified.
+    # entries per round. Rounds 2-5 together gave 77 queries green driver
+    # rows (CORRECTNESS_r02-r05.json — zero failures since r2). Round 6 packs
+    # the window with EVERY oracle-backed query that has never had a driver
+    # row: the 14 r5-authored rotations + events_stream_validate (r5 VERDICT
+    # directive #8), decile_bands_orders (re-implemented r6 — needs a fresh
+    # row), the 15 r6-tail additions (TPC-H Q8/Q13/Q15/Q17/Q19/Q21 shapes,
+    # PQ census, norm outliers, vocab/rarity, sampling, second streaming
+    # query, nearest-asof, binned range join), and the 4 late-r6 additions
+    # (Q2/Q20 shapes, exact-substring spans, charlm quality) = 35 first-time
+    # slots; the other 15 slots are stable r02-r05-green queries kept for
+    # round-over-round continuity. Every deterministic query — windowed or
+    # not — also runs against the same oracle in the local test suite
+    # (tests/test_entry_contract.py) at sf0.01 every run, so rotation never
+    # leaves a query unverified. After this round every oracle-backed query
+    # in the registry should hold a green driver row in some round.
     return {
-        # -- profiling / stats ------------------------------------------------
-        "profile_lineitem": q_profile_lineitem,
-        "dup_clusters_lineitem": q_dup_clusters_lineitem,
-        "value_counts_topn_priority": q_value_counts_topn_priority,
-        "corr_lineitem": q_corr_lineitem,
-        "dtype_composition_lineitem": q_dtype_composition_lineitem,
-        # -- validation / duplicates / outliers / impute ----------------------
-        "validation_summary_orders": q_validation_summary_orders,
-        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,
-        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,
-        "outlier_clip_lineitem": q_outlier_clip_lineitem,
-        "impute_median_customer": q_impute_median_customer,
-        # -- normalization ----------------------------------------------------
-        "normalize_text_customer": q_normalize_text_customer,
-        "datetime_parse_orders": q_datetime_parse_orders,
-        "fuzzy_correction_customer": q_fuzzy_correction_customer,
-        # -- SQL / join / window showcase -------------------------------------
-        "decile_bands_orders": q_decile_bands_orders,  # KEPT in-window: impl changed r6 (global NTILE window -> distributed prefix-sum row numbers; needs a fresh row)
+        # -- first-time driver slots: r5 rotations -----------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
         "sales_opportunity": q_sales_opportunity,          # r6 rotate-in (Q22 scalar-subquery + anti-join)
         "shipmode_priority": q_shipmode_priority,          # r6 rotate-in (Q12 conditional agg)
         "promo_revenue": q_promo_revenue,                  # r6 rotate-in (Q14 conditional ratio)
         "large_volume_orders": q_large_volume_orders,      # r6 rotate-in (Q18 having semi-join)
-        # -- events / streaming / temporal joins ------------------------------
-        "events_sessions": q_events_sessions,
         "events_stream_validate": q_events_stream_validate,  # NEW r6: real readStream->foreachBatch through the driver gate
-        "asof_join_events": q_asof_join_events,
-        "range_join_bands": q_range_join_bands,
-        # -- diff / drift / audit ---------------------------------------------
-        "row_diff_orders": q_row_diff_orders,
-        "null_audit_orders": q_null_audit_orders,
-        "data_dictionary_customer": q_data_dictionary_customer,
-        # -- LLM-pipeline: text / dedup / embeddings --------------------------
-        "text_stats_documents": q_text_stats_documents,
-        "exact_dup_docs": q_exact_dup_docs,
-        "minhash_pairs_docs": q_minhash_pairs_docs,
-        "dedup_cluster_docs": q_dedup_cluster_docs,
-        "ngram_jaccard_docs": q_ngram_jaccard_docs,
-        "lang_detect_docs": q_lang_detect_docs,
-        "quality_docs": q_quality_docs,
-        "stopword_vocab_docs": q_stopword_vocab_docs,
-        "binary_stats_docs": q_binary_stats_docs,
-        "pii_redact_docs": q_pii_redact_docs,
-        "chunk_docs": q_chunk_docs,
-        "url_extract_docs": q_url_extract_docs,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "dedup_index_probe": q_dedup_index_probe,          # r6 rotate-in (incremental dedup)
         "embedding_quantize_int8": q_embedding_quantize_int8,  # r6 rotate-in (SQ8 fidelity)
         "pack_sequences_docs": q_pack_sequences_docs,      # r6 rotate-in (budget packing)
@@ -1876,11 +1964,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,              # r6 rotate-in (dup-ngram quality)
         "decontaminate_docs": q_decontaminate_docs,        # r6 rotate-in (benchmark overlap)
         "embedding_cluster": q_embedding_cluster,          # r6 rotate-in (cosine pairs -> components)
+        # -- first-time driver slots: re-implemented r6 ------------------------
+        "decile_bands_orders": q_decile_bands_orders,  # impl changed r6 (global NTILE window -> distributed prefix-sum row numbers; needs a fresh row)
+        # -- first-time driver slots: r6 additions -----------------------------
+        "market_share": q_market_share,                    # new r6 (Q8 share ratio)
+        "order_count_distribution": q_order_count_distribution,  # new r6 (Q13 left-join distribution)
+        "top_supplier_revenue": q_top_supplier_revenue,    # new r6 (Q15 scalar-max)
+        "small_quantity_revenue": q_small_quantity_revenue,  # new r6 (Q17 correlated avg)
+        "bracketed_revenue": q_bracketed_revenue,          # new r6 (Q19 disjunctive brackets)
+        "waiting_suppliers": q_waiting_suppliers,          # new r6 (Q21 sole-late-supplier)
+        "min_cost_supplier": q_min_cost_supplier,          # new r6 (Q2 correlated-min over derived catalog)
+        "excess_share_suppliers": q_excess_share_suppliers,  # new r6 (Q20 excess-share semi-join)
+        "embedding_pq_census": q_embedding_pq_census,      # new r6 (PQ grid-encode fidelity)
+        "embedding_norm_outliers": q_embedding_norm_outliers,  # new r6 (pre-index norm sanity gate)
+        "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6 (tokenizer budget census)
+        "token_rarity_docs": q_token_rarity_docs,          # new r6 (inverse-frequency surprisal proxy)
+        "stratified_sample_customers": q_stratified_sample_customers,  # new r6 (per-stratum md5 gate)
+        "mixture_sample_docs": q_mixture_sample_docs,      # new r6 (domain-mixture census)
+        "events_stream_windowed": q_events_stream_windowed,  # new r6 (watermarked windowed profile, real stream)
+        "asof_nearest_events": q_asof_nearest_events,      # new r6 (nearest-direction as-of, dual-ASOF oracle)
+        "range_join_binned_bands": q_range_join_binned_bands,  # new r6 (binned strategy forced)
+        "repeated_spans_docs": q_repeated_spans_docs,      # new r6 (exact-substring span dedup, Lee et al. mode)
+        "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
+        # -- stable continuity slots (every one r02-r05 green) -----------------
+        "profile_lineitem": q_profile_lineitem,            # r05 green
+        "corr_lineitem": q_corr_lineitem,                  # r05 green
+        "validation_summary_orders": q_validation_summary_orders,  # r05 green
+        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
+        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,    # r05 green
+        "impute_median_customer": q_impute_median_customer,  # r05 green
+        "normalize_text_customer": q_normalize_text_customer,  # r05 green
+        "datetime_parse_orders": q_datetime_parse_orders,  # r05 green
+        "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05 green
+        "events_sessions": q_events_sessions,              # r05 green
+        "asof_join_events": q_asof_join_events,            # r05 green
+        "row_diff_orders": q_row_diff_orders,              # r05 green
+        "text_stats_documents": q_text_stats_documents,    # r05 green
+        "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green
+        "embedding_topk": q_embedding_topk,                # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
-        # ---- run via tests/test_entry_contract.py. Parked r6: 15 entries ----
-        # ---- each r05-green (TPC-H shapes, md5-simhash pair, histogram/  ----
-        # ---- crosstab, events near-duplicates of in-window siblings).    ----
+        # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
+        # ---- 19 more r02-r05-green entries moved out to make room for    ----
+        # ---- the 35 first-time slots above.                              ----
+        "dup_clusters_lineitem": q_dup_clusters_lineitem,  # r05 green
+        "value_counts_topn_priority": q_value_counts_topn_priority,  # r05 green
+        "dtype_composition_lineitem": q_dtype_composition_lineitem,  # r05 green
+        "outlier_clip_lineitem": q_outlier_clip_lineitem,  # r05 green
+        "range_join_bands": q_range_join_bands,            # r05 green
+        "null_audit_orders": q_null_audit_orders,          # r05 green
+        "data_dictionary_customer": q_data_dictionary_customer,  # r05 green
+        "exact_dup_docs": q_exact_dup_docs,                # r05 green
+        "dedup_cluster_docs": q_dedup_cluster_docs,        # r05 green
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,        # r05 green
+        "lang_detect_docs": q_lang_detect_docs,            # r05 green
+        "quality_docs": q_quality_docs,                    # r05 green
+        "stopword_vocab_docs": q_stopword_vocab_docs,      # r05 green
+        "binary_stats_docs": q_binary_stats_docs,          # r05 green
+        "pii_redact_docs": q_pii_redact_docs,              # r05 green
+        "chunk_docs": q_chunk_docs,                        # r05 green
+        "url_extract_docs": q_url_extract_docs,            # r05 green
+        "embedding_near_dup": q_embedding_near_dup,        # r05 green
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,      # r05 green
         "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
         "shipping_priority": q_shipping_priority,          # r05 green (Q3)
         "window_running_total": q_window_running_total,    # r05 green
@@ -1926,22 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
-        "market_share": q_market_share,                    # new r6: local oracle (Q8 share ratio)
-        "order_count_distribution": q_order_count_distribution,  # new r6: local oracle (Q13 left-join distribution)
-        "top_supplier_revenue": q_top_supplier_revenue,    # new r6: local oracle (Q15 scalar-max)
-        "small_quantity_revenue": q_small_quantity_revenue,  # new r6: local oracle (Q17 correlated avg)
-        "bracketed_revenue": q_bracketed_revenue,          # new r6: local oracle (Q19 disjunctive brackets)
-        "waiting_suppliers": q_waiting_suppliers,          # new r6: local oracle (Q21 sole-late-supplier)
-        "embedding_pq_census": q_embedding_pq_census,      # new r6: local oracle (PQ grid-encode fidelity)
-        "embedding_norm_outliers": q_embedding_norm_outliers,  # new r6: local oracle (pre-index norm sanity gate)
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
-        "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6: local oracle (tokenizer budget census)
-        "token_rarity_docs": q_token_rarity_docs,          # new r6: local oracle (inverse-frequency surprisal proxy)
-        "stratified_sample_customers": q_stratified_sample_customers,  # new r6: local oracle (per-stratum md5 gate)
-        "mixture_sample_docs": q_mixture_sample_docs,      # new r6: local oracle (domain-mixture census)
-        "events_stream_windowed": q_events_stream_windowed,  # new r6: local oracle (watermarked windowed profile, real stream)
-        "asof_nearest_events": q_asof_nearest_events,      # new r6: local oracle (nearest-direction as-of, dual-ASOF oracle)
-        "range_join_binned_bands": q_range_join_binned_bands,  # new r6: local oracle (binned strategy forced)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2613,6 +2743,86 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY numwait DESC, name ASC
         LIMIT 20
+    """
+    sqls["min_cost_supplier"] = """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS c
+          FROM lineitem GROUP BY 1, 2),
+        regional AS (
+          SELECT l_partkey, c, s_acctbal, s_name, n_name
+          FROM cost
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN part     ON l_partkey = p_partkey
+          WHERE p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15),
+        mn AS (SELECT l_partkey AS pk, min(c) AS mc FROM regional GROUP BY 1)
+        SELECT s_acctbal AS acctbal, s_name AS supplier, n_name AS nation,
+               l_partkey AS partkey, round(c, 6) AS cost
+        FROM regional JOIN mn ON l_partkey = pk AND c = mc
+        ORDER BY acctbal DESC, nation ASC, supplier ASC, partkey ASC
+        LIMIT 100
+    """
+    sqls["excess_share_suppliers"] = """
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'
+            AND l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+        totals AS (SELECT l_partkey AS pk, sum(qty) AS tot FROM shipped GROUP BY 1),
+        excess AS (
+          SELECT DISTINCT l_suppkey FROM shipped JOIN totals ON l_partkey = pk
+          WHERE qty > 0.5 * tot)
+        SELECT s_name AS supplier, n_name AS nation, s_acctbal AS acctbal
+        FROM excess
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        ORDER BY supplier
+    """
+    sqls["repeated_spans_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                                     i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')})
+                 ELSE [] END, recursive := true)
+          FROM tk),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM hits),
+        grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM grp GROUP BY doc_id, gid)
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+               CAST(max(e - s + 1) AS INTEGER) AS longest_span
+        FROM spans GROUP BY 1
+    """
+    sqls["charlm_quality_docs"] = f"""
+        WITH nrm AS (SELECT doc_id, lang, {_NORM_SQL.format(col='text')} AS t FROM documents),
+        g AS (
+          SELECT doc_id, lang, unnest(CASE WHEN length(t) >= 3
+                 THEN list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
+                 ELSE [] END) AS gram
+          FROM nrm),
+        tri AS (SELECT gram, count(*) AS c FROM g WHERE lang = 'en' GROUP BY 1),
+        pre AS (SELECT substr(gram, 1, 2) AS p, sum(c) AS pc FROM tri GROUP BY 1),
+        model AS (SELECT gram, c * 1.0 / pc AS prob FROM tri JOIN pre ON substr(gram, 1, 2) = p),
+        scored AS (
+          SELECT doc_id, any_value(lang) AS lang, count(*) AS n_grams,
+                 sum(CASE WHEN prob IS NULL THEN 1 ELSE 0 END) AS oov,
+                 avg(coalesce(prob, 0)) AS mp
+          FROM g LEFT JOIN model USING (gram) GROUP BY doc_id)
+        SELECT lang, count(*) AS docs, CAST(sum(oov) AS BIGINT) AS oov_grams,
+               round(avg(mp), 6) AS mean_prob
+        FROM scored GROUP BY 1
     """
     sqls["volume_shipping"] = """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -512,6 +512,110 @@ def connected_components(
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
+def positioned_ngrams(col: str | Column, n: int) -> Column:
+    """Word n-grams WITH their 0-based token start positions, as an
+    ``array<string>`` indexed by position (``grams[i]`` starts at token i).
+
+    Same shifted-slices construction as :func:`shingles` (O(n) array ops per
+    row, bit-identical gram strings) but WITHOUT ``array_distinct`` — span
+    detection needs every occurrence, positioned. Pair with ``posexplode``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
+    g = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, g) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL cross-document repeated token spans per document — the
+    exact-substring dedup mode of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (arXiv:2107.06499), re-expressed for Spark
+    at token (not byte) granularity. Their suffix array is a single-machine
+    structure; the distributed equivalent is:
+
+      1. positioned n-grams (map-side shifted slices, no shuffle);
+      2. gram -> 64-bit hash, groupBy hash HAVING countDistinct(doc) >=
+         min_docs — ONE shuffle on the hash key; only grams that actually
+         repeat across documents survive (the candidate bound: output-sized,
+         never all-pairs);
+      3. semi-join the positioned stream against the surviving hashes (keyed
+         shuffle, AQE-broadcastable when the dup set is small);
+      4. islands merge per document: overlapping/adjacent hits (gap <= n)
+         fuse into maximal spans via lag + running sum over a window
+         PARTITIONED BY doc — per-doc state only, no global order.
+
+    Grouping on xxhash64(gram) instead of the gram string cuts shuffle bytes
+    ~10x at 100 TB; a 64-bit collision mislabels one gram pair in ~2^32
+    gram-pairs-per-bucket (negligible; the DuckDB oracle groups the raw gram
+    string and agrees at test scale).
+
+    Returns one row per maximal span: (id, start_tok, end_tok, span_tokens),
+    token indices 0-based inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    grams = positioned_ngrams(text_col, n)
+    gdf = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "__gram")).select(
+        id_col, "pos", F.xxhash64("__gram").alias("__gh")
+    )
+    dup = (
+        gdf.groupBy("__gh")
+        .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    hits = gdf.join(dup, "__gh", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # all hits are n tokens long: hit at p2 overlaps/abuts the previous span
+    # iff p2 - p1 <= n, so lag alone suffices (no running-max needed)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(F.lit(1))
+    gid = F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        hits.withColumn("__brk", brk)
+        .withColumn("__gid", gid)
+        .groupBy(id_col, "__gid")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(n - 1)).cast("int").alias("end_tok"),
+        )
+    )
+    return spans.select(
+        id_col,
+        F.col("start_tok").cast("int").alias("start_tok"),
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document rollup of :func:`repeated_spans`: how much of each doc is
+    cross-document boilerplate (the remove-or-keep signal a curation pass
+    thresholds on). Only documents containing at least one repeated span
+    appear. Columns: (id, n_spans, dup_tokens, longest_span)."""
+    spans = repeated_spans(df, id_col=id_col, text_col=text_col, n=n, min_docs=min_docs)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("int").alias("longest_span"),
+    )
+
+
 def dedup_representatives(
     df: DataFrame,
     pairs: DataFrame,

@@ -1093,3 +1093,75 @@ def test_bpe_train_and_encode(spark):
     stats = B.bpe_token_stats(df, merges).first()
     assert stats["docs"] == 4 and stats["bpe_tokens"] >= stats["ws_tokens"]
     assert stats["subwords_per_word"] >= 1.0
+
+
+def test_repeated_spans_ground_truth(spark):
+    """Hand-verifiable exact-substring spans (llm/dedup.repeated_spans):
+    shared runs across docs become maximal merged spans; overlapping AND
+    abutting gram hits fuse; under-n overlaps and unique docs emit nothing."""
+    rows = [
+        (1, "a b c d e f g h"),            # shares a..e with 2, f..h with 4
+        (2, "x y a b c d e q r s"),        # shares a..e with 1
+        (3, "z0 z1 z2 z3 z4"),             # unique -> no spans
+        (4, "a b c q0 q1 q2 q3 f g h"),    # two DISJOINT shared runs vs 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.span_tokens)
+        for r in D.repeated_spans(df, n=3).collect()
+    }
+    # doc 1: grams abc(0) bcd(1) cde(2) and fgh(5) hit; 5-2 <= 3 so the two
+    # duplicated regions are CONTIGUOUS in token space and fuse into 0..7
+    # doc 2: hits at 2,3,4 -> tokens 2..6
+    # doc 4: hits at 0 and 7 -> gap > n -> two spans 0..2 and 7..9
+    assert got == {
+        (1, 0, 7, 8),
+        (2, 2, 6, 5),
+        (4, 0, 2, 3),
+        (4, 7, 9, 3),
+    }
+    stats = {
+        (r.doc_id, r.n_spans, r.dup_tokens, r.longest_span)
+        for r in D.repeated_span_stats(df, n=3).collect()
+    }
+    assert stats == {(1, 1, 8, 8), (2, 1, 5, 5), (4, 2, 6, 3)}
+
+
+def test_repeated_spans_within_doc_repeat_not_flagged(spark):
+    """A gram repeated only WITHIN one doc is not a cross-document span
+    (min_docs counts distinct docs, not occurrences)."""
+    rows = [(1, "p q r p q r p q r"), (2, "totally different words here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert D.repeated_spans(df, n=3).count() == 0
+
+
+def test_charlm_model_and_score(spark):
+    from analyst_toolkit_spark.llm import lm as L
+
+    train = spark.createDataFrame([(1, "aaab")], ["doc_id", "text"])
+    model = {r.gram: r.prob for r in L.train_char_lm(train).collect()}
+    # grams of "aaab": aaa, aab -> both share prefix "aa" (count 2)
+    assert model == {"aaa": 0.5, "aab": 0.5}
+
+    score_df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "ab")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.oov_grams, r.mean_prob)
+        for r in L.charlm_score(score_df, L.train_char_lm(train)).collect()
+    }
+    # "aaaa" -> aaa, aaa: all in-model at p=0.5; "abab" -> aba, bab: both OOV
+    # (scored 0); "ab" is shorter than n -> no grams -> absent entirely
+    assert got == {1: (2, 0, 0.5), 2: (2, 2, 0.0)}
+
+
+def test_char_ngrams_short_and_normalized(spark):
+    from analyst_toolkit_spark.llm import lm as L
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "A,B!C")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.g for r in df.select("doc_id", L.char_ngrams("text").alias("g")).collect()}
+    assert out[1] == [] and out[2] == []          # shorter than n -> EMPTY, never descending
+    assert out[3] is None or out[3] == []         # null text stays harmless
+    assert out[4] == ["a b", " b ", "b c"]        # punctuation -> spaces, then grams
