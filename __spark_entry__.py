@@ -1444,6 +1444,21 @@ def q_repeated_spans_docs(spark, sf):
     )
 
 
+def q_remove_spans_docs(spark, sf):
+    """Span REMOVAL census (llm/dedup.remove_repeated_spans): cut every
+    cross-document repeated 8-token span from every doc; md5 of the cleaned
+    token text proves byte-exact agreement with the oracle without hauling
+    document bodies through the compare."""
+    docs = load_table(spark, sf, "documents")
+    out = L_dedup.remove_repeated_spans(docs, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "kept_tokens",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def q_charlm_quality_docs(spark, sf):
     """CCNet-style LM quality filter (llm/lm): train a conditional char-
     trigram model on the English slice, score EVERY doc by mean conditional
@@ -1985,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_events": q_asof_nearest_events,      # new r6 (nearest-direction as-of, dual-ASOF oracle)
         "range_join_binned_bands": q_range_join_binned_bands,  # new r6 (binned strategy forced)
         "repeated_spans_docs": q_repeated_spans_docs,      # new r6 (exact-substring span dedup, Lee et al. mode)
+        "remove_spans_docs": q_remove_spans_docs,          # new r6 (span REMOVAL; md5-proved text parity)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
         # -- stable continuity slots (every one r02-r05 green) -----------------
         "profile_lineitem": q_profile_lineitem,            # r05 green
@@ -2001,7 +2017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_diff_orders": q_row_diff_orders,              # r05 green
         "text_stats_documents": q_text_stats_documents,    # r05 green
         "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green
-        "embedding_topk": q_embedding_topk,                # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
@@ -2025,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,                        # r05 green
         "url_extract_docs": q_url_extract_docs,            # r05 green
         "embedding_near_dup": q_embedding_near_dup,        # r05 green
+        "embedding_topk": q_embedding_topk,                # r05 green (parked late-r6 for remove_spans_docs)
         "embedding_lsh_pairs": q_embedding_lsh_pairs,      # r05 green
         "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
         "shipping_priority": q_shipping_priority,          # r05 green (Q3)
@@ -2804,6 +2820,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
                CAST(max(e - s + 1) AS INTEGER) AS longest_span
         FROM spans GROUP BY 1
+    """
+    sqls["remove_spans_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                                     i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')})
+                 ELSE [] END, recursive := true)
+          FROM tk),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM hits),
+        grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM grp GROUP BY doc_id, gid),
+        tok2 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                                i -> {'i': i - 1, 'tok': toks[i]}), recursive := true)
+          FROM tk),
+        kept AS (
+          SELECT t.doc_id, t.i, t.tok FROM tok2 t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, count(*) AS kept
+          FROM kept GROUP BY 1)
+        SELECT tk.doc_id,
+               CAST(coalesce(agg.kept, 0) AS INTEGER) AS kept_tokens,
+               CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
+               md5(coalesce(agg.clean_text, '')) AS clean_md5
+        FROM tk LEFT JOIN agg USING (doc_id)
     """
     sqls["charlm_quality_docs"] = f"""
         WITH nrm AS (SELECT doc_id, lang, {_NORM_SQL.format(col='text')} AS t FROM documents),

@@ -616,6 +616,54 @@ def repeated_span_stats(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup: cut every cross-document
+    repeated span (:func:`repeated_spans`) out of every document, returning
+    one row per input doc with the cleaned token text.
+
+    Policy: ALL occurrences are cut (Lee et al. keep one global occurrence;
+    electing a canonical copy per span cluster costs an extra global
+    election shuffle — callers who need keep-one semantics should dedup at
+    document granularity first, then span-cut the survivors). Output text is
+    the retained TOKENS joined by single spaces (token-level surgery;
+    byte-exact splicing would need char offsets, which the tokenizer
+    deliberately discards).
+
+    Plan: spans are output-sized; they aggregate per doc (collect_list of
+    ranges — bounded by doc length / n) and join back once; the cut itself
+    is a map-side higher-order ``filter((tok, i) -> no span contains i)``.
+    Columns: (id, clean_text, kept_tokens, removed_tokens).
+    """
+    spans = repeated_spans(df, id_col=id_col, text_col=text_col, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), F.lit(0))
+    # project tokens BEFORE the filter lambda: a compound expression inside a
+    # higher-order function is re-evaluated per element (llm/lm._ngrams_of)
+    base = df.select(F.col(id_col), toks.alias("__toks")).join(per_doc, id_col, "left")
+    in_span = lambda tok, i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["start_tok"]) & (i <= s["end_tok"]),
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(F.filter("__toks", lambda tok, i: ~in_span(tok, i)))
+    out = base.select(F.col(id_col), F.col("__toks"), kept.alias("__kept"))
+    return out.select(
+        F.col(id_col),
+        F.array_join("__kept", " ").alias("clean_text"),
+        F.size("__kept").alias("kept_tokens"),
+        (F.size("__toks") - F.size("__kept")).alias("removed_tokens"),
+    )
+
+
 def dedup_representatives(
     df: DataFrame,
     pairs: DataFrame,

@@ -1165,3 +1165,25 @@ def test_char_ngrams_short_and_normalized(spark):
     assert out[1] == [] and out[2] == []          # shorter than n -> EMPTY, never descending
     assert out[3] is None or out[3] == []         # null text stays harmless
     assert out[4] == ["a b", " b ", "b c"]        # punctuation -> spaces, then grams
+
+
+def test_remove_repeated_spans_ground_truth(spark):
+    """The removal half: flagged spans are cut token-exactly, untouched docs
+    pass through, a fully-duplicated doc empties out."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e q r s"),
+        (3, "z0 z1 z2 z3 z4"),
+        (4, "a b c q0 q1 q2 q3 f g h"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.kept_tokens, r.removed_tokens)
+        for r in D.remove_repeated_spans(df, n=3).collect()
+    }
+    assert got == {
+        1: ("", 0, 8),                    # whole doc is one fused span
+        2: ("x y q r s", 5, 5),
+        3: ("z0 z1 z2 z3 z4", 5, 0),      # no spans -> identity
+        4: ("q0 q1 q2 q3", 4, 6),         # two disjoint spans cut
+    }
