@@ -1459,6 +1459,56 @@ def q_remove_spans_docs(spark, sf):
     )
 
 
+def q_corpus_drift_docs(spark, sf):
+    """Crawl-over-crawl unigram drift (llm/monitor.token_distribution_drift):
+    even/odd doc ids stand in for two crawl snapshots; the single-row
+    summary carries vocab churn + total-variation distance (log-free by
+    design — see llm/monitor docstring)."""
+    from analyst_toolkit_spark.llm import monitor as L_mon
+
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    out = L_mon.token_distribution_drift(a, b)
+    return out.withColumn("tv_distance", F.round("tv_distance", 6))
+
+
+def q_token_drift_terms_docs(spark, sf):
+    """The biggest per-token movers behind corpus_drift_docs' single number
+    (llm/monitor.token_drift_terms): top-10 by absolute relative-frequency
+    change, deterministically tie-broken on the token."""
+    from analyst_toolkit_spark.llm import monitor as L_mon
+
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    out = L_mon.token_drift_terms(a, b, top_n=10)
+    return out.select(
+        "tok",
+        F.round("freq_a", 6).alias("freq_a"),
+        F.round("freq_b", 6).alias("freq_b"),
+        F.round("abs_delta", 6).alias("abs_delta"),
+    )
+
+
+def q_embedding_drift(spark, sf):
+    """Embedding-space drift between two snapshots (llm/monitor.
+    embedding_centroid_drift): per-dimension centroid averages (tiny shuffle
+    after partial agg), centroid L2 shift, mean norms."""
+    from analyst_toolkit_spark.llm import monitor as L_mon
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = L_mon.embedding_centroid_drift(a, b)
+    return out.select(
+        "dims",
+        F.round("centroid_shift", 6).alias("centroid_shift"),
+        F.round("mean_norm_a", 6).alias("mean_norm_a"),
+        F.round("mean_norm_b", 6).alias("mean_norm_b"),
+    )
+
+
 def q_charlm_quality_docs(spark, sf):
     """CCNet-style LM quality filter (llm/lm): train a conditional char-
     trigram model on the English slice, score EVERY doc by mean conditional
@@ -2002,6 +2052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans_docs": q_repeated_spans_docs,      # new r6 (exact-substring span dedup, Lee et al. mode)
         "remove_spans_docs": q_remove_spans_docs,          # new r6 (span REMOVAL; md5-proved text parity)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
+        "corpus_drift_docs": q_corpus_drift_docs,          # new r6 (unigram TV-distance drift)
+        "token_drift_terms_docs": q_token_drift_terms_docs,  # new r6 (top drift movers)
+        "embedding_drift": q_embedding_drift,              # new r6 (centroid shift between snapshots)
         # -- stable continuity slots (every one r02-r05 green) -----------------
         "profile_lineitem": q_profile_lineitem,            # r05 green
         "corr_lineitem": q_corr_lineitem,                  # r05 green
@@ -2014,9 +2067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05 green
         "events_sessions": q_events_sessions,              # r05 green
         "asof_join_events": q_asof_join_events,            # r05 green
-        "row_diff_orders": q_row_diff_orders,              # r05 green
-        "text_stats_documents": q_text_stats_documents,    # r05 green
-        "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
@@ -2041,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_extract_docs": q_url_extract_docs,            # r05 green
         "embedding_near_dup": q_embedding_near_dup,        # r05 green
         "embedding_topk": q_embedding_topk,                # r05 green (parked late-r6 for remove_spans_docs)
+        "row_diff_orders": q_row_diff_orders,              # r05 green (parked late-r6 for drift queries)
+        "text_stats_documents": q_text_stats_documents,    # r05 green (parked late-r6 for drift queries)
+        "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green (parked late-r6 for drift queries)
         "embedding_lsh_pairs": q_embedding_lsh_pairs,      # r05 green
         "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
         "shipping_priority": q_shipping_priority,          # r05 green (Q3)
@@ -2856,6 +2909,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
                md5(coalesce(agg.clean_text, '')) AS clean_md5
         FROM tk LEFT JOIN agg USING (doc_id)
+    """
+    sqls["corpus_drift_docs"] = """
+        WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+                    FROM documents WHERE doc_id % 2 = 0),
+        tb AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+               FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY 1),
+        cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY 1),
+        j AS (SELECT coalesce(ca.tok, cb.tok) AS tok, ca.ca, cb.cb
+              FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        t AS (SELECT sum(ca) AS tta, sum(cb) AS ttb FROM j)
+        SELECT CAST(max(tta) AS BIGINT) AS tokens_a, CAST(max(ttb) AS BIGINT) AS tokens_b,
+               CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+               CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+               CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS shared_vocab,
+               CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_vocab,
+               CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lost_vocab,
+               round(0.5 * sum(abs(coalesce(ca, 0) * 1.0 / tta - coalesce(cb, 0) * 1.0 / ttb)), 6) AS tv_distance
+        FROM j, t
+    """
+    sqls["token_drift_terms_docs"] = """
+        WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+                    FROM documents WHERE doc_id % 2 = 0),
+        tb AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+               FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY 1),
+        cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY 1),
+        j AS (SELECT coalesce(ca.tok, cb.tok) AS tok, ca.ca, cb.cb
+              FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        t AS (SELECT sum(ca) AS tta, sum(cb) AS ttb FROM j),
+        f AS (SELECT tok, coalesce(ca, 0) * 1.0 / tta AS fa, coalesce(cb, 0) * 1.0 / ttb AS fb
+              FROM j, t)
+        SELECT tok, round(fa, 6) AS freq_a, round(fb, 6) AS freq_b,
+               round(abs(fb - fa), 6) AS abs_delta
+        FROM f
+        ORDER BY abs(fb - fa) DESC, tok ASC
+        LIMIT 10
+    """
+    sqls["embedding_drift"] = """
+        WITH pe AS (
+          SELECT vec_id % 2 AS side,
+                 unnest(list_transform(range(1, len(embedding) + 1),
+                        i -> {'pos': i - 1, 'v': embedding[i]::DOUBLE}), recursive := true)
+          FROM embeddings),
+        cen AS (
+          SELECT pos,
+                 avg(CASE WHEN side = 0 THEN v END) AS c_a,
+                 avg(CASE WHEN side = 1 THEN v END) AS c_b
+          FROM pe GROUP BY 1),
+        shift AS (
+          SELECT CAST(count(*) AS INTEGER) AS dims,
+                 sqrt(sum((c_a - c_b) * (c_a - c_b))) AS centroid_shift
+          FROM cen),
+        nrm AS (
+          SELECT vec_id % 2 AS side,
+                 sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                                  (a, b) -> a + b)) AS l2
+          FROM embeddings),
+        mn AS (SELECT avg(CASE WHEN side = 0 THEN l2 END) AS na,
+                      avg(CASE WHEN side = 1 THEN l2 END) AS nb
+               FROM nrm)
+        SELECT dims, round(centroid_shift, 6) AS centroid_shift,
+               round(na, 6) AS mean_norm_a, round(nb, 6) AS mean_norm_b
+        FROM shift, mn
     """
     sqls["charlm_quality_docs"] = f"""
         WITH nrm AS (SELECT doc_id, lang, {_NORM_SQL.format(col='text')} AS t FROM documents),

@@ -151,6 +151,12 @@ def main() -> None:
     _nh("dedup_index_near_probe", lambda: _materialize(L_inc.near_probe(spark, probe_idx, tiny)))
     if "curate_docs" in qs:
         _nh("curate_chain_8stage", lambda: _materialize(qs["curate_docs"](spark, sf_dir)))
+    # late-r6 heavy text operators (exact-substring spans + char-LM scoring):
+    # count() prunes the span subtree entirely (PLANS.md note), so these are
+    # only honest under the same noop-write materialization
+    for nh_name in ("repeated_spans_docs", "remove_spans_docs", "charlm_quality_docs"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
     detail = {
         "metric": "module_suite_wall_clock",

@@ -1187,3 +1187,35 @@ def test_remove_repeated_spans_ground_truth(spark):
         3: ("z0 z1 z2 z3 z4", 5, 0),      # no spans -> identity
         4: ("q0 q1 q2 q3", 4, 6),         # two disjoint spans cut
     }
+
+
+def test_token_distribution_drift_hand_computed(spark):
+    from analyst_toolkit_spark.llm import monitor as M
+
+    a = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "a c")], ["doc_id", "text"])
+    r = M.token_distribution_drift(a, b).first()
+    assert (r.tokens_a, r.tokens_b) == (3, 2)
+    assert (r.vocab_a, r.vocab_b, r.shared_vocab, r.new_vocab, r.lost_vocab) == (2, 2, 1, 1, 1)
+    # tv = 0.5 * (|2/3 - 1/2| + |1/3 - 0| + |0 - 1/2|) = 0.5
+    assert abs(r.tv_distance - 0.5) < 1e-12
+
+    terms = M.token_drift_terms(a, b, top_n=3).collect()
+    assert [t.tok for t in terms] == ["c", "b", "a"]   # deltas 1/2 > 1/3 > 1/6
+
+    # identical corpora -> zero drift, full overlap
+    same = M.token_distribution_drift(a, a).first()
+    assert same.tv_distance == 0.0 and same.new_vocab == 0 and same.lost_vocab == 0
+
+
+def test_embedding_centroid_drift_hand_computed(spark):
+    import math
+
+    from analyst_toolkit_spark.llm import monitor as M
+
+    a = spark.createDataFrame([(1, [1.0, 0.0]), (2, [3.0, 0.0])], ["vec_id", "embedding"])
+    b = spark.createDataFrame([(3, [0.0, 4.0])], ["vec_id", "embedding"])
+    r = M.embedding_centroid_drift(a, b).first()
+    assert r.dims == 2
+    assert abs(r.centroid_shift - math.sqrt(4 + 16)) < 1e-12   # (2,0) vs (0,4)
+    assert abs(r.mean_norm_a - 2.0) < 1e-12 and abs(r.mean_norm_b - 4.0) < 1e-12
