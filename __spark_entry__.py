@@ -1459,6 +1459,45 @@ def q_remove_spans_docs(spark, sf):
     )
 
 
+# Pinned weights for q_quality_classifier_docs: the output of
+# classify.train_logreg(iters=60, lr=1.0) on the same corrupted-input
+# construction at sf0.01 (1.000 train accuracy; recorded in NOTES_r6).
+# Pinned-literal scoring keeps the query engine-exact (margin is rational
+# arithmetic); TRAINING itself is iterative+exp and is exercised by
+# tests/test_llm.py, not by the oracle.
+_CLF_WEIGHTS = [4.0415, -1.3209, -0.5764, -2.5617, 0.4607, 1.0451]
+_CLF_NOISE = " 12#34 56!78 90$12 34%56 78&90 !!@@ 11223344556677889900"
+
+
+def q_quality_classifier_docs(spark, sf):
+    """fastText-stage quality classifier (llm/classify): corrupt every 3rd
+    doc with digit/punct spam (both engines build the identical input),
+    score with the PINNED trained weights, and report the confusion matrix
+    + mean margin per cell. Scoring is map-only; at 100 TB this is the
+    same single-scan filter shape as quality_score."""
+    from analyst_toolkit_spark.llm import classify as C
+
+    docs = load_table(spark, sf, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_CLF_NOISE * 12))
+    ).otherwise(F.col("text"))
+    # project t2 BEFORE the 8-subexpression feature build (llm/lm._ngrams_of
+    # lesson: a compound expression referenced many times re-evaluates)
+    feat = docs.select(
+        (F.col("doc_id") % 3 != 0).cast("int").alias("label"), t2.alias("__t2")
+    ).select("label", C.quality_features("__t2").alias("features"))
+    scored = C.score_logreg(feat, _CLF_WEIGHTS, prob_col=None)
+    return (
+        scored.groupBy(
+            "label", (F.col("margin") > 0).cast("int").alias("predicted")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("margin"), 6).alias("avg_margin"),
+        )
+    )
+
+
 def q_corpus_drift_docs(spark, sf):
     """Crawl-over-crawl unigram drift (llm/monitor.token_distribution_drift):
     even/odd doc ids stand in for two crawl snapshots; the single-row
@@ -2052,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans_docs": q_repeated_spans_docs,      # new r6 (exact-substring span dedup, Lee et al. mode)
         "remove_spans_docs": q_remove_spans_docs,          # new r6 (span REMOVAL; md5-proved text parity)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
+        "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
         "corpus_drift_docs": q_corpus_drift_docs,          # new r6 (unigram TV-distance drift)
         "token_drift_terms_docs": q_token_drift_terms_docs,  # new r6 (top drift movers)
         "embedding_drift": q_embedding_drift,              # new r6 (centroid shift between snapshots)
@@ -2065,7 +2105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_customer": q_normalize_text_customer,  # r05 green
         "datetime_parse_orders": q_datetime_parse_orders,  # r05 green
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05 green
-        "events_sessions": q_events_sessions,              # r05 green
         "asof_join_events": q_asof_join_events,            # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
@@ -2094,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_diff_orders": q_row_diff_orders,              # r05 green (parked late-r6 for drift queries)
         "text_stats_documents": q_text_stats_documents,    # r05 green (parked late-r6 for drift queries)
         "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green (parked late-r6 for drift queries)
+        "events_sessions": q_events_sessions,              # r05 green (parked late-r6 for quality_classifier_docs)
         "embedding_lsh_pairs": q_embedding_lsh_pairs,      # r05 green
         "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
         "shipping_priority": q_shipping_priority,          # r05 green (Q3)
@@ -2910,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(agg.clean_text, '')) AS clean_md5
         FROM tk LEFT JOIN agg USING (doc_id)
     """
+    sqls["quality_classifier_docs"] = _quality_classifier_sql()
     sqls["corpus_drift_docs"] = """
         WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
                     FROM documents WHERE doc_id % 2 = 0),
@@ -3454,6 +3495,44 @@ def oracle_sql() -> dict[str, str]:
         FROM u GROUP BY domain
     """
     return sqls
+
+
+def _quality_classifier_sql() -> str:
+    # mirrors llm/classify.quality_features + _dot_lit term order exactly;
+    # the margin is rational arithmetic over literal weights, so it
+    # hash-matches bit-for-bit (prob/sigmoid deliberately NOT oracle surface)
+    from analyst_toolkit_spark.llm.text import _STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    noise = (_CLF_NOISE).replace("'", "''")
+    t2 = f"CASE WHEN doc_id % 3 = 0 THEN text || repeat('{noise}', 12) ELSE text END"
+    tok = "length(regexp_extract_all(t2, '\\S+'))"
+    f1 = f"least({tok} / 32.0, 4.0)"
+    f2 = (
+        "CASE WHEN length(t2) > 0 THEN (length(t2) - length(regexp_replace(t2, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / length(t2) ELSE 0.0 END"
+    )
+    f3 = (
+        "CASE WHEN length(t2) > 0 THEN (length(t2) - length(regexp_replace(t2, '[0-9]', '', 'g'))) * 1.0 / length(t2) ELSE 0.0 END"
+    )
+    f4 = f"""CASE WHEN {tok} > 0 THEN
+        len(list_filter(regexp_extract_all(lower(t2), '[a-z'']+'), t -> list_contains({sw}, t))) * 1.0 / {tok}
+      ELSE 0.0 END"""
+    f5 = f"""CASE WHEN {tok} > 0 THEN
+        CAST(list_sum(list_transform(regexp_extract_all(t2, '\\S+'), t -> length(t))) AS DOUBLE) / {tok} / 10.0
+      ELSE 0.0 END"""
+    feats = ["1.0", f1, f2, f3, f4, f5]
+    margin = " + ".join(
+        f"(CAST('{w!r}' AS DOUBLE) * ({x}))" for w, x in zip(_CLF_WEIGHTS, feats)
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, {t2} AS t2 FROM documents),
+        m AS (SELECT CAST(doc_id % 3 <> 0 AS INTEGER) AS label,
+                     {margin} AS margin
+              FROM c)
+        SELECT label, CAST(margin > 0 AS INTEGER) AS predicted,
+               count(*) AS docs, round(avg(margin), 6) AS avg_margin
+        FROM m GROUP BY 1, 2
+    """
 
 
 def _quality_docs_sql() -> str:

@@ -1219,3 +1219,36 @@ def test_embedding_centroid_drift_hand_computed(spark):
     assert r.dims == 2
     assert abs(r.centroid_shift - math.sqrt(4 + 16)) < 1e-12   # (2,0) vs (0,4)
     assert abs(r.mean_norm_a - 2.0) < 1e-12 and abs(r.mean_norm_b - 4.0) < 1e-12
+
+
+def test_logreg_trains_to_separate_synthetic_quality(spark):
+    from analyst_toolkit_spark.llm import classify as C
+
+    clean = "the cat and the dog are in the house with a mouse and they play"
+    spam = "11#22 33!44 55$66 77%88 99&00 !!@@ 112233445566778899 0011223344"
+    rows = [(i, clean if i % 2 else spam, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    feat = df.select(
+        "doc_id", "label", C.quality_features("text").alias("features")
+    ).localCheckpoint(eager=True)
+
+    w = C.train_logreg(feat, "label", iters=50, lr=1.0)
+    assert len(w) == len(C.FEATURE_NAMES)
+    scored = C.score_logreg(feat, w)
+    assert C.classifier_accuracy(scored, "label") == 1.0
+    # digit-ratio weight must be negative: digits are the spam signal here
+    assert w[C.FEATURE_NAMES.index("digit_ratio")] < 0
+    # determinism: identical input -> identical weights
+    assert C.train_logreg(feat, "label", iters=50, lr=1.0) == w
+    # prob column is a monotone transform of margin, strictly inside (0, 1)
+    r = scored.select("margin", "prob").first()
+    assert 0.0 < r.prob < 1.0 and (r.prob > 0.5) == (r.margin > 0)
+
+
+def test_dot_lit_matches_python_dot(spark):
+    from analyst_toolkit_spark.llm import classify as C
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, -3.0])], ["id", "features"])
+    w = [0.5, -1.25, 2.0]
+    got = df.select(C._dot_lit("features", w).alias("m")).first()["m"]
+    assert got == 0.5 * 1.0 + (-1.25) * 2.0 + 2.0 * (-3.0)
