@@ -7,8 +7,11 @@ stage-count report materializes anything, and that is opt-in). The stage
 order is the one production pipelines use:
 
   clean (strip_html) → quality gate (score / repetition / language)
+  → classifier gate (pinned-weight logreg margin, map-only)
   → exact dedup (normalized fingerprint, keep smallest id)
   → near dedup (MinHash-LSH pairs → connected components → representatives)
+  → span removal (cross-document exact-substring spans cut from survivors)
+  → char-LM gate (CCNet-style mean-probability threshold vs a reference)
   → decontaminate (benchmark n-gram overlap)
   → weighted sample (deterministic md5-uniform)
   → split (stable md5-bucket train/val/test)
@@ -39,8 +42,27 @@ class CurationConfig:
     min_quality: float | None = None
     max_repetition: float | None = None
     languages: list[str] | None = None
+    #: pinned logreg weights (llm/classify.FEATURE_NAMES order) enable the
+    #: fastText-stage gate: keep docs with margin > classifier_threshold.
+    #: Map-only — composes into whatever scan precedes it.
+    classifier_weights: list[float] | None = None
+    classifier_threshold: float = 0.0
     exact_dedup: bool = True
     near_dedup_threshold: float | None = None  # e.g. 0.8 enables MinHash stage
+    #: n-gram length enables exact-substring span REMOVAL on the dedup
+    #: survivors (llm/dedup.remove_repeated_spans): cross-document repeated
+    #: token runs are cut from every doc; the text column becomes the cleaned
+    #: token form. Self-referencing (span set is built from the corpus) — the
+    #: chain cuts lineage before it like the other two-subtree stages.
+    span_dedup_n: int | None = None
+    span_min_docs: int = 2
+    #: char-LM quality gate (llm/lm): keep docs whose mean conditional
+    #: trigram probability under a model trained on ``lm_reference`` (or the
+    #: running corpus itself when None) is >= min_lm_prob. Docs whose
+    #: normalized text is shorter than the gram length produce no score and
+    #: are dropped by this gate.
+    min_lm_prob: float | None = None
+    lm_reference: DataFrame | None = None
     benchmark: DataFrame | None = None
     max_benchmark_overlap: float = 0.5
     sample_weight: str | None = None  # column name; None disables
@@ -117,6 +139,18 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             languages=cfg.languages,
         )
 
+    if cfg.classifier_weights is not None:
+        from analyst_toolkit_spark.llm import classify as C
+
+        # project features first (the expression-duplication rule), filter on
+        # the literal-weight margin, drop the scratch column — still map-only
+        out = (
+            out.withColumn("__feat", C.quality_features(key))
+            .filter(C._dot_lit("__feat", cfg.classifier_weights) > cfg.classifier_threshold)
+            .drop("__feat")
+        )
+        _record("classifier_gate", threshold=cfg.classifier_threshold)
+
     # Each of the next three stages references the running frame in TWO
     # subtrees (the keep-set build and the join back), so the cut goes
     # BEFORE the stage: both subtrees then read one materialization instead
@@ -142,6 +176,37 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         pairs = D.minhash_dedup_pairs(out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold)
         out = D.dedup_representatives(out, pairs, id_col=id_col)
         _record("near_dedup", method="minhash_lsh+components", threshold=cfg.near_dedup_threshold)
+
+    if cfg.span_dedup_n:
+        out = _cut(out)
+        clean = D.remove_repeated_spans(
+            out, id_col=id_col, text_col=key, n=cfg.span_dedup_n, min_docs=cfg.span_min_docs
+        ).select(id_col, "clean_text")
+        # every input doc appears in remove_repeated_spans' output (no-span
+        # docs pass through verbatim as their token form), so an inner join
+        # preserves the corpus
+        out = out.join(clean, id_col).withColumn(key, F.col("clean_text")).drop("clean_text")
+        _record("span_removal", n=cfg.span_dedup_n, min_docs=cfg.span_min_docs)
+
+    if cfg.min_lm_prob is not None:
+        from analyst_toolkit_spark.llm import lm as LM
+
+        ref = cfg.lm_reference
+        if ref is None:
+            out = _cut(out)  # self-training references the frame twice
+            ref = out
+        model = LM.train_char_lm(ref, key=key)
+        keep_ids = (
+            LM.charlm_score(out, model, key=key, id_col=id_col)
+            .filter(F.col("mean_prob") >= cfg.min_lm_prob)
+            .select(id_col)
+        )
+        out = out.join(keep_ids, id_col, "left_semi")
+        _record(
+            "charlm_gate",
+            min_lm_prob=cfg.min_lm_prob,
+            reference="external" if cfg.lm_reference is not None else "self",
+        )
 
     if cfg.benchmark is not None:
         out = _cut(out)

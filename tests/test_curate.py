@@ -113,3 +113,56 @@ def test_curate_pack_never_mixes_splits(spark, sf_dir):
         .count()
     )
     assert mixed == 0
+
+
+def test_curate_new_gates_classifier_span_charlm(spark):
+    """The three late-r6 stages compose in one chain: the pinned-weight
+    classifier gate drops digit spam, span removal cuts shared boilerplate,
+    and a char-LM gate (trained on a CLEAN reference, the CCNet shape) drops
+    out-of-distribution gibberish."""
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    spam = "11#22 33!44 55$66 77%88 99&00 !!@@ 1122334455 66778899 00112233 445566"
+    gibberish = "zqxj wvkp qzzx jjqv xkwz pqvj zzkx qwwv jxkp zvqz xwjk pqqz"
+
+    def body(i):
+        # per-doc distinct wording: no 4-token run repeats across docs
+        # except the injected boilerplate tail
+        return " ".join(f"w{i}b{j} m{(i * 7 + j) % 13}e{j}" for j in range(8))
+
+    rows = (
+        [(i, f"{body(i)} {boiler}") for i in range(10)]
+        + [(100 + i, f"{spam} {i}") for i in range(3)]
+        + [(200, f"{gibberish} {boiler}")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from analyst_toolkit_spark.llm import classify as CL
+
+    feat = docs.select(
+        "doc_id", CL.quality_features("text").alias("features"),
+        (~F.col("doc_id").between(100, 199)).cast("int").alias("label"),
+    ).localCheckpoint(eager=True)
+    w = CL.train_logreg(feat, "label", iters=50, lr=1.0)
+
+    reference = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    out, report = C.curate_corpus(
+        docs,
+        exact_dedup=True,
+        classifier_weights=w,
+        span_dedup_n=4,
+        min_lm_prob=0.05,
+        lm_reference=reference,
+        report_counts=True,
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert not any(100 <= d <= 199 for d in got), "classifier gate dropped all spam"
+    # the shared boilerplate tail is cut from every surviving doc
+    assert got and all("subscribe to our newsletter" not in t for t in got.values())
+    # gibberish is OOV under the clean-reference char LM (its boilerplate,
+    # the only in-distribution part, was cut by span removal first)
+    assert 200 not in got
+    # clean docs survive every gate, with their distinct bodies intact
+    assert set(range(10)) == set(got)
+    assert all(f"w{i}b0" in got[i] for i in range(10))
+    assert report["classifier_gate"]["rows"] == 11          # 10 clean + gibberish
+    assert report["span_removal"]["n"] == 4
+    assert report["charlm_gate"]["reference"] == "external"
