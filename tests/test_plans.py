@@ -121,3 +121,32 @@ def test_corpus_scaling_broadcasts_are_size_gated(spark, sf_dir):
     # and the registry queries still broadcast the gated dims at test scale
     plan = _plan(QUERIES["returned_revenue_customers"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_charlm_model_join_is_unhinted(spark, sf_dir):
+    """The char-LM scoring join must NOT carry a broadcast hint: the model's
+    size is corpus-dependent (CJK alphabets make it unbounded) — the same
+    trust-nothing rule as llm/scale.pair_strategy. AQE decides at runtime."""
+    df = QUERIES["charlm_quality_docs"](spark, sf_dir)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_classifier_scoring_is_single_aggregation(spark, sf_dir):
+    """Pinned-weight classifier scoring is a map-only filter+project: the
+    whole query is one scan + one confusion-matrix aggregation (<= 2
+    exchanges incl. AQE final merge), no joins at all."""
+    plan = _plan(QUERIES["quality_classifier_docs"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_repeated_spans_window_is_doc_partitioned(spark, sf_dir):
+    """The islands-merge windows must be keyed on the document id — per-doc
+    state only (the generic no-global-order test asserts the negative; this
+    asserts the positive shape)."""
+    plan = _plan(QUERIES["repeated_spans_docs"](spark, sf_dir))
+    assert "Window [" in plan
+    import re
+
+    for m in re.finditer(r"Window \[.*?windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "doc_id"
