@@ -108,11 +108,15 @@ def train_logreg(
     for _ in range(iters):
         margin = _dot_lit(features_col, w)
         # sigmoid clamped the standard way; exp() here is training-internal
-        # (the learned weights are floats either way), not oracle surface
+        # (the learned weights are floats either way), not oracle surface.
+        # err is PROJECTED before the D gradient sums — referenced D times,
+        # it would otherwise re-evaluate the dot+sigmoid per feature (the
+        # expression-duplication rule, llm/lm._ngrams_of)
         err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - y
-        sums = df.agg(
+        proj = df.select(F.col(features_col), err.alias("__err"))
+        sums = proj.agg(
             *[
-                F.sum(err * F.element_at(features_col, i + 1)).alias(f"g{i}")
+                F.sum(F.col("__err") * F.element_at(features_col, i + 1)).alias(f"g{i}")
                 for i in range(dim)
             ]
         ).first()
