@@ -335,3 +335,86 @@ def test_global_ntile_band_invariants(spark, vals, n):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     ordered_sizes = [sizes[b] for b in sorted(sizes)]
     assert ordered_sizes == sorted(ordered_sizes, reverse=True)  # larger first
+
+
+# small-alphabet token texts: high collision rate so repeated spans actually
+# occur in random corpora
+_span_doc = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=30).map(" ".join)
+
+
+@given(docs=st.lists(_span_doc, min_size=2, max_size=8), n=st.integers(min_value=2, max_value=4))
+@SET
+def test_repeated_spans_invariants(spark, docs, n):
+    """Exact parity with a Python ground-truth reimplementation under
+    arbitrary corpora: duplicated-gram hits -> islands merge -> maximal
+    spans, and removal arithmetic (kept + removed == total; cleaned text ==
+    tokens minus span positions)."""
+    from collections import defaultdict
+
+    from analyst_toolkit_spark.llm import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = {i: (t.split() if t else []) for i, t in rows}
+
+    gram_owners = defaultdict(set)
+    for d, ts in toks.items():
+        for q in range(len(ts) - n + 1):
+            gram_owners[tuple(ts[q : q + n])].add(d)
+    expected = set()
+    exp_by_doc = defaultdict(list)
+    for d, ts in toks.items():
+        hits = [
+            q
+            for q in range(len(ts) - n + 1)
+            if len(gram_owners[tuple(ts[q : q + n])]) >= 2
+        ]
+        island_start = prev = None
+        for q in hits + [None]:
+            if prev is not None and (q is None or q - prev > n):
+                expected.add((d, island_start, prev + n - 1, prev + n - island_start))
+                exp_by_doc[d].append((island_start, prev + n - 1))
+                island_start = None
+            if q is not None:
+                if island_start is None:
+                    island_start = q
+                prev = q
+
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.span_tokens)
+        for r in D.repeated_spans(df, n=n).collect()
+    }
+    assert got == expected
+
+    removed = {r.doc_id: r for r in D.remove_repeated_spans(df, n=n).collect()}
+    assert set(removed) == set(toks)
+    for d, r in removed.items():
+        assert r.kept_tokens + r.removed_tokens == len(toks[d])
+        cut = {p for (s, e) in exp_by_doc.get(d, []) for p in range(s, e + 1)}
+        expect_text = " ".join(t for p, t in enumerate(toks[d]) if p not in cut)
+        assert r.clean_text == expect_text
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abcd ")).map("".join), min_size=1, max_size=6))
+@SET
+def test_charlm_model_is_normalized(spark, docs):
+    """A trained char-LM is a proper conditional distribution: probs lie in
+    (0, 1] and sum to 1 within each 2-char prefix; scored docs stay in
+    [0, 1] mean probability with zero OOV when self-scored."""
+    from collections import defaultdict
+
+    from analyst_toolkit_spark.llm import lm as L
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    model = L.train_char_lm(df)
+    rows = model.collect()
+    by_prefix = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.prob <= 1.0
+        by_prefix[r.gram[:2]] += r.prob
+    for p, s in by_prefix.items():
+        assert abs(s - 1.0) < 1e-9, f"prefix {p!r} sums to {s}"
+    if rows:
+        scored = L.charlm_score(df, model).collect()
+        for r in scored:
+            assert r.oov_grams == 0 and 0.0 < r.mean_prob <= 1.0
