@@ -134,3 +134,67 @@ def test_streaming_asof_enrichment_foreach_batch(spark, stream_dir, sf_dir):
     }
     got_map = {r["event_id"]: r["view_value"] for r in rows}
     assert got_map == expect
+
+
+def test_streaming_quality_gates_match_batch(spark, sf_dir):
+    """Online corpus filtering on a document STREAM: the pinned-weight
+    classifier margin applies directly (stateless projection, append mode);
+    the char-LM score, whose plan ends in a per-doc aggregation, applies per
+    micro-batch inside foreachBatch against the statically trained model.
+    Both must agree doc-for-doc with the batch engine."""
+    import tempfile
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import classify as C
+    from analyst_toolkit_spark.llm import lm as L
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="doc_stream_")
+    docs.write.mode("overwrite").parquet(src)
+
+    model = L.train_char_lm(docs).localCheckpoint(eager=True)  # static side
+    w = [1.0, -0.5, -2.0, -3.0, 0.5, 0.25]  # arbitrary pinned weights
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    # classifier margin is a stateless projection -> applies to the stream
+    # DIRECTLY (append mode); the LM score ends in a per-doc aggregation, so
+    # its streaming form runs INSIDE foreachBatch per micro-batch (file
+    # sources deliver whole docs per batch) — the same micro-batch pattern
+    # as llm/incremental's near-probe twin.
+    gated = C.score_logreg(
+        stream.select("doc_id", C.quality_features("text").alias("features")),
+        w,
+        prob_col=None,
+    )
+    assert gated.isStreaming
+
+    got_lm, got_clf = {}, {}
+    ck1, ck2 = tempfile.mkdtemp(prefix="ckpt_"), tempfile.mkdtemp(prefix="ckpt_")
+    q1 = foreach_batch_runner(
+        stream,
+        lambda b, _i: got_lm.update(
+            {r.doc_id: r.mean_prob for r in L.charlm_score(b, model).collect()}
+        ),
+        ck1,
+    )
+    q2 = foreach_batch_runner(
+        gated, lambda b, _i: got_clf.update({r.doc_id: r.margin for r in b.collect()}), ck2
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    batch_lm = {r.doc_id: r.mean_prob for r in L.charlm_score(docs, model).collect()}
+    batch_clf = {
+        r.doc_id: r.margin
+        for r in C.score_logreg(
+            docs.select("doc_id", C.quality_features("text").alias("features")), w, prob_col=None
+        ).collect()
+    }
+    assert got_lm == batch_lm and len(got_lm) > 0
+    assert got_clf == batch_clf and len(got_clf) == docs.count()
+
+    import shutil
+
+    for d in (src, ck1, ck2):
+        shutil.rmtree(d, ignore_errors=True)
