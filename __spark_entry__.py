@@ -1974,6 +1974,30 @@ def q_embedding_lsh_pairs(spark, sf):
     return L_sim.lsh_bucketed_pairs(df, dim, n_planes=6, threshold=0.5)
 
 
+def q_url_dedup_docs(spark, sf):
+    """URL-level dedup (llm/text.canonicalize_url + url_dup_groups): five
+    deterministic surface variants of the same logical URL per doc-group
+    (www/case, http-vs-https, default port, userinfo+fragment, tracking
+    params) must collapse to one canonical identity; a real-query variant
+    (?id=5 kept after utm stripping) must NOT merge with the bare path."""
+    docs = load_table(spark, sf, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    # m is chosen so (k, m) does NOT determine doc_id % 5 (28 and 5 are
+    # coprime): every canonical group genuinely mixes surface variants,
+    # otherwise the test would pass with a broken canonicalizer
+    m = (F.col("doc_id") % 4).cast("string")
+    base = F.concat(F.lit("site"), k, F.lit(".example.com/Page/"), m)
+    variant = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://www.Site"), k, F.lit(".example.com/Page/"), m, F.lit("/")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("http://"), base))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("https://site"), k, F.lit(".example.com:443/Page/"), m, F.lit("?utm_source=x&utm_campaign=y")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("https://user@"), base, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?id=5&utm_medium=z")))
+    )
+    urls = docs.select("doc_id", variant.alias("url"))
+    return L_text.url_dup_groups(urls)
+
+
 def _docs_with_pii(spark, sf):
     """documents + deterministic synthetic PII (the corpus itself is PII-free
     word soup, so the redaction/URL operators need injected positives; both
@@ -2092,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans_docs": q_remove_spans_docs,          # new r6 (span REMOVAL; md5-proved text parity)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
         "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
+        "url_dedup_docs": q_url_dedup_docs,                # new r6 (canonical-URL identity dedup)
         "corpus_drift_docs": q_corpus_drift_docs,          # new r6 (unigram TV-distance drift)
         "token_drift_terms_docs": q_token_drift_terms_docs,  # new r6 (top drift movers)
         "embedding_drift": q_embedding_drift,              # new r6 (centroid shift between snapshots)
@@ -2103,7 +2128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_iqr_lineitem": q_outlier_iqr_lineitem,    # r05 green
         "impute_median_customer": q_impute_median_customer,  # r05 green
         "normalize_text_customer": q_normalize_text_customer,  # r05 green
-        "datetime_parse_orders": q_datetime_parse_orders,  # r05 green
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05 green
         "asof_join_events": q_asof_join_events,            # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
@@ -2134,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,    # r05 green (parked late-r6 for drift queries)
         "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green (parked late-r6 for drift queries)
         "events_sessions": q_events_sessions,              # r05 green (parked late-r6 for quality_classifier_docs)
+        "datetime_parse_orders": q_datetime_parse_orders,  # r05 green (parked late-r6 for url_dedup_docs)
         "embedding_lsh_pairs": q_embedding_lsh_pairs,      # r05 green
         "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
         "shipping_priority": q_shipping_priority,          # r05 green (Q3)
@@ -2949,6 +2974,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
                md5(coalesce(agg.clean_text, '')) AS clean_md5
         FROM tk LEFT JOIN agg USING (doc_id)
+    """
+    sqls["url_dedup_docs"] = r"""
+        WITH v AS (
+          SELECT doc_id,
+                 CAST(doc_id % 7 AS VARCHAR) AS k,
+                 CAST(doc_id % 4 AS VARCHAR) AS m
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'https://www.Site' || k || '.example.com/Page/' || m || '/'
+                   WHEN 1 THEN 'http://site' || k || '.example.com/Page/' || m
+                   WHEN 2 THEN 'https://site' || k || '.example.com:443/Page/' || m || '?utm_source=x&utm_campaign=y'
+                   WHEN 3 THEN 'https://user@site' || k || '.example.com/Page/' || m || '#frag'
+                   ELSE 'https://site' || k || '.example.com/Page/' || m || '?id=5&utm_medium=z'
+                 END AS url
+          FROM v),
+        s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
+                   '#.*$', ''), '^https?://', ''), '^[^/\s@]*@', '') AS u FROM u),
+        s2 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(lower(regexp_extract(u, '^([^/]+)', 1)),
+                   '^www\.', ''), ':(80|443)$', '')
+                 || regexp_replace(u, '^[^/]+', '') AS u
+               FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                 '([?&])((utm_[a-z]+|fbclid|gclid|ref)=[^&]*&)+', '\1', 'g'),
+                 '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', ''),
+                 '\?$', ''), '/$', '') AS canonical_url
+               FROM s2)
+        SELECT canonical_url, count(*) AS n_urls, count(DISTINCT doc_id) AS docs
+        FROM s3 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
     """
     sqls["quality_classifier_docs"] = _quality_classifier_sql()
     sqls["corpus_drift_docs"] = """

@@ -267,6 +267,49 @@ def extract_urls(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical URL form for URL-level dedup — the WET-pipeline pre-pass
+    (crawls see the same page under scheme/www/port/tracking-param variants
+    long before content dedup runs). Pure regexp chain, map-only:
+
+    fragment stripped → scheme dropped (http==https for identity) →
+    userinfo dropped → host lowercased, ``www.`` and default ports removed
+    (path case PRESERVED — paths are case-sensitive) → tracking params
+    (utm_*, fbclid, gclid, ref) removed wherever they sit in the query →
+    empty ``?`` and trailing ``/`` tidied."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*$", "")
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^[^/\s@]*@", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    u = F.concat(host, F.regexp_replace(u, r"^[^/]+", ""))
+    u = F.regexp_replace(u, r"([?&])(?:(?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*&)+", "$1")
+    u = F.regexp_replace(u, r"[?&](?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_dup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-identity dedup groups: canonical URLs claimed by >= 2 distinct
+    docs, with occurrence and doc counts. One shuffle on the canonical
+    string (short key). Columns: canonical_url, n_urls, docs."""
+    canon = canonicalize_url(url_col).alias("canonical_url")
+    return (
+        df.select(F.col(id_col), canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(F.col(id_col)).alias("docs"),
+        )
+        .filter(F.col("docs") >= 2)
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     col: str = "text",

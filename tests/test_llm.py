@@ -1252,3 +1252,29 @@ def test_dot_lit_matches_python_dot(spark):
     w = [0.5, -1.25, 2.0]
     got = df.select(C._dot_lit("features", w).alias("m")).first()["m"]
     assert got == 0.5 * 1.0 + (-1.25) * 2.0 + 2.0 * (-3.0)
+
+
+def test_canonicalize_url_cases(spark):
+    cases = [
+        ("https://www.Example.COM/Path/x/", "example.com/Path/x"),
+        ("http://example.com:80/a", "example.com/a"),
+        ("https://example.com:443/a?utm_source=x&utm_campaign=y", "example.com/a"),
+        ("https://user:pw@example.com/a#frag", "example.com/a"),
+        ("https://example.com/a?id=5&utm_medium=z", "example.com/a?id=5"),
+        ("https://example.com/a?utm_source=x&id=5", "example.com/a?id=5"),
+        ("https://example.com/a?ref=tw&fbclid=123", "example.com/a"),
+        ("https://example.com:8080/a", "example.com:8080/a"),   # non-default port kept
+        ("https://example.com/A/b@c", "example.com/A/b@c"),     # @ in path untouched
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r.i: r.c for r in df.select("i", T.canonicalize_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r} -> {got[i]!r}, want {want!r}"
+
+    dup = T.url_dup_groups(
+        spark.createDataFrame(
+            [(1, "https://www.a.com/x"), (2, "http://a.com/x/"), (3, "https://b.com/y")],
+            ["doc_id", "url"],
+        )
+    ).collect()
+    assert [(r.canonical_url, r.n_urls, r.docs) for r in dup] == [("a.com/x", 2, 2)]
