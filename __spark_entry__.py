@@ -2992,15 +2992,16 @@ def oracle_sql() -> dict[str, str]:
                  END AS url
           FROM v),
         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
-                   '#.*$', ''), '^https?://', ''), '^[^/\s@]*@', '') AS u FROM u),
+                   '#.*$', ''), '^https?://', ''), '^[^/?\s@]*@', '') AS u FROM u),
         s2 AS (SELECT doc_id,
-                 regexp_replace(regexp_replace(lower(regexp_extract(u, '^([^/]+)', 1)),
+                 regexp_replace(regexp_replace(lower(regexp_extract(u, '^([^/?]+)', 1)),
                    '^www\.', ''), ':(80|443)$', '')
-                 || regexp_replace(u, '^[^/]+', '') AS u
+                 || regexp_replace(u, '^[^/?]+', '') AS u
                FROM s1),
-        s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+        s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
                  '([?&])((utm_[a-z]+|fbclid|gclid|ref)=[^&]*&)+', '\1', 'g'),
                  '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', ''),
+                 '/\?', '?'),
                  '\?$', ''), '/$', '') AS canonical_url
                FROM s2)
         SELECT canonical_url, count(*) AS n_urls, count(DISTINCT doc_id) AS docs

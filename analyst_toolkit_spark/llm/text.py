@@ -280,13 +280,17 @@ def canonicalize_url(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(c, r"#.*$", "")
     u = F.regexp_replace(u, r"^https?://", "")
-    u = F.regexp_replace(u, r"^[^/\s@]*@", "")
-    host = F.lower(F.regexp_extract(u, r"^([^/]+)", 1))
+    # host/userinfo patterns stop at '?' as well as '/': a URL with a query
+    # but NO path ("h.com:443?id=5") must not fold the query into the host
+    # (found by the idempotence property test)
+    u = F.regexp_replace(u, r"^[^/?\s@]*@", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/?]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
-    u = F.concat(host, F.regexp_replace(u, r"^[^/]+", ""))
+    u = F.concat(host, F.regexp_replace(u, r"^[^/?]+", ""))
     u = F.regexp_replace(u, r"([?&])(?:(?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*&)+", "$1")
     u = F.regexp_replace(u, r"[?&](?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*$", "")
+    u = F.regexp_replace(u, r"/\?", "?")  # trailing slash BEFORE a query
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

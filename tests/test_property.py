@@ -418,3 +418,40 @@ def test_charlm_model_is_normalized(spark, docs):
         scored = L.charlm_score(df, model).collect()
         for r in scored:
             assert r.oov_grams == 0 and 0.0 < r.mean_prob <= 1.0
+
+
+_url_piece = st.text(alphabet="abcXYZ019", min_size=0, max_size=6)
+
+
+@given(
+    scheme=st.sampled_from(["http://", "https://"]),
+    www=st.booleans(),
+    user=st.one_of(st.none(), _url_piece),
+    host=_url_piece.map(lambda s: (s or "h") + ".com"),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.lists(_url_piece, max_size=3).map(lambda ps: "".join("/" + (p or "p") for p in ps)),
+    query=st.sampled_from(["", "?id=5", "?utm_source=a", "?utm_source=a&id=5", "?id=5&gclid=z", "?ref=x&utm_b=c"]),
+    frag=st.sampled_from(["", "#x"]),
+    slash=st.booleans(),
+)
+@SET
+def test_canonicalize_url_idempotent_and_variant_stable(
+    spark, scheme, www, user, host, port, path, query, frag, slash
+):
+    """canonicalize_url is a FIXED POINT on its own output (idempotence) and
+    collapses the scheme/www/default-port/userinfo/fragment/trailing-slash
+    axes: any two variants along those axes canonicalize identically."""
+    from analyst_toolkit_spark.llm.text import canonicalize_url
+
+    base = host + path + (("" if slash else "")) + query
+    u1 = scheme + ("www." if www else "") + ((user + "@") if user else "") + host + port + path + ("/" if slash and path else "") + query + frag
+    u2 = "https://" + host + (":443" if port in ("", ":443", ":80") else port) + path + query
+    df = spark.createDataFrame([(1, u1), (2, u2)], ["i", "url"])
+    out = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    # variant-stability along the collapsed axes (non-default ports excluded)
+    if port in ("", ":80", ":443"):
+        assert out[1] == out[2], f"{u1!r} vs {u2!r}: {out[1]!r} != {out[2]!r}"
+    # idempotence: re-canonicalizing the canonical form changes nothing
+    df2 = spark.createDataFrame([(i, c) for i, c in out.items()], ["i", "url"])
+    out2 = {r.i: r.c for r in df2.select("i", canonicalize_url("url").alias("c")).collect()}
+    assert out2 == out
