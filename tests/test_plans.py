@@ -150,3 +150,34 @@ def test_repeated_spans_window_is_doc_partitioned(spark, sf_dir):
 
     for m in re.finditer(r"Window \[.*?windowspecdefinition\((\w+)#", plan):
         assert m.group(1) == "doc_id"
+
+
+# Exchange-count ceilings for the most expensive registry plans: a silent
+# extra shuffle (lost map-side combine, de-broadcast, collapsed window
+# partitioning) shows here before it shows in BENCH. Ceilings are the
+# audited PLANS.md counts with +1 headroom for AQE variation — tighten,
+# don't raise, unless a deliberate plan change is being recorded.
+_EXCHANGE_CEILINGS = {
+    "repeated_spans_docs": 4,
+    "remove_spans_docs": 4,
+    "charlm_quality_docs": 6,
+    "corpus_drift_docs": 6,
+    "quality_classifier_docs": 2,
+    "url_dedup_docs": 2,
+    "min_cost_supplier": 6,
+    "excess_share_suppliers": 7,
+    "profile_lineitem": 3,
+    "dedup_keep_first_lineitem": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXCHANGE_CEILINGS))
+def test_exchange_count_ceiling(name, spark, sf_dir):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ) + plan.count("Exchange SinglePartition")
+    assert n <= _EXCHANGE_CEILINGS[name], (
+        f"{name}: {n} exchanges (ceiling {_EXCHANGE_CEILINGS[name]}) — "
+        "a shuffle crept into the plan"
+    )
