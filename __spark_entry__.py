@@ -2067,10 +2067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # directive #8), decile_bands_orders (re-implemented r6 — needs a fresh
     # row), the 15 r6-tail additions (TPC-H Q8/Q13/Q15/Q17/Q19/Q21 shapes,
     # PQ census, norm outliers, vocab/rarity, sampling, second streaming
-    # query, nearest-asof, binned range join), and the 4 late-r6 additions
-    # (Q2/Q20 shapes, exact-substring spans, charlm quality) = 35 first-time
-    # slots; the other 15 slots are stable r02-r05-green queries kept for
-    # round-over-round continuity. Every deterministic query — windowed or
+    # query, nearest-asof, binned range join), and the 10 late-r6 additions
+    # (Q2/Q20 shapes, exact-substring spans + removal, charlm quality,
+    # corpus/term/embedding drift, pinned-weight classifier, URL dedup)
+    # = 41 first-time slots; the other 9 slots are stable r02-r05-green
+    # queries kept for round-over-round continuity. Every deterministic query — windowed or
     # not — also runs against the same oracle in the local test suite
     # (tests/test_entry_contract.py) at sf0.01 every run, so rotation never
     # leaves a query unverified. After this round every oracle-backed query
