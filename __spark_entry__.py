@@ -1613,6 +1613,18 @@ def q_pack_sequences_docs(spark, sf):
     return L_pack.pack_stats(packed, budget=512)
 
 
+def q_length_buckets_docs(spark, sf):
+    """Length-bucketed batching census (llm/pack.length_buckets +
+    bucket_padding_stats): the padding-based alternative to packing — per
+    bucket, docs / real tokens / padded waste / fill efficiency. Map-only
+    assignment + one small keyed agg."""
+    from analyst_toolkit_spark.llm import pack as L_pack
+
+    docs = load_table(spark, sf, "documents")
+    b = L_pack.length_buckets(docs, boundaries=(64, 128, 256, 512))
+    return L_pack.bucket_padding_stats(b)
+
+
 def q_curate_docs(spark, sf):  # NON-SQL (multi-stage orchestration; stages oracle-checked individually)
     """End-to-end curation chain census (llm/curate.py): quality gate →
     exact dedup → near dedup → decontaminate → split → pack over documents.
@@ -2207,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
+        "length_buckets_docs": q_length_buckets_docs,      # new late-r6: local oracle (padding-vs-packing census; r7 rotation pool)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
@@ -2975,6 +2988,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
                md5(coalesce(agg.clean_text, '')) AS clean_md5
         FROM tk LEFT JOIN agg USING (doc_id)
+    """
+    sqls["length_buckets_docs"] = """
+        WITH t AS (
+          SELECT len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents),
+        b AS (
+          SELECT n_tokens,
+                 CASE WHEN n_tokens <= 64 THEN 64
+                      WHEN n_tokens <= 128 THEN 128
+                      WHEN n_tokens <= 256 THEN 256
+                      WHEN n_tokens <= 512 THEN 512
+                      ELSE -1 END AS bucket_cap
+          FROM t)
+        SELECT bucket_cap, count(*) AS docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST(sum(CASE WHEN bucket_cap > 0 THEN bucket_cap - n_tokens ELSE 0 END) AS BIGINT) AS padding,
+               round(CASE WHEN bucket_cap > 0
+                          THEN sum(n_tokens) * 1.0 / (bucket_cap * count(*)) END, 6) AS efficiency
+        FROM b GROUP BY 1
     """
     sqls["url_dedup_docs"] = r"""
         WITH v AS (

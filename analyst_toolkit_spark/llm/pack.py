@@ -212,3 +212,49 @@ def global_ntile(
             F.lit(r) + F.ceil((rn - head) / F.lit(q))
         )
     return rn_df.withColumn(out_col, band.cast("int")).drop("__one", "__rn")
+
+
+def length_buckets(
+    df: DataFrame,
+    key: str = "text",
+    boundaries: tuple = (32, 64, 128, 256, 512, 1024),
+    out_col: str = "bucket_cap",
+) -> DataFrame:
+    """Length-bucketed batching assignment — the padding-based alternative to
+    :func:`pack_sequences` (seq2seq-style training batches same-length docs
+    together and pads to the bucket cap; packing concatenates instead). Each
+    doc gets the SMALLEST cap >= its whitespace token count; docs over the
+    largest cap get cap = -1 (truncate or route to packing). Map-only
+    literal CASE chain; adds ``n_tokens`` and ``out_col``."""
+    from analyst_toolkit_spark.llm.text import token_count
+
+    out = df.withColumn("n_tokens", token_count(key))
+    caps = sorted(int(b) for b in boundaries)
+    expr = F.lit(-1)
+    for cap in reversed(caps):
+        expr = F.when(F.col("n_tokens") <= cap, F.lit(cap)).otherwise(expr)
+    return out.withColumn(out_col, expr.cast("int"))
+
+
+def bucket_padding_stats(bucketed: DataFrame, cap_col: str = "bucket_cap") -> DataFrame:
+    """Per-bucket padding census: docs, real tokens, padded slots wasted, and
+    fill efficiency (tokens / (cap * docs)) — the number that says whether
+    bucketing beats packing for a corpus. Overflow rows (cap = -1) report
+    zero padding and NULL efficiency. One small keyed aggregation."""
+    cap = F.col(cap_col)
+    return (
+        bucketed.groupBy(cap_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(
+                F.when(cap > 0, cap - F.col("n_tokens")).otherwise(F.lit(0))
+            ).cast("long").alias("padding"),
+            F.round(
+                F.when(
+                    cap > 0, F.sum("n_tokens") / (cap * F.count(F.lit(1)))
+                ),
+                6,
+            ).alias("efficiency"),
+        )
+    )

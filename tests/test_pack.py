@@ -116,3 +116,21 @@ def test_global_ntile_matches_window_ntile(spark):
     for i, line in enumerate(lines):
         if "Window [" in line:
             assert "Exchange SinglePartition" not in "\n".join(lines[i + 1 : i + 4])
+
+
+def test_length_buckets_and_padding_stats(spark):
+    from analyst_toolkit_spark.llm import pack as P
+
+    rows = [(1, "a b c"), (2, " ".join(["w"] * 40)), (3, " ".join(["w"] * 2000)), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    b = P.length_buckets(df, boundaries=(4, 64))
+    got = {r.doc_id: (r.n_tokens, r.bucket_cap) for r in b.collect()}
+    # empty doc -> 0 tokens -> smallest bucket; oversize -> -1 overflow
+    assert got == {1: (3, 4), 2: (40, 64), 3: (2000, -1), 4: (0, 4)}
+    stats = {
+        r.bucket_cap: (r.docs, r.tokens, r.padding, r.efficiency)
+        for r in P.bucket_padding_stats(b).collect()
+    }
+    assert stats[4] == (2, 3, 5, 0.375)        # caps 4+4=8 slots, 3 used
+    assert stats[64] == (1, 40, 24, 0.625)
+    assert stats[-1] == (1, 2000, 0, None)     # overflow: no padding story
