@@ -644,7 +644,12 @@ def remove_repeated_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
     )
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), F.lit(0))
+    # coalesce: NULL text would otherwise flow NULL arrays into size()
+    # (which returns -1 on NULL) and poison the token arithmetic
+    toks = F.coalesce(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), F.lit(0)),
+        F.array().cast("array<string>"),
+    )
     # project tokens BEFORE the filter lambda: a compound expression inside a
     # higher-order function is re-evaluated per element (llm/lm._ngrams_of)
     base = df.select(F.col(id_col), toks.alias("__toks")).join(per_doc, id_col, "left")

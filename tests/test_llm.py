@@ -1278,3 +1278,14 @@ def test_canonicalize_url_cases(spark):
         )
     ).collect()
     assert [(r.canonical_url, r.n_urls, r.docs) for r in dup] == [("a.com/x", 2, 2)]
+
+
+def test_remove_repeated_spans_null_text_harmless(spark):
+    rows = [(1, None), (2, "x y z"), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.clean_text, r.kept_tokens, r.removed_tokens)
+        for r in D.remove_repeated_spans(df, n=3).collect()
+    }
+    assert got[1] == ("", 0, 0)          # NULL text -> empty, never -1 counts
+    assert got[2] == ("", 0, 3) and got[3] == ("", 0, 3)
