@@ -1349,6 +1349,23 @@ def q_dedup_cluster_docs(spark, sf):
     return L_dedup.connected_components(pairs)
 
 
+def q_dedup_bucket_components_docs(spark, sf):  # NON-SQL (xxhash64 LSH buckets)
+    """Linear-output near-dup clustering (llm/dedup.bucket_components):
+    connected components over the doc-bucket BIPARTITE graph — O(docs x
+    bands) edges instead of C(w,2) pairs per w-way duplicate cluster (3.1x
+    faster than the pair path on the 100x-duplicated 500k-doc sweep, and it
+    emits final clusters, not pairs). Unverified-candidate precision by
+    design; see the docstring tradeoff."""
+    docs = load_table(spark, sf, "documents")
+    cc = L_dedup.bucket_components(docs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def q_hash_split_docs(spark, sf):
     """Deterministic md5-bucket dataset split census (llm/text.hash_split):
     stable train/val/test assignment independent of partitioning and corpus
@@ -2220,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
         "length_buckets_docs": q_length_buckets_docs,      # new late-r6: local oracle (padding-vs-packing census; r7 rotation pool)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # new late-r6: rows-only (xxhash LSH buckets; linear bipartite clustering)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)

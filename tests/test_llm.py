@@ -1289,3 +1289,32 @@ def test_remove_repeated_spans_null_text_harmless(spark):
     }
     assert got[1] == ("", 0, 0)          # NULL text -> empty, never -1 counts
     assert got[2] == ("", 0, 3) and got[3] == ("", 0, 3)
+
+
+def test_bucket_components_clusters_dups_and_refines(spark, docs):
+    """Bipartite bucket clustering: exact/near dups land in one component;
+    unrelated docs are absent; and the verified-pair components REFINE the
+    bucket components (every verified pair is a candidate, so bucket
+    clusters can only be equal or coarser)."""
+    cc = {r.node: r.component for r in D.bucket_components(docs).collect()}
+    # docs fixture: 1,2 exact dups; 3 normalized dup; 5 near dup of 1
+    assert cc.get(1) == cc.get(2) == 1
+    assert 4 not in cc or cc[4] != cc[1]     # the unrelated Spark doc
+    assert 6 not in cc or cc[6] != cc[1]     # the German doc
+
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, eager=False)
+    verified = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    for node, comp in verified.items():
+        assert node in cc, f"verified-clustered doc {node} missing from bucket clusters"
+        # same verified component -> same bucket component (refinement)
+        peers = [m for m, c in verified.items() if c == comp]
+        assert len({cc[m] for m in peers}) == 1
+
+
+def test_bucket_components_all_identical_linear_edges(spark):
+    """The 100x-duplication shape: w identical docs produce ONE component
+    via w x bands edges (never C(w,2) pairs)."""
+    rows = [(i, "the same exact document body repeated everywhere") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cc = {r.node: r.component for r in D.bucket_components(df).collect()}
+    assert set(cc) == set(range(40)) and set(cc.values()) == {0}
