@@ -587,6 +587,49 @@ def bucket_components(
     return docs_cc.join(rep, "component").select("node", F.col("__rep").alias("component"))
 
 
+def verify_components(
+    df: DataFrame,
+    components: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Precision repair for :func:`bucket_components` — LINEAR in docs, not
+    pairs: every clustered member is Jaccard-verified against its cluster
+    REPRESENTATIVE (the component id) only. Members below ``threshold``
+    leave the cluster and become singletons (component = their own id —
+    conservative: a false split keeps a duplicate, a false merge loses a
+    document). One member-vs-representative comparison per doc replaces
+    C(w,2) pair checks, so the whole bucket->verify pipeline stays
+    O(docs x bands).
+
+    Exactness caveat, stated plainly: star-verification against the
+    representative can split a genuine A~B edge when neither resembles the
+    representative enough (transitive chains); the pair path
+    (minhash_dedup_pairs + connected_components) remains the exact-semantics
+    tool when that matters.
+
+    Returns (node, component) with the same contract as
+    :func:`connected_components`, minus members that failed verification
+    against their representative (they map to themselves)."""
+    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("__sh"))
+    member = components.join(sh, components["node"] == sh[id_col]).select(
+        "node", "component", F.col("__sh").alias("__m_sh")
+    )
+    rep_sh = sh.select(F.col(id_col).alias("__rep_id"), F.col("__sh").alias("__r_sh"))
+    joined = member.join(rep_sh, member["component"] == rep_sh["__rep_id"])
+    inter = F.size(F.array_intersect("__m_sh", "__r_sh"))
+    union = F.size(F.array_union("__m_sh", "__r_sh"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return joined.select(
+        "node",
+        F.when((F.col("node") == F.col("component")) | (jac >= threshold), F.col("component"))
+        .otherwise(F.col("node"))
+        .alias("component"),
+    )
+
+
 def positioned_ngrams(col: str | Column, n: int) -> Column:
     """Word n-grams WITH their 0-based token start positions, as an
     ``array<string>`` indexed by position (``grams[i]`` starts at token i).

