@@ -559,7 +559,14 @@ def bucket_components(
     that shares at least one bucket with another doc, labeled by the
     smallest reachable doc id. Requires integer-castable doc ids.
     """
-    banded = _band_stream(df, key, id_col, n_shingle, k, bands)
+    # drop shingle-less docs (shorter than n_shingle tokens) BEFORE banding:
+    # they'd all share the all-max sentinel signature and fuse into one
+    # bogus mega-cluster — the pair path survives this via its bucket cap +
+    # Jaccard verify, but this path has neither by design
+    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh)
     # keep only buckets with >= 2 docs: singleton buckets add edges without
     # ever merging anything (and are the vast majority at low duplication)
     bucket_key = F.xxhash64(F.col("band").cast("string"), F.col("band_hash").cast("string"))

@@ -1343,3 +1343,15 @@ def test_bucket_components_then_verify_matches_exact_on_fixture(spark, docs):
     verified = {r.node: r.component for r in D.verify_components(docs, cc, threshold=0.9).collect()}
     assert verified[1] == verified[2] == 1
     assert verified.get(3, 3) == 1 or verified[3] == 3  # '!'-only diff: shingle-identical -> stays
+
+
+def test_bucket_components_empty_docs_never_cluster(spark):
+    """Shingle-less docs (under n tokens, empty, null) share the sentinel
+    signature; they must NOT fuse into a bogus mega-cluster."""
+    rows = [(1, ""), (2, ""), (3, None), (4, "hi"), (5, "a shared sentence here now ok"),
+            (6, "a shared sentence here now ok")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    cc = {r.node: r.component for r in D.bucket_components(df).collect()}
+    assert cc.get(5) == cc.get(6) == 5          # real dups still cluster
+    for empty_id in (1, 2, 3, 4):
+        assert empty_id not in cc               # sentinel docs excluded entirely
