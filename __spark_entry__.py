@@ -1349,6 +1349,18 @@ def q_dedup_cluster_docs(spark, sf):
     return L_dedup.connected_components(pairs)
 
 
+def q_minhash_md5_components_docs(spark, sf):
+    """ORACLE TWIN of the bipartite bucket clustering: same doc-bucket
+    connected-components pipeline, but over the cross-engine md5 MinHash
+    (llm/dedup.minhash_signature_md5; k=8, bands=4). DuckDB reproduces the
+    identical signatures, buckets, and a recursive-CTE CC over the same
+    bipartite graph — so the END-TO-END cluster assignment (node ->
+    min-reachable doc id) is hash-verified, certifying the clustering
+    logic the xxhash production path shares."""
+    docs = load_table(spark, sf, "documents")
+    return L_dedup.bucket_components(docs, k=8, bands=4, method="md5").orderBy("node")
+
+
 def q_dedup_bucket_components_docs(spark, sf):  # NON-SQL (xxhash64 LSH buckets)
     """Linear-output near-dup clustering (llm/dedup.bucket_components):
     connected components over the doc-bucket BIPARTITE graph — O(docs x
@@ -2147,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
         "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
         "url_dedup_docs": q_url_dedup_docs,                # new r6 (canonical-URL identity dedup)
+        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # new late-r6 (bipartite clustering, md5 oracle twin — end-to-end CC hash-verified)
         "corpus_drift_docs": q_corpus_drift_docs,          # new r6 (unigram TV-distance drift)
         "token_drift_terms_docs": q_token_drift_terms_docs,  # new r6 (top drift movers)
         "embedding_drift": q_embedding_drift,              # new r6 (centroid shift between snapshots)
@@ -2155,7 +2168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,                  # r05 green
         "validation_summary_orders": q_validation_summary_orders,  # r05 green
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
-        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,    # r05 green
         "impute_median_customer": q_impute_median_customer,  # r05 green
         "normalize_text_customer": q_normalize_text_customer,  # r05 green
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05 green
@@ -2189,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,        # r05 green (parked late-r6 for drift queries)
         "events_sessions": q_events_sessions,              # r05 green (parked late-r6 for quality_classifier_docs)
         "datetime_parse_orders": q_datetime_parse_orders,  # r05 green (parked late-r6 for url_dedup_docs)
+        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,    # r05 green (parked late-r6 for minhash_md5_components_docs)
         "embedding_lsh_pairs": q_embedding_lsh_pairs,      # r05 green
         "pricing_summary": q_pricing_summary,              # r02+r05 green (Q1)
         "shipping_priority": q_shipping_priority,          # r05 green (Q3)
@@ -3024,6 +3037,41 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN bucket_cap > 0
                           THEN sum(n_tokens) * 1.0 / (bucket_cap * count(*)) END, 6) AS efficiency
         FROM b GROUP BY 1
+    """
+    sqls["minhash_md5_components_docs"] = """
+        WITH RECURSIVE tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        shl AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+          FROM tk),
+        g AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0),
+        h AS (
+          SELECT doc_id, i,
+                 min(CAST(concat('0x', substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+          FROM g CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY i) AS sig FROM h GROUP BY doc_id),
+        bnd AS (
+          SELECT doc_id, b, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bh
+          FROM sig CROSS JOIN range(4) rb(b)),
+        shared AS (SELECT b, bh FROM bnd GROUP BY b, bh HAVING count(DISTINCT doc_id) > 1),
+        e0 AS (
+          SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src,
+                 'b:' || CAST(b AS VARCHAR) || ':' || bh AS dst
+          FROM bnd JOIN shared USING (b, bh)),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node),
+        docs_cc AS (
+          SELECT CAST(substr(node, 3) AS BIGINT) AS node, c
+          FROM comp WHERE node LIKE 'd:%'),
+        rep AS (SELECT c, min(node) AS component FROM docs_cc GROUP BY c)
+        SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c) ORDER BY d.node
     """
     sqls["url_dedup_docs"] = r"""
         WITH v AS (

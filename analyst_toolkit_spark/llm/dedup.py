@@ -85,6 +85,32 @@ def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
     )
 
 
+def minhash_signature_md5(shingle_col: Column, k: int = 8) -> Column:
+    """Cross-engine-reproducible MinHash signature: H(s, i) = the first 15
+    hex chars of md5(s || ':' || i) as a 60-bit positive long — computable
+    bit-identically in DuckDB via ``CAST('0x' || substr(md5(..),1,15) AS
+    BIGINT)`` (the simhash_md5 technique). ~an order of magnitude more
+    digest work per shingle than :func:`minhash_signature`'s
+    hash-the-long-once scheme, so this is the ORACLE TWIN, not the scale
+    path. Empty input → all-max sentinel, same contract."""
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    init = F.transform(seeds, lambda i: F.lit((1 << 63) - 1).cast("long"))
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                seeds,
+                lambda i: F.conv(
+                    F.substring(F.md5(F.concat(s, F.lit(":"), i.cast("string"))), 1, 15), 16, 10
+                ).cast("long"),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def _band_stream(
     df: DataFrame,
     key: str,
@@ -93,13 +119,18 @@ def _band_stream(
     k: int,
     bands: int,
     shingle_df: DataFrame | None = None,
+    method: str = "xxhash",
 ) -> DataFrame:
     """(id, band, band_hash) rows — the shared LSH banding pass behind both
     the pair generator and the bipartite cluster path. Map-only: one
-    signature fold per doc, exploded to ``bands`` rows."""
+    signature fold per doc, exploded to ``bands`` rows. ``method='md5'``
+    swaps in the cross-engine-reproducible signature + band hash (band_hash
+    becomes the md5 hex string)."""
     r = k // bands
     sh = shingle_df if shingle_df is not None else df.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
-    sig_df = sh.select(F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig"))
+    sig_fn = minhash_signature_md5 if method == "md5" else minhash_signature
+    band_hash_fn = F.md5 if method == "md5" else F.xxhash64
+    sig_df = sh.select(F.col(id_col), sig_fn(F.col("sh"), k).alias("sig"))
     return sig_df.select(
         id_col,
         F.explode(
@@ -107,7 +138,7 @@ def _band_stream(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    band_hash_fn(
                         F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))
                     ).alias("band_hash"),
                 ),
@@ -539,6 +570,7 @@ def bucket_components(
     k: int = 64,
     bands: int = 16,
     max_iter: int = 25,
+    method: str = "xxhash",
 ) -> DataFrame:
     """LINEAR near-dup clustering for extremely duplicated corpora:
     connected components over the doc-bucket BIPARTITE graph instead of the
@@ -566,7 +598,7 @@ def bucket_components(
     sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
         F.size("sh") > 0
     )
-    banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh)
+    banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
     # keep only buckets with >= 2 docs: singleton buckets add edges without
     # ever merging anything (and are the vast majority at low duplication)
     bucket_key = F.xxhash64(F.col("band").cast("string"), F.col("band_hash").cast("string"))

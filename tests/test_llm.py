@@ -1355,3 +1355,19 @@ def test_bucket_components_empty_docs_never_cluster(spark):
     assert cc.get(5) == cc.get(6) == 5          # real dups still cluster
     for empty_id in (1, 2, 3, 4):
         assert empty_id not in cc               # sentinel docs excluded entirely
+
+
+def test_minhash_md5_signature_matches_python(spark):
+    """The md5 oracle-twin signature is reproducible outside Spark entirely:
+    H(s, i) = int(md5(f"{s}:{i}")[:15], 16), min-folded per seed."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    row = df.select(D.minhash_signature_md5(D.shingles("text", 3), k=4).alias("sig")).first()
+    toks = "alpha beta gamma delta epsilon".split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expect = [
+        min(int(hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:15], 16) for s in sh)
+        for i in range(4)
+    ]
+    assert list(row.sig) == expect
