@@ -681,16 +681,18 @@ def q_small_quantity_revenue(spark, sf):
     """Q17-shape: revenue lost to small orders — lineitems of one brand's
     parts whose quantity is under 20% of that part's average quantity.
     The correlated per-part average becomes a pre-aggregate on the FILTERED
-    part set (tiny), broadcast back into the fact scan — the fact shuffles
-    once for the per-part average and never for the final scalar."""
+    part set, size-gated back into the fact scan (a brand is a fixed ~1/25
+    fraction of part, so it SCALES with the corpus — _bc, never a hard
+    hint) — the fact shuffles once for the per-part average and never for
+    the final scalar."""
     p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
     l = load_table(spark, sf, "lineitem")
-    brand_lines = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    brand_lines = l.join(_bc(p), l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = brand_lines.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("__thr"))
     return (
-        brand_lines.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "__pk")), F.col("l_partkey") == F.col("__pk"))
+        brand_lines.join(_bc(avg_qty.withColumnRenamed("l_partkey", "__pk")), F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -824,7 +826,7 @@ def q_excess_share_suppliers(spark, sf):
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation")
     shipped = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(_bc(p), l.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("__qty"))
     )
