@@ -490,6 +490,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster resolution over a near-dup pair list: (node, component) where
     ``component`` is the smallest node id transitively reachable — the
@@ -514,18 +515,35 @@ def connected_components(
     Iterative-with-driver-loop is inherent to connected components (Spark
     has no native fixpoint operator); each iteration is a fully distributed
     job — the driver only compares two longs.
+
+    ``checkpoint_dir`` swaps the executor-local ``localCheckpoint`` lineage
+    cuts for durable parquet round-trips (same option, same rationale as
+    ``curate_corpus``): at 100 TB an executor loss mid-fixpoint restarts
+    the WHOLE multi-iteration job under localCheckpoint, while the durable
+    cut resumes from the last written iteration's files. Identical labels
+    either way (asserted by test_dedup's durable twin).
     """
-    edges = (
+    cut_seq = [0]
+
+    def _cut(frame: DataFrame, tag: str) -> DataFrame:
+        if checkpoint_dir:
+            cut_seq[0] += 1
+            path = f"{checkpoint_dir.rstrip('/')}/{cut_seq[0]:02d}_{tag}"
+            frame.write.mode("overwrite").parquet(path)
+            return frame.sparkSession.read.parquet(path)
+        return frame.localCheckpoint(eager=True)
+
+    edges = _cut(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "edges",
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("comp", F.col("node")),
+        "labels",
     )
     # decimal(38,0) sum: labels may be full-range 64-bit hashes (the
     # bipartite bucket path), whose long sum overflows under ANSI
@@ -540,12 +558,12 @@ def connected_components(
         jump = labels.join(l2, labels["comp"] == l2["j_node"], "inner").select(
             labels["node"], l2["j_comp"].alias("comp")
         )
-        labels = (
+        labels = _cut(
             labels.unionAll(prop)
             .unionAll(jump)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("comp").alias("comp")),
+            "labels",
         )
         cur_sum = labels.agg(_label_sum).first()[0]
         if cur_sum == prev_sum:
@@ -571,6 +589,7 @@ def bucket_components(
     bands: int = 16,
     max_iter: int = 25,
     method: str = "xxhash",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """LINEAR near-dup clustering for extremely duplicated corpora:
     connected components over the doc-bucket BIPARTITE graph instead of the
@@ -616,7 +635,7 @@ def bucket_components(
         F.shiftleft(F.col(id_col).cast("long"), 1).alias("id_a"),
         (F.shiftleft(F.col("__bkt"), 1).bitwiseOR(F.lit(1))).alias("id_b"),
     )
-    cc = connected_components(edges, max_iter=max_iter)
+    cc = connected_components(edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     docs_cc = cc.filter(F.col("node").bitwiseAND(F.lit(1)) == 0).select(
         F.shiftright("node", 1).alias("node"), F.col("component")
     )
