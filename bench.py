@@ -24,6 +24,16 @@ Round 4 fix: the r3 printed line also carried the full per-query "spread"
 dict, which pushed it past the driver's tail-capture window — BENCH_r03.json
 recorded ``"parsed": null``. The printed line is now kept compact (medians
 only); spread/min/max detail goes to ``BENCH_DETAIL.json`` next to this file.
+
+Round 7 fix (VERDICT r6 item 8): each query now gets ONE untimed warm-up
+execution before its timed samples. The r6 profile_lineitem spread
+[0.878, 2.606] was the first sample paying per-plan one-time costs (codegen
+compile + the shared quartile memo that the outlier family reuses) that the
+median never reflected — with n=3 the median was already the warm number, so
+recorded medians stay comparable round-over-round; only the spread stops
+charging session-order-dependent cold costs to whichever query runs first.
+Cold-start cost is still measured where it is the story: the url_dedup
+non-headline line records its first (codegen-compile) run explicitly.
 """
 
 from __future__ import annotations
@@ -98,6 +108,7 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
+        _materialize(fn(spark, sf_dir))  # per-plan warm-up, untimed (r7 protocol)
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -155,6 +166,23 @@ def main() -> None:
     # count() prunes the span subtree entirely (PLANS.md note), so these are
     # only honest under the same noop-write materialization
     for nh_name in ("repeated_spans_docs", "remove_spans_docs", "charlm_quality_docs"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # r7 additions (VERDICT r6 item 4): the bipartite bucket-clustering twins
+    # are now among the heaviest operators the engine runs (~10 s at sf0.1)
+    # and url_dedup's one-shot janino compile is its dominant cost — track
+    # all three here so a regression is visible round-over-round. url_dedup
+    # records the COLD (first-compile) run explicitly, then warm medians.
+    if "url_dedup_docs" in qs:
+        t0 = time.perf_counter()
+        _materialize(qs["url_dedup_docs"](spark, sf_dir))
+        non_headline["url_dedup_docs_cold"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# [non-headline] url_dedup_docs_cold: {non_headline['url_dedup_docs_cold']:.3f}s",
+            file=sys.stderr,
+        )
+        _nh("url_dedup_docs_warm", lambda: _materialize(qs["url_dedup_docs"](spark, sf_dir)))
+    for nh_name in ("dedup_bucket_components_docs", "minhash_md5_components_docs"):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
