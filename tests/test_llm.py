@@ -1346,6 +1346,50 @@ def test_bucket_components_clusters_dups_and_refines(spark, docs):
         assert len({cc[m] for m in peers}) == 1
 
 
+def test_near_dedup_auto_gate_flips_and_matches_pair_path(spark):
+    """The candidate-volume gate (r6 VERDICT directive #5): a high-duplication
+    corpus flips the auto path from pair materialization to
+    bucket-components + star-verify, and the surviving representatives match
+    the pair path's verified components exactly."""
+    # clusters are mutually DISSIMILAR (disjoint vocabularies): star
+    # verification against the representative is exact for identical members,
+    # so the bucket path must reproduce the pair path's components exactly
+    rows = [
+        (c * 100 + i, " ".join(f"w{c}x{j} token{c}v{j}" for j in range(10)))
+        for c in range(6)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    est = D.candidate_pair_census(df)
+    # 6 clusters x C(10,2) pairs x 16 bands = upper bound; at least one
+    # band's worth of every cluster's pairs must be counted
+    assert est >= 6 * 45
+
+    pairs = D.minhash_dedup_pairs(df, threshold=0.8, eager=False)
+    truth_kept = {r["doc_id"] for r in D.dedup_representatives(df, pairs).collect()}
+
+    kept_hi, strat_hi = D.dedup_representatives_auto(df, pair_cap=10**9)
+    assert strat_hi == "minhash_pairs+components"
+    assert {r["doc_id"] for r in kept_hi.collect()} == truth_kept
+
+    kept_lo, strat_lo = D.dedup_representatives_auto(df, pair_cap=10)
+    assert strat_lo == "bucket_components+star_verify"
+    assert {r["doc_id"] for r in kept_lo.collect()} == truth_kept
+    assert truth_kept == {0, 100, 200, 300, 400, 500}  # smallest id per cluster
+
+
+def test_curate_near_dedup_records_gate_strategy(spark):
+    """curate_corpus surfaces which near-dedup path the gate chose."""
+    from analyst_toolkit_spark.llm import curate as C
+
+    rows = [(i, f"doc body {i} with unique content here") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, report = C.curate_corpus(df, exact_dedup=False, near_dedup_threshold=0.8)
+    assert report["near_dedup"]["method"] == "minhash_pairs+components"
+    assert out.count() == 8
+
+
 def test_bucket_components_all_identical_linear_edges(spark):
     """The 100x-duplication shape: w identical docs produce ONE component
     via w x bands edges (never C(w,2) pairs)."""
