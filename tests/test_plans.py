@@ -229,7 +229,9 @@ _EXCHANGE_CEILINGS = {
     "quality_classifier_docs": 2,
     "url_dedup_docs": 2,
     "min_cost_supplier": 6,
-    "excess_share_suppliers": 7,
+    "excess_share_suppliers": 6,  # tightened r7 (measured 5 post-gating)
+    "market_share": 2,  # r7 (VERDICT #6): measured 1 — dims broadcast, one agg shuffle
+    "waiting_suppliers": 6,  # r7 (VERDICT #6): measured 5 — orderkey + suppkey keyed shuffles
     "profile_lineitem": 3,
     "dedup_keep_first_lineitem": 3,
 }
