@@ -1529,6 +1529,31 @@ def q_quality_classifier_docs(spark, sf):
     )
 
 
+def q_logreg_gradient_docs(spark, sf):
+    """Training-step oracle for the quality classifier (r6 VERDICT directive
+    #7): the FIRST gradient-descent iteration's gradient sums over the same
+    corrupted-input training set q_quality_classifier_docs scores. Runs the
+    REAL training aggregate (llm/classify.gradient_df — the function
+    train_logreg loops over) at the zero weight vector, where sigmoid(0) =
+    0.5 is IEEE-exact and the whole step is rational arithmetic a SQL engine
+    reproduces. One map-side-combined aggregation — the per-iteration
+    cluster cost of training, verified cross-engine."""
+    from analyst_toolkit_spark.llm import classify as C
+
+    docs = load_table(spark, sf, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_CLF_NOISE * 12))
+    ).otherwise(F.col("text"))
+    feat = docs.select(
+        (F.col("doc_id") % 3 != 0).cast("int").alias("label"), t2.alias("__t2")
+    ).select("label", C.quality_features("__t2").alias("features"))
+    g = C.gradient_df(feat, "label", weights=[0.0] * len(C.FEATURE_NAMES))
+    return g.select(
+        *[F.round(F.col(f"g{i}"), 6).alias(f"g{i}") for i in range(len(C.FEATURE_NAMES))],
+        "n",
+    )
+
+
 def q_corpus_drift_docs(spark, sf):
     """Crawl-over-crawl unigram drift (llm/monitor.token_distribution_drift):
     even/odd doc ids stand in for two crawl snapshots; the single-row
@@ -3654,10 +3679,10 @@ def oracle_sql() -> dict[str, str]:
     return sqls
 
 
-def _quality_classifier_sql() -> str:
-    # mirrors llm/classify.quality_features + _dot_lit term order exactly;
-    # the margin is rational arithmetic over literal weights, so it
-    # hash-matches bit-for-bit (prob/sigmoid deliberately NOT oracle surface)
+def _clf_feature_sqls() -> tuple[str, list[str]]:
+    """(t2 expression, per-feature SQL list in FEATURE_NAMES order) — the
+    DuckDB mirror of llm/classify.quality_features over the corrupted-input
+    construction shared by the classifier scoring + gradient oracles."""
     from analyst_toolkit_spark.llm.text import _STOPWORDS
 
     sw = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
@@ -3677,7 +3702,14 @@ def _quality_classifier_sql() -> str:
     f5 = f"""CASE WHEN {tok} > 0 THEN
         CAST(list_sum(list_transform(regexp_extract_all(t2, '\\S+'), t -> length(t))) AS DOUBLE) / {tok} / 10.0
       ELSE 0.0 END"""
-    feats = ["1.0", f1, f2, f3, f4, f5]
+    return t2, ["1.0", f1, f2, f3, f4, f5]
+
+
+def _quality_classifier_sql() -> str:
+    # mirrors llm/classify.quality_features + _dot_lit term order exactly;
+    # the margin is rational arithmetic over literal weights, so it
+    # hash-matches bit-for-bit (prob/sigmoid deliberately NOT oracle surface)
+    t2, feats = _clf_feature_sqls()
     margin = " + ".join(
         f"(CAST('{w!r}' AS DOUBLE) * ({x}))" for w, x in zip(_CLF_WEIGHTS, feats)
     )

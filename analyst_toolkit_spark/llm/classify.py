@@ -81,6 +81,45 @@ def _dot_lit(features_col: str, weights: list[float]) -> Column:
     return F.expr(terms)
 
 
+def gradient_df(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """ONE training iteration's un-normalized gradient sums as a 1-row
+    DataFrame (``g0..g{d-1}``, ``n``) — the exact aggregate
+    :func:`train_logreg` consumes each iteration (it calls this function).
+
+    This is the training step's cross-engine oracle surface (r6 VERDICT
+    directive #7): at the zero weight vector the margin is exactly 0.0 and
+    ``sigmoid(0) = 1/(1+exp(-0)) = 0.5`` is IEEE-exact (``exp(0)`` is exact
+    in every engine), so the first step's err = 0.5 - y and the gradient is
+    pure rational arithmetic a SQL engine reproduces bit-for-bit (mod
+    summation order — rounded on the compared surface). Non-zero weights
+    put ``exp`` on the path and leave oracle territory (llm/lm.py rule)."""
+    if weights is None:
+        first = df.select(F.size(features_col).alias("d")).first()
+        if first is None:
+            raise ValueError("gradient_df: empty input")
+        weights = [0.0] * first["d"]
+    dim = len(weights)
+    margin = _dot_lit(features_col, weights)
+    y = F.col(label_col).cast("double")
+    # err PROJECTED before the D gradient sums — referenced D times, it
+    # would otherwise re-evaluate the dot+sigmoid per feature (the
+    # expression-duplication rule, llm/lm._ngrams_of)
+    err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - y
+    proj = df.select(F.col(features_col), err.alias("__err"))
+    return proj.agg(
+        *[
+            F.sum(F.col("__err") * F.element_at(features_col, i + 1)).alias(f"g{i}")
+            for i in range(dim)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def train_logreg(
     df: DataFrame,
     label_col: str,
@@ -104,22 +143,11 @@ def train_logreg(
     dim = first["d"]
     n = df.count()
     w = [0.0] * dim
-    y = F.col(label_col).cast("double")
     for _ in range(iters):
-        margin = _dot_lit(features_col, w)
         # sigmoid clamped the standard way; exp() here is training-internal
-        # (the learned weights are floats either way), not oracle surface.
-        # err is PROJECTED before the D gradient sums — referenced D times,
-        # it would otherwise re-evaluate the dot+sigmoid per feature (the
-        # expression-duplication rule, llm/lm._ngrams_of)
-        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - y
-        proj = df.select(F.col(features_col), err.alias("__err"))
-        sums = proj.agg(
-            *[
-                F.sum(F.col("__err") * F.element_at(features_col, i + 1)).alias(f"g{i}")
-                for i in range(dim)
-            ]
-        ).first()
+        # (the learned weights are floats either way), not oracle surface —
+        # except at w=0, where gradient_df's docstring explains the exactness
+        sums = gradient_df(df, label_col, features_col, w).first()
         w = [
             w[i] - lr * (float(sums[f"g{i}"]) / n + l2 * w[i])
             for i in range(dim)
