@@ -2145,7 +2145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leaves a query unverified. After this round every oracle-backed query
     # in the registry should hold a green driver row in some round.
     return {
-        # -- first-time driver slots: r5 rotations -----------------------------
+        # -- r8 rotation: the LAST two oracle-backed queries without a driver
+        # -- row lead the window (r7 VERDICT directives #1/#2) — after this
+        # -- round the union closure should be 120/120 oracle-backed queries
+        # -- driver-green in some round. The other 48 slots keep the r07-green
+        # -- window (minus fuzzy_correction_customer + asof_join_events,
+        # -- parked to the tail) for round-over-round continuity.
+        "length_buckets_docs": q_length_buckets_docs,      # late-r6 impl; first driver row this round
+        "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
+        # -- r07-green continuity slots ----------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
         "sales_opportunity": q_sales_opportunity,          # r6 rotate-in (Q22 scalar-subquery + anti-join)
@@ -2197,13 +2205,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
         "impute_median_customer": q_impute_median_customer,  # r05 green
         "normalize_text_customer": q_normalize_text_customer,  # r05 green
-        "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05 green
-        "asof_join_events": q_asof_join_events,            # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
+        "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05+r07 green (parked r8 for the two rotation slots)
+        "asof_join_events": q_asof_join_events,            # r05+r07 green (parked r8 for the two rotation slots)
         "dup_clusters_lineitem": q_dup_clusters_lineitem,  # r05 green
         "value_counts_topn_priority": q_value_counts_topn_priority,  # r05 green
         "dtype_composition_lineitem": q_dtype_composition_lineitem,  # r05 green
@@ -2276,7 +2284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
-        "length_buckets_docs": q_length_buckets_docs,      # new late-r6: local oracle (padding-vs-packing census; r7 rotation pool)
         "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # new late-r6: rows-only (xxhash LSH buckets; linear bipartite clustering)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
@@ -3133,6 +3140,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s3 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
     """
     sqls["quality_classifier_docs"] = _quality_classifier_sql()
+    sqls["logreg_gradient_docs"] = _logreg_gradient_sql()
     sqls["corpus_drift_docs"] = """
         WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
                     FROM documents WHERE doc_id % 2 = 0),
@@ -3703,6 +3711,24 @@ def _clf_feature_sqls() -> tuple[str, list[str]]:
         CAST(list_sum(list_transform(regexp_extract_all(t2, '\\S+'), t -> length(t))) AS DOUBLE) / {tok} / 10.0
       ELSE 0.0 END"""
     return t2, ["1.0", f1, f2, f3, f4, f5]
+
+
+def _logreg_gradient_sql() -> str:
+    # the w=0 training step (q_logreg_gradient_docs): err = sigmoid(0) - y =
+    # 0.5 - y is IEEE-exact (exp(0) exact in every engine), so each gradient
+    # sum is rational arithmetic over the shared feature SQL — summation
+    # order is the only engine skew, absorbed by round(,6) on both sides
+    t2, feats = _clf_feature_sqls()
+    gs = ",\n               ".join(
+        f"round(sum(err * ({x})), 6) AS g{i}" for i, x in enumerate(feats)
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, {t2} AS t2 FROM documents),
+        m AS (SELECT 0.5 - CAST(doc_id % 3 <> 0 AS INTEGER) AS err, t2 FROM c)
+        SELECT {gs},
+               count(*) AS n
+        FROM m
+    """
 
 
 def _quality_classifier_sql() -> str:
