@@ -147,6 +147,13 @@ def _band_stream(
     ).select(id_col, "bh.band", "bh.band_hash")
 
 
+#: Bucket-size cap shared by the pair generator AND the auto-gate's census
+#: (r7 ADVICE: a census that stops mirroring the pair path's bucket drop
+#: mis-estimates the gate) — degenerate buckets above this size (e.g. empty
+#: docs all sharing the sentinel signature) contribute no pairs in either.
+MAX_BUCKET = 1000
+
+
 def minhash_candidates(
     df: DataFrame,
     key: str = "text",
@@ -155,6 +162,7 @@ def minhash_candidates(
     k: int = 64,
     bands: int = 16,
     shingle_df: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) that collide in >= 1 band.
 
@@ -164,18 +172,22 @@ def minhash_candidates(
     explode to b rows/doc → shuffle on (band, band_hash) → bucket pairs. With
     r = k/b rows per band, collision prob ≈ 1-(1-j^r)^b for Jaccard j (the
     standard S-curve).
+
+    ``banded`` short-circuits the signature pass with an already-computed
+    (id, band, band_hash) stream (:func:`_band_stream` shape) — the
+    band-once seam the auto-gate uses so the census and the chosen path
+    share ONE signature computation (r7 VERDICT #3).
     """
-    banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df)
+    if banded is None:
+        banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df)
     # bucket members per (band, band_hash), pairs expanded IN the bucket —
     # signatures are computed once (no self-join recompute) and only colliding
-    # rows ever meet. max_bucket caps quadratic blowup on degenerate buckets
-    # (e.g. empty docs all sharing the sentinel signature).
-    max_bucket = 1000
+    # rows ever meet. MAX_BUCKET caps quadratic blowup on degenerate buckets.
     members = F.sort_array(F.collect_list(id_col))
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(members.alias("m"))
-        .filter((F.size("m") > 1) & (F.size("m") <= max_bucket))
+        .filter((F.size("m") > 1) & (F.size("m") <= MAX_BUCKET))
     )
     pairs = F.flatten(
         F.transform(
@@ -232,8 +244,47 @@ def jaccard_verify(
     return out
 
 
+def _materialize_nocodegen(
+    src: DataFrame, build, durable_path: str | None = None
+) -> DataFrame:
+    """Eagerly materialize ``build(scoped_src)`` with whole-stage codegen OFF,
+    re-bound to the caller's session. The signature-fold plans this serves are
+    interpreted either way, so codegen only adds Janino compile time around
+    them (measured 2× wall — see :func:`minhash_dedup_pairs`). The flag is
+    scoped to a THROWAWAY ``newSession()`` (independent SQLConf, shared
+    SparkContext) so a concurrent query on the caller's session never observes
+    mutated global conf; plans cross sessions via global temp views. With
+    ``durable_path`` the cut is a parquet round-trip instead of
+    ``localCheckpoint`` (same executor-loss rationale as
+    :func:`connected_components`'s ``checkpoint_dir``)."""
+    import uuid
+
+    spark = src.sparkSession
+    tag = uuid.uuid4().hex[:12]
+    in_view, out_view = f"__nc_in_{tag}", f"__nc_out_{tag}"
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.codegen.wholeStage", "false")
+    src.createOrReplaceGlobalTempView(in_view)
+    try:
+        out = build(scoped.table(f"global_temp.{in_view}"))
+        if durable_path:
+            out.write.mode("overwrite").parquet(durable_path)
+            return spark.read.parquet(durable_path)
+        ckpt = out.localCheckpoint(eager=True)
+        ckpt.createOrReplaceGlobalTempView(out_view)
+        return spark.table(f"global_temp.{out_view}")
+    finally:
+        spark.catalog.dropGlobalTempView(in_view)
+        spark.catalog.dropGlobalTempView(out_view)
+
+
 def minhash_dedup_pairs(
-    df: DataFrame, key: str = "text", id_col: str = "doc_id", threshold: float = 0.8, eager: bool = True
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    eager: bool = True,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
@@ -260,6 +311,17 @@ def minhash_dedup_pairs(
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    if banded is not None:
+        # band-once seam (r7 VERDICT #3): the signature fold — the stage the
+        # scoped no-codegen session exists for — is already materialized by
+        # the caller, so candidates + verify run in the caller's session.
+        cands = minhash_candidates(src, key, id_col, banded=banded).cache()
+        out = jaccard_verify(src, cands, key, id_col, threshold=threshold)
+        if not eager:
+            return out
+        ckpt = out.localCheckpoint(eager=True)
+        cands.unpersist()
+        return ckpt
     if not eager:
         # cache the (tiny) candidate frame: jaccard_verify references it three
         # times (id extraction ×2 + the verify join) — uncached that triples
@@ -590,6 +652,7 @@ def bucket_components(
     max_iter: int = 25,
     method: str = "xxhash",
     checkpoint_dir: str | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """LINEAR near-dup clustering for extremely duplicated corpora:
     connected components over the doc-bucket BIPARTITE graph instead of the
@@ -613,11 +676,14 @@ def bucket_components(
     # drop shingle-less docs (shorter than n_shingle tokens) BEFORE banding:
     # they'd all share the all-max sentinel signature and fuse into one
     # bogus mega-cluster — the pair path survives this via its bucket cap +
-    # Jaccard verify, but this path has neither by design
-    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
+    # Jaccard verify, but this path has neither by design. A caller-provided
+    # ``banded`` stream (the band-once seam) must honor the same filter —
+    # near_dedup_components' shared stream does.
+    if banded is None:
+        sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
     # keep only buckets with >= 2 docs: singleton buckets add edges without
     # ever merging anything (and are the vast majority at low duplication)
     bucket_key = F.xxhash64(F.col("band").cast("string"), F.col("band_hash").cast("string"))
@@ -874,29 +940,35 @@ NEARDUP_PAIR_CAP = int(_os.environ.get("SPARK_GRAFT_NEARDUP_PAIR_CAP", "5000000"
 
 
 def candidate_pair_census(
-    df: DataFrame,
+    df: DataFrame | None,
     key: str = "text",
     id_col: str = "doc_id",
     n_shingle: int = 3,
     k: int = 64,
     bands: int = 16,
     method: str = "xxhash",
+    banded: DataFrame | None = None,
 ) -> int:
     """UPPER-BOUND estimate of the LSH candidate-pair volume the pair path
     would materialize: Σ over ≥2-member buckets of C(m, 2), mirroring
-    ``minhash_candidates``'s bucket construction including its ``max_bucket``
+    ``minhash_candidates``'s bucket construction including its ``MAX_BUCKET``
     drop (oversized degenerate buckets contribute nothing there, so none
-    here). An upper bound because the pair path's cross-band ``distinct()``
+    here; one shared constant so a retune cannot desynchronize the two — r7
+    ADVICE). An upper bound because the pair path's cross-band ``distinct()``
     collapses pairs colliding in several bands; the census counts each band.
 
-    One banding pass + one bounded agg — linear in docs × bands, the same
-    trust-nothing pattern as ``llm/scale.pair_strategy``: a cheap scan that
-    decides before the engine commits to quadratic-output work."""
-    banded = _band_stream(df, key, id_col, n_shingle, k, bands, method=method)
+    One bounded agg over the banded stream — and with ``banded`` (the
+    band-once seam, r7 VERDICT #3) not even its own banding pass: the caller
+    materializes (id, band, band_hash) ONCE and both the census and the
+    chosen dedup path read that cut. Without it, linear in docs × bands, the
+    same trust-nothing pattern as ``llm/scale.pair_strategy``: a cheap scan
+    that decides before the engine commits to quadratic-output work."""
+    if banded is None:
+        banded = _band_stream(df, key, id_col, n_shingle, k, bands, method=method)
     sizes = (
         banded.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") > 1) & (F.col("__n") <= 1000))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= MAX_BUCKET))
     )
     row = (
         sizes.agg(F.sum((F.col("__n") * (F.col("__n") - 1) / 2).cast("long")).alias("c"))
@@ -929,19 +1001,47 @@ def near_dedup_components(
     sweep measured the crossover concretely (159.6 s pairs vs 63.7 s
     buckets on a 500k-doc all-duplicated corpus); choosing between them was
     a docstring instruction until this gate. The bucket path requires
-    integer-castable doc ids (its bipartite long namespace)."""
+    integer-castable doc ids (its bipartite long namespace).
+
+    Bands ONCE (r7 VERDICT #3 — the census double-scan was the r7
+    curate_chain regression, +44% at sf0.1): the (id, band, band_hash)
+    stream is materialized a single time (``localCheckpoint``, or a durable
+    parquet cut under ``checkpoint_dir``), the census reads that cut, and
+    the SAME cut feeds whichever path wins — signature computation, the
+    dominant cost of near-dedup at corpus scale, is paid exactly once.
+    Shingle-less docs are dropped up front: required by the bucket path
+    (sentinel-signature mega-cluster) and output-neutral for the pair path
+    (an all-empty-shingle pair can never reach a positive Jaccard threshold
+    in ``jaccard_verify``)."""
     cap = NEARDUP_PAIR_CAP if pair_cap is None else pair_cap
-    est = candidate_pair_census(df, key, id_col, n_shingle, k, bands, method=method)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+    def _build(s):
+        sh = s.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        return _band_stream(s, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
+
+    banded = _materialize_nocodegen(
+        src,
+        _build,
+        durable_path=f"{checkpoint_dir.rstrip('/')}/00_banded" if checkpoint_dir else None,
+    )
+    est = candidate_pair_census(None, banded=banded)
     if est > cap:
         comps = bucket_components(
             df, key=key, id_col=id_col, n_shingle=n_shingle, k=k, bands=bands,
-            method=method, checkpoint_dir=checkpoint_dir,
+            method=method, checkpoint_dir=checkpoint_dir, banded=banded,
         )
         comps = verify_components(
             df, comps, key=key, id_col=id_col, n_shingle=n_shingle, threshold=threshold
         )
         return comps, "bucket_components+star_verify"
-    pairs = minhash_dedup_pairs(df, key=key, id_col=id_col, threshold=threshold)
+    pairs = minhash_dedup_pairs(
+        src, key=key, id_col=id_col, threshold=threshold, banded=banded
+    )
     return (
         connected_components(pairs, checkpoint_dir=checkpoint_dir),
         "minhash_pairs+components",

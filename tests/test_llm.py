@@ -1280,6 +1280,42 @@ def test_logreg_trains_to_separate_synthetic_quality(spark):
     assert 0.0 < r.prob < 1.0 and (r.prob > 0.5) == (r.margin > 0)
 
 
+def test_gradient_df_matches_python_ground_truth(spark):
+    """Direct unit check of the training-step aggregate (r7 ADVICE): one
+    iteration's gradient sums vs an independent Python computation — exact
+    at w=0 (err = 0.5 - y, rational arithmetic), tolerance-checked at a
+    non-zero weight vector (exp on the path)."""
+    from analyst_toolkit_spark.llm import classify as C
+
+    rows = [
+        (1, [1.0, 2.0, -1.0], 1),
+        (2, [1.0, 0.5, 3.0], 0),
+        (3, [1.0, -1.5, 0.25], 1),
+    ]
+    df = spark.createDataFrame(rows, ["id", "features", "label"])
+
+    def py_grad(w):
+        gs = [0.0] * 3
+        for _, x, y in rows:
+            err = C.sigmoid(sum(wi * xi for wi, xi in zip(w, x))) - y
+            for i in range(3):
+                gs[i] += err * x[i]
+        return gs
+
+    # w=0: sigmoid(0) = 0.5 exactly -> bit-exact sums
+    g0 = C.gradient_df(df, "label", weights=[0.0, 0.0, 0.0]).first()
+    assert g0["n"] == 3
+    assert [g0[f"g{i}"] for i in range(3)] == py_grad([0.0, 0.0, 0.0])
+    # non-zero weights: exp() differs in the last ulp across libms at most
+    w = [0.2, -0.7, 0.1]
+    g1 = C.gradient_df(df, "label", weights=w).first()
+    for i, want in enumerate(py_grad(w)):
+        assert abs(g1[f"g{i}"] - want) < 1e-12
+    # default weights = zero vector of the feature dimension
+    gd = C.gradient_df(df, "label").first()
+    assert [gd[f"g{i}"] for i in range(3)] == py_grad([0.0, 0.0, 0.0])
+
+
 def test_dot_lit_matches_python_dot(spark):
     from analyst_toolkit_spark.llm import classify as C
 
@@ -1377,6 +1413,45 @@ def test_near_dedup_auto_gate_flips_and_matches_pair_path(spark):
     assert strat_lo == "bucket_components+star_verify"
     assert {r["doc_id"] for r in kept_lo.collect()} == truth_kept
     assert truth_kept == {0, 100, 200, 300, 400, 500}  # smallest id per cluster
+
+
+def test_near_dedup_auto_gate_bands_once(spark, monkeypatch):
+    """r7 VERDICT #3 done-criterion: the census and the chosen path share ONE
+    banding/signature pass — _band_stream is constructed exactly once per
+    near_dedup_components call, under BOTH gate outcomes (signatures are the
+    dominant near-dedup cost at corpus scale; r7 paid them twice)."""
+    rows = [
+        (c * 100 + i, " ".join(f"w{c}x{j} token{c}v{j}" for j in range(10)))
+        for c in range(4)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    calls = []
+    real = D._band_stream
+    monkeypatch.setattr(
+        D, "_band_stream", lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    )
+    comps_hi, strat_hi = D.near_dedup_components(df, pair_cap=10**9)
+    assert comps_hi.count() > 0
+    assert strat_hi == "minhash_pairs+components"
+    assert len(calls) == 1
+    calls.clear()
+    comps_lo, strat_lo = D.near_dedup_components(df, pair_cap=10)
+    assert comps_lo.count() > 0
+    assert strat_lo == "bucket_components+star_verify"
+    assert len(calls) == 1
+
+
+def test_max_bucket_constant_shared(spark):
+    """r7 ADVICE: one module-level MAX_BUCKET drives both the pair generator
+    and the gate census, so retuning one cannot silently desynchronize the
+    other's bucket-drop mirror."""
+    import inspect
+
+    assert D.MAX_BUCKET == 1000
+    for fn in (D.minhash_candidates, D.candidate_pair_census):
+        src = inspect.getsource(fn)
+        assert "MAX_BUCKET" in src and "= 1000" not in src, fn.__name__
 
 
 def test_curate_near_dedup_records_gate_strategy(spark):
