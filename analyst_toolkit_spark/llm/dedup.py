@@ -584,14 +584,54 @@ def connected_components(
     the WHOLE multi-iteration job under localCheckpoint, while the durable
     cut resumes from the last written iteration's files. Identical labels
     either way (asserted by test_dedup's durable twin).
+
+    Retention (r7 VERDICT #5): label snapshots are full corpus-label sets —
+    O(iterations × labels) durable storage if kept. After iteration N's
+    write commits, iteration N-2's snapshot is deleted (last TWO kept: the
+    current set plus one predecessor to resume from if N's files turn out
+    truncated). Stale ``*_labels``/``*_edges`` children from a previous run
+    in the same dir are cleared at entry (``mode=overwrite`` only replaces
+    same-numbered paths, so a rerun converging sooner would otherwise leave
+    the old run's higher-numbered snapshots behind). The dir should be
+    dedicated to one fixpoint; sibling files with other names are untouched.
     """
     cut_seq = [0]
+    label_paths: list[str] = []
+
+    def _hadoop_fs(path: str):
+        spark = pairs.sparkSession
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+    def _rm(path: str) -> None:
+        # best-effort: retention must never fail the fixpoint itself
+        try:
+            fs, hp = _hadoop_fs(path)
+            fs.delete(hp, True)
+        except Exception:
+            pass
+
+    if checkpoint_dir:
+        try:
+            fs, hp = _hadoop_fs(checkpoint_dir.rstrip("/"))
+            if fs.exists(hp):
+                for st in fs.listStatus(hp):
+                    name = st.getPath().getName()
+                    if name.endswith("_labels") or name.endswith("_edges"):
+                        fs.delete(st.getPath(), True)
+        except Exception:
+            pass
 
     def _cut(frame: DataFrame, tag: str) -> DataFrame:
         if checkpoint_dir:
             cut_seq[0] += 1
             path = f"{checkpoint_dir.rstrip('/')}/{cut_seq[0]:02d}_{tag}"
             frame.write.mode("overwrite").parquet(path)
+            if tag == "labels":
+                label_paths.append(path)
+                if len(label_paths) > 2:
+                    _rm(label_paths.pop(0))
             return frame.sparkSession.read.parquet(path)
         return frame.localCheckpoint(eager=True)
 

@@ -323,15 +323,29 @@ def test_connected_components_checkpoint_dir_durable_and_identical(spark, tmp_pa
     )
     local = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     ckpt = str(tmp_path / "cc_ckpt")
+    # stale children from a "previous run" must be cleared at entry; sibling
+    # files with other names are caller-owned and untouched
+    import os
+
+    os.makedirs(os.path.join(ckpt, "99_labels"))
+    os.makedirs(os.path.join(ckpt, "98_edges"))
+    os.makedirs(os.path.join(ckpt, "00_banded"))
     durable_df = connected_components(pairs, checkpoint_dir=ckpt)
     durable = {r["node"]: r["component"] for r in durable_df.collect()}
     assert durable == local and durable
     files = durable_df.inputFiles()
     assert files and all("cc_ckpt" in f for f in files)
-    import os
 
-    iter_dirs = [d for d in os.listdir(ckpt) if "labels" in d]
-    assert len(iter_dirs) >= 3  # init + >=2 fixpoint iterations, all durable
+    names = os.listdir(ckpt)
+    assert "99_labels" not in names and "98_edges" not in names  # stale cleared
+    assert "00_banded" in names  # non-cut sibling untouched
+    # retention (r7 VERDICT #5): a 13-node chain needs >=3 label iterations,
+    # but only the last TWO snapshots may remain (plus the edges cut)
+    label_dirs = sorted(d for d in names if d.endswith("_labels"))
+    assert len(label_dirs) == 2
+    assert sum(1 for d in names if d.endswith("_edges")) == 1
+    # the returned frame reads the LAST surviving snapshot
+    assert all(label_dirs[-1] in f for f in files)
 
 
 def test_bucket_components_checkpoint_dir_identical(spark, tmp_path):
