@@ -60,6 +60,18 @@ def plan_size_bytes(df: DataFrame) -> int:
     return -1 if size >= _SIZE_UNKNOWN_FLOOR else size
 
 
+def maybe_broadcast(df: DataFrame, gate_bytes: int = 64 << 20) -> DataFrame:
+    """Size-gated broadcast hint — the library twin of the entry file's
+    ``_bc()``. A hard ``F.broadcast()`` is honored regardless of
+    autoBroadcastJoinThreshold and AQE will NOT demote it, so hinting a frame
+    whose size scales with the corpus OOMs executors at 100×. Hint only when
+    the optimizer estimate is KNOWN and under the gate; unknown (-1) is NOT
+    small — otherwise return the frame unhinted and let AQE's runtime
+    statistics pick broadcast vs shuffle."""
+    size = plan_size_bytes(df)
+    return F.broadcast(df) if 0 <= size <= gate_bytes else df
+
+
 def plan_row_estimate(df: DataFrame) -> int:
     """Optimizer ROW-count estimate (defined for local relations and
     CBO-analyzed tables; -1 when Spark has no estimate — the common case for

@@ -521,14 +521,19 @@ def decontaminate(
     overlap check run before training so eval data is not memorized.
 
     Plan shape for 100 TB of docs vs a small benchmark: the benchmark's
-    distinct n-gram set builds once and BROADCASTS; docs explode to
-    (doc, gram) pairs map-side, the semi-overlap resolves in a broadcast
-    hash join, and a single groupBy recovers the per-doc ratio. No shuffle
-    of document text; flagged = overlap_ratio > threshold.
+    distinct n-gram set builds once and broadcasts THROUGH THE SIZE GATE
+    (``stats.maybe_broadcast`` — a caller may legally pass a corpus-derived
+    slice as the benchmark, and "filtered" is not "fixed-size": a hard hint
+    there OOMs at 100×, so an unknown or large gram set stays unhinted and
+    AQE decides); docs explode to (doc, gram) pairs map-side, the
+    semi-overlap resolves in the hash join, and a single groupBy recovers
+    the per-doc ratio. No shuffle of document text; flagged =
+    overlap_ratio > threshold.
 
     Output: (id_col, n_grams, n_contaminated, overlap_ratio, contaminated).
     Docs with fewer than ``n`` words have 0 grams and ratio 0.0.
     """
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
     from analyst_toolkit_spark.llm.dedup import shingles
 
     bench_grams = (
@@ -539,7 +544,7 @@ def decontaminate(
     )
     hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
     joined = doc_grams.join(
-        F.broadcast(bench_grams.withColumnRenamed("gram", "hit_gram")),
+        maybe_broadcast(bench_grams.withColumnRenamed("gram", "hit_gram")),
         F.col("gram") == F.col("hit_gram"),
         "left",
     )

@@ -185,6 +185,18 @@ def main() -> None:
     for nh_name in ("dedup_bucket_components_docs", "minhash_md5_components_docs"):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # r8 (VERDICT r7 item 4): the near-dedup auto-gate's own end-to-end cost
+    # (one shared banding cut + census + the chosen path), in BOTH regimes —
+    # the default cap takes the pair path at sf0.1; cap=0 forces the linear
+    # bucket path — so the gate's overhead is visible outside the curate chain.
+    from analyst_toolkit_spark.llm import dedup as L_dedup
+
+    def _auto_gate(cap):
+        comps, strategy = L_dedup.near_dedup_components(docs, pair_cap=cap)
+        _materialize(comps)
+
+    _nh("near_dedup_auto_pairs", lambda: _auto_gate(None))
+    _nh("near_dedup_auto_buckets_forced", lambda: _auto_gate(0))
 
     detail = {
         "metric": "module_suite_wall_clock",
