@@ -244,6 +244,32 @@ def jaccard_verify(
     return out
 
 
+_SENTINEL_HASH_CACHE: dict = {}
+
+
+def sentinel_band_hash(spark, k: int, bands: int, method: str = "xxhash"):
+    """The band_hash every shingle-less doc produces: the all-max sentinel
+    signature folds to the same r-element slice in every band, so its hash
+    is ONE constant per (k//bands, method). Lets consumers drop sentinel
+    rows from a banded stream with a literal comparison instead of
+    pre-filtering on ``size(shingles(..)) > 0`` — that filter pushes below
+    the projection and re-tokenizes every row (the expression-duplication
+    trap; measured +0.5 s on 5k docs at sf0.1). md5 is computed in-process;
+    xxhash64 needs one 1-row JVM job, memoized per SparkContext."""
+    r = k // bands
+    s = ",".join(["9223372036854775807"] * r)
+    if method == "md5":
+        import hashlib
+
+        return hashlib.md5(s.encode()).hexdigest()
+    cache_key = (r, "xxhash")
+    if cache_key not in _SENTINEL_HASH_CACHE:
+        _SENTINEL_HASH_CACHE[cache_key] = (
+            spark.range(1).select(F.xxhash64(F.lit(s)).alias("h")).first()["h"]
+        )
+    return _SENTINEL_HASH_CACHE[cache_key]
+
+
 def _materialize_nocodegen(
     src: DataFrame, build, durable_path: str | None = None
 ) -> DataFrame:
@@ -717,8 +743,8 @@ def bucket_components(
     # they'd all share the all-max sentinel signature and fuse into one
     # bogus mega-cluster — the pair path survives this via its bucket cap +
     # Jaccard verify, but this path has neither by design. A caller-provided
-    # ``banded`` stream (the band-once seam) must honor the same filter —
-    # near_dedup_components' shared stream does.
+    # ``banded`` stream (the band-once seam) must arrive sentinel-free —
+    # near_dedup_components drops sentinel rows via sentinel_band_hash.
     if banded is None:
         sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
             F.size("sh") > 0
@@ -1049,43 +1075,59 @@ def near_dedup_components(
     parquet cut under ``checkpoint_dir``), the census reads that cut, and
     the SAME cut feeds whichever path wins — signature computation, the
     dominant cost of near-dedup at corpus scale, is paid exactly once.
-    Shingle-less docs are dropped up front: required by the bucket path
-    (sentinel-signature mega-cluster) and output-neutral for the pair path
-    (an all-empty-shingle pair can never reach a positive Jaccard threshold
-    in ``jaccard_verify``)."""
+    The stream is UNFILTERED (bit-identical to the pair path's own
+    banding): shingle-less docs ride along as all-max sentinel signatures —
+    capped/Jaccard-verified away on the pair path exactly as before, and
+    dropped for the bucket path by one literal comparison against the
+    precomputed :func:`sentinel_band_hash` (a pre-filter on
+    ``size(shingles(..))`` re-tokenizes every row — the
+    expression-duplication trap)."""
     cap = NEARDUP_PAIR_CAP if pair_cap is None else pair_cap
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
 
     def _build(s):
-        sh = s.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
-            F.size("sh") > 0
-        )
-        return _band_stream(s, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
+        return _band_stream(s, key, id_col, n_shingle, k, bands, method=method)
 
-    banded = _materialize_nocodegen(
-        src,
-        _build,
-        durable_path=f"{checkpoint_dir.rstrip('/')}/00_banded" if checkpoint_dir else None,
-    )
-    est = candidate_pair_census(None, banded=banded)
-    if est > cap:
-        comps = bucket_components(
-            df, key=key, id_col=id_col, n_shingle=n_shingle, k=k, bands=bands,
-            method=method, checkpoint_dir=checkpoint_dir, banded=banded,
+    if checkpoint_dir:
+        # durable cut: parquet round-trip, resumable after executor loss
+        banded = _materialize_nocodegen(
+            src, _build, durable_path=f"{checkpoint_dir.rstrip('/')}/00_banded"
         )
-        comps = verify_components(
-            df, comps, key=key, id_col=id_col, n_shingle=n_shingle, threshold=threshold
+        cleanup = None
+    else:
+        # cache, not localCheckpoint: the census action below is the pass
+        # that POPULATES the cache, so banding + census fuse into one job
+        # (a separate materialization job measured +~1 s at sf0.1); both
+        # paths consume the stream eagerly before return, after which the
+        # cache is dropped.
+        banded = _build(src).cache()
+        cleanup = banded
+    try:
+        est = candidate_pair_census(None, banded=banded)
+        if est > cap:
+            sent = sentinel_band_hash(spark, k, bands, method)
+            comps = bucket_components(
+                df, key=key, id_col=id_col, n_shingle=n_shingle, k=k, bands=bands,
+                method=method, checkpoint_dir=checkpoint_dir,
+                banded=banded.filter(F.col("band_hash") != F.lit(sent)),
+            )
+            comps = verify_components(
+                df, comps, key=key, id_col=id_col, n_shingle=n_shingle,
+                threshold=threshold,
+            )
+            return comps, "bucket_components+star_verify"
+        pairs = minhash_dedup_pairs(
+            src, key=key, id_col=id_col, threshold=threshold, banded=banded
         )
-        return comps, "bucket_components+star_verify"
-    pairs = minhash_dedup_pairs(
-        src, key=key, id_col=id_col, threshold=threshold, banded=banded
-    )
-    return (
-        connected_components(pairs, checkpoint_dir=checkpoint_dir),
-        "minhash_pairs+components",
-    )
+        return (
+            connected_components(pairs, checkpoint_dir=checkpoint_dir),
+            "minhash_pairs+components",
+        )
+    finally:
+        if cleanup is not None:
+            cleanup.unpersist()
 
 
 def dedup_representatives_auto(

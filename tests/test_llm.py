@@ -1456,6 +1456,33 @@ def test_near_dedup_auto_gate_bands_once(spark, monkeypatch):
     assert len(calls) == 1
 
 
+def test_sentinel_band_hash_matches_empty_doc_banding(spark):
+    """sentinel_band_hash must equal the band_hash an actual shingle-less
+    doc produces in _band_stream, for both hash methods — and the forced
+    bucket path through the gate must therefore NOT fuse empty docs into a
+    mega-cluster (the job the old pre-filter did)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, ""), (2, "xy"), (3, "a a a never duplicated text one"),
+            *[(10 + i, "same dup body here repeated for clusters") for i in range(4)]]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for method in ("xxhash", "md5"):
+        sent = D.sentinel_band_hash(spark, 64, 16, method)
+        got = {
+            r["band_hash"]
+            for r in D._band_stream(
+                df.filter("doc_id <= 2"), "text", "doc_id", 3, 64, 16, method=method
+            ).collect()
+        }
+        assert got == {sent}, method  # every empty-doc band row IS the sentinel
+    comps, strat = D.near_dedup_components(df, pair_cap=0)
+    assert strat == "bucket_components+star_verify"
+    cc = {r["node"]: r["component"] for r in comps.collect()}
+    # empty docs never cluster; the 4-way dup cluster resolves to min id
+    assert 1 not in cc and 2 not in cc
+    assert {n for n, c in cc.items() if c == 10} == {10, 11, 12, 13}
+
+
 def test_max_bucket_constant_shared(spark):
     """r7 ADVICE: one module-level MAX_BUCKET drives both the pair generator
     and the gate census, so retuning one cannot silently desynchronize the
