@@ -1352,13 +1352,15 @@ def q_dedup_cluster_docs(spark, sf):
 
 
 def q_minhash_md5_components_docs(spark, sf):
-    """ORACLE TWIN of the bipartite bucket clustering: same doc-bucket
+    """ORACLE TWIN of the bucket clustering: the same bucket-graph
     connected-components pipeline, but over the cross-engine md5 MinHash
     (llm/dedup.minhash_signature_md5; k=8, bands=4). DuckDB reproduces the
-    identical signatures, buckets, and a recursive-CTE CC over the same
-    bipartite graph — so the END-TO-END cluster assignment (node ->
-    min-reachable doc id) is hash-verified, certifying the clustering
-    logic the xxhash production path shares."""
+    identical signatures and buckets, then walks a recursive-CTE CC over
+    the doc-bucket graph; Spark (r8) clusters per-bucket STAR edges — the
+    two edge sets generate the SAME connectivity relation, so the
+    END-TO-END cluster assignment (node -> min-reachable doc id) is
+    hash-verified, certifying the clustering logic the xxhash production
+    path shares."""
     docs = load_table(spark, sf, "documents")
     return L_dedup.bucket_components(docs, k=8, bands=4, method="md5").orderBy("node")
 
@@ -2194,7 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
         "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
         "url_dedup_docs": q_url_dedup_docs,                # new r6 (canonical-URL identity dedup)
-        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # new late-r6 (bipartite clustering, md5 oracle twin — end-to-end CC hash-verified)
+        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # new late-r6 (bucket clustering, md5 oracle twin — end-to-end CC hash-verified)
         "corpus_drift_docs": q_corpus_drift_docs,          # new r6 (unigram TV-distance drift)
         "token_drift_terms_docs": q_token_drift_terms_docs,  # new r6 (top drift movers)
         "embedding_drift": q_embedding_drift,              # new r6 (centroid shift between snapshots)
@@ -2284,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
         "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # new late-r6: rows-only (xxhash LSH buckets; linear bipartite clustering)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # new late-r6: rows-only (xxhash LSH buckets; linear star-edge clustering since r8)
         "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
         "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
         "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)

@@ -661,20 +661,35 @@ def connected_components(
             return frame.sparkSession.read.parquet(path)
         return frame.localCheckpoint(eager=True)
 
-    edges = _cut(
+    sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct(),
-        "edges",
+        .distinct()
     )
+    edges_cache = None
+    if checkpoint_dir:
+        edges = _cut(sym, "edges")
+    else:
+        # repartition on the propagation key, then CACHE rather than
+        # localCheckpoint: a checkpoint discards outputPartitioning
+        # (verified empirically on 4.1) while InMemoryRelation preserves
+        # it, so every iteration's prop join reads pre-partitioned edges
+        # with NO exchange on the edge side — one edges-sized shuffle
+        # (the O(docs x bands) side on the bucket path) saved per
+        # iteration once labels outgrow broadcast. One extra build-time
+        # shuffle buys that; lineage stays short (edges are built once).
+        edges = sym.repartition(F.col("dst")).cache()
+        edges.count()
+        edges_cache = edges
     labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node")),
         "labels",
     )
-    # decimal(38,0) sum: labels may be full-range 64-bit hashes (the
-    # bipartite bucket path), whose long sum overflows under ANSI
+    # decimal(38,0) sum: node ids are caller-defined and may be full-range
+    # 64-bit hashes (e.g. simhash-keyed pair lists), whose long sum
+    # overflows under ANSI
     _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
     prev_sum = labels.agg(_label_sum).first()[0]
     converged = False
@@ -705,6 +720,9 @@ def connected_components(
             f"connected_components: not converged after {max_iter} iterations; "
             "labels are an upper bound on true components", stacklevel=2
         )
+    if edges_cache is not None:
+        # final labels are checkpointed — nothing downstream re-reads edges
+        edges_cache.unpersist()
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -721,12 +739,20 @@ def bucket_components(
     banded: DataFrame | None = None,
 ) -> DataFrame:
     """LINEAR near-dup clustering for extremely duplicated corpora:
-    connected components over the doc-bucket BIPARTITE graph instead of the
-    doc-doc pair graph. A w-way duplicate cluster contributes w x bands
-    edges here versus C(w,2) materialized pairs on the verified path — the
-    100x sweep measured ``minhash_dedup_pairs`` at 159.6 s on a corpus
-    where EVERY doc sits in a 100-way cluster, purely from ~25M pairs of
-    output; this path stays O(docs x bands).
+    connected components over per-bucket STAR edges (every member → its
+    bucket's minimum doc id) instead of the doc-doc pair graph. A w-way
+    duplicate cluster contributes w x bands edges here versus C(w,2)
+    materialized pairs on the verified path — the 100x sweep measured
+    ``minhash_dedup_pairs`` at 159.6 s on a corpus where EVERY doc sits in
+    a 100-way cluster, purely from ~25M pairs of output; this path stays
+    O(docs x bands).
+
+    (r8: was doc-bucket BIPARTITE edges with synthetic bucket nodes — the
+    star form keeps the identical connectivity relation, so components are
+    unchanged, while halving the node count AND the propagation distance
+    (doc→bucket→doc hops become doc→rep), dropping the bit-twiddled node
+    namespaces, and making the post-CC relabel a no-op: hash-to-min's
+    component label over all-doc nodes IS the smallest reachable doc id.)
 
     Tradeoff, stated plainly: NO Jaccard verification — any single band
     collision links two docs, so precision is candidate-level (the LSH
@@ -750,31 +776,23 @@ def bucket_components(
             F.size("sh") > 0
         )
         banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
-    # keep only buckets with >= 2 docs: singleton buckets add edges without
-    # ever merging anything (and are the vast majority at low duplication)
+    # star edges: every bucket member → the bucket's min doc id. Singleton
+    # buckets self-edge (member == min) and are filtered — the old explicit
+    # ">= 2 members" semi-join falls out for free. Duplicate edges across
+    # bands are collapsed by connected_components' own edge distinct.
     bucket_key = F.xxhash64(F.col("band").cast("string"), F.col("band_hash").cast("string"))
-    tagged = banded.select(F.col(id_col), bucket_key.alias("__bkt")).distinct()
-    shared = (
-        tagged.groupBy("__bkt")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("__bkt")
+    tagged = banded.select(
+        F.col(id_col).cast("long").alias("__id"), bucket_key.alias("__bkt")
     )
-    # disjoint LONG namespaces via bit ops (connected_components' convergence
-    # metric sums labels, so nodes must be numeric; shiftleft wraps without
-    # ANSI overflow errors): docs on even ids, buckets on odd
-    edges = tagged.join(shared, "__bkt", "left_semi").select(
-        F.shiftleft(F.col(id_col).cast("long"), 1).alias("id_a"),
-        (F.shiftleft(F.col("__bkt"), 1).bitwiseOR(F.lit(1))).alias("id_b"),
+    mins = tagged.groupBy("__bkt").agg(F.min("__id").alias("__rep"))
+    edges = (
+        tagged.join(mins, "__bkt")
+        .filter(F.col("__id") != F.col("__rep"))
+        .select(F.col("__id").alias("id_a"), F.col("__rep").alias("id_b"))
     )
-    cc = connected_components(edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
-    docs_cc = cc.filter(F.col("node").bitwiseAND(F.lit(1)) == 0).select(
-        F.shiftright("node", 1).alias("node"), F.col("component")
-    )
-    # component labels range over the mixed namespace; relabel each component
-    # by its smallest DOC id (the contract dedup_representatives keys on)
-    rep = docs_cc.groupBy("component").agg(F.min("node").alias("__rep"))
-    return docs_cc.join(rep, "component").select("node", F.col("__rep").alias("component"))
+    return connected_components(
+        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    ).select(F.col("node"), F.col("component"))
 
 
 def verify_components(
@@ -1067,7 +1085,7 @@ def near_dedup_components(
     sweep measured the crossover concretely (159.6 s pairs vs 63.7 s
     buckets on a 500k-doc all-duplicated corpus); choosing between them was
     a docstring instruction until this gate. The bucket path requires
-    integer-castable doc ids (its bipartite long namespace).
+    integer-castable doc ids (star edges live in the long doc-id space).
 
     Bands ONCE (r7 VERDICT #3 — the census double-scan was the r7
     curate_chain regression, +44% at sf0.1): the (id, band, band_hash)

@@ -348,6 +348,33 @@ def test_connected_components_checkpoint_dir_durable_and_identical(spark, tmp_pa
     assert all(label_dirs[-1] in f for f in files)
 
 
+def test_cc_edges_cache_preserves_partitioning(spark):
+    """The CC fixpoint repartitions+caches its edge list (instead of
+    localCheckpoint, which discards outputPartitioning) so the per-iteration
+    propagation join adds NO exchange on the edges side — pin the engine
+    behavior the design assumes, so a Spark upgrade that stops preserving
+    InMemoryRelation partitioning fails loudly here."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(1000).select(
+        (F.col("id") % 50).alias("src"), (F.col("id") % 97).alias("dst")
+    )
+    ck = e.repartition(F.col("dst")).cache()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        ck.count()
+        lab = spark.range(97).select(F.col("id").alias("node"), F.col("id").alias("comp"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ck.join(lab, ck["dst"] == lab["node"]).select(ck["src"], "comp")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # exactly one runtime exchange: the labels side; the cached edges
+        # side satisfies the join's distribution from its cache partitioning
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        ck.unpersist()
+
+
 def test_bucket_components_checkpoint_dir_identical(spark, tmp_path):
     """The bucket path threads checkpoint_dir through to the CC fixpoint."""
     rows = [(i, "the same exact document body repeated everywhere") for i in range(10)]
