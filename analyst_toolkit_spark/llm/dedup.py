@@ -821,7 +821,19 @@ def verify_components(
     Returns (node, component) with the same contract as
     :func:`connected_components`, minus members that failed verification
     against their representative (they map to themselves)."""
-    sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("__sh"))
+    # shingle ONLY docs that appear in a cluster (members ∪ representatives):
+    # at corpus scale the clustered slice is a sliver of the input, and
+    # without the semi-join the shingle pass runs over everything just to be
+    # thrown away by the member join (same pruning as jaccard_verify). The
+    # id set derives from the (checkpointed) component labels — label-sized,
+    # no hint, AQE picks the join strategy.
+    ids = (
+        components.select(F.col("node").alias(id_col))
+        .union(components.select(F.col("component").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(ids, id_col, "left_semi")
+    sh = sub.select(F.col(id_col), shingles(key, n_shingle).alias("__sh"))
     member = components.join(sh, components["node"] == sh[id_col]).select(
         "node", "component", F.col("__sh").alias("__m_sh")
     )
