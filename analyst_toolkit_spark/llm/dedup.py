@@ -1134,28 +1134,50 @@ def near_dedup_components(
         # cache is dropped.
         banded = _build(src).cache()
         cleanup = banded
+    # ONE bucket-size shuffle shared by the census AND the chosen path: the
+    # census is an agg over it, and the winning path semi-joins the banded
+    # stream against the qualifying bucket keys — singleton buckets (the
+    # vast majority at low duplication) are dropped BEFORE the expensive
+    # members/mins shuffle. No hint: AQE broadcasts the key set when it is
+    # small and falls back to a co-partitioned join when it is not.
+    sizes = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .cache()
+    )
     try:
-        est = candidate_pair_census(None, banded=banded)
+        row = (
+            sizes.filter(F.col("__n") <= MAX_BUCKET)
+            .agg(F.sum((F.col("__n") * (F.col("__n") - 1) / 2).cast("long")).alias("c"))
+            .first()
+        )
+        est = int(row["c"] or 0)
         if est > cap:
             sent = sentinel_band_hash(spark, k, bands, method)
+            banded_bkt = banded.filter(F.col("band_hash") != F.lit(sent)).join(
+                sizes.select("band", "band_hash"), ["band", "band_hash"], "left_semi"
+            )
             comps = bucket_components(
                 df, key=key, id_col=id_col, n_shingle=n_shingle, k=k, bands=bands,
-                method=method, checkpoint_dir=checkpoint_dir,
-                banded=banded.filter(F.col("band_hash") != F.lit(sent)),
+                method=method, checkpoint_dir=checkpoint_dir, banded=banded_bkt,
             )
             comps = verify_components(
                 df, comps, key=key, id_col=id_col, n_shingle=n_shingle,
                 threshold=threshold,
             )
             return comps, "bucket_components+star_verify"
+        qual = sizes.filter(F.col("__n") <= MAX_BUCKET).select("band", "band_hash")
         pairs = minhash_dedup_pairs(
-            src, key=key, id_col=id_col, threshold=threshold, banded=banded
+            src, key=key, id_col=id_col, threshold=threshold,
+            banded=banded.join(qual, ["band", "band_hash"], "left_semi"),
         )
         return (
             connected_components(pairs, checkpoint_dir=checkpoint_dir),
             "minhash_pairs+components",
         )
     finally:
+        sizes.unpersist()
         if cleanup is not None:
             cleanup.unpersist()
 
