@@ -1872,6 +1872,30 @@ def q_mixture_sample_docs(spark, sf):
     )
 
 
+def q_token_budget_sample_docs(spark, sf):
+    """Token-budget domain mixing census (llm/text.token_budget_sample, new
+    r8): per-language TOKEN budgets → keep rate min(1, budget/domain_tokens)
+    → deterministic md5-uniform gate. en/de get fractional rates, fr's huge
+    budget clamps to 1.0, es/zh (no budget) drop. Whole recipe = one bounded
+    agg (domain-cardinality driver collect, the sanctioned trainer shape) +
+    one map-only filter; the rates are double divisions of engine-identical
+    integer totals, so the exact kept-set reproduces in the oracle."""
+    docs = load_table(spark, sf, "documents")
+    budgets = {"en": 5000, "de": 1000, "fr": 10**9}
+    kept, rates = L_text.token_budget_sample(docs, "lang", budgets)
+    rate_expr = F.lit(0.0)
+    for d, r in sorted(rates.items()):
+        rate_expr = F.when(F.col("lang") == d, F.lit(r)).otherwise(rate_expr)
+    return (
+        kept.withColumn("rate", F.round(rate_expr, 6))
+        .groupBy("lang", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(L_text.token_count("text")).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
 def q_quality_docs(spark, sf):
     df = load_table(spark, sf, "documents")
     # score once in a projection (the expression expands to 4 regex passes per
@@ -2155,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- parked to the tail) for round-over-round continuity.
         "length_buckets_docs": q_length_buckets_docs,      # late-r6 impl; first driver row this round
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
+        "token_budget_sample_docs": q_token_budget_sample_docs,  # NEW r8 (token-budget data-recipe mixing)
         # -- r07-green continuity slots ----------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
@@ -2206,12 +2231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_summary_orders": q_validation_summary_orders,  # r05 green
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
         "impute_median_customer": q_impute_median_customer,  # r05 green
-        "normalize_text_customer": q_normalize_text_customer,  # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
+        "normalize_text_customer": q_normalize_text_customer,  # r05+r07 green (parked r8 for token_budget_sample_docs)
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05+r07 green (parked r8 for the two rotation slots)
         "asof_join_events": q_asof_join_events,            # r05+r07 green (parked r8 for the two rotation slots)
         "dup_clusters_lineitem": q_dup_clusters_lineitem,  # r05 green
@@ -3307,6 +3332,26 @@ def oracle_sql() -> dict[str, str]:
               < (CASE WHEN c_mktsegment = 'BUILDING' THEN 0.5
                       WHEN c_mktsegment = 'AUTOMOBILE' THEN 0.25
                       ELSE 0.0 END)
+    """
+    sqls["token_budget_sample_docs"] = """
+        WITH t AS (
+          SELECT doc_id, lang, length(regexp_extract_all(text, '\\S+')) AS toks
+          FROM documents),
+        tot AS (SELECT lang, sum(toks) AS tot FROM t GROUP BY 1),
+        r AS (
+          SELECT lang,
+                 least(1.0, (CASE lang WHEN 'en' THEN 5000.0
+                                       WHEN 'de' THEN 1000.0
+                                       WHEN 'fr' THEN 1000000000.0 END) / tot) AS rate
+          FROM tot WHERE lang IN ('en', 'de', 'fr')),
+        k AS (
+          SELECT t.lang, t.toks, r.rate
+          FROM t JOIN r USING (lang)
+          WHERE CAST(concat('0x', substr(md5(concat(CAST(t.doc_id AS VARCHAR), '|')), 1, 12)) AS UBIGINT)
+                / power(16.0, 12) < r.rate)
+        SELECT lang, round(rate, 6) AS rate, count(*) AS docs_kept,
+               CAST(sum(toks) AS BIGINT) AS tokens_kept
+        FROM k GROUP BY 1, 2
     """
     sqls["mixture_sample_docs"] = """
         WITH mixed AS (

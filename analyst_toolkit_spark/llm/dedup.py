@@ -332,8 +332,6 @@ def minhash_dedup_pairs(
     sessions via a global temp view and the checkpointed result (a plain
     LogicalRDD scan by then) is re-bound to the caller's session the same way.
     """
-    import uuid
-
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
@@ -355,24 +353,18 @@ def minhash_dedup_pairs(
         # by the candidate-pair count, and the eager path unpersists properly.
         cands = minhash_candidates(src, key, id_col).cache()
         return jaccard_verify(src, cands, key, id_col, threshold=threshold)
-    tag = uuid.uuid4().hex[:12]
-    in_view, out_view = f"__mh_in_{tag}", f"__mh_out_{tag}"
-    scoped = spark.newSession()
-    scoped.conf.set("spark.sql.codegen.wholeStage", "false")
-    src.createOrReplaceGlobalTempView(in_view)
+    holder: list[DataFrame] = []
+
+    def _build(s):
+        cands = minhash_candidates(s, key, id_col).cache()
+        holder.append(cands)
+        return jaccard_verify(s, cands, key, id_col, threshold=threshold)
+
     try:
-        src2 = scoped.table(f"global_temp.{in_view}")
-        cands = minhash_candidates(src2, key, id_col).cache()
-        out = jaccard_verify(src2, cands, key, id_col, threshold=threshold)
-        ckpt = out.localCheckpoint(eager=True)
-        cands.unpersist()
-        ckpt.createOrReplaceGlobalTempView(out_view)
-        result = spark.table(f"global_temp.{out_view}")
-        # materialized scan — safe to drop the view handles immediately
-        return result
+        return _materialize_nocodegen(src, _build)
     finally:
-        spark.catalog.dropGlobalTempView(in_view)
-        spark.catalog.dropGlobalTempView(out_view)
+        for c in holder:
+            c.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -665,6 +665,45 @@ def stratified_sample(
     return df.filter(hash_uniform(id_col, salt) < gate)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> tuple[DataFrame, dict]:
+    """Domain mixing by TOKEN budget — the "data recipe" sampling step of
+    multi-source pretraining (per-domain token targets, DoReMi / Llama-recipe
+    style): each domain keeps docs at rate ``min(1, budget / domain_tokens)``
+    so the EXPECTED surviving token mass per domain meets its budget, without
+    per-doc weights or a second pass.
+
+    Plan shape: ONE map-side-combined aggregate computes per-domain token
+    totals (output cardinality = number of domains — the same
+    bounded-driver-collect contract as the IVF / logreg trainers), the rates
+    become a literal CASE chain, and the sampling pass is
+    :func:`stratified_sample`'s map-only deterministic md5-uniform gate — no
+    join, no extra shuffle, and which docs survive is a pure function of
+    (id, salt): stable under re-runs, repartitioning, and corpus growth.
+    Rates are plain double divisions of engine-identical integer totals, so
+    the exact kept-set reproduces in a SQL oracle. Domains without a budget
+    are dropped (rate 0). Returns ``(kept_df, rates)`` so callers can log
+    the realized recipe."""
+    totals = {
+        r[domain_col]: r["__tot"]
+        for r in df.groupBy(domain_col)
+        .agg(F.sum(token_count(text_col)).alias("__tot"))
+        .collect()
+    }
+    rates = {
+        d: min(1.0, float(b) / totals[d])
+        for d, b in budgets.items()
+        if totals.get(d)
+    }
+    return stratified_sample(df, domain_col, rates, id_col=id_col, salt=salt), rates
+
+
 def mixture_sample(
     sources: dict,
     weights: dict,

@@ -1135,6 +1135,39 @@ def test_stratified_and_mixture_sampling(spark):
         T.mixture_sample({"w": df}, {})
 
 
+def test_token_budget_sample(spark):
+    """Token-budget domain mixing (new r8): rates = min(1, budget/tokens),
+    expected kept token mass tracks the budget, huge budgets clamp to 1.0
+    (keep everything), unbudgeted domains drop, deterministic under
+    repartitioning."""
+    from pyspark.sql import Row
+
+    from analyst_toolkit_spark.llm import text as T
+
+    # 1000 docs/domain x 4 tokens = 4000 tokens per domain
+    rows = [
+        Row(doc_id=d * 10000 + i, dom=dom, text="a b c d")
+        for d, dom in enumerate(["big", "all", "none"])
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows)
+    kept, rates = T.token_budget_sample(
+        df, "dom", {"big": 1000, "all": 10**9}, text_col="text"
+    )
+    assert rates["all"] == 1.0 and abs(rates["big"] - 0.25) < 1e-12
+    assert "none" not in rates
+    by = {r["dom"]: r["n"] for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by["all"] == 1000 and "none" not in by
+    # expected kept tokens = budget: 0.25 * 4000 = 1000, band for md5 noise
+    assert 0.18 <= by["big"] / 1000 <= 0.32
+    # deterministic under repartitioning
+    a = {r["doc_id"] for r in kept.collect()}
+    kept2, _ = T.token_budget_sample(
+        df.repartition(7), "dom", {"big": 1000, "all": 10**9}, text_col="text"
+    )
+    assert a == {r["doc_id"] for r in kept2.collect()}
+
+
 def test_bpe_train_and_encode(spark):
     """BPE induction + distributed encoding: hand-checkable merges on a tiny
     corpus, encode/train consistency, determinism under repartitioning, and
