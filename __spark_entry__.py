@@ -1492,6 +1492,24 @@ def q_remove_spans_docs(spark, sf):
     )
 
 
+def q_decontaminate_spans_docs(spark, sf):
+    """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
+    new r8): every 25th doc's text doubles as a benchmark entry; every
+    benchmark-overlapping 8-token span is CUT from every doc (a benchmark
+    member loses its whole body; untainted docs pass through bit-identical)
+    instead of dropping whole documents. md5 of the cleaned token text
+    proves byte-exact agreement without hauling bodies through the compare."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    out = L_dedup.remove_contaminated_spans(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        "kept_tokens",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # Pinned weights for q_quality_classifier_docs: the output of
 # classify.train_logreg(iters=60, lr=1.0) on the same corrupted-input
 # construction at sf0.01 (1.000 train accuracy; recorded in NOTES_r6).
@@ -2180,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets_docs": q_length_buckets_docs,      # late-r6 impl; first driver row this round
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
         "token_budget_sample_docs": q_token_budget_sample_docs,  # NEW r8 (token-budget data-recipe mixing)
+        "decontaminate_spans_docs": q_decontaminate_spans_docs,  # NEW r8 (span-level decontamination surgery)
         # -- r07-green continuity slots ----------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
@@ -2230,12 +2249,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,                  # r05 green
         "validation_summary_orders": q_validation_summary_orders,  # r05 green
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
-        "impute_median_customer": q_impute_median_customer,  # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
+        "impute_median_customer": q_impute_median_customer,  # r05+r07 green (parked r8 for decontaminate_spans_docs)
         "normalize_text_customer": q_normalize_text_customer,  # r05+r07 green (parked r8 for token_budget_sample_docs)
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05+r07 green (parked r8 for the two rotation slots)
         "asof_join_events": q_asof_join_events,            # r05+r07 green (parked r8 for the two rotation slots)
@@ -3057,6 +3076,42 @@ def oracle_sql() -> dict[str, str]:
           FROM tk),
         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
         hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM hits),
+        grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM grp GROUP BY doc_id, gid),
+        tok2 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                                i -> {'i': i - 1, 'tok': toks[i]}), recursive := true)
+          FROM tk),
+        kept AS (
+          SELECT t.doc_id, t.i, t.tok FROM tok2 t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, count(*) AS kept
+          FROM kept GROUP BY 1)
+        SELECT tk.doc_id,
+               CAST(coalesce(agg.kept, 0) AS INTEGER) AS kept_tokens,
+               CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
+               md5(coalesce(agg.clean_text, '')) AS clean_md5
+        FROM tk LEFT JOIN agg USING (doc_id)
+    """
+    sqls["decontaminate_spans_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                                     i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')})
+                 ELSE [] END, recursive := true)
+          FROM tk),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+        hits AS (SELECT doc_id, pos FROM g JOIN bg USING (gram)),
         isl AS (
           SELECT doc_id, pos,
                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8

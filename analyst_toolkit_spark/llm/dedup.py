@@ -892,8 +892,6 @@ def repeated_spans(
     Returns one row per maximal span: (id, start_tok, end_tok, span_tokens),
     token indices 0-based inclusive.
     """
-    from pyspark.sql.window import Window
-
     grams = positioned_ngrams(text_col, n)
     gdf = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "__gram")).select(
         id_col, "pos", F.xxhash64("__gram").alias("__gh")
@@ -905,6 +903,16 @@ def repeated_spans(
         .select("__gh")
     )
     hits = gdf.join(dup, "__gh", "left_semi").select(id_col, "pos")
+    return _span_islands(hits, id_col, n)
+
+
+def _span_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Maximal spans from (id, pos) n-gram hit positions: overlapping or
+    adjacent hits (gap <= n) fuse via lag + running sum over a window
+    PARTITIONED BY the doc id — per-doc state only, no global order. Shared
+    by the cross-doc repeat finder and the benchmark decontaminator."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     # all hits are n tokens long: hit at p2 overlaps/abuts the previous span
     # iff p2 - p1 <= n, so lag alone suffices (no running-max needed)
@@ -971,6 +979,18 @@ def remove_repeated_spans(
     Columns: (id, clean_text, kept_tokens, removed_tokens).
     """
     spans = repeated_spans(df, id_col=id_col, text_col=text_col, n=n, min_docs=min_docs)
+    return _cut_spans(df, spans, id_col=id_col, text_col=text_col)
+
+
+def _cut_spans(
+    df: DataFrame, spans: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cut (start_tok, end_tok) spans out of every document's token stream:
+    spans aggregate per doc (collect_list of ranges — bounded by doc
+    length / n), join back once, and the cut is a map-side higher-order
+    ``filter((tok, i) -> no span contains i)``. Shared removal half of
+    exact-substring dedup AND span-level decontamination. Columns:
+    (id, clean_text, kept_tokens, removed_tokens)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
     )
@@ -997,6 +1017,61 @@ def remove_repeated_spans(
         F.size("__kept").alias("kept_tokens"),
         (F.size("__toks") - F.size("__kept")).alias("removed_tokens"),
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_key: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination, detection half: the maximal token spans
+    of each document covered by n-grams that appear ANYWHERE in the
+    benchmark set. ``text.decontaminate`` answers "is this doc
+    contaminated" (and pipelines then drop the whole doc); this localizes
+    the overlap so :func:`remove_contaminated_spans` can salvage the rest
+    of the document — the span-surgery decontamination mode (GPT-3
+    appendix-C style masking, at token granularity).
+
+    Plan: benchmark grams hash to a 64-bit key set built once
+    (benchmark-sized); the doc side is the same positioned-gram stream as
+    :func:`repeated_spans`, semi-joined against the key set (AQE
+    broadcasts a small benchmark, falls back to a keyed shuffle for a huge
+    one — no hint), then the shared islands merge fuses hits into maximal
+    spans per doc. Returns (id, start_tok, end_tok, span_tokens)."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles(bench_key, n)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    grams = positioned_ngrams(text_col, n)
+    gdf = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "__gram")).select(
+        id_col, "pos", F.xxhash64("__gram").alias("__gh")
+    )
+    hits = gdf.join(bench_grams, "__gh", "left_semi").select(id_col, "pos")
+    return _span_islands(hits, id_col, n)
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_key: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The removal half of span-level decontamination: cut every
+    benchmark-overlapping span (:func:`contaminated_spans`) out of every
+    document, keeping the untainted remainder — doc-level dropping throws
+    away a whole document for one quoted benchmark passage; this keeps the
+    other 99%. Same output contract as :func:`remove_repeated_spans`:
+    (id, clean_text, kept_tokens, removed_tokens), token-level surgery."""
+    spans = contaminated_spans(
+        df, benchmark, id_col=id_col, text_col=text_col, bench_key=bench_key, n=n
+    )
+    return _cut_spans(df, spans, id_col=id_col, text_col=text_col)
 
 
 def dedup_representatives(

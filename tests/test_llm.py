@@ -1456,6 +1456,37 @@ def test_bucket_components_clusters_dups_and_refines(spark, docs):
         assert len({cc[m] for m in peers}) == 1
 
 
+def test_contaminated_spans_surgery(spark):
+    """Span-level decontamination (new r8): the quoted benchmark passage is
+    located exactly (hand-checked token offsets), cut out, and untainted
+    docs pass through bit-identical."""
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over dogs",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # tokens 0-2 clean, 3-9 = the benchmark passage, 10-11 clean
+            (1, "intro words here the quick brown fox jumps over dogs tail words"),
+            (2, "completely unrelated content with no overlap at all"),
+            (3, "the quick brown fox jumps over dogs"),  # pure benchmark copy
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in D.contaminated_spans(docs, bench, n=3).collect()
+    }
+    assert spans[1] == (3, 9, 7)
+    assert spans[3] == (0, 6, 7)
+    assert 2 not in spans
+    out = {r["doc_id"]: r for r in D.remove_contaminated_spans(docs, bench, n=3).collect()}
+    assert out[1]["clean_text"] == "intro words here tail words"
+    assert out[1]["kept_tokens"] == 5 and out[1]["removed_tokens"] == 7
+    assert out[2]["clean_text"] == "completely unrelated content with no overlap at all"
+    assert out[2]["removed_tokens"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["kept_tokens"] == 0
+
+
 def test_near_dedup_auto_gate_flips_and_matches_pair_path(spark):
     """The candidate-volume gate (r6 VERDICT directive #5): a high-duplication
     corpus flips the auto path from pair materialization to
