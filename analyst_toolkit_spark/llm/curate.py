@@ -65,6 +65,13 @@ class CurationConfig:
     lm_reference: DataFrame | None = None
     benchmark: DataFrame | None = None
     max_benchmark_overlap: float = 0.5
+    #: "drop" removes whole contaminated docs (overlap > max_benchmark_overlap);
+    #: "spans" cuts only the benchmark-overlapping token spans
+    #: (llm/dedup.remove_contaminated_spans) and keeps the untainted
+    #: remainder — the text column becomes the cleaned token form, and docs
+    #: left with zero tokens are dropped.
+    decontaminate_mode: str = "drop"
+    decontaminate_ngram: int = 8
     sample_weight: str | None = None  # column name; None disables
     splits: dict[str, float] | None = None
     pack_budget: int | None = None
@@ -219,12 +226,33 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
 
     if cfg.benchmark is not None:
         out = _cut(out)
-        cont = T.decontaminate(
-            out, cfg.benchmark, key=key, id_col=id_col, threshold=cfg.max_benchmark_overlap
-        )
-        clean_ids = cont.filter(~F.col("contaminated")).select(id_col)
-        out = out.join(clean_ids, id_col, "left_semi")
-        _record("decontaminate", max_overlap=cfg.max_benchmark_overlap)
+        if cfg.decontaminate_mode == "spans":
+            # span surgery: cut benchmark-overlapping token runs, keep the
+            # untainted remainder; fully-contaminated docs (0 tokens) drop
+            cleaned = D.remove_contaminated_spans(
+                out, cfg.benchmark, id_col=id_col, text_col=key,
+                n=cfg.decontaminate_ngram,
+            )
+            keep = cleaned.filter(F.col("kept_tokens") > 0).select(
+                id_col, F.col("clean_text").alias(key)
+            )
+            other_cols = [c for c in out.columns if c not in (id_col, key)]
+            out = out.drop(key).join(keep, id_col, "inner").select(
+                id_col, key, *other_cols
+            )
+            _record(
+                "decontaminate", mode="spans", n=cfg.decontaminate_ngram
+            )
+        else:
+            cont = T.decontaminate(
+                out, cfg.benchmark, key=key, id_col=id_col,
+                threshold=cfg.max_benchmark_overlap,
+            )
+            clean_ids = cont.filter(~F.col("contaminated")).select(id_col)
+            out = out.join(clean_ids, id_col, "left_semi")
+            _record(
+                "decontaminate", mode="drop", max_overlap=cfg.max_benchmark_overlap
+            )
 
     if cfg.sample_weight is not None:
         out = T.weighted_sample(out, cfg.sample_weight, id_col=id_col)

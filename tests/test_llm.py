@@ -1586,6 +1586,34 @@ def test_max_bucket_constant_shared(spark):
         assert "MAX_BUCKET" in src and "= 1000" not in src, fn.__name__
 
 
+def test_curate_decontaminate_spans_mode(spark):
+    """curate_corpus decontaminate_mode='spans': the benchmark passage is cut
+    out, untainted docs keep their (tokenized) body, report records the mode."""
+    from analyst_toolkit_spark.llm import curate as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here secret bench passage text tail bits"),
+            (2, "totally clean document body with plenty words"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("secret bench passage text",)], ["text"])
+    out, report = C.curate_corpus(
+        docs, exact_dedup=False, benchmark=bench,
+        decontaminate_mode="spans", decontaminate_ngram=3,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "intro words here tail bits"
+    assert got[2] == "totally clean document body with plenty words"
+    assert report["decontaminate"]["mode"] == "spans"
+    # drop mode unchanged (default)
+    out2, report2 = C.curate_corpus(
+        docs, exact_dedup=False, benchmark=bench, max_benchmark_overlap=0.3
+    )
+    assert report2["decontaminate"]["mode"] == "drop"
+
+
 def test_curate_near_dedup_records_gate_strategy(spark):
     """curate_corpus surfaces which near-dedup path the gate chose."""
     from analyst_toolkit_spark.llm import curate as C
