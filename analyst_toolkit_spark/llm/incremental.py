@@ -79,19 +79,40 @@ def _read_meta(spark: SparkSession, base: str) -> dict:
         return {}  # pre-meta index: defaults apply
 
 
-def _banded_sigs(df: DataFrame, key: str, id_col: str, n_shingle: int, k: int, bands: int):
+def _banded_sigs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    n_shingle: int,
+    k: int,
+    bands: int,
+    materialize: bool = True,
+):
     """(sigs, banded): per-doc signature and its banded hashes — the exact
     minhash_candidates banding arithmetic (dedup.py:99-112) so index and
-    ad-hoc paths collide identically."""
+    ad-hoc paths collide identically.
+
+    ``materialize`` (default) cuts the signature frame (localCheckpoint)
+    after ONE computation: the fold is the dominant cost, and every
+    consumer references the frame more than once — the index write ran two
+    write actions (sigs + bands) and the near probe joins sigs twice, so
+    each paid the fold per reference (r8 finding: the 7 s index write was
+    ~half duplicated fold). The shingle-emptiness drop now filters the
+    MATERIALIZED signature against the exact all-sentinel array (one
+    parsed literal): the old ``size(shingles) > 0`` pre-filter pushed
+    below the projection and re-tokenized every row (the
+    expression-duplication trap, llm/dedup.sentinel_band_hash note)."""
     from analyst_toolkit_spark.llm.scale import ensure_parallelism
 
     r = k // bands
     # the shingle+signature fold is compute-bound: don't inherit file-count
     # partitioning (same guard as minhash_dedup_pairs / simhash_near_pairs)
     sh = ensure_parallelism(df).select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
-    sigs = sh.filter(F.size("sh") > 0).select(
-        F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig")
-    )
+    raw = sh.select(F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig"))
+    if materialize:
+        raw = raw.localCheckpoint(eager=True)
+    sentinel = "array(" + ",".join([f"{(1 << 63) - 1}L"] * k) + ")"
+    sigs = raw.filter(F.expr(f"sig != {sentinel}"))
     banded = sigs.select(
         id_col,
         F.explode(
