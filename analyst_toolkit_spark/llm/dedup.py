@@ -757,17 +757,21 @@ def bucket_components(
     that shares at least one bucket with another doc, labeled by the
     smallest reachable doc id. Requires integer-castable doc ids.
     """
-    # drop shingle-less docs (shorter than n_shingle tokens) BEFORE banding:
-    # they'd all share the all-max sentinel signature and fuse into one
-    # bogus mega-cluster — the pair path survives this via its bucket cap +
-    # Jaccard verify, but this path has neither by design. A caller-provided
+    # drop shingle-less docs (shorter than n_shingle tokens): they all share
+    # the all-max sentinel signature and would fuse into one bogus
+    # mega-cluster — the pair path survives this via its bucket cap +
+    # Jaccard verify, but this path has neither by design. Dropped AFTER
+    # banding by one literal comparison against the constant sentinel band
+    # hash (generator-output filters cannot push below the explode, so
+    # nothing re-evaluates; the old size(shingles)>0 pre-filter re-tokenized
+    # every row — the expression-duplication trap). A caller-provided
     # ``banded`` stream (the band-once seam) must arrive sentinel-free —
-    # near_dedup_components drops sentinel rows via sentinel_band_hash.
+    # near_dedup_components does the same drop.
     if banded is None:
-        sh = df.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).filter(
-            F.size("sh") > 0
+        sent = sentinel_band_hash(df.sparkSession, k, bands, method)
+        banded = _band_stream(df, key, id_col, n_shingle, k, bands, method=method).filter(
+            F.col("band_hash") != F.lit(sent)
         )
-        banded = _band_stream(df, key, id_col, n_shingle, k, bands, shingle_df=sh, method=method)
     # star edges: every bucket member → the bucket's min doc id. Singleton
     # buckets self-edge (member == min) and are filtered — the old explicit
     # ">= 2 members" semi-join falls out for free. Duplicate edges across
