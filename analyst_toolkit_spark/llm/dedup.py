@@ -1253,6 +1253,46 @@ def near_dedup_components(
             cleanup.unpersist()
 
 
+def dedup_representatives_by(
+    df: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST-scoring member per near-dup component (highest
+    ``score_col``, ties broken by smallest id — deterministic), plus every
+    unclustered doc. Production pipelines rarely want min-id survivors:
+    when a cluster holds one clean page and nine boilerplate-mangled
+    copies, the keeper should be the clean one, so pass a quality score
+    (``text.quality_score``, the trained classifier margin, a charlm
+    probability, …).
+
+    ``components`` is any (node, component) mapping
+    (:func:`connected_components`, :func:`bucket_components`,
+    :func:`near_dedup_components`). Plan: one component-keyed
+    ``max_by``-style aggregate (struct-max: score asc, then NEGATED id so
+    ties pick the smallest — one shuffle on component, map-side combined),
+    then a semi-join of the corpus against winners ∪ unclustered. Nothing
+    driver-side, nothing quadratic."""
+    idt = dict(df.dtypes)[id_col]
+    member = components.join(
+        df.select(F.col(id_col).alias("__mid"), F.col(score_col).alias("__s")),
+        components["node"].cast(idt) == F.col("__mid"),
+    )
+    # struct max = lexicographic (score, -id): highest score, then least id.
+    # Negation needs a numeric id; string ids would need a different
+    # tie-break — the long cast mirrors bucket_components' contract.
+    winner = member.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("__s"), (-F.col("node").cast("long")).alias("__negid"))
+        ).alias("__w")
+    ).select((-F.col("__w.__negid")).cast(idt).alias(id_col))
+    clustered = components.select(F.col("node").cast(idt).alias(id_col))
+    unclustered = df.select(id_col).join(clustered, id_col, "left_anti")
+    keep = winner.unionByName(unclustered)
+    return df.join(keep, id_col, "left_semi")
+
+
 def dedup_representatives_auto(
     df: DataFrame,
     key: str = "text",

@@ -1487,6 +1487,23 @@ def test_contaminated_spans_surgery(spark):
     assert out[3]["clean_text"] == "" and out[3]["kept_tokens"] == 0
 
 
+def test_dedup_representatives_by_score(spark):
+    """Quality-aware representative selection (new r8): the highest-scoring
+    member survives per component (NOT the min id), ties break to the
+    smallest id, unclustered docs always survive."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.1), (99, 0.5)],
+        ["doc_id", "q"],
+    )
+    comps = spark.createDataFrame(
+        # component A = {1,2,3} (2 and 3 tie at 0.9 -> keep 2); B = {10}
+        [(1, 1), (2, 1), (3, 1), (10, 10)],
+        ["node", "component"],
+    )
+    kept = {r["doc_id"] for r in D.dedup_representatives_by(docs, comps, "q").collect()}
+    assert kept == {2, 10, 99}  # best-of-A, singleton-component, unclustered
+
+
 def test_near_dedup_auto_gate_flips_and_matches_pair_path(spark):
     """The candidate-volume gate (r6 VERDICT directive #5): a high-duplication
     corpus flips the auto path from pair materialization to
