@@ -250,13 +250,19 @@ _EXCHANGE_CEILINGS = {
     "dedup_keep_first_lineitem": 3,
     # r8 (VERDICT r7 #6): the heaviest remaining non-headline plans. The two
     # bucket-clustering twins run their CC fixpoint eagerly at build time, so
-    # the returned plan is the post-fixpoint tail (relabel join + agg) — the
-    # ceiling pins THAT tail; the fixpoint's per-iteration shape is pinned by
-    # the CC tests. Measured r8: 4 / 3 / 1 / 3 (+1 AQE headroom).
-    "dedup_bucket_components_docs": 5,
-    "minhash_md5_components_docs": 4,
+    # the returned plan is the post-fixpoint tail — the ceiling pins THAT
+    # tail; the fixpoint's per-iteration shape is pinned by the CC tests.
+    # Tightened late-r8 after the star-edge rewrite removed the relabel
+    # join: measured 2 / 1 / 1 / 3 (+1 AQE headroom).
+    "dedup_bucket_components_docs": 3,
+    "minhash_md5_components_docs": 2,
     "dedup_index_probe": 2,
     "pack_sequences_docs": 4,
+    # new r8 queries: token-budget gate is map-only + one keyed agg
+    # (measured 1); span decontamination tail = islands window + cut join
+    # (measured 2)
+    "token_budget_sample_docs": 2,
+    "decontaminate_spans_docs": 3,
 }
 
 
