@@ -49,6 +49,11 @@ class CurationConfig:
     classifier_threshold: float = 0.0
     exact_dedup: bool = True
     near_dedup_threshold: float | None = None  # e.g. 0.8 enables MinHash stage
+    #: which member of a near-dup cluster survives: "min_id" (default,
+    #: cheapest) or "best_quality" — the member with the highest
+    #: text.quality_score (ties to smallest id), so the clean page outlives
+    #: its boilerplate-mangled copies. One extra component-keyed aggregate.
+    near_dedup_keep: str = "min_id"
     #: n-gram length enables exact-substring span REMOVAL on the dedup
     #: survivors (llm/dedup.remove_repeated_spans): cross-document repeated
     #: token runs are cut from every doc; the text column becomes the cleaned
@@ -187,11 +192,25 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         cc_dir = (
             f"{cfg.checkpoint_dir.rstrip('/')}/near_dedup_cc" if cfg.checkpoint_dir else None
         )
-        out, strategy = D.dedup_representatives_auto(
-            out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold,
-            checkpoint_dir=cc_dir,
+        if cfg.near_dedup_keep == "best_quality":
+            # the survivor is the highest-quality member, not the min id:
+            # score projected once, threaded through the gate, dropped after
+            scored = out.withColumn("__ndq", T.quality_score(F.col(key)))
+            deduped, strategy = D.dedup_representatives_auto(
+                scored, key=key, id_col=id_col,
+                threshold=cfg.near_dedup_threshold,
+                checkpoint_dir=cc_dir, score_col="__ndq",
+            )
+            out = deduped.drop("__ndq")
+        else:
+            out, strategy = D.dedup_representatives_auto(
+                out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold,
+                checkpoint_dir=cc_dir,
+            )
+        _record(
+            "near_dedup", method=strategy, threshold=cfg.near_dedup_threshold,
+            keep=cfg.near_dedup_keep,
         )
-        _record("near_dedup", method=strategy, threshold=cfg.near_dedup_threshold)
 
     if cfg.span_dedup_n:
         out = _cut(out)

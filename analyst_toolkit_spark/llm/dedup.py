@@ -1300,15 +1300,20 @@ def dedup_representatives_auto(
     threshold: float = 0.8,
     pair_cap: int | None = None,
     checkpoint_dir: str | None = None,
+    score_col: str | None = None,
 ) -> tuple[DataFrame, str]:
     """``dedup_representatives`` with the candidate-volume gate of
-    :func:`near_dedup_components`: keeps the smallest-id representative per
-    component plus all unclustered docs, switching to the linear bucket path
-    when the pair path would be output-bound. Returns ``(deduped, strategy)``."""
+    :func:`near_dedup_components`: keeps one representative per component
+    plus all unclustered docs, switching to the linear bucket path when the
+    pair path would be output-bound. With ``score_col`` the survivor is the
+    HIGHEST-scoring member (:func:`dedup_representatives_by` — ties to
+    smallest id); default is the smallest id. Returns ``(deduped, strategy)``."""
     comps, strategy = near_dedup_components(
         df, key=key, id_col=id_col, threshold=threshold,
         pair_cap=pair_cap, checkpoint_dir=checkpoint_dir,
     )
+    if score_col is not None:
+        return dedup_representatives_by(df, comps, score_col, id_col=id_col), strategy
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").cast(dict(df.dtypes)[id_col]).alias(id_col)
     )

@@ -1631,6 +1631,37 @@ def test_curate_decontaminate_spans_mode(spark):
     assert report2["decontaminate"]["mode"] == "drop"
 
 
+def test_curate_near_dedup_keep_best_quality(spark):
+    """near_dedup_keep='best_quality': the clean member outlives the spammy
+    twin regardless of id order; default min_id behavior unchanged."""
+    from analyst_toolkit_spark.llm import curate as C
+
+    # doc 1 = doc 2's text + pure punctuation spam: shingle-IDENTICAL
+    # (punct is not a token), so they near-dup at J=1.0, but the punct
+    # ratio tanks doc 1's quality_score — best_quality must keep doc 2
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "home tonight with friends"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " " + "!" * 60),
+            (2, base),
+            (9, "completely different content that stands alone just fine here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out, report = C.curate_corpus(
+        docs, exact_dedup=False, near_dedup_threshold=0.8,
+        near_dedup_keep="best_quality",
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 9}
+    assert report["near_dedup"]["keep"] == "best_quality"
+    out2, report2 = C.curate_corpus(docs, exact_dedup=False, near_dedup_threshold=0.8)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 9}
+    assert report2["near_dedup"]["keep"] == "min_id"
+
+
 def test_curate_near_dedup_records_gate_strategy(spark):
     """curate_corpus surfaces which near-dedup path the gate chose."""
     from analyst_toolkit_spark.llm import curate as C
