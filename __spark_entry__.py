@@ -1492,6 +1492,33 @@ def q_remove_spans_docs(spark, sf):
     )
 
 
+def q_dedup_best_quality_docs(spark, sf):
+    """Quality-aware survivor election over REAL near-dup clusters, fully
+    oracle-backed (llm/dedup.dedup_representatives_by, new r8): components
+    from the cross-engine md5 bucket clustering (k=8, bands=4 — the
+    minhash_md5_components_docs twin), survivor = argmax quality_score per
+    cluster (scores round at 6 in-engine so the argmax key is engine-stable;
+    ties to smallest id). The REAL operator runs end-to-end; surviving
+    clustered docs are re-joined to their component labels for the compare
+    surface (component, survivor, q)."""
+    docs = load_table(spark, sf, "documents")
+    comps = L_dedup.bucket_components(docs, k=8, bands=4, method="md5")
+    scored = docs.withColumn("__q", L_text.quality_score("text"))
+    kept = L_dedup.dedup_representatives_by(scored, comps, "__q")
+    return (
+        comps.join(
+            kept.select(F.col("doc_id"), F.col("__q")),
+            comps["node"] == F.col("doc_id"),
+        )
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor"),
+            F.col("__q").alias("q"),
+        )
+        .orderBy("component")
+    )
+
+
 def q_decontaminate_spans_docs(spark, sf):
     """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
     new r8): every 25th doc's text doubles as a benchmark entry; every
@@ -2199,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
         "token_budget_sample_docs": q_token_budget_sample_docs,  # NEW r8 (token-budget data-recipe mixing)
         "decontaminate_spans_docs": q_decontaminate_spans_docs,  # NEW r8 (span-level decontamination surgery)
+        "dedup_best_quality_docs": q_dedup_best_quality_docs,  # NEW r8 (quality-aware survivor election; md5-CC oracle)
         # -- r07-green continuity slots ----------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
@@ -2246,7 +2274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,              # new r6 (centroid shift between snapshots)
         # -- stable continuity slots (every one r02-r05 green) -----------------
         "profile_lineitem": q_profile_lineitem,            # r05 green
-        "corr_lineitem": q_corr_lineitem,                  # r05 green
         "validation_summary_orders": q_validation_summary_orders,  # r05 green
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
@@ -2254,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
+        "corr_lineitem": q_corr_lineitem,                  # r05+r07 green (parked r8 for dedup_best_quality_docs)
         "impute_median_customer": q_impute_median_customer,  # r05+r07 green (parked r8 for decontaminate_spans_docs)
         "normalize_text_customer": q_normalize_text_customer,  # r05+r07 green (parked r8 for token_budget_sample_docs)
         "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05+r07 green (parked r8 for the two rotation slots)
@@ -3154,40 +3182,18 @@ def oracle_sql() -> dict[str, str]:
                           THEN sum(n_tokens) * 1.0 / (bucket_cap * count(*)) END, 6) AS efficiency
         FROM b GROUP BY 1
     """
-    sqls["minhash_md5_components_docs"] = """
-        WITH RECURSIVE tk AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
-          FROM documents),
-        shl AS (
-          SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [] END) AS sh
-          FROM tk),
-        g AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0),
-        h AS (
-          SELECT doc_id, i,
-                 min(CAST(concat('0x', substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-          FROM g CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
-        sig AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY i) AS sig FROM h GROUP BY doc_id),
-        bnd AS (
-          SELECT doc_id, b, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bh
-          FROM sig CROSS JOIN range(4) rb(b)),
-        shared AS (SELECT b, bh FROM bnd GROUP BY b, bh HAVING count(DISTINCT doc_id) > 1),
-        e0 AS (
-          SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src,
-                 'b:' || CAST(b AS VARCHAR) || ':' || bh AS dst
-          FROM bnd JOIN shared USING (b, bh)),
-        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node),
-        docs_cc AS (
-          SELECT CAST(substr(node, 3) AS BIGINT) AS node, c
-          FROM comp WHERE node LIKE 'd:%'),
-        rep AS (SELECT c, min(node) AS component FROM docs_cc GROUP BY c)
+    sqls["minhash_md5_components_docs"] = _MD5_CC_CTE + """
         SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c) ORDER BY d.node
+    """
+    sqls["dedup_best_quality_docs"] = _MD5_CC_CTE + f""",
+        lab AS (SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c)),
+        q AS (SELECT doc_id, {_quality_score_sql_expr()} AS q FROM documents),
+        rk AS (
+          SELECT l.component, l.node, q.q,
+                 row_number() OVER (PARTITION BY l.component
+                                    ORDER BY q.q DESC, l.node ASC) AS rn
+          FROM lab l JOIN q ON q.doc_id = l.node)
+        SELECT component, node AS survivor, q FROM rk WHERE rn = 1
     """
     sqls["url_dedup_docs"] = r"""
         WITH v AS (
@@ -3852,8 +3858,11 @@ def _quality_classifier_sql() -> str:
     """
 
 
-def _quality_docs_sql() -> str:
-    # mirrors llm/text.py quality_score component-by-component
+def _quality_score_sql_expr() -> str:
+    """Per-doc llm/text.quality_score mirror (round-6, component-by-component)
+    — shared by the corpus quality census and the best-quality dedup oracle
+    (quality_score rounds at 6 in-engine, so the per-doc value is an
+    engine-stable argmax key)."""
     tok = f"length(regexp_extract_all(text, '{_TOK_RE}'))"
     punct = (
         "CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / length(text) ELSE 0 END"
@@ -3864,15 +3873,61 @@ def _quality_docs_sql() -> str:
     mwl = f"""CASE WHEN {tok} > 0 THEN
         CAST(list_sum(list_transform(regexp_extract_all(text, '{_TOK_RE}'), t -> length(t))) AS DOUBLE) / {tok}
       ELSE 0 END"""
-    score = f"""round((
+    return f"""round((
         least({tok} / 20.0, 1.0)
       + (CASE WHEN {punct} < 0.25 THEN 1.0 ELSE greatest(0.0, 1 - ({punct} - 0.25) * 2) END)
       + (CASE WHEN {digit} < 0.3 THEN 1.0 ELSE greatest(0.0, 1 - ({digit} - 0.3) * 2) END)
       + (CASE WHEN {mwl} >= 2.5 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.5 END)
       ) / 4, 6)"""
+
+
+def _quality_docs_sql() -> str:
+    # mirrors llm/text.py quality_score component-by-component
+    score = _quality_score_sql_expr()
     return f"""
         SELECT round(avg({score}), 6) AS avg_quality,
                CAST(sum(CASE WHEN {score} >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs,
                count(*) AS docs
         FROM documents
     """
+
+
+#: Shared recursive-CTE reimplementation of the cross-engine md5 bucket
+#: clustering (signatures → bands → shared buckets → CC walk over the
+#: doc-bucket graph → min-doc labels); consumers append a tail over
+#: ``docs_cc d JOIN rep r USING (c)`` (or extend the WITH list with a
+#: leading comma). Spark's production path clusters per-bucket STAR edges —
+#: connectivity-equivalent, so labels agree (see bucket_components).
+_MD5_CC_CTE = """
+        WITH RECURSIVE tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        shl AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+          FROM tk),
+        g AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0),
+        h AS (
+          SELECT doc_id, i,
+                 min(CAST(concat('0x', substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+          FROM g CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY i) AS sig FROM h GROUP BY doc_id),
+        bnd AS (
+          SELECT doc_id, b, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bh
+          FROM sig CROSS JOIN range(4) rb(b)),
+        shared AS (SELECT b, bh FROM bnd GROUP BY b, bh HAVING count(DISTINCT doc_id) > 1),
+        e0 AS (
+          SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src,
+                 'b:' || CAST(b AS VARCHAR) || ':' || bh AS dst
+          FROM bnd JOIN shared USING (b, bh)),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node),
+        docs_cc AS (
+          SELECT CAST(substr(node, 3) AS BIGINT) AS node, c
+          FROM comp WHERE node LIKE 'd:%'),
+        rep AS (SELECT c, min(node) AS component FROM docs_cc GROUP BY c)"""
