@@ -1519,6 +1519,16 @@ def q_dedup_best_quality_docs(spark, sf):
     )
 
 
+def q_dedup_cluster_sizes_docs(spark, sf):
+    """Duplication profile (llm/dedup.cluster_size_histogram, new r8): the
+    cluster-size distribution over the cross-engine md5 bucket clustering —
+    the exact mass (Σ C(size,2)) the auto-gate's census estimates before
+    choosing a dedup strategy. Two keyed aggs on top of the shared CC."""
+    docs = load_table(spark, sf, "documents")
+    comps = L_dedup.bucket_components(docs, k=8, bands=4, method="md5")
+    return L_dedup.cluster_size_histogram(comps)
+
+
 def q_decontaminate_spans_docs(spark, sf):
     """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
     new r8): every 25th doc's text doubles as a benchmark entry; every
@@ -2227,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample_docs": q_token_budget_sample_docs,  # NEW r8 (token-budget data-recipe mixing)
         "decontaminate_spans_docs": q_decontaminate_spans_docs,  # NEW r8 (span-level decontamination surgery)
         "dedup_best_quality_docs": q_dedup_best_quality_docs,  # NEW r8 (quality-aware survivor election; md5-CC oracle)
+        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,  # NEW r8 (duplication profile; md5-CC oracle)
         # -- r07-green continuity slots ----------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
@@ -2275,12 +2286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stable continuity slots (every one r02-r05 green) -----------------
         "profile_lineitem": q_profile_lineitem,            # r05 green
         "validation_summary_orders": q_validation_summary_orders,  # r05 green
-        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05 green
         # ---- slots 51+: every entry below has a green driver row in some ----
         # ---- round (noted inline) and stays oracle-checked locally each  ----
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
+        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05+r07 green (parked r8 for dedup_cluster_sizes_docs)
         "corr_lineitem": q_corr_lineitem,                  # r05+r07 green (parked r8 for dedup_best_quality_docs)
         "impute_median_customer": q_impute_median_customer,  # r05+r07 green (parked r8 for decontaminate_spans_docs)
         "normalize_text_customer": q_normalize_text_customer,  # r05+r07 green (parked r8 for token_budget_sample_docs)
@@ -3184,6 +3195,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["minhash_md5_components_docs"] = _MD5_CC_CTE + """
         SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c) ORDER BY d.node
+    """
+    sqls["dedup_cluster_sizes_docs"] = _MD5_CC_CTE + """,
+        lab AS (SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c)),
+        s AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT cluster_size, count(*) AS clusters FROM s GROUP BY 1
     """
     sqls["dedup_best_quality_docs"] = _MD5_CC_CTE + f""",
         lab AS (SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c)),

@@ -1253,6 +1253,23 @@ def near_dedup_components(
             cleanup.unpersist()
 
 
+def cluster_size_histogram(components: DataFrame) -> DataFrame:
+    """Duplication profile: how many near-dup clusters exist at each size —
+    the distribution that DECIDES dedup strategy (the pair path's output is
+    Σ C(size, 2) over exactly this histogram; the auto-gate's census
+    estimates that mass). Two tiny keyed aggregations over the
+    (node, component) mapping, both map-side combined; output is
+    max-cluster-size rows. Columns: (cluster_size, clusters)."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def dedup_representatives_by(
     df: DataFrame,
     components: DataFrame,
