@@ -1529,6 +1529,36 @@ def q_dedup_cluster_sizes_docs(spark, sf):
     return L_dedup.cluster_size_histogram(comps)
 
 
+def q_dedup_split_docs(spark, sf):
+    """Leakage-safe split census (llm/text.leakage_safe_split, new r8): the
+    dedup-aware train/val/test assignment — every member of a near-dup
+    cluster (the cross-engine md5 bucket clustering, k=8 bands=4) follows
+    its cluster representative's md5 bucket, so near-copies can never
+    straddle train and test. Census per split: docs, distinct split groups,
+    and follower docs (cluster members routed by a representative other
+    than themselves — the rows a row-wise hash_split would have scattered).
+    Oracle rebuilds the clustering via the shared recursive-CTE CC and
+    replicates the md5 bucket arithmetic exactly."""
+    docs = load_table(spark, sf, "documents")
+    comps = L_dedup.bucket_components(docs, k=8, bands=4, method="md5")
+    out = L_text.leakage_safe_split(docs, comps)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("split_key").alias("n_groups"),
+        F.sum((F.col("split_key") != F.col("doc_id")).cast("long")).alias("follower_docs"),
+    )
+
+
+def q_oov_rate_docs(spark, sf):
+    """Per-doc OOV census (llm/text.oov_rate, new r8): fraction of each
+    document's token occurrences outside the corpus' top-500 frequency
+    vocab (boundary ties break by token text — engine-stable). The per-doc
+    refinement of vocab_coverage_docs' corpus census; integer counts + one
+    rational division, oracle-exact."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.oov_rate(docs, vocab_size=500)
+
+
 def q_decontaminate_spans_docs(spark, sf):
     """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
     new r8): every 25th doc's text doubles as a benchmark entry; every
@@ -2238,7 +2268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans_docs": q_decontaminate_spans_docs,  # NEW r8 (span-level decontamination surgery)
         "dedup_best_quality_docs": q_dedup_best_quality_docs,  # NEW r8 (quality-aware survivor election; md5-CC oracle)
         "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,  # NEW r8 (duplication profile; md5-CC oracle)
-        # -- r07-green continuity slots ----------------------------------------
+        "dedup_split_docs": q_dedup_split_docs,            # NEW r8 (leakage-safe cluster-atomic split; md5-CC oracle)
+        "oov_rate_docs": q_oov_rate_docs,                  # NEW r8 (per-doc OOV rate under a budget vocab)
+        # -- r07-green continuity slots (profile_lineitem +
+        # -- validation_summary_orders rotated past the window to make room —
+        # -- both multi-round green) -------------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
         "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
         "sales_opportunity": q_sales_opportunity,          # r6 rotate-in (Q22 scalar-subquery + anti-join)
@@ -3210,6 +3244,38 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY q.q DESC, l.node ASC) AS rn
           FROM lab l JOIN q ON q.doc_id = l.node)
         SELECT component, node AS survivor, q FROM rk WHERE rn = 1
+    """
+    sqls["dedup_split_docs"] = _MD5_CC_CTE + """,
+        lab AS (SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c)),
+        assign AS (
+          SELECT d.doc_id, coalesce(l.component, d.doc_id) AS k
+          FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+        b AS (SELECT doc_id, k,
+                     CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), '|')), 1, 8)) AS UBIGINT) % 10000 AS bucket
+              FROM assign)
+        SELECT CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n,
+               count(DISTINCT k) AS n_groups,
+               CAST(sum(CASE WHEN k != doc_id THEN 1 ELSE 0 END) AS BIGINT) AS follower_docs
+        FROM b GROUP BY 1
+    """
+    sqls["oov_rate_docs"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+          FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        vocab AS (SELECT token FROM counts ORDER BY cnt DESC, token ASC LIMIT 500),
+        per AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               round(p.n_oov / p.n_tokens, 6) AS oov_rate
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """
     sqls["url_dedup_docs"] = r"""
         WITH v AS (

@@ -79,6 +79,19 @@ class CurationConfig:
     decontaminate_ngram: int = 8
     sample_weight: str | None = None  # column name; None disables
     splits: dict[str, float] | None = None
+    #: "hash" (default) assigns each surviving row independently by md5
+    #: bucket; "leakage_safe" first clusters the remaining near-duplicates
+    #: (the same auto-gated MinHash machinery as the near-dedup stage, over
+    #: whatever rows reach the split) and routes every cluster member to its
+    #: representative's bucket (text.leakage_safe_split) — closing the
+    #: train/test contamination vector when the chain is configured to KEEP
+    #: near-duplicates (no near_dedup stage). After a near-dedup stage
+    #: survivors are cluster-unique and this degrades to the plain split at
+    #: the cost of one extra banding pass — prefer "hash" there.
+    split_mode: str = "hash"
+    #: Jaccard threshold for the leakage_safe clustering (defaults to
+    #: near_dedup_threshold when that is set, else 0.8).
+    split_cluster_threshold: float | None = None
     pack_budget: int | None = None
     report_counts: bool = False  # per-stage count() actions (full scans)
     #: Cut lineage after each self-referencing stage (localCheckpoint, lazy).
@@ -278,8 +291,29 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         _record("weighted_sample", weight_col=cfg.sample_weight)
 
     if cfg.splits:
-        out = T.hash_split(out, id_col=id_col, splits=cfg.splits)
-        _record("split", splits=cfg.splits)
+        if cfg.split_mode == "leakage_safe":
+            out = _cut(out)  # referenced twice: clustering build + split join
+            thr = (
+                cfg.split_cluster_threshold
+                if cfg.split_cluster_threshold is not None
+                else (cfg.near_dedup_threshold if cfg.near_dedup_threshold is not None else 0.8)
+            )
+            cc_dir = (
+                f"{cfg.checkpoint_dir.rstrip('/')}/split_cc" if cfg.checkpoint_dir else None
+            )
+            comps, strategy = D.near_dedup_components(
+                out, key=key, id_col=id_col, threshold=thr, checkpoint_dir=cc_dir
+            )
+            out = T.leakage_safe_split(out, comps, id_col=id_col, splits=cfg.splits)
+            _record(
+                "split", splits=cfg.splits, mode="leakage_safe",
+                cluster_strategy=strategy, threshold=thr,
+            )
+        elif cfg.split_mode == "hash":
+            out = T.hash_split(out, id_col=id_col, splits=cfg.splits)
+            _record("split", splits=cfg.splits, mode="hash")
+        else:
+            raise ValueError(f"unknown split_mode: {cfg.split_mode!r}")
 
     if cfg.pack_budget:
         # Pack each split as an independent stream: without split_col the

@@ -415,11 +415,20 @@ def hash_split(
     boundaries are cumulative fractions over those buckets. Map-only
     expression — no shuffle, no UDF.
     """
+    return df.withColumn("split", split_label(F.col(id_col), splits, salt))
+
+
+def split_label(key: Column, splits: dict[str, float] | None = None, salt: str = "") -> Column:
+    """The md5-bucket split expression shared by :func:`hash_split` and
+    :func:`leakage_safe_split`: ``bucket = first 8 md5 hex chars of
+    '<key>|<salt>' as int % 10_000``, label by cumulative fractions. One
+    arithmetic, two callers — the leakage-safe split stays bit-compatible
+    with the plain split on singleton keys by construction."""
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(splits.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    bucket = F.conv(F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10).cast(
+    bucket = F.conv(F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 8), 16, 10).cast(
         "long"
     ) % 10_000
     expr = None
@@ -429,8 +438,48 @@ def hash_split(
         acc += splits[name]
         cond = bucket < int(round(acc * 10_000))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn("split", label)
+    return F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Dedup-aware train/val/test split: every member of a near-duplicate
+    cluster lands in the SAME split, so near-copies of a training document
+    can never leak into validation/test (the standard contamination vector a
+    row-wise split leaves open). ``components`` is a (node, component)
+    cluster labeling from :mod:`~analyst_toolkit_spark.llm.dedup`
+    (``connected_components`` / ``bucket_components`` — component = smallest
+    reachable doc id); the split key is the cluster label for clustered docs
+    and the document's own id for singletons, fed through the exact
+    :func:`split_label` arithmetic — so on a corpus with no duplicates this
+    degrades bit-for-bit to :func:`hash_split`.
+
+    Plan: one id-keyed left join (the components side is the clustered
+    slice only — usually a small fraction of the corpus; AQE broadcasts it
+    when it fits, and it scales with the corpus so it must NOT carry a hard
+    hint) followed by the map-only md5 bucket expression. Adds ``split`` and
+    ``split_key`` columns.
+    """
+    comp = components.select(
+        F.col(node_col).alias("__lss_node"), F.col(component_col).alias("__lss_comp")
+    )
+    joined = df.join(comp, df[id_col] == F.col("__lss_node"), "left")
+    # keep the ids' natural type: a cast here would silently null string ids
+    # (connected_components accepts them) and collapse every doc into one
+    # md5 bucket
+    key = F.coalesce(F.col("__lss_comp"), F.col(id_col))
+    return (
+        joined.withColumn("split_key", key)
+        .withColumn("split", split_label(F.col("split_key"), splits, salt))
+        .drop("__lss_node", "__lss_comp")
+    )
 
 
 def hash_uniform(id_col: Column | str, salt: str = "") -> Column:
@@ -641,6 +690,45 @@ def token_rarity(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> Da
             F.count(F.col("token")).alias("n_tokens"),
             F.round(F.avg(F.col("__total") / F.col("__cnt")), 6).alias("avg_rarity"),
         )
+    )
+
+
+def oov_rate(
+    df: DataFrame, key: str = "text", id_col: str = "doc_id", vocab_size: int = 500
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate under a budget-V frequency vocab:
+    the fraction of the doc's token OCCURRENCES that fall outside the corpus'
+    top-``vocab_size`` tokens (ties at the boundary break by token text, so
+    the vocab is engine-stable). High OOV = vocabulary the tokenizer budget
+    won't cover — the per-doc refinement of :func:`vocab_coverage`'s corpus
+    census, and a standard cheap filter for boilerplate/code/garbage docs.
+    Integer counts + one rational division, exact across engines.
+
+    Plan: one token-keyed shuffle for corpus counts, a top-V sort-limit
+    (bounded by the parameter), one token-keyed join back to the stream, one
+    groupBy doc. The vocab side is <= vocab_size rows but derives from the
+    corpus, so it carries NO hard broadcast hint — AQE sees the actual
+    post-limit size at runtime and broadcasts it. Docs with zero tokens are
+    kept (explode_outer) with n_tokens 0 and null rate."""
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    stream = df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    counts = (
+        stream.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("__cnt"), F.asc("token"))
+        .limit(int(vocab_size))
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    joined = stream.join(vocab, "token", "left")
+    n_tok = F.count(F.col("token"))
+    n_oov = F.sum((F.col("token").isNotNull() & F.col("__in_vocab").isNull()).cast("long"))
+    return joined.groupBy(id_col).agg(
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(n_tok > 0, F.round(n_oov / n_tok, 6)).alias("oov_rate"),
     )
 
 

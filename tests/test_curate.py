@@ -166,3 +166,35 @@ def test_curate_new_gates_classifier_span_charlm(spark):
     assert report["classifier_gate"]["rows"] == 11          # 10 clean + gibberish
     assert report["span_removal"]["n"] == 4
     assert report["charlm_gate"]["reference"] == "external"
+
+
+def test_curate_leakage_safe_split(spark, sf_dir):
+    """split_mode='leakage_safe': a near-dup copy kept by the chain (no
+    near-dedup stage configured) must land in the SAME split as its source;
+    hash mode scatters at least one such pair at this corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearcopy")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    out, report = C.curate_corpus(
+        corpus,
+        exact_dedup=False,
+        splits={"train": 0.8, "val": 0.2},
+        split_mode="leakage_safe",
+        split_cluster_threshold=0.7,
+        checkpoint=False,
+    )
+    assert report["split"]["mode"] == "leakage_safe"
+    assert report["split"]["cluster_strategy"]
+    m = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    pairs = [(d, d + 100000) for d in m if d < 100000 and d + 100000 in m]
+    assert pairs
+    assert all(m[a] == m[b] for a, b in pairs), "near-dup pair straddles splits"
+    # the plain hash split demonstrably scatters at least one of these pairs
+    hashed = {r["doc_id"]: r["split"] for r in T.hash_split(corpus).select("doc_id", "split").collect()}
+    assert any(hashed[a] != hashed[b] for a, b in pairs)
+    # unknown mode rejected
+    with pytest.raises(ValueError):
+        C.curate_corpus(corpus, splits={"train": 1.0}, split_mode="bogus")

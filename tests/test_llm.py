@@ -649,6 +649,61 @@ def test_hash_split_oracle(spark, oracle_sf_dir):
     )
 
 
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Every member of a near-dup cluster gets the representative's split;
+    singletons match hash_split bit-for-bit; the unclustered degenerate case
+    IS hash_split."""
+    from analyst_toolkit_spark.llm.text import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    # two synthetic clusters labeled by their min member (the CC contract)
+    comps = spark.createDataFrame(
+        [(m, 3) for m in (3, 17, 42, 99)] + [(m, 8) for m in (8, 120, 121)],
+        ["node", "component"],
+    )
+    out = leakage_safe_split(docs, comps)
+    rows = {r["doc_id"]: (r["split"], r["split_key"]) for r in out.collect()}
+    assert len(rows) == 200
+    base = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    for m in (3, 17, 42, 99):
+        assert rows[m] == (base[3], 3)
+    for m in (8, 120, 121):
+        assert rows[m] == (base[8], 8)
+    clustered = {3, 17, 42, 99, 8, 120, 121}
+    for i in set(range(200)) - clustered:
+        assert rows[i] == (base[i], i)
+    # no components at all -> identical to hash_split on every row
+    empty = comps.filter("node < 0")
+    degenerate = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, empty).collect()}
+    assert degenerate == base
+
+
+def test_oov_rate_exact(spark):
+    """Hand-computed OOV rates on a tiny corpus: vocab budget 2 keeps the two
+    most frequent tokens (tie at the boundary breaks by token text); a
+    zero-token doc survives with n_tokens 0 and null rate."""
+    from analyst_toolkit_spark.llm.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb cc"),  # bb OOV -> 1/4
+            (2, "cc cc dd"),     # dd OOV -> 1/3
+            (3, "aa bb"),        # bb OOV -> 1/2
+            (4, "!!! ???"),      # tokenizes to nothing
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus counts: aa=3, cc=3, bb=2, dd=1 -> budget-2 vocab = {aa, cc}
+    # (count ties aa/cc both kept; boundary tie bb vs nothing: bb excluded)
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_rate"]) == (4, 1, 0.25)
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_rate"]) == (3, 1, round(1 / 3, 6))
+    assert (out[3]["n_tokens"], out[3]["n_oov"], out[3]["oov_rate"]) == (2, 1, 0.5)
+    assert (out[4]["n_tokens"], out[4]["n_oov"], out[4]["oov_rate"]) == (0, 0, None)
+
+
 def _wav(rate=16000, ch=1, bits=16, n_samples=16000):
     data = b"\x00" * (n_samples * ch * (bits // 8))
     fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")

@@ -263,6 +263,11 @@ _EXCHANGE_CEILINGS = {
     # (measured 2)
     "token_budget_sample_docs": 2,
     "decontaminate_spans_docs": 3,
+    # leakage-safe split tail = comps join + split-key agg over the eager CC
+    # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
+    # per-doc agg (measured 3)
+    "dedup_split_docs": 5,
+    "oov_rate_docs": 4,
 }
 
 
