@@ -1199,6 +1199,40 @@ def q_events_stream_windowed(spark, sf):
     )
 
 
+def q_events_stream_dedup(spark, sf):
+    """Streaming EXACT DEDUP through the driver gate (streaming/sessions.
+    dedup_stream → ``dropDuplicatesWithinWatermark``, late r8): readStream
+    over the events parquet, dedup on (user_id, event_type) with state keyed
+    per micro-batch-spanning key, append foreachBatch parquet sink, then a
+    batch census over the SINK. WHICH row survives per key is arrival-order
+    dependent (first-seen), so the deterministic compare surface is the
+    per-type count of surviving keys — exactly DuckDB's DISTINCT census
+    (both engines treat null keys as equal). The 3650-day watermark keeps
+    every event inside the horizon under availableNow (nothing late-drops,
+    dedup state stays exact); production bounds state with a tight
+    watermark — that semantic is local-tested in tests/test_sessions.py."""
+    import tempfile
+
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
+    from analyst_toolkit_spark.streaming.sessions import dedup_stream
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
+    deduped = dedup_stream(stream, ["user_id", "event_type"], ts_col="ts", watermark="3650 days")
+    sink = tempfile.mkdtemp(prefix="ev_dedup_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="ev_dedup_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    foreach_batch_runner(deduped, write_batch, ckpt).awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("kept_keys"))
+    )
+
+
 def q_drift_orders(spark, sf):
     df = load_table(spark, sf, "orders")
     base = df.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
@@ -2270,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,  # NEW r8 (duplication profile; md5-CC oracle)
         "dedup_split_docs": q_dedup_split_docs,            # NEW r8 (leakage-safe cluster-atomic split; md5-CC oracle)
         "oov_rate_docs": q_oov_rate_docs,                  # NEW r8 (per-doc OOV rate under a budget vocab)
+        "events_stream_dedup": q_events_stream_dedup,      # NEW r8 (third REAL streaming row: dropDuplicatesWithinWatermark)
         # -- r07-green continuity slots (profile_lineitem +
         # -- validation_summary_orders rotated past the window to make room —
         # -- both multi-round green) -------------------------------------------
@@ -2834,6 +2869,11 @@ def oracle_sql() -> dict[str, str]:
                round(min(value), 6) AS min,
                round(max(value), 6) AS max
         FROM events GROUP BY 1
+    """
+    sqls["events_stream_dedup"] = """
+        SELECT event_type, count(*) AS kept_keys
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY 1
     """
     sqls["hash_split_docs"] = """
         WITH b AS (
