@@ -1233,6 +1233,54 @@ def q_events_stream_dedup(spark, sf):
     )
 
 
+def q_events_stream_stateful(spark, sf):
+    """CUSTOM STATEFUL streaming operator through the driver gate
+    (streaming/sessions.stateful_running_stats → ``applyInPandasWithState``,
+    late r8): per-user running (count, sum, max) carried across micro-batches
+    in explicit GroupState — the seam for operators Spark's windowing can't
+    express. The stream emits one row per key per batch that touched it;
+    ``events_total`` is strictly increasing per key, so the FINAL emission
+    (window argmax) is the batch-split-invariant compare surface and equals
+    the batch aggregate DuckDB computes. Sum rounds at 6 (per-key double
+    accumulation order vs SQL aggregation order — same acceptance as the
+    windowed-profile mean)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from analyst_toolkit_spark.streaming.sessions import stateful_running_stats
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
+    stats = stateful_running_stats(stream, key_col="user_id", value_col="value", ts_col="ts")
+    sink = tempfile.mkdtemp(prefix="ev_state_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="ev_state_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("events_total"))
+    return (
+        spark.read.parquet(sink)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "events_total",
+            F.round("value_sum", 6).alias("value_sum"),
+            F.round("value_max", 6).alias("value_max"),
+        )
+    )
+
+
 def q_drift_orders(spark, sf):
     df = load_table(spark, sf, "orders")
     base = df.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
@@ -2305,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split_docs": q_dedup_split_docs,            # NEW r8 (leakage-safe cluster-atomic split; md5-CC oracle)
         "oov_rate_docs": q_oov_rate_docs,                  # NEW r8 (per-doc OOV rate under a budget vocab)
         "events_stream_dedup": q_events_stream_dedup,      # NEW r8 (third REAL streaming row: dropDuplicatesWithinWatermark)
+        "events_stream_stateful": q_events_stream_stateful,  # NEW r8 (fourth streaming row: applyInPandasWithState custom state)
         # -- r07-green continuity slots (profile_lineitem +
         # -- validation_summary_orders rotated past the window to make room —
         # -- both multi-round green) -------------------------------------------
@@ -2874,6 +2923,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS kept_keys
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY 1
+    """
+    # coalesce(sum, 0.0): the stateful operator's running sum starts at 0.0
+    # and never becomes null for an all-null-value key; SQL sum would.
+    sqls["events_stream_stateful"] = """
+        SELECT user_id,
+               count(*) AS events_total,
+               round(coalesce(sum(value), 0.0), 6) AS value_sum,
+               round(max(value), 6) AS value_max
+        FROM events GROUP BY 1
     """
     sqls["hash_split_docs"] = """
         WITH b AS (
