@@ -1641,6 +1641,17 @@ def q_oov_rate_docs(spark, sf):
     return L_text.oov_rate(docs, vocab_size=500)
 
 
+def q_corpus_data_card_docs(spark, sf):
+    """Per-source corpus DATA CARD (llm/text.corpus_data_card, late r8):
+    the pre-training roll-up — docs, whitespace tokens, mean heuristic
+    quality (rounds at 6 per doc, engine-stable), exact-duplicate
+    membership against the GLOBAL corpus, and language-ID agreement with
+    the recorded lang tag. Oracle composes the already-green per-component
+    SQL mirrors (quality expr, marker-word argmax CASE, md5 multiplicity)."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.corpus_data_card(docs)
+
+
 def q_decontaminate_spans_docs(spark, sf):
     """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
     new r8): every 25th doc's text doubles as a benchmark entry; every
@@ -2354,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_docs": q_oov_rate_docs,                  # NEW r8 (per-doc OOV rate under a budget vocab)
         "events_stream_dedup": q_events_stream_dedup,      # NEW r8 (third REAL streaming row: dropDuplicatesWithinWatermark)
         "events_stream_stateful": q_events_stream_stateful,  # NEW r8 (fourth streaming row: applyInPandasWithState custom state)
+        "corpus_data_card_docs": q_corpus_data_card_docs,  # NEW r8 (per-source pre-training data card)
         # -- r07-green continuity slots (profile_lineitem +
         # -- validation_summary_orders rotated past the window to make room —
         # -- both multi-round green) -------------------------------------------
@@ -3817,6 +3829,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(text) AS content_hash, count(*) AS cluster_size,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+    # data card: composes the green per-component mirrors — quality expr,
+    # the marker-word argmax CASE above, md5 text multiplicity
+    _g4 = f"greatest({_mk['en']}, {_mk['de']}, {_mk['fr']}, {_mk['es']})"
+    sqls["corpus_data_card_docs"] = f"""
+        WITH m AS (SELECT md5(text) AS h, count(*) AS mult FROM documents GROUP BY 1),
+        d AS (
+          SELECT source, lang,
+                 length(regexp_extract_all(text, '{_TOK_RE}')) AS toks_n,
+                 {_quality_score_sql_expr()} AS q,
+                 regexp_extract_all(lower(text), '[a-z'']+') AS toks,
+                 m.mult AS mult
+          FROM documents LEFT JOIN m ON md5(text) = m.h),
+        dd AS (
+          SELECT source, lang, toks_n, q, mult,
+                 CASE WHEN {_g4} < 1 THEN 'und'
+                      WHEN {_mk['de']} = {_g4} THEN 'de'
+                      WHEN {_mk['en']} = {_g4} THEN 'en'
+                      WHEN {_mk['es']} = {_g4} THEN 'es'
+                      ELSE 'fr' END AS detected
+          FROM d)
+        SELECT source, count(*) AS docs,
+               CAST(sum(toks_n) AS BIGINT) AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               CAST(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+               CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_match_docs
+        FROM dd GROUP BY 1
     """
     sqls["fingerprint_dup_docs"] = f"""
         SELECT md5({_NORM_SQL.format(col="text")}) AS content_hash, count(*) AS cluster_size,

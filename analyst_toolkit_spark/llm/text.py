@@ -112,6 +112,54 @@ def quality_score(col: str | Column) -> Column:
     return F.round((len_score + punct_score + digit_score + wl_score) / 4, 6)
 
 
+def corpus_data_card(
+    df: DataFrame,
+    by: str = "source",
+    key: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-group corpus DATA CARD — the one-page roll-up a dataset owner
+    reads before training: document and token counts, mean heuristic
+    quality, language-ID agreement with the recorded language tag, and
+    exact-duplicate membership (docs whose byte-identical text occurs more
+    than once ANYWHERE in the corpus — a cross-group duplicate counts in
+    every group holding a copy, which is what a per-source contamination
+    review needs).
+
+    Plan: the per-doc metrics are PROJECTED BEFORE the multiplicity join, so
+    only the md5 hash and a few numeric columns cross the join shuffle —
+    never the document bodies (at corpus scale the text column is the
+    shuffle). One md5-keyed count shuffle, one md5-keyed join (both sides
+    corpus-scaling — no hint, AQE decides; at test scale it broadcasts the
+    count side), one groupBy on the grouping column."""
+    h = F.md5(F.col(key))
+    mult = (
+        df.select(h.alias("__dc_h"))
+        .groupBy("__dc_h")
+        .agg(F.count(F.lit(1)).alias("__dc_mult"))
+    )
+    cols = [
+        F.col(by),
+        h.alias("__dc_h"),
+        token_count(F.col(key)).alias("__dc_tok"),
+        quality_score(F.col(key)).alias("__dc_q"),
+    ]
+    if lang_col is not None:
+        cols.append(
+            (detect_language(F.col(key)) == F.col(lang_col)).cast("long").alias("__dc_lm")
+        )
+    scored = df.select(*cols).join(mult, "__dc_h", "left")
+    aggs = [
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("__dc_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("__dc_q"), 6).alias("avg_quality"),
+        F.sum((F.col("__dc_mult") > 1).cast("long")).alias("dup_docs"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.sum("__dc_lm").alias("lang_match_docs"))
+    return scored.groupBy(by).agg(*aggs)
+
+
 def normalize_text(col: str | Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip punctuation,
     collapse whitespace."""

@@ -704,6 +704,36 @@ def test_oov_rate_exact(spark):
     assert (out[4]["n_tokens"], out[4]["n_oov"], out[4]["oov_rate"]) == (0, 0, None)
 
 
+def test_corpus_data_card(spark):
+    """Hand-checked per-source roll-up; a cross-source duplicate counts as a
+    dup member in BOTH sources; lang_col=None drops the agreement column;
+    doc bodies must not survive past the pre-join projection."""
+    from analyst_toolkit_spark.llm.text import corpus_data_card
+
+    rows = [
+        (1, "the cat sat on the mat and it was flat", "en", "a"),
+        (2, "the cat sat on the mat and it was flat", "en", "b"),  # dup of 1, other source
+        (3, "der hund ist nicht auf der matte", "de", "a"),
+        (4, "numbers 123 456", "en", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r["source"]: r for r in corpus_data_card(docs).collect()}
+    assert out["a"]["docs"] == 2 and out["b"]["docs"] == 2
+    assert out["a"]["total_tokens"] == 10 + 7
+    # doc 1 and doc 2 are the same bytes -> both count as dup members
+    assert out["a"]["dup_docs"] == 1 and out["b"]["dup_docs"] == 1
+    # en markers hit docs 1/2 ('the','and','it','was'); de markers doc 3;
+    # doc 4 has no markers -> 'und' != 'en'
+    assert out["a"]["lang_match_docs"] == 2 and out["b"]["lang_match_docs"] == 1
+    assert "lang_match_docs" not in corpus_data_card(docs, lang_col=None).columns
+    # 100 TB posture: the text column must not appear in any Exchange output
+    plan = corpus_data_card(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), f"doc bodies cross a shuffle: {m.group(0)}"
+
+
 def _wav(rate=16000, ch=1, bits=16, n_samples=16000):
     data = b"\x00" * (n_samples * ch * (bits // 8))
     fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")

@@ -268,6 +268,9 @@ _EXCHANGE_CEILINGS = {
     # per-doc agg (measured 3)
     "dedup_split_docs": 5,
     "oov_rate_docs": 4,
+    # data card: multiplicity shuffle + hash join + final groupBy (measured
+    # 3); per-doc metrics project BEFORE the join so text never shuffles
+    "corpus_data_card_docs": 4,
 }
 
 
