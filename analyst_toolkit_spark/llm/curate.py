@@ -94,6 +94,15 @@ class CurationConfig:
     split_cluster_threshold: float | None = None
     pack_budget: int | None = None
     report_counts: bool = False  # per-stage count() actions (full scans)
+    #: Collect a per-group pre-training data card (text.corpus_data_card:
+    #: docs/tokens/quality/global-dup-membership/lang-agreement) for the
+    #: INPUT and the curated OUTPUT into the report — "what did curation do
+    #: to my corpus", the summary a dataset owner reads first. Two extra
+    #: full-scan actions, so opt-in like report_counts. ``data_card_by``
+    #: must be a column of the frame; the language-agreement column is
+    #: included only when a ``lang`` column exists.
+    report_data_card: bool = False
+    data_card_by: str = "source"
     #: Cut lineage after each self-referencing stage (localCheckpoint, lazy).
     #: The dedup/decontaminate stages reference the running frame in TWO
     #: subtrees (the keep-set build and the semi-join back); without a cut
@@ -139,7 +148,19 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             return frame.sparkSession.read.parquet(path)
         return frame.localCheckpoint(eager=False) if cfg.checkpoint else frame
 
+    def _data_card(frame: DataFrame) -> list[dict]:
+        if cfg.data_card_by not in frame.columns:
+            raise ValueError(
+                f"report_data_card: column {cfg.data_card_by!r} not in frame "
+                f"(columns: {frame.columns})"
+            )
+        lang = "lang" if "lang" in frame.columns else None
+        card = T.corpus_data_card(frame, by=cfg.data_card_by, key=key, lang_col=lang)
+        return [r.asDict() for r in card.orderBy(cfg.data_card_by).collect()]
+
     _record("input")
+    if cfg.report_data_card:
+        report["input"]["data_card"] = _data_card(out)
 
     if cfg.strip_html:
         out = out.withColumn(key, T.strip_html(key))
@@ -325,4 +346,6 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         _record("pack", budget=cfg.pack_budget, per_split=bool(split_col))
 
     _record("output")
+    if cfg.report_data_card:
+        report["output"]["data_card"] = _data_card(out)
     return out, report

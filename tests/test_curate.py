@@ -198,3 +198,29 @@ def test_curate_leakage_safe_split(spark, sf_dir):
     # unknown mode rejected
     with pytest.raises(ValueError):
         C.curate_corpus(corpus, splits={"train": 1.0}, split_mode="bogus")
+
+
+def test_curate_report_data_card(spark, sf_dir):
+    """report_data_card=True: input + output per-source cards land in the
+    report; curation can only shrink per-source doc counts; a missing
+    grouping column raises."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(400)
+    out, report = C.curate_corpus(
+        docs,
+        min_quality=0.3,
+        exact_dedup=True,
+        report_data_card=True,
+        checkpoint=False,
+    )
+    cin = {r["source"]: r for r in report["input"]["data_card"]}
+    cout = {r["source"]: r for r in report["output"]["data_card"]}
+    assert cin and set(cout) <= set(cin)
+    assert all(set(r) == {"source", "docs", "total_tokens", "avg_quality", "dup_docs", "lang_match_docs"} for r in report["input"]["data_card"])
+    for s, r in cout.items():
+        assert r["docs"] <= cin[s]["docs"]
+        assert r["total_tokens"] <= cin[s]["total_tokens"]
+    assert sum(r["docs"] for r in cout.values()) == out.count()
+    with pytest.raises(ValueError):
+        C.curate_corpus(docs.drop("source"), report_data_card=True)

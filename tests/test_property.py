@@ -455,3 +455,77 @@ def test_canonicalize_url_idempotent_and_variant_stable(
     df2 = spark.createDataFrame([(i, c) for i, c in out.items()], ["i", "url"])
     out2 = {r.i: r.c for r in df2.select("i", canonicalize_url("url").alias("c")).collect()}
     assert out2 == out
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=29), st.integers(min_value=0, max_value=29)),
+        max_size=15,
+    ),
+)
+@SET
+def test_leakage_safe_split_invariants(spark, n, edges):
+    """For ANY corpus + component graph: every row keeps exactly one split,
+    all members of a component share it, and singletons match hash_split."""
+    from analyst_toolkit_spark.llm.text import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], ["doc_id", "text"])
+    # union-find the random edge list into CC-contract components (min label)
+    parent = list(range(30))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a < n and b < n and a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        r = find(i)
+        if r != i or any(find(j) == i for j in range(n) if j != i):
+            comp[i] = r
+    comps = spark.createDataFrame(
+        [(k, v) for k, v in comp.items()] or [(None, None)], "node long, component long"
+    ).filter("node is not null")
+    out = {r["doc_id"]: (r["split"], r["split_key"]) for r in leakage_safe_split(docs, comps).collect()}
+    base = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert set(out) == set(range(n))  # no row lost or duplicated
+    for i in range(n):
+        if i in comp:
+            assert out[i] == (base[comp[i]], comp[i])  # follows the rep's bucket
+        else:
+            assert out[i] == (base[i], i)  # singleton == plain hash_split
+
+
+@given(
+    texts=st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "!"])).map(" ".join), min_size=1, max_size=12),
+    v=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_oov_rate_invariants(spark, texts, v):
+    """0 <= n_oov <= n_tokens for every doc; total OOV mass equals total
+    tokens minus the top-v vocab's occurrence mass; a vocab budget covering
+    every distinct token drives all rates to zero."""
+    from analyst_toolkit_spark.llm.text import oov_rate
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = oov_rate(docs, vocab_size=v).collect()
+    assert len(rows) == len(texts)
+    toks = [t for txt in texts for t in txt.lower().split() if t != "!"]
+    from collections import Counter
+
+    counts = Counter(toks)
+    vocab = set(t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:v])
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        if r["n_tokens"] == 0:
+            assert r["oov_rate"] is None
+    assert sum(r["n_oov"] for r in rows) == sum(c for t, c in counts.items() if t not in vocab)
+    full = oov_rate(docs, vocab_size=max(len(counts), 1)).collect()
+    assert all(r["n_oov"] == 0 for r in full)
