@@ -274,6 +274,18 @@ _EXCHANGE_CEILINGS = {
 }
 
 
+def test_oov_vocab_is_take_ordered(spark, sf_dir):
+    """The budget-V vocab must plan as TakeOrderedAndProject (top-V heap per
+    partition + driver merge), never a full global Sort — at corpus scale
+    the distinct-token table is billions of rows and a total sort of it
+    would dominate the query."""
+    plan = _plan(QUERIES["oov_rate_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), "global sort in oov plan"
+
+
 @pytest.mark.parametrize("name", sorted(_EXCHANGE_CEILINGS))
 def test_exchange_count_ceiling(name, spark, sf_dir):
     plan = _plan(QUERIES[name](spark, sf_dir))
