@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 from analyst_toolkit_spark.ingest import ROW_ID, load_table
 from analyst_toolkit_spark.llm import dedup as L_dedup
+from analyst_toolkit_spark.llm import select as L_sel
 from analyst_toolkit_spark.llm import similarity as L_sim
+from analyst_toolkit_spark.llm import sketch as L_sk
 from analyst_toolkit_spark.llm import text as L_text
 from analyst_toolkit_spark.operators import diff as M_diff
 from analyst_toolkit_spark.operators import final_audit as M_fa
@@ -1652,6 +1654,67 @@ def q_corpus_data_card_docs(spark, sf):
     return L_text.corpus_data_card(docs)
 
 
+def q_dsir_weights_docs(spark, sf):
+    """DSIR importance weighting (llm/select.dsir_logweights, late r8): the
+    data-SELECTION step of a pre-training pipeline (Xie et al. 2023) —
+    score every raw document by the log importance weight of its hashed
+    unigram buckets under a target-vs-raw model (target = the English
+    slice, the docs the selected pool should resemble). md5-bucket features
+    (the hash_split arithmetic) make every weight engine-portable; counts
+    are exact integers, the <= 1024-term per-doc float sum rounds at 6.
+    alpha=0.1: on this ~22k-token corpus the default 0.5 smoothing mass
+    (alpha*B = 512 pseudo-counts vs ~9k real target tokens) drowns the
+    signal and selects almost nothing; 0.1 exercises both outcomes
+    (96/500 selected at sf0.01). The raw corpus is tokenized ONCE: the
+    (doc, bucket) aggregate is cut with a lazy localCheckpoint and all
+    three consumers derive from it (plan-asserted: the only visible
+    parquet scan is the doc_id spine)."""
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return L_sel.dsir_logweights(docs, target, buckets=1024, alpha=0.1)
+
+
+def q_kmv_distinct_docs(spark, sf):
+    """KMV distinct-shingle cardinality per source (llm/sketch, late r8):
+    bottom-128 sketch of each source's distinct 3-gram set, estimator
+    (k-1)/U_(k) — the fixed-size synopsis a 100 TB ingest keeps per source
+    instead of exact distinct counts. Deterministic given md5, so the
+    DuckDB oracle reproduces the ESTIMATE bit-for-bit (an estimator whose
+    output is still exactly checkable cross-engine). Bottom-k is two-stage
+    (16-way salt slice row_number, then rank over <= 16k survivors) — no
+    full per-source sort of the distinct-hash stream."""
+    docs = load_table(spark, sf, "documents")
+    sk = L_sk.kmv_sketch(docs, k=128)
+    return L_sk.kmv_distinct_estimate(sk, 128)
+
+
+def q_source_overlap_kmv_docs(spark, sf):
+    """Pairwise source-overlap estimates from KMV sketches (llm/sketch,
+    late r8): for every source pair, merge the two bottom-128 sketches
+    (k smallest of the union — the KMV closure property) and estimate
+    Jaccard as the merged members present in both sides. The corpus-
+    governance question ("how much does source A overlap source B?")
+    answered from groups x k rows — the cross-source shingle intersection
+    is never materialized. All pair stages are AQE-broadcast territory."""
+    docs = load_table(spark, sf, "documents")
+    sk = L_sk.kmv_sketch(docs, k=128)
+    return L_sk.kmv_overlap(sk, 128)
+
+
+def q_semantic_dedup_embeddings(spark, sf):
+    """SemDeDup-style semantic dedup (llm/similarity.semantic_dedup, late
+    r8): hyperplane-LSH near-pairs at cosine >= 0.5 (the driver-green
+    embedding_lsh_pairs construction, seed-42 planes inlined into the
+    oracle) -> hash-to-min connected components -> min-id survivor
+    election. The embedding-space dedup path: near-coincident vectors are
+    duplicates even when token shingles differ. Full audit view returned
+    (vec_id, component, is_rep) — filtering is_rep IS the dedup."""
+    emb = load_table(spark, sf, "embeddings")
+    return L_sim.semantic_dedup(emb, 64, n_planes=6, threshold=0.5).select(
+        "vec_id", "component", "is_rep"
+    )
+
+
 def q_decontaminate_spans_docs(spark, sf):
     """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
     new r8): every 25th doc's text doubles as a benchmark entry; every
@@ -2366,6 +2429,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,      # NEW r8 (third REAL streaming row: dropDuplicatesWithinWatermark)
         "events_stream_stateful": q_events_stream_stateful,  # NEW r8 (fourth streaming row: applyInPandasWithState custom state)
         "corpus_data_card_docs": q_corpus_data_card_docs,  # NEW r8 (per-source pre-training data card)
+        "dsir_weights_docs": q_dsir_weights_docs,          # NEW late-r8 (DSIR importance-weight data selection)
+        "kmv_distinct_docs": q_kmv_distinct_docs,          # NEW late-r8 (bottom-k distinct-cardinality sketch)
+        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,  # NEW late-r8 (KMV pairwise source overlap)
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # NEW late-r8 (SemDeDup: LSH pairs -> CC -> survivor)
+        # (these four push charlm_quality, quality_classifier, url_dedup and
+        # minhash_md5_components past the window — all four r07-green)
         # -- r07-green continuity slots (profile_lineitem +
         # -- validation_summary_orders rotated past the window to make room —
         # -- both multi-round green) -------------------------------------------
@@ -2862,6 +2931,38 @@ def oracle_sql() -> dict[str, str]:
                  j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
               / (a.n * b.n), 6) >= 0.5
     """
+    # SemDeDup: the embedding_lsh_pairs construction (same seed-42 plane
+    # literals) as the edge set, then the recursive-CTE transitive closure
+    # (the _MD5_CC_CTE walk pattern) and min-id election.
+    sqls["semantic_dedup_embeddings"] = f"""
+        WITH RECURSIVE planes(i, p) AS (VALUES
+              {_plane_rows}),
+        v AS (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+              FROM embeddings),
+        bk AS (
+          SELECT v.vec_id, v.embedding, v.n,
+                 sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                          j -> CAST(v.embedding[j] AS DOUBLE) * planes.p[j])) >= 0
+                          THEN CAST(power(2, planes.i) AS BIGINT) ELSE 0 END) AS bucket
+          FROM v CROSS JOIN planes GROUP BY v.vec_id, v.embedding, v.n),
+        prs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(range(1, 65),
+                   j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
+                / (a.n * b.n), 6) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+        walk(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node)
+        SELECT em.vec_id,
+               coalesce(comp.c, em.vec_id) AS component,
+               coalesce(comp.c, em.vec_id) = em.vec_id AS is_rep
+        FROM embeddings em LEFT JOIN comp ON comp.node = em.vec_id
+    """
     # cross-engine SimHash: bit i's vote = bit i of the token's single md5
     # digest (hex digit i//4, bit 3-i%4) — identical arithmetic on both
     # engines, one md5 per token. The near-pair oracle is the FULL quadratic
@@ -2954,6 +3055,82 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                count(*) AS n
         FROM b GROUP BY 1
+    """
+    # DSIR (late r8): target = the English slice; bucket = the hash_split
+    # md5 arithmetic; ln ratios with add-0.5 smoothing; per-doc sum of
+    # n_db * w_b rounded at 6 (accumulation-order acceptance — <= 1024
+    # O(1)-magnitude terms, ulp noise orders below the rounding grain).
+    sqls["dsir_weights_docs"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id, CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+                 count(*) AS n
+          FROM tok GROUP BY 1, 2),
+        raw AS (SELECT bucket, sum(n) AS rn FROM tb GROUP BY 1),
+        ttok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents WHERE lang = 'en'),
+        tgt AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+                 count(*) AS tn
+          FROM ttok GROUP BY 1),
+        tot AS (SELECT (SELECT sum(rn) FROM raw) AS R, (SELECT coalesce(sum(tn), 0) FROM tgt) AS T),
+        w AS (
+          SELECT raw.bucket,
+                 ln((coalesce(tgt.tn, 0) + 0.1) / (tot.T + 0.1 * 1024))
+                 - ln((raw.rn + 0.1) / (tot.R + 0.1 * 1024)) AS w
+          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+        docw AS (
+          SELECT tb.doc_id, sum(tb.n) AS n_tokens, round(sum(tb.n * w.w), 6) AS log_weight
+          FROM tb JOIN w USING (bucket) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(docw.n_tokens, 0) AS BIGINT) AS n_tokens,
+               coalesce(docw.log_weight, 0.0) AS log_weight,
+               coalesce(docw.log_weight, 0.0) > 0.0 AS selected
+        FROM documents d LEFT JOIN docw USING (doc_id)
+    """
+    # KMV sketches (late r8): per-source bottom-128 of the distinct 3-gram
+    # md5 set (hex order == numeric order for fixed-width lowercase hex);
+    # the estimators are deterministic given the hash, so the oracle
+    # reproduces the estimates exactly.
+    _KMV_SK_SQL = """
+        WITH tk AS (
+          SELECT source, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks FROM documents),
+        shl AS (
+          SELECT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END)) AS s
+          FROM tk),
+        dh AS (SELECT DISTINCT source, md5(s) AS h FROM shl),
+        sk AS (SELECT source, h, CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS INT) AS rank
+               FROM dh QUALIFY rank <= 128)
+    """
+    sqls["kmv_distinct_docs"] = _KMV_SK_SQL + """
+        SELECT source, count(*) AS sketch_size,
+               round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                     ELSE 127.0 / max(CASE WHEN rank = 128
+                          THEN CAST(concat('0x', substr(h, 1, 12)) AS UBIGINT) / 281474976710656.0 END)
+                     END, 6) AS est_distinct
+        FROM sk GROUP BY 1
+    """
+    sqls["source_overlap_kmv_docs"] = _KMV_SK_SQL + """,
+        pr AS (SELECT a.source AS ga, b.source AS gb
+               FROM (SELECT DISTINCT source FROM sk) a
+               JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        u AS (
+          SELECT pr.ga, pr.gb, sk.h,
+                 max(CASE WHEN sk.source = pr.ga THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN sk.source = pr.gb THEN 1 ELSE 0 END) AS in_b
+          FROM pr JOIN sk ON sk.source IN (pr.ga, pr.gb)
+          GROUP BY 1, 2, 3),
+        m AS (SELECT ga, gb, in_a, in_b, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS mrank
+              FROM u QUALIFY mrank <= 128)
+        SELECT ga AS group_a, gb AS group_b, count(*) AS merged_k,
+               CAST(sum(in_a * in_b) AS BIGINT) AS shared,
+               round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS kmv_jaccard
+        FROM m GROUP BY 1, 2
     """
     sqls["dedup_index_probe"] = """
         WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

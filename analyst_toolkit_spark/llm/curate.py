@@ -47,6 +47,16 @@ class CurationConfig:
     #: Map-only — composes into whatever scan precedes it.
     classifier_weights: list[float] | None = None
     classifier_threshold: float = 0.0
+    #: DSIR importance-weighted selection (llm/select, Xie et al. NeurIPS
+    #: 2023): when a target corpus is set, keep docs whose hashed-unigram
+    #: log importance weight against it exceeds ``dsir_min_weight``
+    #: (0.0 = the geometric break-even: more target-like than raw-like).
+    #: Runs after the heuristic/classifier gates and before dedup — the
+    #: published pipeline order (select the pool, then dedup the keepers).
+    dsir_target: DataFrame | None = None
+    dsir_min_weight: float = 0.0
+    dsir_buckets: int = 1024
+    dsir_alpha: float = 0.5
     exact_dedup: bool = True
     near_dedup_threshold: float | None = None  # e.g. 0.8 enables MinHash stage
     #: which member of a near-dup cluster survives: "min_id" (default,
@@ -196,6 +206,23 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             .drop("__feat")
         )
         _record("classifier_gate", threshold=cfg.classifier_threshold)
+
+    if cfg.dsir_target is not None:
+        from analyst_toolkit_spark.llm import select as SEL
+
+        # referenced by the scoring build AND the semi-join back — cut first
+        # (dsir_logweights cuts its own (doc, bucket) aggregate internally)
+        out = _cut(out)
+        w = SEL.dsir_logweights(
+            out, cfg.dsir_target, key=key, id_col=id_col,
+            buckets=cfg.dsir_buckets, alpha=cfg.dsir_alpha,
+        )
+        keep = w.filter(F.col("log_weight") > cfg.dsir_min_weight).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
+        _record(
+            "dsir_select", buckets=cfg.dsir_buckets, alpha=cfg.dsir_alpha,
+            min_weight=cfg.dsir_min_weight,
+        )
 
     # Each of the next three stages references the running frame in TWO
     # subtrees (the keep-set build and the join back), so the cut goes

@@ -650,3 +650,44 @@ def ivf_probe(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., *SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication*, 2023):
+    embedding near-pairs above a cosine threshold -> connected components ->
+    min-id survivor election. The embedding-space counterpart of the MinHash
+    text path: two documents whose EMBEDDINGS nearly coincide are duplicates
+    even when their token shingles differ (paraphrases, templated rewrites).
+
+    Candidate generation is :func:`lsh_bucketed_pairs` (hyperplane buckets —
+    only same-bucket vectors are compared, nothing all-pairs); clustering is
+    the same hash-to-min + pointer-jumping fixpoint every dedup path here
+    uses (``checkpoint_dir`` plumbs through for durable lineage cuts at
+    scale). Returns the full input row set with ``component`` (smallest
+    reachable id; own id for singletons) and ``is_rep`` (the elected
+    survivor — exactly one true per component). Filtering ``is_rep`` is the
+    dedup; keeping all rows is the audit view."""
+    from .dedup import connected_components
+
+    pairs = lsh_bucketed_pairs(df, dim, vec_col, id_col, n_planes, threshold, seed)
+    comps = connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
+        F.col("node").alias("__sd_node"), F.col("component").alias("__sd_comp")
+    )
+    # comps holds clustered ids only — corpus-derived and proportional to the
+    # duplication rate, so no hard broadcast hint (AQE decides)
+    out = df.join(comps, df[id_col] == F.col("__sd_node"), "left")
+    return (
+        out.withColumn("component", F.coalesce(F.col("__sd_comp"), F.col(id_col)))
+        .withColumn("is_rep", F.col("component") == F.col(id_col))
+        .drop("__sd_node", "__sd_comp")
+    )

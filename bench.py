@@ -197,6 +197,12 @@ def main() -> None:
 
     _nh("near_dedup_auto_pairs", lambda: _auto_gate(None))
     _nh("near_dedup_auto_buckets_forced", lambda: _auto_gate(0))
+    # late-r8 selection/sketch/semantic-dedup operators: corpus-pass costs
+    # (DSIR single tokenize + cut, KMV distinct-shingle stream, LSH pairs +
+    # eager CC fixpoint) tracked so the single-pass guarantees stay honest.
+    for nh_name in ("dsir_weights_docs", "source_overlap_kmv_docs", "semantic_dedup_embeddings"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
     detail = {
         "metric": "module_suite_wall_clock",

@@ -224,3 +224,41 @@ def test_curate_report_data_card(spark, sf_dir):
     assert sum(r["docs"] for r in cout.values()) == out.count()
     with pytest.raises(ValueError):
         C.curate_corpus(docs.drop("source"), report_data_card=True)
+
+
+def test_curate_dsir_stage(spark, sf_dir):
+    """The DSIR selection stage keeps exactly the docs dsir_logweights marks
+    above the weight floor, records its config in the report, and composes
+    with the downstream dedup stages."""
+    from analyst_toolkit_spark.llm import select as SEL
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    out, report = C.curate_corpus(
+        docs,
+        dsir_target=target,
+        dsir_alpha=0.1,  # the q_dsir_weights_docs calibration note: 0.5's
+        # smoothing mass selects ~nothing on the tiny test corpus
+        exact_dedup=True,
+        report_counts=True,
+    )
+    assert list(report) == ["input", "dsir_select", "exact_dedup", "output"]
+    assert report["dsir_select"] == {
+        "buckets": 1024, "alpha": 0.1, "min_weight": 0.0,
+        "rows": report["dsir_select"]["rows"],
+    }
+    # ground truth: the standalone operator's selected set, then exact dedup
+    w = SEL.dsir_logweights(docs, target, alpha=0.1)
+    selected = {r["doc_id"] for r in w.filter(F.col("selected")).collect()}
+    assert report["dsir_select"]["rows"] == len(selected)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept <= selected
+    # the selected pool skews toward the target language (the operator's job)
+    langs = dict(
+        docs.join(spark.createDataFrame([(i,) for i in selected], ["doc_id"]), "doc_id")
+        .groupBy("lang").count().collect()
+    )
+    frac_en_selected = langs.get("en", 0) / max(1, sum(langs.values()))
+    total = dict(docs.groupBy("lang").count().collect())
+    frac_en_corpus = total["en"] / sum(total.values())
+    assert frac_en_selected > frac_en_corpus

@@ -271,7 +271,41 @@ _EXCHANGE_CEILINGS = {
     # data card: multiplicity shuffle + hash join + final groupBy (measured
     # 3); per-doc metrics project BEFORE the join so text never shuffles
     "corpus_data_card_docs": 4,
+    # late-r8 selection/sketch queries. dsir: (doc,bucket) agg is behind the
+    # lazy cut; visible = 2 bucket aggs + 2 bounded SinglePartition windows +
+    # scoring agg + final id join (measured 6). kmv_distinct: distinct +
+    # two-stage bottom-k windows (measured 3). overlap: all post-cut stages
+    # run over <= groups*k rows (measured 6, 0 parquet re-scans). semantic
+    # dedup: CC fixpoint eager at build; tail = one broadcast join
+    # (measured 0).
+    "dsir_weights_docs": 7,
+    "kmv_distinct_docs": 4,
+    "source_overlap_kmv_docs": 7,
+    "semantic_dedup_embeddings": 1,
 }
+
+
+def test_dsir_single_tokenize_pass(spark, sf_dir):
+    """dsir_logweights must tokenize the raw corpus ONCE: the (doc, bucket)
+    aggregate is cut with a lazy localCheckpoint and its three consumers
+    read the cut. Without it, per-branch column pruning defeats exchange
+    reuse and the corpus is re-tokenized per branch (measured pre-fix:
+    3 tokenize passes, 5x the runtime at sf0.1). The target bucket table is
+    cut too (it feeds the weight join AND the T total), so the only visible
+    parquet scan is the doc_id spine — both tokenizes run exactly once, at
+    cut materialization."""
+    plan = _plan(QUERIES["dsir_weights_docs"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "ExistingRDD" in plan, "lazy localCheckpoint cut missing"
+
+
+def test_kmv_overlap_reads_only_the_cut(spark, sf_dir):
+    """kmv_overlap fans the sketch into four plan branches; each must read
+    the localCheckpoint cut, never re-run the corpus-scale distinct-shingle
+    pipeline (zero parquet scans in the returned plan)."""
+    plan = _plan(QUERIES["source_overlap_kmv_docs"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
 
 
 def test_oov_vocab_is_take_ordered(spark, sf_dir):
