@@ -1235,6 +1235,57 @@ def q_events_stream_dedup(spark, sf):
     )
 
 
+def q_events_stream_sessions(spark, sf):
+    """Streaming SESSIONIZATION through the driver gate (streaming/sessions.
+    sessionize → ``session_window`` + watermark, r8 VERDICT #5): readStream
+    over the events parquet, 30-minute-gap sessions per user with a 2-hour
+    watermark, APPEND mode — a session row is emitted exactly once, when the
+    watermark passes its end — into a foreachBatch parquet sink. Batch
+    sessionization (`events_sessions`) is r05-green; this drives the SAME
+    operator over a real stream. Append mode only flushes sessions the final
+    watermark (max event time − 2 h) has closed, so the compare surface on
+    BOTH engines is sessions with ``session_end < max(ts) − 3 h`` — strictly
+    inside the flush horizon, so the <=-vs-< emission boundary cannot flip a
+    row. The DuckDB oracle is the lag-gap island SQL with the same cutoff."""
+    import tempfile
+
+    from analyst_toolkit_spark.streaming.sessions import sessionize
+
+    ev_path = f"{sf}/events.parquet"
+    schema = spark.read.parquet(ev_path).schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
+    sess = sessionize(stream, key_col="user_id", ts_col="ts", gap="30 minutes",
+                      value_col="value", watermark="2 hours")
+    sink = tempfile.mkdtemp(prefix="ev_sess_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="ev_sess_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    horizon = spark.read.parquet(ev_path).agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("h")
+    ).first()["h"]
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("session_end") < F.lit(horizon))
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def q_events_stream_stateful(spark, sf):
     """CUSTOM STATEFUL streaming operator through the driver gate
     (streaming/sessions.stateful_running_stats → ``applyInPandasWithState``,
@@ -1245,7 +1296,13 @@ def q_events_stream_stateful(spark, sf):
     (window argmax) is the batch-split-invariant compare surface and equals
     the batch aggregate DuckDB computes. Sum rounds at 6 (per-key double
     accumulation order vs SQL aggregation order — same acceptance as the
-    windowed-profile mean)."""
+    windowed-profile mean). The 3650-day watermark mirrors
+    q_events_stream_dedup (r8 ADVICE): the default 1-day horizon was green
+    only because the file source took one batch — a multi-batch split
+    (maxFilesPerTrigger, arrival order diverging from event time) would
+    late-filter rows older than max(ts)-1d BEFORE the stateful operator and
+    diverge from the batch oracle; the horizon watermark makes the final
+    emission genuinely batch-split-invariant."""
     import tempfile
 
     from pyspark.sql.window import Window
@@ -1254,7 +1311,9 @@ def q_events_stream_stateful(spark, sf):
 
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
-    stats = stateful_running_stats(stream, key_col="user_id", value_col="value", ts_col="ts")
+    stats = stateful_running_stats(
+        stream, key_col="user_id", value_col="value", ts_col="ts", watermark="3650 days"
+    )
     sink = tempfile.mkdtemp(prefix="ev_state_sink_") + "/data"
     ckpt = tempfile.mkdtemp(prefix="ev_state_ckpt_")
 
@@ -1654,6 +1713,32 @@ def q_corpus_data_card_docs(spark, sf):
     return L_text.corpus_data_card(docs)
 
 
+def q_corpus_data_card_neardup_docs(spark, sf):
+    """NEAR-dup-aware data card (r8 VERDICT #4 — llm/text.corpus_data_card
+    with the opt-in ``components`` arm): everything the exact-dup card
+    reports PLUS ``near_dup_docs``, the per-source count of docs belonging
+    to any >=2-member near-dup cluster. Clustering is the cross-engine md5
+    bucket clustering (k=8, bands=4 — the minhash_md5_components_docs twin)
+    so the whole card stays hash-verifiable; the oracle composes the shared
+    recursive-CTE CC with the already-green card SQL."""
+    docs = load_table(spark, sf, "documents")
+    comps = L_dedup.bucket_components(docs, k=8, bands=4, method="md5")
+    return L_text.corpus_data_card(docs, components=comps)
+
+
+def q_bm25_topk_docs(spark, sf):
+    """Okapi BM25 top-50 (llm/text.bm25_topk, new r9): lexical relevance of
+    every doc against a fixed query-term set — the retrieval/targeted-
+    selection ranking that runs beside embedding ANN. Deterministic across
+    engines: integer tf/df/dl under the shared [a-z0-9']+ tokenizer, smooth
+    RSJ idf, identical double-arithmetic shapes both sides, score rounded
+    at 6 with ties to smallest doc_id. Compiles to TakeOrderedAndProject
+    (per-partition heaps), never a global sort; the token explode is
+    filtered to the 4 query terms before any shuffle."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.bm25_topk(docs, ["spark", "query", "join", "stream"], k=50)
+
+
 def q_dsir_weights_docs(spark, sf):
     """DSIR importance weighting (llm/select.dsir_logweights, late r8): the
     data-SELECTION step of a pre-training pipeline (Xie et al. 2023) —
@@ -1948,6 +2033,39 @@ def q_curate_docs(spark, sf):  # NON-SQL (multi-stage orchestration; stages orac
         F.countDistinct("seq_id").alias("n_seqs"),
         F.sum("n_tokens").cast("long").alias("tokens"),
     )
+
+
+def q_curate_md5_docs(spark, sf):
+    """END-TO-END hash oracle for the curation chain (r8 VERDICT #3): a
+    fully deterministic cross-engine config — exact dedup (normalized md5
+    fingerprint, keep min id) → md5 bucket near-dedup (k=8, bands=4, the
+    minhash_md5_components_docs clustering, ``near_dedup_engine=
+    "md5_buckets"``) → span decontamination (8-gram surgery against the
+    doc_id%25 benchmark slice) → leakage-safe cluster-atomic split (second
+    md5 clustering over the CLEANED text). Each stage is individually
+    oracle-green; this pins the COMPOSITION — stage ordering, cut
+    placement, text surgery byte-exactness — by hash-matching the survivor
+    set (doc_id, split, md5(final text)) against one composed DuckDB CTE.
+    The reference's own end-to-end artifact is the full pipeline chain
+    (reference run_toolkit_pipeline.py:192-208); this is its LLM-curation
+    twin with the same grade of evidence."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = load_table(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0).select("text")
+    out, _ = L_cur.curate_corpus(
+        docs,
+        exact_dedup=True,
+        near_dedup_threshold=0.8,  # arms the stage; md5_buckets ignores it
+        near_dedup_engine="md5_buckets",
+        near_dedup_k=8,
+        near_dedup_bands=4,
+        benchmark=bench,
+        decontaminate_mode="spans",
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        split_mode="leakage_safe",
+    )
+    return out.select("doc_id", "split", F.md5("text").alias("text_md5"))
 
 
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
@@ -2412,13 +2530,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leaves a query unverified. After this round every oracle-backed query
     # in the registry should hold a green driver row in some round.
     return {
-        # -- r8 rotation: the LAST two oracle-backed queries without a driver
-        # -- row lead the window (r7 VERDICT directives #1/#2) — after this
-        # -- round the union closure should be 120/120 oracle-backed queries
-        # -- driver-green in some round. The other 48 slots keep the r07-green
-        # -- window (minus fuzzy_correction_customer + asof_join_events,
-        # -- parked to the tail) for round-over-round continuity.
-        "length_buckets_docs": q_length_buckets_docs,      # late-r6 impl; first driver row this round
+        # -- r9 rotation (r8 VERDICT #2-#5): the THREE new oracle-backed
+        # -- queries lead (end-to-end curate hash oracle, near-dup-aware data
+        # -- card, streaming sessionize), then the FIVE never-driver-checked
+        # -- rows-only queries (they cannot hash-match — seeded xxhash /
+        # -- k-means / orchestration — but rows+schema evidence is free and
+        # -- closes the full-registry closure: after this round all 146
+        # -- registry queries hold a driver row in some round). The other 42
+        # -- slots keep the r08-green window; eight multi-round-green TPC-H
+        # -- continuity slots parked to the tail to make room.
+        "curate_md5_docs": q_curate_md5_docs,              # NEW r9 (end-to-end curate chain hash oracle; r8 VERDICT #3)
+        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # NEW r9 (near-dup-aware data card; r8 VERDICT #4)
+        "events_stream_sessions": q_events_stream_sessions,  # NEW r9 (fifth REAL streaming row: session_window+watermark; r8 VERDICT #5)
+        "bpe_token_stats_docs": q_bpe_token_stats_docs,    # first driver row (rows-only: trained BPE merges)
+        "cdc_chunk_docs": q_cdc_chunk_docs,                # first driver row (rows-only: rolling-hash CDC)
+        "curate_docs": q_curate_docs,                      # first driver row (rows-only: auto-gated chain; md5 twin above IS hash-checked)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # first driver row (rows-only: seeded xxhash LSH)
+        "embedding_pq_topk": q_embedding_pq_topk,          # first driver row (rows-only: k-means codebooks)
+        "bm25_topk_docs": q_bm25_topk_docs,                # NEW r9 (Okapi BM25 lexical top-k; TakeOrderedAndProject)
+        # -- r08-green continuity ----------------------------------------------
+        "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
         "token_budget_sample_docs": q_token_budget_sample_docs,  # NEW r8 (token-budget data-recipe mixing)
         "decontaminate_spans_docs": q_decontaminate_spans_docs,  # NEW r8 (span-level decontamination surgery)
@@ -2438,17 +2569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r07-green continuity slots (profile_lineitem +
         # -- validation_summary_orders rotated past the window to make room —
         # -- both multi-round green) -------------------------------------------
-        "local_supplier_volume": q_local_supplier_volume,  # r6 rotate-in (Q5 6-table join)
-        "volume_shipping": q_volume_shipping,              # r6 rotate-in (Q7 bilateral)
-        "sales_opportunity": q_sales_opportunity,          # r6 rotate-in (Q22 scalar-subquery + anti-join)
-        "shipmode_priority": q_shipmode_priority,          # r6 rotate-in (Q12 conditional agg)
-        "promo_revenue": q_promo_revenue,                  # r6 rotate-in (Q14 conditional ratio)
-        "large_volume_orders": q_large_volume_orders,      # r6 rotate-in (Q18 having semi-join)
         "events_stream_validate": q_events_stream_validate,  # NEW r6: real readStream->foreachBatch through the driver gate
         "dedup_index_probe": q_dedup_index_probe,          # r6 rotate-in (incremental dedup)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # r6 rotate-in (SQ8 fidelity)
         "pack_sequences_docs": q_pack_sequences_docs,      # r6 rotate-in (budget packing)
-        "weighted_sample_docs": q_weighted_sample_docs,    # r6 rotate-in (md5-uniform sampling)
         "strip_html_docs": q_strip_html_docs,              # r6 rotate-in (HTML strip round-trip)
         "repetition_docs": q_repetition_docs,              # r6 rotate-in (dup-ngram quality)
         "decontaminate_docs": q_decontaminate_docs,        # r6 rotate-in (benchmark overlap)
@@ -2474,7 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_events": q_asof_nearest_events,      # new r6 (nearest-direction as-of, dual-ASOF oracle)
         "range_join_binned_bands": q_range_join_binned_bands,  # new r6 (binned strategy forced)
         "repeated_spans_docs": q_repeated_spans_docs,      # new r6 (exact-substring span dedup, Lee et al. mode)
-        "remove_spans_docs": q_remove_spans_docs,          # new r6 (span REMOVAL; md5-proved text parity)
+        # ---- slots 51+ begin here (window = first 50 entries) ----------------
+        "remove_spans_docs": q_remove_spans_docs,          # r06+r08 green (pushed past the window by bm25_topk_docs r9)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
         "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
         "url_dedup_docs": q_url_dedup_docs,                # new r6 (canonical-URL identity dedup)
@@ -2490,6 +2614,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
+        "local_supplier_volume": q_local_supplier_volume,  # r06+r08 green (parked r9 for the rotation block)
+        "volume_shipping": q_volume_shipping,              # r06+r08 green (parked r9)
+        "sales_opportunity": q_sales_opportunity,          # r06+r08 green (parked r9)
+        "shipmode_priority": q_shipmode_priority,          # r06+r08 green (parked r9)
+        "promo_revenue": q_promo_revenue,                  # r06+r08 green (parked r9)
+        "large_volume_orders": q_large_volume_orders,      # r06+r08 green (parked r9)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # r06+r08 green (parked r9)
+        "weighted_sample_docs": q_weighted_sample_docs,    # r06+r08 green (parked r9)
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05+r07 green (parked r8 for dedup_cluster_sizes_docs)
         "corr_lineitem": q_corr_lineitem,                  # r05+r07 green (parked r8 for dedup_best_quality_docs)
         "impute_median_customer": q_impute_median_customer,  # r05+r07 green (parked r8 for decontaminate_spans_docs)
@@ -2567,13 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
         "token_totals_documents": q_token_totals_documents,  # r02 green
         "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
-        "embedding_pq_topk": q_embedding_pq_topk,          # new r6: rows-only (k-means codebooks; ADC + rerank)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # new late-r6: rows-only (xxhash LSH buckets; linear star-edge clustering since r8)
-        "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only)
-        "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only)
-        "cdc_chunk_docs": q_cdc_chunk_docs,                # rolling-hash CDC (rows-only)
-        "curate_docs": q_curate_docs,                      # curation chain (rows-only; stages oracle-checked)
-        "bpe_token_stats_docs": q_bpe_token_stats_docs,    # new r6: rows-only (trained BPE; the legitimate Arrow-UDF seam)
+        "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only; r2 driver row)
+        "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only; r5 driver row)
     }
 
 
@@ -3031,6 +3158,30 @@ def oracle_sql() -> dict[str, str]:
                round(min(value), 6) AS min,
                round(max(value), 6) AS max
         FROM events GROUP BY 1
+    """
+    # streaming sessionize (r8 VERDICT #5): the lag-gap island SQL of the
+    # r05-green events_sessions, cut at the append-mode flush horizon —
+    # sessions strictly older than max(ts)-3h are guaranteed emitted by the
+    # final watermark (max(ts)-2h) regardless of the <=-vs-< boundary.
+    sqls["events_stream_sessions"] = """
+        WITH o AS (SELECT user_id, ts, value,
+                          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_s
+                   FROM events),
+             s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+             agg AS (
+               SELECT user_id, min(ts) AS session_start,
+                      max(ts) + INTERVAL 30 MINUTE AS session_end,
+                      count(*) AS n_events, round(sum(value), 2) AS session_value
+               FROM s GROUP BY user_id, sid)
+        SELECT user_id,
+               strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+               n_events, session_value
+        FROM agg
+        WHERE session_end < (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
     """
     sqls["events_stream_dedup"] = """
         SELECT event_type, count(*) AS kept_keys
@@ -3548,6 +3699,93 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN k != doc_id THEN 1 ELSE 0 END) AS BIGINT) AS follower_docs
         FROM b GROUP BY 1
     """
+    # END-TO-END curate chain oracle (r8 VERDICT #3): exact dedup -> md5
+    # bucket near-dedup (prefix n1, over survivors d1) -> 8-gram span
+    # decontamination (prefix c, benchmark = raw doc_id%25 slice) -> second
+    # md5 clustering over the CLEANED text (prefix s2) -> leakage-safe
+    # split. Composes the four individually-green stage mirrors verbatim;
+    # the compare surface is the survivor set (doc_id, split, md5(text)).
+    sqls["curate_md5_docs"] = f"""
+        WITH RECURSIVE
+        ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents GROUP BY md5({_NORM_SQL.format(col="text")})),
+        d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),{_md5_cc_ctes("d1", "n1")},
+        n1lab AS (SELECT d.node, r.component FROM n1docs_cc d JOIN n1rep r USING (c)),
+        d2 AS (
+          SELECT d1.doc_id, d1.text FROM d1
+          LEFT JOIN n1lab ON d1.doc_id = n1lab.node
+          WHERE n1lab.node IS NULL OR n1lab.node = n1lab.component),
+        ctk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks FROM d2),
+        cg AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                                     i -> {{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')}})
+                 ELSE [] END, recursive := true)
+          FROM ctk),
+        cbtk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+                 FROM documents WHERE doc_id % 25 = 0),
+        cbg AS (
+          SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+                 ELSE [] END) AS gram
+          FROM cbtk),
+        chits AS (SELECT doc_id, pos FROM cg JOIN cbg USING (gram)),
+        cisl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM chits),
+        cgrp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM cisl),
+        cspans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM cgrp GROUP BY doc_id, gid),
+        ctok2 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                                i -> {{'i': i - 1, 'tok': toks[i]}}), recursive := true)
+          FROM ctk),
+        ckept AS (
+          SELECT t.doc_id, t.i, t.tok FROM ctok2 t
+          WHERE NOT EXISTS (SELECT 1 FROM cspans s
+                            WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)),
+        d3 AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+          FROM ckept GROUP BY 1),{_md5_cc_ctes("d3", "s2")},
+        s2lab AS (SELECT d.node, r.component FROM s2docs_cc d JOIN s2rep r USING (c)),
+        assign AS (
+          SELECT d3.doc_id, d3.text, coalesce(l.component, d3.doc_id) AS k
+          FROM d3 LEFT JOIN s2lab l ON d3.doc_id = l.node),
+        bkt AS (
+          SELECT doc_id, text,
+                 CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), '|')), 1, 8)) AS UBIGINT) % 10000 AS bucket
+          FROM assign)
+        SELECT doc_id,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               md5(text) AS text_md5
+        FROM bkt
+    """
+    # BM25 (r9): literals written as the same arithmetic Spark builds
+    # ((1.2 + 1), (1 - 0.75 + ...)) so both engines fold identical doubles
+    sqls["bm25_topk_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        hits AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+               WHERE t IN ('spark', 'query', 'join', 'stream') GROUP BY 1, 2),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * (tf.tf * (1.2 + 1))
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / st.avgdl))) AS s
+          FROM tf JOIN lens USING (doc_id) JOIN dft USING (t) CROSS JOIN st
+          GROUP BY 1)
+        SELECT doc_id, round(s, 6) AS score
+        FROM sc ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50
+    """
     sqls["oov_rate_docs"] = """
         WITH tok AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
@@ -4034,6 +4272,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_match_docs
         FROM dd GROUP BY 1
     """
+    # near-dup-aware card (r8 VERDICT #4): the same card plus near_dup_docs —
+    # membership in any >=2-member cluster of the shared md5-CC clustering
+    sqls["corpus_data_card_neardup_docs"] = _MD5_CC_CTE + f""",
+        lab AS (SELECT d.node, r.component FROM docs_cc d JOIN rep r USING (c)),
+        sized AS (SELECT component FROM lab GROUP BY 1 HAVING count(*) >= 2),
+        nd AS (SELECT DISTINCT l.node FROM lab l JOIN sized s USING (component)),
+        m AS (SELECT md5(text) AS h2, count(*) AS mult FROM documents GROUP BY 1),
+        dcard AS (
+          SELECT source, lang, doc_id,
+                 length(regexp_extract_all(text, '{_TOK_RE}')) AS toks_n,
+                 {_quality_score_sql_expr()} AS q,
+                 regexp_extract_all(lower(text), '[a-z'']+') AS toks,
+                 m.mult AS mult
+          FROM documents LEFT JOIN m ON md5(text) = m.h2),
+        ddcard AS (
+          SELECT source, lang, doc_id, toks_n, q, mult,
+                 CASE WHEN {_g4} < 1 THEN 'und'
+                      WHEN {_mk['de']} = {_g4} THEN 'de'
+                      WHEN {_mk['en']} = {_g4} THEN 'en'
+                      WHEN {_mk['es']} = {_g4} THEN 'es'
+                      ELSE 'fr' END AS detected
+          FROM dcard)
+        SELECT source, count(*) AS docs,
+               CAST(sum(toks_n) AS BIGINT) AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               CAST(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+               CAST(sum(CASE WHEN nd.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs,
+               CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_match_docs
+        FROM ddcard LEFT JOIN nd ON ddcard.doc_id = nd.node GROUP BY 1
+    """
     sqls["fingerprint_dup_docs"] = f"""
         SELECT md5({_NORM_SQL.format(col="text")}) AS content_hash, count(*) AS cluster_size,
                min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -4288,42 +4556,54 @@ def _quality_docs_sql() -> str:
     """
 
 
+def _md5_cc_ctes(src: str, p: str = "") -> str:
+    """The cross-engine md5 bucket-clustering CTE chain (3-token shingles,
+    k=8 signatures, 4 bands of 2 — bucket_components' md5 twin) over an
+    arbitrary source relation ``src`` (must expose doc_id, text), every CTE
+    name prefixed with ``p`` so several clusterings can coexist in ONE
+    composed query (curate_md5_docs clusters twice: raw survivor text for
+    near-dedup, decontaminated text for the leakage-safe split). The
+    unprefixed instantiation over ``documents`` is the r6-green
+    ``_MD5_CC_CTE`` byte pattern."""
+    return f"""
+        {p}tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM {src}),
+        {p}shl AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS sh
+          FROM {p}tk),
+        {p}g AS (SELECT doc_id, unnest(sh) AS s FROM {p}shl WHERE len(sh) > 0),
+        {p}h AS (
+          SELECT doc_id, i,
+                 min(CAST(concat('0x', substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+          FROM {p}g CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+        {p}sig AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY i) AS sig FROM {p}h GROUP BY doc_id),
+        {p}bnd AS (
+          SELECT doc_id, b, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bh
+          FROM {p}sig CROSS JOIN range(4) rb(b)),
+        {p}shared AS (SELECT b, bh FROM {p}bnd GROUP BY b, bh HAVING count(DISTINCT doc_id) > 1),
+        {p}e0 AS (
+          SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src,
+                 'b:' || CAST(b AS VARCHAR) || ':' || bh AS dst
+          FROM {p}bnd JOIN {p}shared USING (b, bh)),
+        {p}edges AS (SELECT src, dst FROM {p}e0 UNION SELECT dst, src FROM {p}e0),
+        {p}walk(node, lbl) AS (
+          SELECT src, src FROM {p}edges
+          UNION
+          SELECT e.dst, w.lbl FROM {p}walk w JOIN {p}edges e ON e.src = w.node),
+        {p}comp AS (SELECT node, min(lbl) AS c FROM {p}walk GROUP BY node),
+        {p}docs_cc AS (
+          SELECT CAST(substr(node, 3) AS BIGINT) AS node, c
+          FROM {p}comp WHERE node LIKE 'd:%'),
+        {p}rep AS (SELECT c, min(node) AS component FROM {p}docs_cc GROUP BY c)"""
+
+
 #: Shared recursive-CTE reimplementation of the cross-engine md5 bucket
 #: clustering (signatures → bands → shared buckets → CC walk over the
 #: doc-bucket graph → min-doc labels); consumers append a tail over
 #: ``docs_cc d JOIN rep r USING (c)`` (or extend the WITH list with a
 #: leading comma). Spark's production path clusters per-bucket STAR edges —
 #: connectivity-equivalent, so labels agree (see bucket_components).
-_MD5_CC_CTE = """
-        WITH RECURSIVE tk AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
-          FROM documents),
-        shl AS (
-          SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [] END) AS sh
-          FROM tk),
-        g AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0),
-        h AS (
-          SELECT doc_id, i,
-                 min(CAST(concat('0x', substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-          FROM g CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
-        sig AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY i) AS sig FROM h GROUP BY doc_id),
-        bnd AS (
-          SELECT doc_id, b, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bh
-          FROM sig CROSS JOIN range(4) rb(b)),
-        shared AS (SELECT b, bh FROM bnd GROUP BY b, bh HAVING count(DISTINCT doc_id) > 1),
-        e0 AS (
-          SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src,
-                 'b:' || CAST(b AS VARCHAR) || ':' || bh AS dst
-          FROM bnd JOIN shared USING (b, bh)),
-        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        walk(node, lbl) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node),
-        docs_cc AS (
-          SELECT CAST(substr(node, 3) AS BIGINT) AS node, c
-          FROM comp WHERE node LIKE 'd:%'),
-        rep AS (SELECT c, min(node) AS component FROM docs_cc GROUP BY c)"""
+_MD5_CC_CTE = "\n        WITH RECURSIVE" + _md5_cc_ctes("documents")

@@ -59,6 +59,19 @@ class CurationConfig:
     dsir_alpha: float = 0.5
     exact_dedup: bool = True
     near_dedup_threshold: float | None = None  # e.g. 0.8 enables MinHash stage
+    #: Near-dedup ENGINE (r8 VERDICT #3): "auto" (default) is the production
+    #: path — the candidate-volume gate over xxhash signatures with Jaccard
+    #: verification. "md5_buckets" is the cross-engine deterministic path:
+    #: raw md5 bucket clustering (``bucket_components`` with
+    #: ``near_dedup_k``/``near_dedup_bands``, NO verification, no gate) —
+    #: every surviving byte reproducible in any engine with md5, which is
+    #: what lets the WHOLE chain be oracle-verified end-to-end
+    #: (``near_dedup_threshold`` still arms the stage but is not applied:
+    #: bucket connectivity alone decides clusters). Applies to BOTH the
+    #: near-dedup stage and the leakage_safe split clustering.
+    near_dedup_engine: str = "auto"
+    near_dedup_k: int = 8
+    near_dedup_bands: int = 4
     #: which member of a near-dup cluster survives: "min_id" (default,
     #: cheapest) or "best_quality" — the member with the highest
     #: text.quality_score (ties to smallest id), so the clean page outlives
@@ -250,24 +263,31 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         # candidate-pair volume; above the cap the linear bucket-components +
         # star-verify path replaces output-bound pair materialization (the
         # measured 100x-duplication crossover). The chosen path is recorded.
+        # engine="md5_buckets" (r8 VERDICT #3) bypasses the gate entirely:
+        # raw md5 bucket clustering, cross-engine reproducible.
         cc_dir = (
             f"{cfg.checkpoint_dir.rstrip('/')}/near_dedup_cc" if cfg.checkpoint_dir else None
         )
+        score_col = None
         if cfg.near_dedup_keep == "best_quality":
             # the survivor is the highest-quality member, not the min id:
             # score projected once, threaded through the gate, dropped after
-            scored = out.withColumn("__ndq", T.quality_score(F.col(key)))
-            deduped, strategy = D.dedup_representatives_auto(
-                scored, key=key, id_col=id_col,
-                threshold=cfg.near_dedup_threshold,
-                checkpoint_dir=cc_dir, score_col="__ndq",
+            out = out.withColumn("__ndq", T.quality_score(F.col(key)))
+            score_col = "__ndq"
+        if cfg.near_dedup_engine == "md5_buckets":
+            comps = D.bucket_components(
+                out, key=key, id_col=id_col, k=cfg.near_dedup_k,
+                bands=cfg.near_dedup_bands, method="md5", checkpoint_dir=cc_dir,
             )
-            out = deduped.drop("__ndq")
+            out = D.dedup_from_components(out, comps, id_col=id_col, score_col=score_col)
+            strategy = "md5_buckets"
         else:
             out, strategy = D.dedup_representatives_auto(
                 out, key=key, id_col=id_col, threshold=cfg.near_dedup_threshold,
-                checkpoint_dir=cc_dir,
+                checkpoint_dir=cc_dir, score_col=score_col,
             )
+        if score_col is not None:
+            out = out.drop(score_col)
         _record(
             "near_dedup", method=strategy, threshold=cfg.near_dedup_threshold,
             keep=cfg.near_dedup_keep,
@@ -349,9 +369,16 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             cc_dir = (
                 f"{cfg.checkpoint_dir.rstrip('/')}/split_cc" if cfg.checkpoint_dir else None
             )
-            comps, strategy = D.near_dedup_components(
-                out, key=key, id_col=id_col, threshold=thr, checkpoint_dir=cc_dir
-            )
+            if cfg.near_dedup_engine == "md5_buckets":
+                comps = D.bucket_components(
+                    out, key=key, id_col=id_col, k=cfg.near_dedup_k,
+                    bands=cfg.near_dedup_bands, method="md5", checkpoint_dir=cc_dir,
+                )
+                strategy = "md5_buckets"
+            else:
+                comps, strategy = D.near_dedup_components(
+                    out, key=key, id_col=id_col, threshold=thr, checkpoint_dir=cc_dir
+                )
             out = T.leakage_safe_split(out, comps, id_col=id_col, splits=cfg.splits)
             _record(
                 "split", splits=cfg.splits, mode="leakage_safe",

@@ -681,8 +681,15 @@ def connected_components(
     )
     # decimal(38,0) sum: node ids are caller-defined and may be full-range
     # 64-bit hashes (e.g. simhash-keyed pair lists), whose long sum
-    # overflows under ANSI
-    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    # overflows under ANSI. String/binary node ids (found fixing the r8
+    # string-id gate ADVICE: the ANSI cast CRASHED the fixpoint on them)
+    # sum a 64-bit hash image instead — not monotone like the numeric sum,
+    # but labels only ever decrease per node, so a changed labeling reads
+    # as converged only on an aggregate hash collision (~2^-64/iteration).
+    if dict(sym.dtypes)["src"] in ("string", "binary"):
+        _label_sum = F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)"))
+    else:
+        _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
     prev_sum = labels.agg(_label_sum).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -1182,8 +1189,16 @@ def near_dedup_components(
     dropped for the bucket path by one literal comparison against the
     precomputed :func:`sentinel_band_hash` (a pre-filter on
     ``size(shingles(..))`` re-tokenizes every row — the
-    expression-duplication trap)."""
+    expression-duplication trap).
+
+    Non-integral id columns always take the pair path (r8 ADVICE): the
+    bucket path's star edges live in the long doc-id space — casting a
+    string id would silently null it and corrupt every downstream key —
+    while the pair path's ``connected_components`` is id-type-agnostic.
+    Correct-over-fast: such a corpus past the cap runs the output-bound
+    pair path rather than producing wrong clusters."""
     cap = NEARDUP_PAIR_CAP if pair_cap is None else pair_cap
+    id_integral = dict(df.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     src = df.repartition(par) if df.rdd.getNumPartitions() < par else df
@@ -1224,7 +1239,7 @@ def near_dedup_components(
             .first()
         )
         est = int(row["c"] or 0)
-        if est > cap:
+        if est > cap and id_integral:
             sent = sentinel_band_hash(spark, k, bands, method)
             banded_bkt = banded.filter(F.col("band_hash") != F.lit(sent)).join(
                 sizes.select("band", "band_hash"), ["band", "band_hash"], "left_semi"
@@ -1237,20 +1252,39 @@ def near_dedup_components(
                 df, comps, key=key, id_col=id_col, n_shingle=n_shingle,
                 threshold=threshold,
             )
-            return comps, "bucket_components+star_verify"
+            return _assert_banded_detached(comps), "bucket_components+star_verify"
         qual = sizes.filter(F.col("__n") <= MAX_BUCKET).select("band", "band_hash")
         pairs = minhash_dedup_pairs(
             src, key=key, id_col=id_col, threshold=threshold,
             banded=banded.join(qual, ["band", "band_hash"], "left_semi"),
         )
         return (
-            connected_components(pairs, checkpoint_dir=checkpoint_dir),
+            _assert_banded_detached(connected_components(pairs, checkpoint_dir=checkpoint_dir)),
             "minhash_pairs+components",
         )
     finally:
         sizes.unpersist()
         if cleanup is not None:
             cleanup.unpersist()
+
+
+def _assert_banded_detached(comps: DataFrame) -> DataFrame:
+    """Structural cache contract for :func:`near_dedup_components` (r8
+    VERDICT): the banded cache is unpersisted in the ``finally`` on return,
+    so the frame handed back must NOT reference it — a caller that defers
+    materialization would otherwise silently recompute the whole banding
+    pass. Both paths end in a connected-components fixpoint whose output is
+    an eagerly-materialized cut (localCheckpoint / parquet), and the bucket
+    path's lazy verify tail re-reads only the raw corpus — so ``band_hash``
+    appearing ANYWHERE in the optimized plan means banded lineage leaked.
+    One plan stringification; no action triggered."""
+    plan = comps._jdf.queryExecution().optimizedPlan().toString()
+    if "band_hash" in plan:
+        raise AssertionError(
+            "near_dedup_components returned a plan that still references the "
+            "banded stream; materialize it before the cache is unpersisted"
+        )
+    return comps
 
 
 def cluster_size_histogram(components: DataFrame) -> DataFrame:
@@ -1310,6 +1344,27 @@ def dedup_representatives_by(
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_from_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Survivor election over an ALREADY-COMPUTED (node, component) mapping:
+    the min-id member per component (``component`` IS the min reachable id
+    under hash-to-min, so survivors are the nodes labeled by themselves —
+    one anti-join, no aggregate), or the best-``score_col`` member via
+    :func:`dedup_representatives_by`. The shared tail of
+    :func:`dedup_representatives_auto` and ``curate_corpus``'s
+    deterministic ``near_dedup_engine="md5_buckets"`` path."""
+    if score_col is not None:
+        return dedup_representatives_by(df, components, score_col, id_col=id_col)
+    drop = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").cast(dict(df.dtypes)[id_col]).alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def dedup_representatives_auto(
     df: DataFrame,
     key: str = "text",
@@ -1329,9 +1384,4 @@ def dedup_representatives_auto(
         df, key=key, id_col=id_col, threshold=threshold,
         pair_cap=pair_cap, checkpoint_dir=checkpoint_dir,
     )
-    if score_col is not None:
-        return dedup_representatives_by(df, comps, score_col, id_col=id_col), strategy
-    drop = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").cast(dict(df.dtypes)[id_col]).alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti"), strategy
+    return dedup_from_components(df, comps, id_col=id_col, score_col=score_col), strategy

@@ -83,7 +83,14 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int, group_col: str = "source") 
     the KMV estimator ``(k - 1) / U_(k)`` with ``U_(k)`` the k-th smallest
     hash as a fraction of hash space; a group whose sketch is smaller than
     ``k`` is exhaustive, so its sketch size IS the exact count. Returns
-    ``(group, sketch_size, est_distinct)``, estimate rounded at 6."""
+    ``(group, sketch_size, est_distinct)``, estimate rounded at 6.
+
+    ``U_(k)`` = 0 (estimate = Infinity) requires the first 12 md5 hex chars
+    of the k-th SMALLEST hash to all be zero — P ≈ 2^-48 per group, and it
+    implies k distinct shingles collide into the bottom 1/16^12 of hash
+    space. Deliberately NOT clamped (r8 ADVICE): the DuckDB oracle runs the
+    identical division, so both engines would produce inf together and the
+    cross-engine contract holds even on that unreachable input."""
     kk = int(k)
     agg = sketch.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("sketch_size"),

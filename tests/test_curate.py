@@ -262,3 +262,56 @@ def test_curate_dsir_stage(spark, sf_dir):
     total = dict(docs.groupBy("lang").count().collect())
     frac_en_corpus = total["en"] / sum(total.values())
     assert frac_en_selected > frac_en_corpus
+
+
+def test_curate_md5_buckets_engine(spark, sf_dir):
+    """near_dedup_engine='md5_buckets' (r8 VERDICT #3): the deterministic
+    cross-engine chain — near-dedup survivors equal a manual
+    bucket_components + dedup_from_components composition, the report
+    records the engine for BOTH the dedup stage and the leakage_safe split
+    clustering, and the best_quality survivor election threads through."""
+    from analyst_toolkit_spark.llm import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    out, report = C.curate_corpus(
+        docs,
+        exact_dedup=True,
+        near_dedup_threshold=0.8,
+        near_dedup_engine="md5_buckets",
+        near_dedup_k=8,
+        near_dedup_bands=4,
+        splits={"train": 0.8, "val": 0.2},
+        split_mode="leakage_safe",
+        checkpoint=False,
+    )
+    assert report["near_dedup"]["method"] == "md5_buckets"
+    assert report["split"]["cluster_strategy"] == "md5_buckets"
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    # manual composition of the same stages (exact dedup -> md5 CC -> min-id)
+    fp = T.fingerprint(F.col("text")).alias("__fp")
+    keep = (
+        docs.select("doc_id", fp).groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    ).select("doc_id")
+    d1 = docs.join(keep, "doc_id", "left_semi")
+    comps = D.bucket_components(d1, k=8, bands=4, method="md5")
+    d2 = D.dedup_from_components(d1, comps)
+    assert got == {r["doc_id"] for r in d2.select("doc_id").collect()}
+
+    # best_quality election flows through the md5 engine too
+    out_q, report_q = C.curate_corpus(
+        docs,
+        exact_dedup=False,
+        near_dedup_threshold=0.8,
+        near_dedup_engine="md5_buckets",
+        near_dedup_keep="best_quality",
+        checkpoint=False,
+    )
+    assert report_q["near_dedup"]["keep"] == "best_quality"
+    scored = docs.withColumn("__q", T.quality_score(F.col("text")))
+    comps_all = D.bucket_components(docs, k=8, bands=4, method="md5")
+    best = D.dedup_representatives_by(scored, comps_all, "__q")
+    assert {r["doc_id"] for r in out_q.select("doc_id").collect()} == {
+        r["doc_id"] for r in best.select("doc_id").collect()
+    }
+    assert "__ndq" not in out_q.columns

@@ -734,6 +734,36 @@ def test_corpus_data_card(spark):
         assert "text#" not in m.group(0), f"doc bodies cross a shuffle: {m.group(0)}"
 
 
+def test_corpus_data_card_neardup(spark):
+    """components= arm (r8 VERDICT #4): near_dup_docs counts membership in
+    any >=2-member cluster per source; singleton 'clusters' in the mapping
+    are ignored; docs absent from the mapping count zero; the body-free
+    shuffle contract holds for the extended plan too."""
+    from analyst_toolkit_spark.llm.text import corpus_data_card
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "a"),
+        (2, "alpha beta gamma delta epsilon zeta eta", "en", "b"),   # near-dup of 1
+        (3, "unrelated body of words entirely", "en", "a"),
+        (4, "another independent document text", "en", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)],  # {1,2} a real cluster; {3} a singleton label
+        ["node", "component"],
+    )
+    out = {r["source"]: r for r in corpus_data_card(docs, components=comps).collect()}
+    assert out["a"]["near_dup_docs"] == 1  # doc 1 only; singleton doc 3 excluded
+    assert out["b"]["near_dup_docs"] == 1  # doc 2; doc 4 unclustered
+    assert out["a"]["dup_docs"] == 0 and out["b"]["dup_docs"] == 0  # no byte dups
+    assert "near_dup_docs" not in corpus_data_card(docs).columns
+    import re
+
+    plan = corpus_data_card(docs, components=comps)._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), f"doc bodies cross a shuffle: {m.group(0)}"
+
+
 def _wav(rate=16000, ch=1, bits=16, n_samples=16000):
     data = b"\x00" * (n_samples * ch * (bits // 8))
     fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
@@ -1649,7 +1679,55 @@ def test_near_dedup_auto_gate_bands_once(spark, monkeypatch):
     assert len(calls) == 1
 
 
-def test_sentinel_band_hash_matches_empty_doc_banding(spark):
+def test_near_dedup_gate_string_ids_take_pair_path(spark):
+    """r8 ADVICE: the bucket path's star edges live in the long doc-id space,
+    so a string-id corpus past the pair cap must take the pair path (whose
+    connected_components is id-type-agnostic) instead of silently nulling
+    every id through the cast. pair_cap=0 would force buckets for integral
+    ids; with string ids the gate overrides it and clusters correctly."""
+    rows = [(f"doc-{c}-{i}", " ".join(f"w{c}x{j} token{c}v{j}" for j in range(10)))
+            for c in range(3) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    comps, strat = D.near_dedup_components(df, pair_cap=0)
+    assert strat == "minhash_pairs+components"
+    cc = {r["node"]: r["component"] for r in comps.collect()}
+    for c in range(3):
+        members = {f"doc-{c}-{i}" for i in range(4)}
+        assert {cc[m] for m in members} == {f"doc-{c}-0"}, c
+
+
+def test_near_dedup_components_detached_plan(spark):
+    """r8 VERDICT structural contract: the gate unpersists the banded cache
+    before returning, so a caller that DEFERS consuming the components must
+    never recompute the banding. Proven on the plan, not the docstring: the
+    returned (unconsumed) frame's optimized plan contains no band_hash
+    reference under either gate outcome — the pair path is a pure scan of
+    the materialized CC labels (zero zip_with, i.e. zero shingling), the
+    bucket path's only lazy tail is the star verify's re-shingle of the raw
+    corpus. Consumption after the fact still yields the right clusters."""
+    rows = [(c * 100 + i, " ".join(f"w{c}x{j} token{c}v{j}" for j in range(10)))
+            for c in range(3) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def _plan(frame):
+        return frame._jdf.queryExecution().optimizedPlan().toString()
+
+    comps_hi, strat_hi = D.near_dedup_components(df, pair_cap=10**9)
+    plan_hi = _plan(comps_hi)  # NOT consumed yet
+    assert strat_hi == "minhash_pairs+components"
+    assert "band_hash" not in plan_hi
+    assert plan_hi.count("zip_with") == 0  # no shingling anywhere: labels are a scan
+    assert comps_hi.count() == 12  # deferred consumption works post-unpersist
+
+    comps_lo, strat_lo = D.near_dedup_components(df, pair_cap=0)
+    plan_lo = _plan(comps_lo)
+    assert strat_lo == "bucket_components+star_verify"
+    assert "band_hash" not in plan_lo
+    # the verify tail legitimately re-shingles the raw corpus (two pruned
+    # slices: members + representatives) — but NEVER re-bands; shingling of
+    # the banded subtree would add band/signature expressions on top
+    assert 0 < plan_lo.count("zip_with") <= 4
+    assert comps_lo.count() == 12
     """sentinel_band_hash must equal the band_hash an actual shingle-less
     doc produces in _band_stream, for both hash methods — and the forced
     bucket path through the gate must therefore NOT fuse empty docs into a
@@ -1818,3 +1896,46 @@ def test_minhash_md5_signature_matches_python(spark):
         for i in range(4)
     ]
     assert list(row.sig) == expect
+
+
+def test_bm25_scores_ground_truth(spark):
+    """BM25 vs an independent pure-Python computation (tf/df/dl/avgdl from
+    first principles); top-k ties break by smallest id on the rounded score;
+    docs with no query-term hits are omitted."""
+    import math
+
+    from analyst_toolkit_spark.llm.text import bm25_scores, bm25_topk
+
+    rows = [
+        (1, "spark shuffle join spark spark"),
+        (2, "join the query planner with a join"),
+        (3, "nothing relevant here at all"),
+        (4, "spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["spark", "join"]
+    k1, b = 1.2, 0.75
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df_t = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    expected = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s:
+            expected[i] = round(s, 6)
+
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, terms).collect()}
+    assert set(got) == set(expected) == {1, 2, 4}
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
+
+    top = [r["doc_id"] for r in bm25_topk(docs, terms, k=2).collect()]
+    assert top == sorted(expected, key=lambda i: (-expected[i], i))[:2]
