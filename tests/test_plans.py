@@ -263,6 +263,15 @@ _EXCHANGE_CEILINGS = {
     # (measured 2)
     "token_budget_sample_docs": 2,
     "decontaminate_spans_docs": 3,
+    # new r9 queries (measured + 1 AQE headroom): curate_md5's chain runs its
+    # clusterings/joins eagerly behind lineage cuts — the returned tail is a
+    # map-only select (measured 0); the near-dup card tail = md5 multiplicity
+    # agg+join, component-size agg, membership join, source agg (measured 6);
+    # bm25 = tf agg, df agg, 1-row stats, score agg, TakeOrdered single
+    # partition (measured 5)
+    "curate_md5_docs": 1,
+    "corpus_data_card_neardup_docs": 7,
+    "bm25_topk_docs": 6,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
