@@ -949,7 +949,10 @@ def bm25_scores(
     )
     scored = (
         tf.join(lens, id_col)  # doc-keyed: tf is already hit-filtered
-        .join(F.broadcast(idf), "__t")
+        # idf is <= |terms| rows by construction, but that bound lives in the
+        # isin literal, not the plan — so NO hard hint (the sweep's
+        # trust-nothing rule); AQE sees the actual row count and broadcasts
+        .join(idf, "__t")
         .select(
             F.col(id_col),
             (
