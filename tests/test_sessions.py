@@ -155,3 +155,86 @@ def test_watermark_drops_late_rows(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sessionize_stream_append_multibatch_horizon(spark):
+    """The q_events_stream_sessions contract, proven over TWO file batches:
+    append-mode session_window emits each session exactly once as the
+    watermark passes its end, and every session strictly older than
+    max(ts) - (watermark + margin) is flushed by stream end — so the
+    horizon-cut surface equals batch sessionization under the same cut even
+    when the stream is split across micro-batches."""
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 2.0),
+            (1, "2024-01-01 12:00:00", 3.0),
+            (2, "2024-01-01 09:00:00", 4.0),
+            (2, "2024-01-01 09:29:00", 5.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2 = spark.createDataFrame(
+        [(3, "2024-01-02 09:00:00", 6.0), (3, "2024-01-02 18:00:00", 7.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    d = tempfile.mkdtemp(prefix="sess_mb_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_mb_ckpt_")
+    try:
+        # ONE file per batch: the contract under test is in-order multi-batch
+        # arrival. (First attempt wrote 32-partition files and
+        # maxFilesPerTrigger=1 delivered them in arbitrary event-time order —
+        # the watermark then late-dropped the 10:10 event and emitted a
+        # 1-event partial session: the exact divergence the horizon watermark
+        # in q_events_stream_dedup/_stateful guards against, reproduced live.)
+        batch1.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(batch1.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        sess = sessionize(stream, gap="30 minutes", watermark="1 hour")
+        emitted = []
+        appended = [False]
+
+        def sink(bdf, bid):
+            emitted.extend(bdf.collect())
+            if not appended[0]:
+                appended[0] = True  # batch 0 committed -> in-order later file
+                batch2.coalesce(1).write.mode("append").parquet(d)
+
+        q = (
+            sess.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        import time as _t
+
+        deadline = 120
+        while q.isActive and deadline > 0:
+            _t.sleep(2)
+            deadline -= 2
+            # run until the no-data flush batch has emitted every session the
+            # final watermark (18:00 - 1h) closes: all four under the horizon
+            if appended[0] and len(emitted) >= 4:
+                break
+        q.stop()
+        q.awaitTermination(30)
+
+        full = batch1.unionByName(batch2)
+        horizon = full.agg(F.max("ts")).first()[0] - __import__("datetime").timedelta(hours=2)
+        batch_sessions = sorted(
+            (r["user_id"], str(r["session_start"]), r["n_events"], r["session_value"])
+            for r in sessionize(full, gap="30 minutes").collect()
+            if r["session_end"] < horizon
+        )
+        got = sorted(
+            (r["user_id"], str(r["session_start"]), r["n_events"], r["session_value"])
+            for r in emitted
+            if r["session_end"] < horizon
+        )
+        assert len({(r["user_id"], str(r["session_start"])) for r in emitted}) == len(emitted), (
+            "append mode re-emitted a session"
+        )
+        assert got == batch_sessions and len(got) == 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
