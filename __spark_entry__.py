@@ -1286,6 +1286,46 @@ def q_events_stream_sessions(spark, sf):
     )
 
 
+def q_docs_stream_index_probe(spark, sf):
+    """STREAM-STATIC dedup-index probe through the driver gate
+    (llm/incremental.exact_probe_stream, r9 — SIXTH real streaming row): a
+    persisted exact-fingerprint index is built from the even-id half of the
+    corpus (dedup_index_write, exact layer), then the FULL corpus streams
+    through a stream-static left join against it — the incremental-ingest
+    shape where the on-disk index carries the memory and the query itself
+    holds no state (no watermark; Spark re-resolves the static side each
+    micro-batch, so index appends land without a restart). Output per doc:
+    (doc_id, is_known_dup, matched_id) with matched_id the SMALLEST indexed
+    doc sharing md5(text) — fully deterministic regardless of batch split,
+    so the whole row set hash-matches DuckDB's grouped-min mirror."""
+    import tempfile
+
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    idx = tempfile.mkdtemp(prefix="stream_idx_") + "/index"
+    L_inc.dedup_index_write(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), idx, layers=("exact",)
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(f"{sf}/documents*.parquet")
+    flagged = L_inc.exact_probe_stream(stream.select("doc_id", "text"), idx)
+    sink = tempfile.mkdtemp(prefix="stream_idx_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="stream_idx_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    (
+        flagged.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink).select("doc_id", "is_known_dup", "matched_id")
+
+
 def q_events_stream_stateful(spark, sf):
     """CUSTOM STATEFUL streaming operator through the driver gate
     (streaming/sessions.stateful_running_stats → ``applyInPandasWithState``,
@@ -2548,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # first driver row (rows-only: seeded xxhash LSH)
         "embedding_pq_topk": q_embedding_pq_topk,          # first driver row (rows-only: k-means codebooks)
         "bm25_topk_docs": q_bm25_topk_docs,                # NEW r9 (Okapi BM25 lexical top-k; TakeOrderedAndProject)
+        "docs_stream_index_probe": q_docs_stream_index_probe,  # NEW r9 (SIXTH streaming row: stream-static index probe)
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -2596,8 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_windowed": q_events_stream_windowed,  # new r6 (watermarked windowed profile, real stream)
         "asof_nearest_events": q_asof_nearest_events,      # new r6 (nearest-direction as-of, dual-ASOF oracle)
         "range_join_binned_bands": q_range_join_binned_bands,  # new r6 (binned strategy forced)
-        "repeated_spans_docs": q_repeated_spans_docs,      # new r6 (exact-substring span dedup, Lee et al. mode)
         # ---- slots 51+ begin here (window = first 50 entries) ----------------
+        "repeated_spans_docs": q_repeated_spans_docs,      # r06+r08 green (pushed past the window by docs_stream_index_probe r9)
         "remove_spans_docs": q_remove_spans_docs,          # r06+r08 green (pushed past the window by bm25_topk_docs r9)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
         "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
@@ -3182,6 +3223,17 @@ def oracle_sql() -> dict[str, str]:
                n_events, session_value
         FROM agg
         WHERE session_end < (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+    """
+    # stream-static index probe (r9): the index side is the even-id half's
+    # grouped-min fingerprint table; the probe is a left join on md5(text)
+    sqls["docs_stream_index_probe"] = """
+        WITH idx AS (
+          SELECT md5(text) AS fp, min(doc_id) AS matched_id
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1)
+        SELECT d.doc_id,
+               idx.matched_id IS NOT NULL AS is_known_dup,
+               idx.matched_id
+        FROM documents d LEFT JOIN idx ON md5(d.text) = idx.fp
     """
     sqls["events_stream_dedup"] = """
         SELECT event_type, count(*) AS kept_keys
