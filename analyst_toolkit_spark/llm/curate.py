@@ -153,6 +153,7 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
     key, id_col = cfg.key, cfg.id_col
     report: dict[str, dict] = {}
     out = df
+    split_comps: DataFrame | None = None  # set by the leakage_safe split stage
 
     def _record(stage: str, **info):
         if cfg.report_counts:
@@ -171,14 +172,17 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             return frame.sparkSession.read.parquet(path)
         return frame.localCheckpoint(eager=False) if cfg.checkpoint else frame
 
-    def _data_card(frame: DataFrame) -> list[dict]:
+    def _data_card(frame: DataFrame, components: DataFrame | None = None) -> list[dict]:
         if cfg.data_card_by not in frame.columns:
             raise ValueError(
                 f"report_data_card: column {cfg.data_card_by!r} not in frame "
                 f"(columns: {frame.columns})"
             )
         lang = "lang" if "lang" in frame.columns else None
-        card = T.corpus_data_card(frame, by=cfg.data_card_by, key=key, lang_col=lang)
+        card = T.corpus_data_card(
+            frame, by=cfg.data_card_by, key=key, lang_col=lang,
+            components=components, id_col=id_col,
+        )
         return [r.asDict() for r in card.orderBy(cfg.data_card_by).collect()]
 
     _record("input")
@@ -380,6 +384,7 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
                     out, key=key, id_col=id_col, threshold=thr, checkpoint_dir=cc_dir
                 )
             out = T.leakage_safe_split(out, comps, id_col=id_col, splits=cfg.splits)
+            split_comps = comps  # reused by the output data card (near-dup arm)
             _record(
                 "split", splits=cfg.splits, mode="leakage_safe",
                 cluster_strategy=strategy, threshold=thr,
@@ -401,5 +406,8 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
 
     _record("output")
     if cfg.report_data_card:
-        report["output"]["data_card"] = _data_card(out)
+        # when the leakage_safe split already clustered the surviving corpus,
+        # the output card reuses those labels for FREE near-dup membership
+        # (near_dup_docs per source) — no second clustering pass
+        report["output"]["data_card"] = _data_card(out, components=split_comps)
     return out, report

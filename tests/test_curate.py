@@ -315,3 +315,39 @@ def test_curate_md5_buckets_engine(spark, sf_dir):
         r["doc_id"] for r in best.select("doc_id").collect()
     }
     assert "__ndq" not in out_q.columns
+
+
+def test_curate_output_card_reuses_split_clustering(spark, sf_dir):
+    """With split_mode='leakage_safe' + report_data_card, the OUTPUT card
+    reuses the split stage's cluster labels: near_dup_docs appears per
+    source (bounded by docs) with no second clustering; the input card and
+    non-leakage-safe runs keep the exact-only schema."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(300)
+    copies = docs.limit(40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearcopy")).alias("text"),
+        "lang",
+        "source",
+    )
+    out, report = C.curate_corpus(
+        docs.unionByName(copies),
+        splits={"train": 0.8, "val": 0.2},
+        split_mode="leakage_safe",
+        split_cluster_threshold=0.7,
+        report_data_card=True,
+        checkpoint=False,
+    )
+    card_in = report["input"]["data_card"]
+    card_out = report["output"]["data_card"]
+    assert all("near_dup_docs" not in r for r in card_in)
+    assert all("near_dup_docs" in r for r in card_out)
+    assert sum(r["near_dup_docs"] for r in card_out) > 0  # the copies cluster
+    assert all(0 <= r["near_dup_docs"] <= r["docs"] for r in card_out)
+    # hash mode: no clustering exists -> output card stays exact-only
+    _, report_h = C.curate_corpus(
+        docs, splits={"train": 1.0}, split_mode="hash",
+        report_data_card=True, checkpoint=False,
+    )
+    assert all("near_dup_docs" not in r for r in report_h["output"]["data_card"])

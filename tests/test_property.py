@@ -529,3 +529,45 @@ def test_oov_rate_invariants(spark, texts, v):
     assert sum(r["n_oov"] for r in rows) == sum(c for t, c in counts.items() if t not in vocab)
     full = oov_rate(docs, vocab_size=max(len(counts), 1)).collect()
     assert all(r["n_oov"] == 0 for r in full)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["spark", "join", "query", "cat", "dog", "x1"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    terms=st.lists(st.sampled_from(["spark", "join", "query", "absent"]), min_size=1, max_size=3, unique=True),
+)
+@SET
+def test_bm25_matches_bruteforce(spark, docs, terms):
+    """bm25_scores vs a from-first-principles Python computation on random
+    tiny corpora — tf saturation, smooth idf, doc-length normalization, and
+    the omit-zero-hit-docs contract all hold for arbitrary term/corpus
+    combinations (including terms absent from the corpus)."""
+    import math
+
+    from analyst_toolkit_spark.llm.text import bm25_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(sdf, terms).collect()}
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    df_t = {t: sum(1 for d in docs if t in d) for t in terms}
+    expected = {}
+    for i, d in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if s:
+            expected[i] = s
+    assert set(got) == set(expected)
+    for i, exp in expected.items():
+        assert got[i] == pytest.approx(round(exp, 6), abs=2e-6), (i, got[i], exp)
