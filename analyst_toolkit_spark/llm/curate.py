@@ -151,6 +151,10 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
     for k, v in overrides.items():
         setattr(cfg, k, v)
     key, id_col = cfg.key, cfg.id_col
+    if cfg.near_dedup_engine not in ("auto", "md5_buckets"):
+        # fail loudly: a typo here would silently swap the deterministic
+        # audit clustering for the production gate (or vice versa)
+        raise ValueError(f"unknown near_dedup_engine: {cfg.near_dedup_engine!r}")
     report: dict[str, dict] = {}
     out = df
     split_comps: DataFrame | None = None  # set by the leakage_safe split stage

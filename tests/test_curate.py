@@ -315,6 +315,8 @@ def test_curate_md5_buckets_engine(spark, sf_dir):
         r["doc_id"] for r in best.select("doc_id").collect()
     }
     assert "__ndq" not in out_q.columns
+    with pytest.raises(ValueError):
+        C.curate_corpus(docs, near_dedup_threshold=0.8, near_dedup_engine="md5bucket")
 
 
 def test_curate_output_card_reuses_split_clustering(spark, sf_dir):
