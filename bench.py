@@ -98,13 +98,30 @@ def _materialize(df) -> None:
 # CPU contention. ANCHOR_REF pins the quiet-host r9 measurement;
 # value_normalized = value * ANCHOR_REF / anchor_sec is the
 # round-over-round comparable number when hosts drift.
-ANCHOR_REF = 0.57  # seconds, quiet r9 host, measured by THIS code path (the
-#                    anchor runs early in JVM life, right after the one
-#                    warm-up materialize, so it carries ~0.15 s of JIT that a
-#                    late-session probe does not — pin to like-for-like). The
-#                    same host read 0.8-1.0 s while a 32-thread pytest ran:
-#                    the anchor discriminates exactly the contention that
-#                    made BENCH_r08 read 1.40x of r7.
+ANCHOR_REF = 0.52  # seconds: median-of-5, early-session, quiet r9 host (pre slot).
+ANCHOR_REF_POST = 0.40  # same work in the post slot: by end of suite the JVM is
+#                         fully JIT-warmed and the identical plan runs ~25%
+#                         faster on a quiet host — each slot needs its own
+#                         quiet calibration or the average mixes baselines
+#                         (measured: quiet post-slot anchors 0.34-0.44 s).
+#: The anchor is a LOAD detector, not a precision clock. Calibration on the
+#: r9 host: quiet median-of-5 ~0.46-0.61 s; under a 32-thread pytest
+#: 0.8-1.0 s; during a mid-round noisy-neighbor episode 1.59 s (while the
+#: suite inflated uniformly 17.5 -> 21.9 s — the same weather that made the
+#: driver's BENCH_r08 read 1.40x of r7). Two protocol consequences, both
+#: learned from measurements this round:
+#:   1. MEDIAN, not min — the VM's contention is intermittent, and a
+#:      best-of-5 CPU burst dodges it (observed: min 0.445 during a run
+#:      whose suite was 25% inflated). The suite experiences average
+#:      weather; the anchor must too.
+#:   2. The anchor runs BEFORE and AFTER the suite and averages — weather
+#:      shifts within minutes here, and a single pre-run sample can
+#:      misrepresent a 6-minute run (pre/post disagreement is itself a
+#:      weather-change flag, recorded in BENCH_DETAIL).
+#: Normalizing inside the quiet noise band would ADD noise, so the
+#: correction engages only beyond the dead-band; on a quiet host
+#: value_normalized EQUALS value and round comparisons are untouched.
+ANCHOR_DEADBAND = 1.25  # anchor/ref ratio below which the host counts as quiet
 
 
 def _anchor_sec(spark) -> float:
@@ -123,7 +140,7 @@ def _anchor_sec(spark) -> float:
 
     _materialize(_plan())  # warm-up, untimed
     samples = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _materialize(_plan())
         samples.append(time.perf_counter() - t0)
@@ -144,8 +161,8 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     _materialize(qs["pricing_summary"](spark, sf_dir))
 
-    anchor = _anchor_sec(spark)
-    print(f"# host anchor: {anchor:.3f}s (ref {ANCHOR_REF})", file=sys.stderr)
+    anchor_pre = _anchor_sec(spark)
+    print(f"# host anchor (pre): {anchor_pre:.3f}s (ref {ANCHOR_REF})", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -255,13 +272,23 @@ def main() -> None:
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
-    normalized = round(total * ANCHOR_REF / anchor, 3) if anchor > 0 else total
+    anchor_post = _anchor_sec(spark)
+    print(f"# host anchor (post): {anchor_post:.3f}s (ref {ANCHOR_REF_POST})", file=sys.stderr)
+    # load ratio = mean of each slot's ratio to ITS quiet calibration; the
+    # pre/post disagreement is the weather-changed-mid-run flag
+    ratio = round((anchor_pre / ANCHOR_REF + anchor_post / ANCHOR_REF_POST) / 2, 3)
+    anchor = round((anchor_pre + anchor_post) / 2, 3)
+    loaded = ratio > ANCHOR_DEADBAND
+    normalized = round(total / ratio, 3) if loaded else total
     detail = {
         "metric": "module_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "anchor_sec": anchor,
-        "anchor_ref": ANCHOR_REF,
+        "anchor_pre": anchor_pre,
+        "anchor_post": anchor_post,
+        "anchor_ref": [ANCHOR_REF, ANCHOR_REF_POST],
+        "anchor_ratio": ratio,
         "value_normalized": normalized,
         "queries": timings,
         "spread": spread,
@@ -287,6 +314,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "anchor_sec": anchor,
+                "anchor_ratio": ratio,
                 "value_normalized": normalized,
                 "queries": timings,
                 "runs": runs,
