@@ -34,6 +34,14 @@ recorded medians stay comparable round-over-round; only the spread stops
 charging session-order-dependent cold costs to whichever query runs first.
 Cold-start cost is still measured where it is the story: the url_dedup
 non-headline line records its first (codegen-compile) run explicitly.
+
+Round 9 (VERDICT r8 #1): host-speed anchor. BENCH_r08 read 1.40x of r7
+purely from VM load (judge-adjudicated); a fixed-work in-memory anchor now
+runs before AND after the suite and the printed line carries ``anchor_sec``,
+``anchor_ratio`` (load vs the per-slot quiet calibrations), and
+``value_normalized`` (= value / ratio beyond the 1.25 dead-band; equals the
+raw value on a quiet host). See the ANCHOR_REF block below for the
+measurements behind median-of-5, pre+post slots, and the dead-band.
 """
 
 from __future__ import annotations
