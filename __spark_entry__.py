@@ -1779,6 +1779,42 @@ def q_bm25_topk_docs(spark, sf):
     return L_text.bm25_topk(docs, ["spark", "query", "join", "stream"], k=50)
 
 
+def q_tfidf_topterms_docs(spark, sf):
+    """Per-doc top-3 TF-IDF keywords (llm/text.tfidf_top_terms, late r9):
+    the model-free document fingerprint/topic proxy. idf = ln(1 + N/df) —
+    strictly positive so corpus-wide terms rank by tf instead of zeroing;
+    rank on the ROUNDED score, ties to smallest term text (engine-stable).
+    One tf agg, one df agg (unhinted — both corpus-scaling), 1-row doc
+    count broadcast, doc-PARTITIONED row_number window."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.tfidf_top_terms(docs, k=3)
+
+
+def q_events_trailing_avg(spark, sf):
+    """Time-RANGE trailing window (late r9): per-user 1-hour trailing mean
+    and event count over the event stream — the moving-average shape
+    window_running_total's row-frame cannot express. The frame is
+    microsecond-exact on both engines (Spark rangeBetween over unix_micros
+    == DuckDB RANGE INTERVAL 1 HOUR PRECEDING, both bounds inclusive); mean
+    rounds at 6. Window is user-partitioned, never global."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") % 20 == 0)
+    # unix_micros rejects TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the NTZ->TZ cast is numerically a no-op
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.count("value").over(w).alias("n_window"),
+        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+    )
+
+
 def q_dsir_weights_docs(spark, sf):
     """DSIR importance weighting (llm/select.dsir_logweights, late r8): the
     data-SELECTION step of a pre-training pipeline (Xie et al. 2023) —
@@ -2582,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_topk": q_embedding_pq_topk,          # first driver row (rows-only: k-means codebooks)
         "bm25_topk_docs": q_bm25_topk_docs,                # NEW r9 (Okapi BM25 lexical top-k; TakeOrderedAndProject)
         "docs_stream_index_probe": q_docs_stream_index_probe,  # NEW r9 (SIXTH streaming row: stream-static index probe)
+        "tfidf_topterms_docs": q_tfidf_topterms_docs,      # NEW late-r9 (per-doc TF-IDF keywords)
+        "events_trailing_avg": q_events_trailing_avg,      # NEW late-r9 (microsecond-exact time-RANGE trailing window)
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -2628,9 +2666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_customers": q_stratified_sample_customers,  # new r6 (per-stratum md5 gate)
         "mixture_sample_docs": q_mixture_sample_docs,      # new r6 (domain-mixture census)
         "events_stream_windowed": q_events_stream_windowed,  # new r6 (watermarked windowed profile, real stream)
-        "asof_nearest_events": q_asof_nearest_events,      # new r6 (nearest-direction as-of, dual-ASOF oracle)
-        "range_join_binned_bands": q_range_join_binned_bands,  # new r6 (binned strategy forced)
         # ---- slots 51+ begin here (window = first 50 entries) ----------------
+        "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green (pushed past the window by tfidf_topterms_docs r9)
+        "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08 green (pushed past the window by events_trailing_avg r9)
         "repeated_spans_docs": q_repeated_spans_docs,      # r06+r08 green (pushed past the window by docs_stream_index_probe r9)
         "remove_spans_docs": q_remove_spans_docs,          # r06+r08 green (pushed past the window by bm25_topk_docs r9)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
@@ -3830,6 +3868,33 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1)
         SELECT doc_id, round(s, 6) AS score
         FROM sc ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50
+    """
+    sqls["tfidf_topterms_docs"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.t AS term,
+                 round(tf.tf * ln(1.0 + nd.n / dft.df), 6) AS tfidf
+          FROM tf JOIN dft USING (t) CROSS JOIN nd),
+        rk AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM sc)
+        SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3
+    """
+    sqls["events_trailing_avg"] = """
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               count(value) OVER w AS n_window,
+               round(avg(value) OVER w, 6) AS trailing_avg
+        FROM events WHERE user_id % 20 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """
     sqls["oov_rate_docs"] = """
         WITH tok AS (

@@ -980,3 +980,46 @@ def bm25_topk(
     global sort."""
     s = bm25_scores(df, terms, key=key, id_col=id_col, k1=k1, b=b)
     return s.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the cheap document
+    fingerprint/topic proxy (cluster labeling, dedup triage, corpus
+    browsing) that needs no model. ``idf = ln(1 + N/df)`` (strictly
+    positive, so corpus-wide terms still rank by tf instead of zeroing
+    out); rank on the ROUNDED score with ties to lexicographically
+    smallest term — engine-stable. Returns (id_col, rank, term, tfidf).
+
+    Plan at 100 TB: one token-keyed tf aggregation, one term-keyed df
+    aggregation joined back unhinted (both corpus-scaling — AQE decides),
+    the 1-row doc count broadcast, and a doc-partitioned row_number window
+    (never global)."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    stream = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    tf = stream.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_t, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("__t").alias("term"),
+            F.round(
+                F.col("__tf") * F.log(F.lit(1.0) + F.col("__n") / F.col("__df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "rank", "term", "tfidf")
+    )
