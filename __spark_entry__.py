@@ -1815,6 +1815,53 @@ def q_events_trailing_avg(spark, sf):
     )
 
 
+def q_events_session_paths(spark, sf):
+    """Session PATH census (late r9) — sequence analytics over gap-based
+    sessions: per 30-minute-gap session, the ordered event_type journey
+    ('view>cart>buy'), then the corpus-wide census of the top-25 paths.
+    The shape funnel/conversion analysis needs and plain aggs can't give.
+    Deterministic ordering: events sort by (ts, event_id) inside the
+    session — event_id is unique, so both engines build identical strings.
+    Plan: ONE user-partitioned window pass assigns session ids (lag-gap
+    islands, the events_sessions shape), one (user, session) agg builds the
+    path via array_sort over (ts, event_id, type) structs — map-side, no
+    second window — one path-keyed count, TakeOrderedAndProject top-25."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap rule (a seconds cast would truncate; the DuckDB
+    # mirror compares full-precision INTERVAL 30 MINUTE)
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = (mic - F.lag(mic).over(w) >= 1_800_000_000).cast("int")
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.coalesce(new_s, F.lit(1)).alias("__new"),
+    ).withColumn("__sid", F.sum("__new").over(w))
+    paths = (
+        sess.groupBy("user_id", "__sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.sum("n_events").alias("events"),
+        )
+        .orderBy(F.desc("sessions"), F.asc("path"))
+        .limit(25)
+    )
+
+
 def q_dsir_weights_docs(spark, sf):
     """DSIR importance weighting (llm/select.dsir_logweights, late r8): the
     data-SELECTION step of a pre-training pipeline (Xie et al. 2023) —
@@ -2620,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_index_probe": q_docs_stream_index_probe,  # NEW r9 (SIXTH streaming row: stream-static index probe)
         "tfidf_topterms_docs": q_tfidf_topterms_docs,      # NEW late-r9 (per-doc TF-IDF keywords)
         "events_trailing_avg": q_events_trailing_avg,      # NEW late-r9 (microsecond-exact time-RANGE trailing window)
+        "events_session_paths": q_events_session_paths,    # NEW late-r9 (session journey/funnel census)
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -2665,8 +2713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_docs": q_token_rarity_docs,          # new r6 (inverse-frequency surprisal proxy)
         "stratified_sample_customers": q_stratified_sample_customers,  # new r6 (per-stratum md5 gate)
         "mixture_sample_docs": q_mixture_sample_docs,      # new r6 (domain-mixture census)
-        "events_stream_windowed": q_events_stream_windowed,  # new r6 (watermarked windowed profile, real stream)
         # ---- slots 51+ begin here (window = first 50 entries) ----------------
+        "events_stream_windowed": q_events_stream_windowed,  # r06+r08 green (pushed past the window by events_session_paths r9)
         "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green (pushed past the window by tfidf_topterms_docs r9)
         "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08 green (pushed past the window by events_trailing_avg r9)
         "repeated_spans_docs": q_repeated_spans_docs,      # r06+r08 green (pushed past the window by docs_stream_index_probe r9)
@@ -3868,6 +3916,23 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1)
         SELECT doc_id, round(s, 6) AS score
         FROM sc ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50
+    """
+    sqls["events_session_paths"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        p AS (SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                     count(*) AS n_events
+              FROM s GROUP BY 1, 2)
+        SELECT path, count(*) AS sessions, CAST(sum(n_events) AS BIGINT) AS events
+        FROM p GROUP BY 1 ORDER BY sessions DESC, path ASC LIMIT 25
     """
     sqls["tfidf_topterms_docs"] = """
         WITH tok AS (
