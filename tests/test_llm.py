@@ -1939,3 +1939,34 @@ def test_bm25_scores_ground_truth(spark):
 
     top = [r["doc_id"] for r in bm25_topk(docs, terms, k=2).collect()]
     assert top == sorted(expected, key=lambda i: (-expected[i], i))[:2]
+
+
+def test_tfidf_top_terms_ground_truth(spark):
+    """tfidf_top_terms vs hand math: idf = ln(1 + N/df), rank on the rounded
+    score with lexicographic tie-break, exactly k rows per doc with >= k
+    distinct terms."""
+    import math
+
+    from analyst_toolkit_spark.llm.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "apple elm elm elm"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in tfidf_top_terms(docs, k=2).collect()}
+
+    def score(tf, df):
+        return round(tf * math.log(1.0 + 3 / df), 6)
+
+    # doc 1: apple tf2 df2, cherry tf1 df1, banana tf1 df2
+    assert out[(1, 1)] == ("apple", score(2, 2))
+    assert out[(1, 2)] == ("cherry", score(1, 1))
+    # doc 3: elm tf3 df1 dominates; apple second
+    assert out[(3, 1)] == ("elm", score(3, 1))
+    assert out[(3, 2)] == ("apple", score(1, 2))
+    # doc 2: banana tf2 df2 vs date tf1 df1 -> banana ln(2.5)*2 > date ln(4)
+    assert out[(2, 1)] == ("banana", score(2, 2))
+    assert out[(2, 2)] == ("date", score(1, 1))
+    assert len(out) == 6

@@ -238,3 +238,33 @@ def test_sessionize_stream_append_multibatch_horizon(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_paths_query_ground_truth(spark, monkeypatch, tmp_path):
+    """q_events_session_paths on a hand-built event log: gap rule splits at
+    exactly 30 minutes (microsecond-exact), paths order by (ts, event_id),
+    census orders by sessions desc then path asc."""
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        # user 1, session A: view -> cart (same second, ordered by event_id)
+        (1, 1, "2024-01-01 10:00:00.000001", "view"),
+        (2, 1, "2024-01-01 10:00:00.000001", "cart"),
+        # exactly 30 min later: NEW session (>= gap)
+        (3, 1, "2024-01-01 10:30:00.000001", "view"),
+        # user 2: one session, 29:59.999999 gap stays inside
+        (4, 2, "2024-01-01 09:00:00.000000", "view"),
+        (5, 2, "2024-01-01 09:29:59.999999", "buy"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, event_type string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    monkeypatch.setattr(
+        entry_mod, "load_table", lambda spark_, sf_, name: spark_.read.parquet(p)
+    )
+    got = [(r["path"], r["sessions"], r["events"]) for r in entry_mod.q_events_session_paths(spark, str(tmp_path)).collect()]
+    # one session each: u1-B 'view' (split at the EXACT 30-min boundary),
+    # u2 'view>buy' (29:59.999999 stays inside), u1-A 'view>cart' (event_id
+    # breaks the equal-timestamp tie); all tie at 1 session -> path asc
+    assert got == [("view", 1, 1), ("view>buy", 1, 2), ("view>cart", 1, 2)]
