@@ -1862,6 +1862,18 @@ def q_events_session_paths(spark, sf):
     )
 
 
+def q_bigram_pmi_docs(spark, sf):
+    """Collocation mining (llm/text.bigram_pmi, late r9): top-30 adjacent
+    token pairs by PMI with a min_count=5 noise floor — the word2phrase
+    step that finds multi-word units before vocab induction. Linear
+    zip_with bigrams (never within-doc all-pairs), two count shuffles,
+    1-row totals broadcast, TakeOrderedAndProject; PMI built from explicit
+    double divisions so no integer product can overflow at corpus scale.
+    Rank on the rounded score, ties by pair text."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.bigram_pmi(docs, k=30, min_count=5)
+
+
 def q_dsir_weights_docs(spark, sf):
     """DSIR importance weighting (llm/select.dsir_logweights, late r8): the
     data-SELECTION step of a pre-training pipeline (Xie et al. 2023) —
@@ -2668,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms_docs": q_tfidf_topterms_docs,      # NEW late-r9 (per-doc TF-IDF keywords)
         "events_trailing_avg": q_events_trailing_avg,      # NEW late-r9 (microsecond-exact time-RANGE trailing window)
         "events_session_paths": q_events_session_paths,    # NEW late-r9 (session journey/funnel census)
+        "bigram_pmi_docs": q_bigram_pmi_docs,              # NEW late-r9 (word2phrase collocation mining)
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -2712,8 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6 (tokenizer budget census)
         "token_rarity_docs": q_token_rarity_docs,          # new r6 (inverse-frequency surprisal proxy)
         "stratified_sample_customers": q_stratified_sample_customers,  # new r6 (per-stratum md5 gate)
-        "mixture_sample_docs": q_mixture_sample_docs,      # new r6 (domain-mixture census)
         # ---- slots 51+ begin here (window = first 50 entries) ----------------
+        "mixture_sample_docs": q_mixture_sample_docs,      # r06+r08 green (pushed past the window by bigram_pmi_docs r9)
         "events_stream_windowed": q_events_stream_windowed,  # r06+r08 green (pushed past the window by events_session_paths r9)
         "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green (pushed past the window by tfidf_topterms_docs r9)
         "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08 green (pushed past the window by events_trailing_avg r9)
@@ -3933,6 +3946,33 @@ def oracle_sql() -> dict[str, str]:
               FROM s GROUP BY 1, 2)
         SELECT path, count(*) AS sessions, CAST(sum(n_events) AS BIGINT) AS events
         FROM p GROUP BY 1 ORDER BY sessions DESC, path ASC LIMIT 25
+    """
+    sqls["bigram_pmi_docs"] = """
+        WITH tk AS (
+          SELECT regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        bg AS (
+          SELECT unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                                     i -> {'a': toks[i], 'b': toks[i + 1]})
+                 ELSE [] END, recursive := true)
+          FROM tk),
+        uni AS (SELECT unnest(toks) AS t FROM tk),
+        cu AS (SELECT t, count(*) AS cu FROM uni GROUP BY 1),
+        cb AS (SELECT a, b, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+        nb AS (SELECT sum(pair_count) AS nb FROM cb),
+        nu AS (SELECT sum(cu) AS nu FROM cu),
+        sc AS (
+          SELECT cb.a AS term_a, cb.b AS term_b, cb.pair_count,
+                 round(ln((cb.pair_count / nb.nb)
+                          / ((ca.cu / nu.nu) * (cbb.cu / nu.nu))), 6) AS pmi
+          FROM cb
+          JOIN cu ca ON ca.t = cb.a
+          JOIN cu cbb ON cbb.t = cb.b
+          CROSS JOIN nb CROSS JOIN nu
+          WHERE cb.pair_count >= 5)
+        SELECT term_a, term_b, pair_count, pmi
+        FROM sc ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 30
     """
     sqls["tfidf_topterms_docs"] = """
         WITH tok AS (

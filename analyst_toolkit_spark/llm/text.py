@@ -1023,3 +1023,61 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= int(k))
         .select(id_col, "rank", "term", "tfidf")
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    key: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information over ADJACENT
+    token pairs — the word2phrase-style phrase miner ("new york", "machine
+    learning") a tokenizer/vocab pipeline runs before merging multi-word
+    units. ``pmi = ln(P(ab) / (P(a) P(b)))`` with P(ab) over the bigram
+    total and P(a), P(b) over the unigram total; pairs rarer than
+    ``min_count`` are noise-floored away. Rank on the ROUNDED score, ties
+    to lexicographically smallest pair — engine-stable. Probabilities are
+    built from explicit double divisions (never integer products: c*Nu²
+    overflows long at corpus scale). Returns (term_a, term_b, pair_count,
+    pmi).
+
+    Plan at 100 TB: bigrams come from one zip_with over each doc's token
+    array (map-side, linear — NEVER within-doc all-pairs); one pair-keyed
+    and one token-keyed count shuffle; the two 1-row totals broadcast; the
+    unigram joins stay unhinted (corpus-scaling — AQE decides); top-k is
+    TakeOrderedAndProject."""
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    pairs_col = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pairs = df.select(F.explode(pairs_col).alias("p")).select("p.a", "p.b")
+    uni = df.select(F.explode(toks).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("__cu")
+    )
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    nb = big.agg(F.sum("pair_count").alias("__nb"))
+    nu = uni.agg(F.sum("__cu").alias("__nu"))
+    scored = (
+        big.filter(F.col("pair_count") >= int(min_count))
+        .join(uni.withColumnsRenamed({"t": "a", "__cu": "__ca"}), "a")
+        .join(uni.withColumnsRenamed({"t": "b", "__cu": "__cb"}), "b")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("__nb"))
+                    / ((F.col("__ca") / F.col("__nu")) * (F.col("__cb") / F.col("__nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b")).limit(int(k))
