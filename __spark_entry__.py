@@ -1874,6 +1874,17 @@ def q_bigram_pmi_docs(spark, sf):
     return L_text.bigram_pmi(docs, k=30, min_count=5)
 
 
+def q_token_entropy_docs(spark, sf):
+    """Per-source diversity census (llm/text.token_entropy, late r9):
+    unigram Shannon entropy + type-token ratio per source — entropy
+    collapse flags template spam / mode-collapsed synthetic data. One
+    word-count shuffle, one group totals join (unhinted), one entropy agg;
+    integer counts exact, the double entropy sum rounds at 6 (the same
+    order-of-accumulation acceptance as every mean in the registry)."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.token_entropy(docs)
+
+
 def q_dsir_weights_docs(spark, sf):
     """DSIR importance weighting (llm/select.dsir_logweights, late r8): the
     data-SELECTION step of a pre-training pipeline (Xie et al. 2023) —
@@ -2681,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_avg": q_events_trailing_avg,      # NEW late-r9 (microsecond-exact time-RANGE trailing window)
         "events_session_paths": q_events_session_paths,    # NEW late-r9 (session journey/funnel census)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # NEW late-r9 (word2phrase collocation mining)
+        "token_entropy_docs": q_token_entropy_docs,        # NEW late-r9 (per-source diversity census)
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -2724,8 +2736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_outliers": q_embedding_norm_outliers,  # new r6 (pre-index norm sanity gate)
         "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6 (tokenizer budget census)
         "token_rarity_docs": q_token_rarity_docs,          # new r6 (inverse-frequency surprisal proxy)
-        "stratified_sample_customers": q_stratified_sample_customers,  # new r6 (per-stratum md5 gate)
         # ---- slots 51+ begin here (window = first 50 entries) ----------------
+        "stratified_sample_customers": q_stratified_sample_customers,  # r06+r08 green (pushed past the window by token_entropy_docs r9)
         "mixture_sample_docs": q_mixture_sample_docs,      # r06+r08 green (pushed past the window by bigram_pmi_docs r9)
         "events_stream_windowed": q_events_stream_windowed,  # r06+r08 green (pushed past the window by events_session_paths r9)
         "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green (pushed past the window by tfidf_topterms_docs r9)
@@ -3946,6 +3958,21 @@ def oracle_sql() -> dict[str, str]:
               FROM s GROUP BY 1, 2)
         SELECT path, count(*) AS sessions, CAST(sum(n_events) AS BIGINT) AS events
         FROM p GROUP BY 1 ORDER BY sessions DESC, path ASC LIMIT 25
+    """
+    sqls["token_entropy_docs"] = """
+        WITH tok AS (
+          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents),
+        c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt, count(*) AS dt
+               FROM c GROUP BY 1)
+        SELECT c.source,
+               tt.nt AS n_tokens,
+               tt.dt AS distinct_tokens,
+               round(tt.dt / tt.nt, 6) AS type_token_ratio,
+               round(-sum((c.c / tt.nt) * ln(c.c / tt.nt)), 6) AS entropy
+        FROM c JOIN tt ON c.source = tt.source
+        GROUP BY 1, 2, 3, 4
     """
     sqls["bigram_pmi_docs"] = """
         WITH tk AS (

@@ -1081,3 +1081,35 @@ def bigram_pmi(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b")).limit(int(k))
+
+
+def token_entropy(df: DataFrame, by: str = "source", key: str = "text") -> DataFrame:
+    """Per-group unigram Shannon entropy (nats) + type-token ratio — the
+    corpus DIVERSITY census: entropy collapse or a sinking type-token ratio
+    flags template spam / mode-collapsed synthetic data before it trains.
+    Returns (by, n_tokens, distinct_tokens, type_token_ratio, entropy),
+    floats rounded at 6.
+
+    Plan at 100 TB: one (group, token)-keyed count shuffle (map-side
+    combined — the word-count shape), one group-keyed totals agg joined
+    back (group cardinality is small but corpus-derived: unhinted, AQE
+    decides), one group-keyed entropy sum. Nothing quadratic, no UDFs."""
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    stream = df.select(F.col(by).alias("__g"), F.explode(toks).alias("__t"))
+    counts = stream.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("__g").agg(
+        F.sum("__c").alias("__nt"), F.count(F.lit(1)).alias("__dt")
+    )
+    p = F.col("__c") / F.col("__nt")
+    return (
+        counts.join(totals, "__g")
+        .groupBy("__g", "__nt", "__dt")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            F.col("__g").alias(by),
+            F.col("__nt").alias("n_tokens"),
+            F.col("__dt").alias("distinct_tokens"),
+            F.round(F.col("__dt") / F.col("__nt"), 6).alias("type_token_ratio"),
+            "entropy",
+        )
+    )
