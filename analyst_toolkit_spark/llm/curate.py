@@ -155,6 +155,16 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         # fail loudly: a typo here would silently swap the deterministic
         # audit clustering for the production gate (or vice versa)
         raise ValueError(f"unknown near_dedup_engine: {cfg.near_dedup_engine!r}")
+    if cfg.near_dedup_engine == "md5_buckets" and dict(df.dtypes).get(id_col) not in (
+        "tinyint", "smallint", "int", "bigint"
+    ):
+        # mirror the id_integral gate in near_dedup_components: bucket_components
+        # casts id_col to long, so a string/binary id would silently NULL out and
+        # drop every edge while the report still claims method='md5_buckets'.
+        raise ValueError(
+            f"near_dedup_engine='md5_buckets' requires an integral id column; "
+            f"{id_col!r} is {dict(df.dtypes).get(id_col)!r}"
+        )
     report: dict[str, dict] = {}
     out = df
     split_comps: DataFrame | None = None  # set by the leakage_safe split stage

@@ -1728,6 +1728,9 @@ def test_near_dedup_components_detached_plan(spark):
     # the banded subtree would add band/signature expressions on top
     assert 0 < plan_lo.count("zip_with") <= 4
     assert comps_lo.count() == 12
+
+
+def test_sentinel_band_hash_matches_empty_doc_banding(spark):
     """sentinel_band_hash must equal the band_hash an actual shingle-less
     doc produces in _band_stream, for both hash methods — and the forced
     bucket path through the gate must therefore NOT fuse empty docs into a
@@ -1970,3 +1973,41 @@ def test_tfidf_top_terms_ground_truth(spark):
     assert out[(2, 1)] == ("banana", score(2, 2))
     assert out[(2, 2)] == ("date", score(1, 1))
     assert len(out) == 6
+
+
+def test_curate_md5_buckets_requires_integral_id(spark):
+    """r9 ADVICE: the md5_buckets engine calls bucket_components directly,
+    which casts id_col to long — a string id would silently NULL out and
+    make the whole near-dedup stage a no-op. The gate must fail loudly."""
+    from analyst_toolkit_spark.llm import curate as C
+
+    docs = spark.createDataFrame(
+        [("a", "some text body here"), ("b", "other text body here")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        C.curate_corpus(docs, near_dedup_threshold=0.8, near_dedup_engine="md5_buckets")
+    # integral ids still work end-to-end through the same engine
+    ok = spark.createDataFrame(
+        [(1, "some text body here words"), (2, "other text body here words")],
+        ["doc_id", "text"],
+    )
+    out, report = C.curate_corpus(ok, near_dedup_threshold=0.8, near_dedup_engine="md5_buckets")
+    assert report["near_dedup"]["method"] == "md5_buckets"
+    assert out.count() == 2
+
+
+def test_banded_detached_assert_skips_on_schema_collision(spark):
+    """r9 ADVICE: a user corpus whose schema contains a column literally
+    named band_hash must not false-trip the structural plan assertion in
+    near_dedup_components — the check is skipped (correctness of the result
+    is unaffected), and both gate outcomes still return right clusters."""
+    rows = [(c * 10 + i, " ".join(f"w{c}x{j} tok{c}v{j}" for j in range(10)), "user")
+            for c in range(2) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "band_hash"])
+    for cap, want in ((10**9, "minhash_pairs+components"), (0, "bucket_components+star_verify")):
+        comps, strat = D.near_dedup_components(df, pair_cap=cap)
+        assert strat == want
+        cc = {r["node"]: r["component"] for r in comps.collect()}
+        assert {n for n, c in cc.items() if c == 0} == {0, 1, 2}
+        assert {n for n, c in cc.items() if c == 10} == {10, 11, 12}
