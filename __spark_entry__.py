@@ -1675,6 +1675,26 @@ def q_remove_spans_docs(spark, sf):
     )
 
 
+def q_line_dedup_docs(spark, sf):
+    """RefinedWeb/C4-style line-level boilerplate dedup (llm/text.line_dedup,
+    new r10 — r9 VERDICT #1): lines occurring in >= 3 distinct documents
+    corpus-wide are removed from every document; the cleaned doc is md5'd so
+    bodies never ride the compare surface. The synthetic docs carry no
+    newlines, so 'lines' here are the segments between literal ' the '
+    separators — same operator, configurable sep (paragraph mode = '\\n\\n'
+    in production). Spark counts lines by xxhash64 (census shuffle carries
+    16 bytes/row, never the text); the oracle groups raw line strings —
+    agreement certifies the hash path collision-free at this scale."""
+    docs = load_table(spark, sf, "documents")
+    out = L_text.line_dedup(docs, sep=" the ", min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "lines_kept",
+        "lines_removed",
+    )
+
+
 def q_dedup_best_quality_docs(spark, sf):
     """Quality-aware survivor election over REAL near-dup clusters, fully
     oracle-backed (llm/dedup.dedup_representatives_by, new r8): components
@@ -2678,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- registry queries hold a driver row in some round). The other 42
         # -- slots keep the r08-green window; eight multi-round-green TPC-H
         # -- continuity slots parked to the tail to make room.
+        "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
         "curate_md5_docs": q_curate_md5_docs,              # NEW r9 (end-to-end curate chain hash oracle; r8 VERDICT #3)
         "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # NEW r9 (near-dup-aware data card; r8 VERDICT #4)
         "events_stream_sessions": q_events_stream_sessions,  # NEW r9 (fifth REAL streaming row: session_window+watermark; r8 VERDICT #5)
@@ -3766,6 +3787,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
                md5(coalesce(agg.clean_text, '')) AS clean_md5
         FROM tk LEFT JOIN agg USING (doc_id)
+    """
+    sqls["line_dedup_docs"] = """
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' the ')) AS line,
+                 unnest(range(1, len(string_split(text, ' the ')) + 1)) AS pos
+          FROM documents),
+        bl AS (
+          SELECT line, 1 AS isbl FROM l
+          GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        m AS (SELECT l.doc_id, l.pos, l.line, b.isbl
+              FROM l LEFT JOIN bl b USING (line))
+        SELECT doc_id,
+               md5(coalesce(string_agg(CASE WHEN isbl IS NULL THEN line END,
+                                       ' the ' ORDER BY pos), '')) AS clean_md5,
+               CAST(sum(CASE WHEN isbl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
+               CAST(sum(CASE WHEN isbl IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS lines_removed
+        FROM m GROUP BY doc_id
+        HAVING sum(CASE WHEN isbl IS NULL THEN 1 ELSE 0 END) > 0
     """
     sqls["decontaminate_spans_docs"] = """
         WITH tk AS (

@@ -39,6 +39,16 @@ class CurationConfig:
     key: str = "text"
     id_col: str = "doc_id"
     strip_html: bool = False
+    #: RefinedWeb/C4-style line-level boilerplate removal (text.line_dedup):
+    #: lines (text between ``line_dedup_sep`` occurrences) found in >=
+    #: line_dedup_min_docs DISTINCT documents corpus-wide are cut from every
+    #: document BEFORE the quality gates (nav bars / cookie banners inflate
+    #: repetition and deflate quality, so cleaning precedes scoring — the
+    #: RefinedWeb §3.2 order). Self-referencing (the census is built from the
+    #: corpus), so the chain cuts lineage before it. Docs whose every line
+    #: was boilerplate are dropped.
+    line_dedup_min_docs: int | None = None
+    line_dedup_sep: str = "\n"
     min_quality: float | None = None
     max_repetition: float | None = None
     languages: list[str] | None = None
@@ -206,6 +216,17 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
     if cfg.strip_html:
         out = out.withColumn(key, T.strip_html(key))
         _record("clean", op="strip_html")
+
+    if cfg.line_dedup_min_docs is not None:
+        out = _cut(out)  # census + removal reference the frame twice
+        cleaned = T.line_dedup(
+            out, id_col=id_col, text_col=key,
+            sep=cfg.line_dedup_sep, min_docs=cfg.line_dedup_min_docs,
+        ).select(id_col, "clean_text")
+        # inner join: fully-boilerplate docs (absent from line_dedup's
+        # output) drop out of the corpus here, every other column survives
+        out = out.join(cleaned, id_col).withColumn(key, F.col("clean_text")).drop("clean_text")
+        _record("line_dedup", sep=cfg.line_dedup_sep, min_docs=cfg.line_dedup_min_docs)
 
     quality_preds = []
     if cfg.min_quality is not None:

@@ -1113,3 +1113,96 @@ def token_entropy(df: DataFrame, by: str = "source", key: str = "text") -> DataF
             "entropy",
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 30,
+) -> DataFrame:
+    """Corpus-wide boilerplate-line census — which lines (text between
+    ``sep`` occurrences) appear in >= ``min_docs`` DISTINCT documents. These
+    are the nav bars / cookie banners / license footers of RefinedWeb
+    (arXiv:2306.01116 §3.2, line-wise filtering) and C4's line-level rules;
+    the reference's rule-driven cleaning tier is the same idea at cell
+    granularity (normalize/validate modules, SURVEY §0).
+
+    Plan at 100 TB: posexplode is map-side; the ONE shuffle groups
+    (xxhash64(line), doc_id) — 16 bytes/row, line text never crosses it.
+    Output is boilerplate-sized (tiny), carrying one sample line text via
+    min(line) for reportability. Columns: (line_hash, n_docs, line)."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), _re_escape(sep))).alias("__line"),
+    )
+    return (
+        lines.select(F.xxhash64("__line").alias("line_hash"), "__id", "__line")
+        .groupBy("line_hash")
+        .agg(
+            F.countDistinct("__id").alias("n_docs"),
+            F.min("__line").alias("line"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 30,
+    join_sep: str | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """RefinedWeb/C4-style line-level boilerplate REMOVAL: every line that
+    occurs in >= ``min_docs`` distinct documents corpus-wide is cut from
+    every document; surviving lines are reassembled in original order with
+    ``join_sep`` (defaults to ``sep``). Returns
+    (id_col, clean_text, lines_kept, lines_removed); documents whose every
+    line was boilerplate are dropped when ``drop_empty`` (the RefinedWeb
+    behavior), else kept with clean_text=''.
+
+    Plan at 100 TB (same discipline as repeated_spans, dedup.py): the
+    boilerplate census shuffles only (xxhash64(line), id) pairs — document
+    bodies NEVER cross the line-count shuffle; the boilerplate hash set is
+    output-bounded (lines repeated across >= min_docs docs) and joins back
+    unhinted, so AQE broadcasts it when small and co-partitions when not.
+    The only body-bearing shuffle is the per-document reassembly groupBy —
+    doc-keyed, inherently parallel, no global order. Grouping on
+    xxhash64(line) instead of line text cuts census shuffle bytes ~10x; the
+    DuckDB oracle groups raw line strings and agrees at test scale, which
+    certifies the hash path collision-free there."""
+    join_sep = sep if join_sep is None else join_sep
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias("pos", "__line"),
+    ).withColumn("__lh", F.xxhash64("__line"))
+    bl = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lh", F.lit(1).alias("__isbl"))
+    )
+    marked = lines.join(bl, "__lh", "left")
+    keep = F.when(F.col("__isbl").isNull(), F.struct("pos", "__line"))
+    out = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(keep)), lambda s: s["__line"]),
+            join_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__isbl").isNull(), 1).otherwise(0)).alias("lines_kept"),
+        F.sum(F.when(F.col("__isbl").isNull(), 0).otherwise(1)).alias("lines_removed"),
+    )
+    if drop_empty:
+        out = out.filter(F.col("lines_kept") > 0)
+    return out
+
+
+def _re_escape(sep: str) -> str:
+    """Spark split() takes a Java regex; callers pass LITERAL separators."""
+    import re
+
+    return re.escape(sep)

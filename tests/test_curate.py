@@ -353,3 +353,28 @@ def test_curate_output_card_reuses_split_clustering(spark, sf_dir):
         report_data_card=True, checkpoint=False,
     )
     assert all("near_dup_docs" not in r for r in report_h["output"]["data_card"])
+
+
+def test_curate_line_dedup_stage(spark):
+    """r10: the line-level boilerplate stage cuts corpus-repeated lines
+    BEFORE quality gating, drops fully-boilerplate docs, and records the
+    config; other columns survive the rewrite."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha words\ncookie banner\nbody one text", "a"),
+            (2, "cookie banner\nbody two text goes here", "a"),
+            (3, "cookie banner\nbody three text present", "b"),
+            (4, "cookie banner", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out, report = C.curate_corpus(
+        docs, line_dedup_min_docs=3, exact_dedup=False, checkpoint=False
+    )
+    rows = {r["doc_id"]: (r["text"], r["source"]) for r in out.collect()}
+    assert rows == {
+        1: ("unique alpha words\nbody one text", "a"),
+        2: ("body two text goes here", "a"),
+        3: ("body three text present", "b"),
+    }  # doc 4 was ONLY boilerplate -> dropped
+    assert report["line_dedup"] == {"sep": "\n", "min_docs": 3}

@@ -2011,3 +2011,43 @@ def test_banded_detached_assert_skips_on_schema_collision(spark):
         cc = {r["node"]: r["component"] for r in comps.collect()}
         assert {n for n, c in cc.items() if c == 0} == {0, 1, 2}
         assert {n for n, c in cc.items() if c == 10} == {10, 11, 12}
+
+
+def test_line_dedup_ground_truth(spark):
+    """RefinedWeb/C4-style boilerplate removal: a line in >= min_docs
+    distinct docs is cut from EVERY doc; order preserved; counts right;
+    fully-boilerplate docs dropped only under drop_empty."""
+    rows = [
+        (1, "unique alpha\ncookie banner\nbody one"),
+        (2, "cookie banner\nbody two text"),
+        (3, "cookie banner\nnav bar\nbody three"),
+        (4, "nav bar\ncookie banner"),
+        (5, "cookie banner"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bl = {r["line"]: r["n_docs"] for r in T.boilerplate_lines(df, min_docs=3).collect()}
+    assert bl == {"cookie banner": 5}
+    out = {r["doc_id"]: (r["clean_text"], r["lines_kept"], r["lines_removed"])
+           for r in T.line_dedup(df, min_docs=3).collect()}
+    assert out == {
+        1: ("unique alpha\nbody one", 2, 1),
+        2: ("body two text", 1, 1),
+        3: ("nav bar\nbody three", 2, 1),  # nav bar: 2 docs < 3, kept
+        4: ("nav bar", 1, 1),
+    }  # doc 5 fully boilerplate -> dropped
+    kept_all = {r["doc_id"] for r in T.line_dedup(df, min_docs=3, drop_empty=False).collect()}
+    assert kept_all == {1, 2, 3, 4, 5}
+    empty5 = T.line_dedup(df, min_docs=3, drop_empty=False).filter("doc_id = 5").first()
+    assert empty5["clean_text"] == "" and empty5["lines_removed"] == 1
+
+
+def test_line_dedup_custom_sep_and_join(spark):
+    """sep is a LITERAL (regex-escaped internally — '|' must not explode
+    into per-char splits); join_sep rewrites the document skeleton."""
+    df = spark.createDataFrame(
+        [(1, "keep me|spam|keep too"), (2, "spam|other text"), (3, "spam|third body")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in T.line_dedup(df, sep="|", min_docs=3, join_sep="\n").collect()}
+    assert out == {1: "keep me\nkeep too", 2: "other text", 3: "third body"}

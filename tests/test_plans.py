@@ -291,7 +291,26 @@ _EXCHANGE_CEILINGS = {
     "kmv_distinct_docs": 4,
     "source_overlap_kmv_docs": 7,
     "semantic_dedup_embeddings": 1,
+    # r10: line-level boilerplate dedup = labels-only census shuffle + one
+    # doc-keyed reassembly agg; the boilerplate set joins back broadcast
+    # (measured 2)
+    "line_dedup_docs": 3,
 }
+
+
+def test_line_dedup_census_shuffle_is_labels_only(spark, sf_dir):
+    """r9 VERDICT #1 plan contract: document LINE TEXT never crosses the
+    boilerplate-census shuffle — the exchange keyed on the line hash must
+    receive only (__lh, doc_id) from its child aggregate; bodies ride only
+    the doc-keyed reassembly exchange."""
+    plan = _plan(QUERIES["line_dedup_docs"](spark, sf_dir))
+    lines = plan.splitlines()
+    census = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(__lh" in l]
+    assert census, "census exchange missing from plan"
+    for i in census:
+        child = lines[i + 1]
+        assert "__line" not in child, child  # text dropped BEFORE the shuffle
+        assert "__lh" in child and "doc_id" in child, child
 
 
 def test_dsir_single_tokenize_pass(spark, sf_dir):
