@@ -57,6 +57,27 @@ def _bc(df: DataFrame, gate: int = 64 << 20) -> DataFrame:
     return F.broadcast(df) if 0 <= size <= gate else df
 
 
+def _stream_tmpdir(prefix: str) -> str:
+    """Scratch dir for streaming sinks/checkpoints (r9 VERDICT tempdir
+    hygiene): every dir lands under ONE per-process root that an atexit
+    handler removes, so repeated driver runs don't accumulate orphan
+    tempdirs. The sink must outlive the query function (the driver collects
+    the returned frame AFTER it returns), so cleanup is at interpreter exit,
+    not per-call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _STREAM_TMP_ROOT
+    if _STREAM_TMP_ROOT is None:
+        _STREAM_TMP_ROOT = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        atexit.register(shutil.rmtree, _STREAM_TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_STREAM_TMP_ROOT)
+
+
+_STREAM_TMP_ROOT: str | None = None
+
+
 def _round(df: DataFrame, cols: list[str], n: int = 6) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.round(F.col(c), n))
@@ -1126,7 +1147,6 @@ def q_events_stream_validate(spark, sf):
     This is the streaming surface's hard-evidence query — everything else
     about it (watermarks, sessionization, stream-static probes) is local-
     test-covered in tests/test_streaming.py."""
-    import tempfile
 
     from analyst_toolkit_spark.operators.validation import ValidationConfig
     from analyst_toolkit_spark.streaming.rules import foreach_batch_runner, validate_stream
@@ -1141,8 +1161,8 @@ def q_events_stream_validate(spark, sf):
         non_null_columns=["user_id"],
     )
     flagged = validate_stream(stream, cfg)
-    sink = tempfile.mkdtemp(prefix="ev_stream_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="ev_stream_ckpt_")
+    sink = _stream_tmpdir("ev_stream_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_stream_ckpt_")
 
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
@@ -1168,7 +1188,6 @@ def q_events_stream_windowed(spark, sf):
     returned. With availableNow every row arrives before the watermark
     advances, so no window is dropped and the totals equal the batch window
     aggregate — which is exactly what the DuckDB oracle computes."""
-    import tempfile
 
     from analyst_toolkit_spark.streaming.rules import windowed_profile
 
@@ -1176,8 +1195,8 @@ def q_events_stream_windowed(spark, sf):
     schema = spark.read.parquet(ev_path).schema
     stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
     prof = windowed_profile(stream, ts_col="ts", window="1 hour", watermark="2 hours")
-    sink = tempfile.mkdtemp(prefix="ev_win_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="ev_win_ckpt_")
+    sink = _stream_tmpdir("ev_win_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_win_ckpt_")
 
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("overwrite").parquet(sink)
@@ -1213,7 +1232,6 @@ def q_events_stream_dedup(spark, sf):
     every event inside the horizon under availableNow (nothing late-drops,
     dedup state stays exact); production bounds state with a tight
     watermark — that semantic is local-tested in tests/test_sessions.py."""
-    import tempfile
 
     from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
     from analyst_toolkit_spark.streaming.sessions import dedup_stream
@@ -1221,8 +1239,8 @@ def q_events_stream_dedup(spark, sf):
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
     deduped = dedup_stream(stream, ["user_id", "event_type"], ts_col="ts", watermark="3650 days")
-    sink = tempfile.mkdtemp(prefix="ev_dedup_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="ev_dedup_ckpt_")
+    sink = _stream_tmpdir("ev_dedup_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_dedup_ckpt_")
 
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
@@ -1247,7 +1265,6 @@ def q_events_stream_sessions(spark, sf):
     BOTH engines is sessions with ``session_end < max(ts) − 3 h`` — strictly
     inside the flush horizon, so the <=-vs-< emission boundary cannot flip a
     row. The DuckDB oracle is the lag-gap island SQL with the same cutoff."""
-    import tempfile
 
     from analyst_toolkit_spark.streaming.sessions import sessionize
 
@@ -1256,8 +1273,8 @@ def q_events_stream_sessions(spark, sf):
     stream = spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
     sess = sessionize(stream, key_col="user_id", ts_col="ts", gap="30 minutes",
                       value_col="value", watermark="2 hours")
-    sink = tempfile.mkdtemp(prefix="ev_sess_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="ev_sess_ckpt_")
+    sink = _stream_tmpdir("ev_sess_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_sess_ckpt_")
 
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
@@ -1298,19 +1315,18 @@ def q_docs_stream_index_probe(spark, sf):
     (doc_id, is_known_dup, matched_id) with matched_id the SMALLEST indexed
     doc sharing md5(text) — fully deterministic regardless of batch split,
     so the whole row set hash-matches DuckDB's grouped-min mirror."""
-    import tempfile
 
     from analyst_toolkit_spark.llm import incremental as L_inc
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    idx = tempfile.mkdtemp(prefix="stream_idx_") + "/index"
+    idx = _stream_tmpdir("stream_idx_") + "/index"
     L_inc.dedup_index_write(
         docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), idx, layers=("exact",)
     )
     stream = spark.readStream.schema(docs.schema).parquet(f"{sf}/documents*.parquet")
     flagged = L_inc.exact_probe_stream(stream.select("doc_id", "text"), idx)
-    sink = tempfile.mkdtemp(prefix="stream_idx_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="stream_idx_ckpt_")
+    sink = _stream_tmpdir("stream_idx_sink_") + "/data"
+    ckpt = _stream_tmpdir("stream_idx_ckpt_")
 
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
@@ -1324,6 +1340,65 @@ def q_docs_stream_index_probe(spark, sf):
         .awaitTermination(300)
     )
     return spark.read.parquet(sink).select("doc_id", "is_known_dup", "matched_id")
+
+
+def q_events_stream_stream_join(spark, sf):
+    """STREAM-STREAM event-time interval join through the driver gate
+    (streaming/joins.interval_join, r10 — the SEVENTH and last canonical
+    Structured Streaming seam, r9 VERDICT #2): purchases and click/view
+    events read as TWO live streams from the same source, inner-joined per
+    user where the click/view happened within the 4 hours BEFORE the
+    purchase — the attribution shape. Both sides carry watermarks (horizon
+    watermark here, mirroring q_events_stream_dedup: with state never
+    evicted, the inner join emits exactly the batch join's row set under ANY
+    micro-batch split, which is what the oracle checks; production tightens
+    the watermark to the real lateness bound and state stays
+    rate × (watermark + window)). Gap is microsecond-exact; the DuckDB
+    mirror is the plain interval self-join."""
+    from analyst_toolkit_spark.streaming.joins import interval_join
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def _stream():
+        return spark.readStream.schema(schema).parquet(f"{sf}/events*.parquet")
+
+    purchases = _stream().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = _stream().filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_type").alias("click_type"),
+    )
+    joined = interval_join(
+        purchases, clicks, key="user_id", left_ts="purchase_ts",
+        right_ts="click_ts", window="4 hours",
+        left_watermark="3650 days", right_watermark="3650 days",
+    )
+    sink = _stream_tmpdir("ev_ssj_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_ssj_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "click_type",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
 
 
 def q_events_stream_stateful(spark, sf):
@@ -1343,7 +1418,6 @@ def q_events_stream_stateful(spark, sf):
     late-filter rows older than max(ts)-1d BEFORE the stateful operator and
     diverge from the batch oracle; the horizon watermark makes the final
     emission genuinely batch-split-invariant."""
-    import tempfile
 
     from pyspark.sql.window import Window
 
@@ -1354,8 +1428,8 @@ def q_events_stream_stateful(spark, sf):
     stats = stateful_running_stats(
         stream, key_col="user_id", value_col="value", ts_col="ts", watermark="3650 days"
     )
-    sink = tempfile.mkdtemp(prefix="ev_state_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="ev_state_ckpt_")
+    sink = _stream_tmpdir("ev_state_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_state_ckpt_")
 
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
@@ -1580,7 +1654,6 @@ def q_dedup_index_probe(spark, sf):
     prefixes). Corpus = even doc_ids; batch = copies of corpus docs <= 40
     (new ids +100000) plus all odd docs. Oracle: text-equality left join with
     min corpus id (md5 fingerprinting == content equality)."""
-    import tempfile
 
     from analyst_toolkit_spark.llm import incremental as L_inc
 
@@ -1591,7 +1664,7 @@ def q_dedup_index_probe(spark, sf):
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
         .unionByName(docs.filter(F.col("doc_id") % 2 == 1))
     )
-    path = tempfile.mkdtemp(prefix="dedup_idx_")
+    path = _stream_tmpdir("dedup_idx_")
     # exact layer only: this query never near-probes, and the near layer's
     # signature fold is ~10x the fingerprint cost (round-5 scale sweep).
     # prefix_width=1 (16 dirs): the documented small-corpus setting — at
@@ -2699,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- slots keep the r08-green window; eight multi-round-green TPC-H
         # -- continuity slots parked to the tail to make room.
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
+        "events_stream_stream_join": q_events_stream_stream_join,  # NEW r10 (SEVENTH streaming row: stream-stream interval join; r9 VERDICT #2)
         "curate_md5_docs": q_curate_md5_docs,              # NEW r9 (end-to-end curate chain hash oracle; r8 VERDICT #3)
         "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # NEW r9 (near-dup-aware data card; r8 VERDICT #4)
         "events_stream_sessions": q_events_stream_sessions,  # NEW r9 (fifth REAL streaming row: session_window+watermark; r8 VERDICT #5)
@@ -3787,6 +3861,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk.toks) - coalesce(agg.kept, 0) AS INTEGER) AS removed_tokens,
                md5(coalesce(agg.clean_text, '')) AS clean_md5
         FROM tk LEFT JOIN agg USING (doc_id)
+    """
+    sqls["events_stream_stream_join"] = """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               c.event_type AS click_type,
+               CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type IN ('click', 'view')
+         AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
     """
     sqls["line_dedup_docs"] = """
         WITH l AS (

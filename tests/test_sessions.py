@@ -268,3 +268,89 @@ def test_session_paths_query_ground_truth(spark, monkeypatch, tmp_path):
     # u2 'view>buy' (29:59.999999 stays inside), u1-A 'view>cart' (event_id
     # breaks the equal-timestamp tie); all tie at 1 session -> path asc
     assert got == [("view", 1, 1), ("view>buy", 1, 2), ("view>cart", 1, 2)]
+
+
+def test_interval_join_batch_ground_truth(spark):
+    """interval_join over BATCH frames: inclusive [ts - window, ts] bounds,
+    key equality, disjoint-column contract enforced."""
+    import pytest
+
+    from analyst_toolkit_spark.streaming.joins import interval_join
+
+    purch = spark.createDataFrame(
+        [(1, 100, "2024-01-01 12:00:00"), (2, 101, "2024-01-01 12:00:00")],
+        "user_id long, purchase_id long, pts string",
+    ).withColumn("pts", F.to_timestamp("pts"))
+    clicks = spark.createDataFrame(
+        [
+            (1, 200, "2024-01-01 11:00:00"),  # exactly window before -> in
+            (1, 201, "2024-01-01 10:59:59.999999"),  # 1 us too early -> out
+            (1, 202, "2024-01-01 12:00:00"),  # same instant -> in
+            (1, 203, "2024-01-01 12:00:00.000001"),  # after purchase -> out
+            (2, 204, "2024-01-01 11:30:00"),  # other user's window -> in for u2
+        ],
+        "user_id long, click_id long, cts string",
+    ).withColumn("cts", F.to_timestamp("cts"))
+    out = interval_join(purch, clicks, key="user_id", left_ts="pts",
+                        right_ts="cts", window="1 hour")
+    got = sorted((r["user_id"], r["purchase_id"], r["click_id"]) for r in out.collect())
+    assert got == [(1, 100, 200), (1, 100, 202), (2, 101, 204)]
+    with pytest.raises(ValueError, match="named differently"):
+        interval_join(purch.withColumnRenamed("pts", "ts"),
+                      clicks.withColumnRenamed("cts", "ts"))
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(purch, clicks.withColumnRenamed("click_id", "purchase_id"),
+                      left_ts="pts", right_ts="cts")
+
+
+def test_interval_join_stream_matches_batch_any_split(spark):
+    """Stream-stream interval join over a 3-file source (maxFilesPerTrigger=1,
+    sides arriving across different micro-batches) emits exactly the batch
+    join's row set when the watermark never evicts state — the determinism
+    contract q_events_stream_stream_join relies on."""
+    import os
+
+    from analyst_toolkit_spark.streaming.joins import interval_join
+
+    d = tempfile.mkdtemp(prefix="ssj_src_")
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    sink = tempfile.mkdtemp(prefix="ssj_sink_") + "/data"
+    try:
+        rows = [
+            (1, 1, "2024-01-01 10:00:00", "click"),
+            (2, 1, "2024-01-01 10:30:00", "purchase"),   # matches 1
+            (3, 1, "2024-01-01 09:20:00", "click"),      # 70 min before -> out
+            (4, 2, "2024-01-01 08:00:00", "click"),
+            (5, 2, "2024-01-01 08:59:00", "purchase"),   # matches 4
+            (6, 2, "2024-01-01 09:30:00", "purchase"),   # 90 min after 4 -> no match
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, event_type string")
+        df = df.withColumn("ts", F.to_timestamp("ts"))
+        # 3 files, one event-time-shuffled slice each -> 3 micro-batches
+        for i, ids in enumerate(((2, 4), (1, 6), (3, 5))):
+            df.filter(F.col("event_id").isin(*ids)).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        purch = stream.filter("event_type = 'purchase'").select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"))
+        clicks = stream.filter("event_type = 'click'").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts"))
+        joined = interval_join(purch, clicks, key="user_id", left_ts="pts",
+                               right_ts="cts", window="1 hour",
+                               left_watermark="3650 days", right_watermark="3650 days")
+        (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        got = sorted((r["user_id"], r["purchase_id"], r["click_id"])
+                     for r in spark.read.parquet(sink).collect())
+        assert got == [(1, 2, 1), (2, 5, 4)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
