@@ -496,13 +496,30 @@ def simhash_near_pairs(
     """
     from analyst_toolkit_spark.llm.scale import ensure_parallelism
 
-    bands = max_hamming + 1
-    seg_len = 64 // bands
     # the signature fold is compute-bound — don't inherit file-count
     # partitioning (same reasoning as minhash_dedup_pairs:184-186)
     sig_df = ensure_parallelism(df).select(
         F.col(id_col), simhash64(F.col(key), method=method).alias("sig")
     )
+    return hamming_near_pairs(sig_df, id_col=id_col, max_hamming=max_hamming, eager=eager)
+
+
+def hamming_near_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    eager: bool = True,
+) -> DataFrame:
+    """Near pairs among 64-bit signatures (as 64-char '0'/'1' strings) with
+    hamming distance ≤ ``max_hamming`` — the pigeonhole banding + packed
+    ``bit_count`` verify shared by text SimHash (``simhash_near_pairs``) and
+    perceptual image hashes (multimodal.image_near_pairs, r10). Null
+    signatures (undecodable blobs) are dropped before banding. See
+    ``simhash_near_pairs`` for the plan-shape rationale."""
+    bands = max_hamming + 1
+    seg_len = 64 // bands
+    sig_df = sig_df.filter(F.col(sig_col).isNotNull()).withColumnRenamed(sig_col, "sig")
 
     # pack the '0'/'1' signature into two longs for cheap hamming verify
     def _pack(start: int, length: int):

@@ -542,3 +542,104 @@ def audio_header_meta(df: DataFrame, blob_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(mapper, schema=out_schema)
+
+
+# -- perceptual image hashing / near-dup -------------------------------------
+# The image-corpus counterpart of MinHash (r9 VERDICT #4): dHash (gradient
+# bits over a 9x8 grayscale thumbnail) and aHash (mean-threshold bits over
+# 8x8) are the standard perceptual signatures — identical under re-encode,
+# stable under uniform brightness shifts (dHash exactly, aHash largely) and
+# small crops, and cheap: one decode + 72 samples per blob. Signatures are
+# the SAME 64-char '0'/'1' representation as llm/dedup.simhash64, so the
+# pigeonhole banding + packed bit_count machinery is shared verbatim
+# (dedup.hamming_near_pairs) — never an all-pairs compare.
+
+
+def _gray_thumb(b: bytes, tw: int, th: int) -> list[list[int]]:
+    """Decode a PNG and nearest-neighbor-sample a tw x th grayscale matrix
+    (integer luma; alpha ignored). Raises DecoderUnavailable for non-PNG or
+    unsupported shapes — callers map that to a NULL signature."""
+    w, h, ch, px = decode_png(b)
+    rows = []
+    for y in range(th):
+        sy = min(h - 1, (y * h) // th)
+        row = []
+        for x in range(tw):
+            sx = min(w - 1, (x * w) // tw)
+            o = (sy * w + sx) * ch
+            if ch >= 3:
+                # ITU-R BT.601 integer luma — deterministic across platforms
+                g = (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000
+            else:
+                g = px[o]  # grey / grey+alpha: channel 0 IS the luma
+            row.append(g)
+        rows.append(row)
+    return rows
+
+
+def dhash64(b: bytes) -> str:
+    """64-bit difference hash: 9x8 grayscale thumb, bit (y,x) = 1 iff
+    pixel(x+1,y) > pixel(x,y). Row-major, '0'/'1' chars, bit 0 first."""
+    m = _gray_thumb(b, 9, 8)
+    return "".join("1" if m[y][x + 1] > m[y][x] else "0" for y in range(8) for x in range(8))
+
+
+def ahash64(b: bytes) -> str:
+    """64-bit average hash: 8x8 grayscale thumb, bit = 1 iff pixel > mean."""
+    m = _gray_thumb(b, 8, 8)
+    flat = [v for row in m for v in row]
+    mean = sum(flat) / 64.0
+    return "".join("1" if v > mean else "0" for v in flat)
+
+
+def image_perceptual_hash(
+    df: DataFrame,
+    blob_col: str = "content",
+    method: str = "dhash",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Append a perceptual-hash column ('0'/'1' 64-char string; NULL for
+    blobs the stdlib decoder cannot read — JPEG/video stay behind the
+    documented DecoderUnavailable seam). Arrow-batched ``mapInPandas``: one
+    Python worker per core, blobs never leave their partition, no per-row
+    overhead — the multimodal decode seam, same contract as
+    ``extract_image_meta``."""
+    fn = {"dhash": dhash64, "ahash": ahash64}.get(method)
+    if fn is None:
+        raise ValueError(f"unknown perceptual hash method: {method!r}")
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType(), True)])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for b in pdf[blob_col]:
+                try:
+                    sigs.append(fn(bytes(b)) if b is not None else None)
+                except DecoderUnavailable:
+                    sigs.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = sigs
+            yield pdf
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+def image_near_pairs(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    method: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash per blob, then the shared
+    pigeonhole banding + packed bit_count verify (dedup.hamming_near_pairs)
+    — candidates come from segment equi-joins, never an all-pairs compare.
+    Undecodable blobs drop out (NULL signature). Output: (id_a, id_b,
+    hamming). Components/survivor election compose downstream exactly as for
+    text (dedup.connected_components / dedup_from_components)."""
+    from analyst_toolkit_spark.llm.dedup import hamming_near_pairs
+
+    sig = image_perceptual_hash(df, blob_col=blob_col, method=method).select(
+        F.col(id_col), F.col("phash")
+    )
+    return hamming_near_pairs(sig, id_col=id_col, sig_col="phash", max_hamming=max_hamming)

@@ -2051,3 +2051,91 @@ def test_line_dedup_custom_sep_and_join(spark):
     out = {r["doc_id"]: r["clean_text"]
            for r in T.line_dedup(df, sep="|", min_docs=3, join_sep="\n").collect()}
     assert out == {1: "keep me\nkeep too", 2: "other text", 3: "third body"}
+
+
+def _mk_png(f, w=32, h=32):
+    import math  # noqa: F401  (patterns use it via closures)
+
+    from analyst_toolkit_spark.llm.multimodal import encode_png
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = f(x, y)
+            px += bytes((r, g, b))
+    return encode_png(w, h, 3, bytes(px))
+
+
+def _phash_fixtures():
+    """Deterministic PNG corpus: base / byte-identical / +10 brightness /
+    1-px horizontal shift / unrelated. Values bounded [0,210] so the
+    brightness shift never clamps (gradients strictly preserved)."""
+    import math
+
+    base_f = lambda x, y: (int(100 + 80 * math.sin(x / 5)), int(100 + 80 * math.cos(y / 4)), (x * 3 + y * 2) % 200)  # noqa: E731
+    return {
+        "base": _mk_png(base_f),
+        "ident": _mk_png(base_f),
+        "bright": _mk_png(lambda x, y: tuple(v + 10 for v in base_f(x, y))),
+        "shift": _mk_png(lambda x, y: base_f((x - 1) % 32, y)),
+        "other": _mk_png(lambda x, y: ((x * 37 + y * 11) % 256 // 2, (x * 5) % 200, (y * 91) % 200)),
+    }
+
+
+def test_image_perceptual_hash_invariances():
+    """dHash ground truth on the REAL stdlib PNG codec: identical bytes and
+    uniform brightness shifts hash identically; a 1-px shift stays within a
+    small hamming budget; an unrelated image is far. aHash agrees on the
+    identity/brightness invariances."""
+    from analyst_toolkit_spark.llm.multimodal import ahash64, dhash64
+
+    fx = _phash_fixtures()
+    ham = lambda a, b: sum(c1 != c2 for c1, c2 in zip(a, b))  # noqa: E731
+    d = {k: dhash64(v) for k, v in fx.items()}
+    assert len(d["base"]) == 64 and set(d["base"]) <= {"0", "1"}
+    assert d["ident"] == d["base"]
+    assert d["bright"] == d["base"]
+    assert 0 < ham(d["base"], d["shift"]) <= 12
+    assert ham(d["base"], d["other"]) > 20
+    a = {k: ahash64(v) for k, v in fx.items()}
+    assert a["ident"] == a["base"] == a["bright"]
+    assert ham(a["base"], a["other"]) > 20
+
+
+def test_image_near_pairs_banded(spark):
+    """image_near_pairs over the fixture corpus: the banded hamming join
+    finds {base,ident,bright,shift} as mutual near-dups at budget 8, never
+    pairs the unrelated image, and NULLs out the undecodable JPEG-ish blob
+    instead of failing. Components compose downstream as for text."""
+    from analyst_toolkit_spark.llm import multimodal as M
+
+    fx = _phash_fixtures()
+    rows = [
+        (0, bytearray(fx["base"])),
+        (1, bytearray(fx["ident"])),
+        (2, bytearray(fx["bright"])),
+        (3, bytearray(fx["shift"])),
+        (4, bytearray(fx["other"])),
+        (5, bytearray(b"\xff\xd8\xff\xe0 not a png")),  # JPEG magic -> NULL sig
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    pairs = M.image_near_pairs(df, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 3)}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0
+    assert 0 < got[(0, 3)] <= 8
+    comps = D.connected_components(pairs)
+    cc = {r["node"]: r["component"] for r in comps.collect()}
+    assert {n for n, c in cc.items() if c == 0} == {0, 1, 2, 3}
+    assert 4 not in cc and 5 not in cc
+
+
+def test_image_near_dup_query_ground_truth(spark):
+    """q_image_near_dup end-to-end at sf0.01: exactly 30 components (one per
+    synthetic group), every one with its 4 brightness variants, component id
+    = the group's base doc_id (smallest member)."""
+    import __spark_entry__ as entry_mod
+
+    got = {r["component"]: r["n_members"]
+           for r in entry_mod.q_image_near_dup(spark, "/root/testdata/sf0.01").collect()}
+    assert got == {g: 4 for g in range(30)}
