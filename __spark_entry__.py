@@ -1768,6 +1768,18 @@ def q_line_dedup_docs(spark, sf):
     )
 
 
+def q_containment_pairs_docs(spark, sf):
+    """Asymmetric CONTAINMENT join (llm/dedup.containment_pairs, r10 —
+    Broder SEQUENCES'97): |G(a) ∩ G(b)| / |G(a)| over distinct 8-gram sets,
+    both directions, threshold 0.3 — the quote/partial-copy signal Jaccard
+    dilutes away. Spark joins on xxhash64(gram) inside the 2..MAX_BUCKET
+    candidate band (never gram text, never all-pairs); the oracle groups
+    raw gram strings with the same band — agreement certifies the hash path
+    collision-free at this scale."""
+    docs = load_table(spark, sf, "documents")
+    return L_dedup.containment_pairs(docs, n=8, threshold=0.3)
+
+
 def q_dedup_best_quality_docs(spark, sf):
     """Quality-aware survivor election over REAL near-dup clusters, fully
     oracle-backed (llm/dedup.dedup_representatives_by, new r8): components
@@ -2824,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
         "events_stream_stream_join": q_events_stream_stream_join,  # NEW r10 (SEVENTH streaming row: stream-stream interval join; r9 VERDICT #2)
         "image_near_dup": q_image_near_dup,                # NEW r10 (perceptual dHash image near-dup; rows-only — PNG decode; r9 VERDICT #4)
+        "containment_pairs_docs": q_containment_pairs_docs,  # NEW r10 (Broder asymmetric containment — quote/partial-copy detection)
         "curate_md5_docs": q_curate_md5_docs,              # NEW r9 (end-to-end curate chain hash oracle; r8 VERDICT #3)
         "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # NEW r9 (near-dup-aware data card; r8 VERDICT #4)
         "events_stream_sessions": q_events_stream_sessions,  # NEW r9 (fifth REAL streaming row: session_window+watermark; r8 VERDICT #5)
@@ -3925,6 +3938,28 @@ def oracle_sql() -> dict[str, str]:
          AND p.event_type = 'purchase'
          AND c.event_type IN ('click', 'view')
          AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    """
+    sqls["containment_pairs_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+          FROM tk, unnest(range(1, len(toks) - 6)) AS t(i)
+          WHERE len(toks) >= 8),
+        sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 1000),
+        gg AS (SELECT g.* FROM g JOIN dup USING (gram)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM gg a JOIN gg b USING (gram)
+          WHERE a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+        SELECT p.id_a, p.id_b,
+               p.shared AS shared_grams,
+               round(p.shared * 1.0 / s.n_grams, 6) AS containment
+        FROM pairs p JOIN sz s ON s.doc_id = p.id_a
+        WHERE round(p.shared * 1.0 / s.n_grams, 6) >= 0.3
     """
     sqls["line_dedup_docs"] = """
         WITH l AS (

@@ -1419,3 +1419,67 @@ def dedup_representatives_auto(
         pair_cap=pair_cap, checkpoint_dir=checkpoint_dir,
     )
     return dedup_from_components(df, comps, id_col=id_col, score_col=score_col), strategy
+
+
+def containment_pairs(
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment join (Broder, "On the resemblance and
+    containment of documents", SEQUENCES'97): for each ordered pair (a, b),
+    ``containment = |G(a) ∩ G(b)| / |G(a)|`` over distinct token ``n``-grams
+    — near 1.0 when document a is (mostly) CONTAINED in b, the quote /
+    partial-copy / page-superset signal that symmetric Jaccard dilutes away
+    (a 100-word doc quoted inside a 10k-word doc has Jaccard ≈ 0.01 but
+    containment ≈ 1.0). The dedup-policy complement to
+    ``ngram_jaccard_pairs``: near-dup clustering keeps one of A≈B, while
+    containment flags A⊂B so the subset doc can be dropped and the superset
+    kept. Output: (id_a, id_b, shared_grams, containment), both directions
+    of every qualifying pair.
+
+    Plan at 100 TB (the repeated_spans candidate-bound discipline): grams →
+    distinct (id, xxhash64(gram)) map-heavy stream; ONLY grams appearing in
+    2..``max_gram_docs`` documents (defaults to the shared MAX_BUCKET cap)
+    enter the pair self-join — singleton grams cannot contribute to an
+    intersection, and stopword-like hub grams past the cap are dropped on
+    BOTH the census and the join (conservative undercount, bounded join
+    fan-out; identical rule to minhash bucket caps). All shuffles key on the
+    8-byte gram hash or the id pair, never gram text. The DuckDB oracle
+    groups raw gram strings with the same 2..cap band and agrees at test
+    scale, certifying the hash path collision-free there."""
+    cap = MAX_BUCKET if max_gram_docs is None else max_gram_docs
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(key, n)).alias("__g")
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= cap))
+        .select("__gh")
+    )
+    gg = grams.join(dup, "__gh", "left_semi")
+    a, b = gg.alias("a"), gg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__gh") == F.col("b.__gh"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumn(
+            "containment", F.round(F.col("shared_grams") / F.col("__n_grams"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "shared_grams", "containment")
+    )

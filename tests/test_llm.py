@@ -2139,3 +2139,29 @@ def test_image_near_dup_query_ground_truth(spark):
     got = {r["component"]: r["n_members"]
            for r in entry_mod.q_image_near_dup(spark, "/root/testdata/sf0.01").collect()}
     assert got == {g: 4 for g in range(30)}
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Broder containment ground truth: a short doc quoted inside a long doc
+    scores 1.0 in the subset->superset direction and low the other way —
+    the signal symmetric Jaccard dilutes; unrelated docs never pair."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = ("prefix words " * 20) + quote + (" suffix tail" * 20)
+    rows = [
+        (1, quote),
+        (2, long_doc),
+        (3, "completely unrelated body of other tokens " * 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): (r["shared_grams"], r["containment"])
+           for r in D.containment_pairs(df, n=8, threshold=0.0).collect()}
+    assert set(got) == {(1, 2), (2, 1)}
+    # 10-token quote -> 3 distinct 8-grams, all inside the long doc
+    assert got[(1, 2)] == (3, 1.0)
+    # reverse direction dilutes over the superset's gram set (the repeated
+    # filler collapses to few DISTINCT grams, so it is small but not tiny)
+    assert got[(2, 1)][0] == 3 and got[(2, 1)][1] < 0.3
+    # threshold gates the weak direction
+    assert {(r["id_a"], r["id_b"]) for r in D.containment_pairs(df, n=8, threshold=0.5).collect()} == {(1, 2)}
+    # hub-gram cap: with every shared gram past the cap, no pairs survive
+    assert D.containment_pairs(df, n=8, threshold=0.0, max_gram_docs=1).count() == 0
