@@ -1768,6 +1768,18 @@ def q_line_dedup_docs(spark, sf):
     )
 
 
+def q_zipf_fit_docs(spark, sf):
+    """Zipf rank-frequency fit (llm/text.zipf_fit, r10): ln(freq) ~ ln(rank)
+    least squares over the top-100 vocabulary — slope/intercept/R² corpus
+    health census. Ranks come from the distributed prefix-sum row number
+    (llm/pack.with_global_cumsum — never a partitionless window); the
+    regression is one covar_pop/var_pop/corr aggregate. The oracle is
+    DuckDB's regr_slope/regr_intercept/regr_r2 over the same deterministic
+    (freq desc, token asc) ranking."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.zipf_fit(docs, top_n=100)
+
+
 def q_containment_pairs_docs(spark, sf):
     """Asymmetric CONTAINMENT join (llm/dedup.containment_pairs, r10 —
     Broder SEQUENCES'97): |G(a) ∩ G(b)| / |G(a)| over distinct 8-gram sets,
@@ -2471,6 +2483,34 @@ def q_image_near_dup(spark, sf):  # NON-SQL (PNG decode; ground-truth tested in 
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def q_embedding_pca(spark, sf):  # NON-SQL (driver eigendecomposition; numpy ground truth in test_llm.py)
+    """PCA census over the embeddings table (llm/similarity.pca_fit, r10):
+    distributed O(d²) moment pass (one word-count-shaped shuffle) + driver
+    eigh on the 64x64 covariance + map-only projection. Output: per
+    component (rank, eigenvalue, explained-variance ratio) plus the
+    projected cloud's per-component variance check — rows-only (the
+    eigendecomposition is not SQL-expressible; exactness vs numpy is pinned
+    by test_pca_matches_numpy)."""
+    emb = load_table(spark, sf, "embeddings")
+    model = L_sim.pca_fit(emb, k=4)
+    proj = L_sim.pca_project(emb, model)
+    var_rows = proj.agg(
+        *[F.round(F.var_pop(f"pc{i}"), 4).alias(f"v{i}") for i in range(1, 5)]
+    ).first()
+    rows = [
+        (
+            i + 1,
+            round(model["eigenvalues"][i], 4),
+            round(model["explained_variance_ratio"][i], 6),
+            float(var_rows[f"v{i + 1}"]),
+        )
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, evr double, projected_var double"
+    )
+
+
 def q_bpe_token_stats_docs(spark, sf):  # NON-SQL (iterative merge induction + per-word encoder loop)
     """Trained-BPE corpus census (llm/bpe.py): induce 200 merges from a
     bounded sample (driver-side — the standard tokenizer practice), then
@@ -2837,6 +2877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stream_join": q_events_stream_stream_join,  # NEW r10 (SEVENTH streaming row: stream-stream interval join; r9 VERDICT #2)
         "image_near_dup": q_image_near_dup,                # NEW r10 (perceptual dHash image near-dup; rows-only — PNG decode; r9 VERDICT #4)
         "containment_pairs_docs": q_containment_pairs_docs,  # NEW r10 (Broder asymmetric containment — quote/partial-copy detection)
+        "embedding_pca": q_embedding_pca,                  # NEW r10 (distributed-moment PCA + driver eigh; rows-only — numpy ground truth)
+        "zipf_fit_docs": q_zipf_fit_docs,                  # NEW r10 (Zipf rank-frequency regression; regr_* oracle)
         "curate_md5_docs": q_curate_md5_docs,              # NEW r9 (end-to-end curate chain hash oracle; r8 VERDICT #3)
         "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # NEW r9 (near-dup-aware data card; r8 VERDICT #4)
         "events_stream_sessions": q_events_stream_sessions,  # NEW r9 (fifth REAL streaming row: session_window+watermark; r8 VERDICT #5)
@@ -3938,6 +3980,19 @@ def oracle_sql() -> dict[str, str]:
          AND p.event_type = 'purchase'
          AND c.event_type IN ('click', 'view')
          AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    """
+    sqls["zipf_fit_docs"] = """
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents),
+        c AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+        top AS (SELECT t, f FROM c ORDER BY f DESC, t LIMIT 100),
+        r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rn FROM top)
+        SELECT count(*) AS n_terms,
+               round(regr_slope(ln(f), ln(rn)), 6) AS slope,
+               round(regr_intercept(ln(f), ln(rn)), 6) AS intercept,
+               round(regr_r2(ln(f), ln(rn)), 6) AS r2
+        FROM r
     """
     sqls["containment_pairs_docs"] = """
         WITH tk AS (

@@ -691,3 +691,129 @@ def semantic_dedup(
         .withColumn("is_rep", F.col("component") == F.col(id_col))
         .drop("__sd_node", "__sd_comp")
     )
+
+
+# -- PCA over embedding columns ----------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_dim: int = 256,
+) -> dict:
+    """PCA over an embedding column — the whitening / dim-reduction step a
+    training-data pipeline runs before SemDeDup-style clustering or to
+    compress vectors ahead of ANN (Abbas et al., SemDeDup arXiv:2303.09540
+    apply it before cosine clustering). Distributed moment pass + driver
+    eigendecomposition, the same split as the IVF k-means
+    (``_kmeans_driver``): at 100 TB the DATA never leaves the executors —
+    only d means plus the d(d+1)/2 upper-triangle second moments cross to
+    the driver (one word-count-shaped shuffle with map-side combine:
+    posexplode of the per-row product triangle → groupBy(slot) sum), then a
+    d x d ``numpy.linalg.eigh`` that is microseconds for embedding-sized d.
+
+    ``max_dim`` fail-loudly guard: the triangle is O(d²) doubles per row —
+    past ~256 dims fit on a uniform SAMPLE or pre-reduce instead (same
+    bounded-driver contract as functions/stats.py ``max_bracket``).
+
+    Deterministic: moment sums are order-stable to ~1e-12, eigh is
+    deterministic, and each eigenvector's sign is fixed by making its
+    largest-|coefficient| element positive. Returns dict with ``n``,
+    ``mean``, ``components`` (k rows, descending eigenvalue),
+    ``eigenvalues``, ``explained_variance_ratio``."""
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    d = first["d"]
+    if d > max_dim:
+        raise ValueError(
+            f"pca_fit: dim {d} > max_dim {max_dim} — the O(d^2) moment "
+            "triangle is not the right plan; sample or pre-reduce first"
+        )
+    idx = list(range(d))
+    # flattened upper triangle of x xᵀ per row, then ONE groupBy(slot) sum —
+    # n·d(d+1)/2 values reduced map-side to d(d+1)/2 per partition
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d - 1)),
+                lambda j: F.element_at(vec_col, i + 1).cast("double")
+                * F.element_at(vec_col, j + 1).cast("double"),
+            ),
+        )
+    )
+    moments = (
+        df.select(F.posexplode(tri).alias("slot", "v"))
+        .groupBy("slot")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    sums = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = sums[0]["n"]
+    mean = np.zeros(d)
+    for r in sums:
+        mean[r["i"]] = r["s"] / n
+    S = np.zeros((d, d))
+    flat = {r["slot"]: r["s"] for r in moments}
+    slot = 0
+    for i in idx:
+        for j in range(i, d):
+            S[i, j] = S[j, i] = flat[slot]
+            slot += 1
+    cov = S / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    eigs = []
+    for c in order:
+        vec = v[:, c]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        eigs.append(float(w[c]))
+    total = float(np.clip(w, 0, None).sum()) or 1.0
+    return {
+        "n": int(n),
+        "dim": int(d),
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "eigenvalues": eigs,
+        "explained_variance_ratio": [e / total for e in eigs],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Map-only projection onto fitted components: one JVM dot-product
+    expression per component over the centered vector (zip_with +
+    aggregate, no UDF, no shuffle — composes into whatever scan precedes
+    it). Appends ``{prefix}1..{prefix}k`` double columns."""
+    mean = model["mean"]
+    out = df
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), lit_vec(mean), lambda a, b: a - b
+    )
+    for ci, comp in enumerate(model["components"], start=1):
+        out = out.withColumn(
+            f"{prefix}{ci}",
+            F.aggregate(
+                F.zip_with(centered, lit_vec(comp), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out

@@ -1206,3 +1206,45 @@ def _re_escape(sep: str) -> str:
     import re
 
     return re.escape(sep)
+
+
+def zipf_fit(df: DataFrame, key: str = "text", top_n: int = 100) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope /
+    intercept / R² of ``ln(freq) ~ ln(rank)`` across the ``top_n``
+    most-frequent terms — the rank-frequency health check (natural language
+    sits near slope -1; template spam and mode-collapsed synthetic corpora
+    flatten or cliff the curve, a standard pre-training corpus diagnostic).
+
+    Plan at 100 TB: ONE (token)-keyed count shuffle (map-side combined, the
+    word-count shape) → TakeOrdered top_n (freq desc, token asc — the
+    deterministic tie order) → ranks via the distributed prefix-sum row
+    number (llm/pack.with_global_cumsum; NEVER a partitionless window, even
+    on bounded rows) → one closed-form regression aggregate
+    (covar_pop/var_pop/corr — all JVM built-ins). Output one row:
+    (n_terms, slope, intercept, r2), rounded at 6. Ties are
+    regression-invariant: tied frequencies share ln(freq), so which tied
+    token takes which rank cannot move the fit."""
+    from analyst_toolkit_spark.llm.pack import with_global_cumsum
+
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    )
+    counts = df.select(toks.alias("__t")).groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__f")
+    )
+    top = (
+        counts.orderBy(F.desc("__f"), "__t")
+        .limit(top_n)
+        .withColumn("__negf", -F.col("__f"))
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    ranked = with_global_cumsum(top, "__one", ["__negf", "__t"], out_col="__rn")
+    x = F.log(F.col("__rn").cast("double"))
+    y = F.log(F.col("__f").cast("double"))
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
+        F.round(F.pow(F.corr(x, y), 2), 6).alias("r2"),
+    )

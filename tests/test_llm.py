@@ -2165,3 +2165,54 @@ def test_containment_pairs_asymmetric(spark):
     assert {(r["id_a"], r["id_b"]) for r in D.containment_pairs(df, n=8, threshold=0.5).collect()} == {(1, 2)}
     # hub-gram cap: with every shared gram past the cap, no pairs survive
     assert D.containment_pairs(df, n=8, threshold=0.0, max_gram_docs=1).count() == 0
+
+
+def test_pca_matches_numpy(spark):
+    """pca_fit ground truth: distributed moment pass + driver eigh equals
+    numpy PCA on the collected matrix (sign-fixed), projection reproduces
+    numpy's centered dot products; dim guard fails loudly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated along two known directions
+    base = rng.normal(size=(200, 6))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    X = np.array([r[1] for r in rows])  # float32-rounded, same as Spark reads
+    model = S.pca_fit(df, k=3)
+    assert model["n"] == 200 and model["dim"] == 6
+    cov = np.cov(X.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    for ci, c in enumerate(order):
+        vec = v[:, c]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        assert np.allclose(model["components"][ci], vec, atol=1e-6)
+        assert abs(model["eigenvalues"][ci] - w[c]) < 1e-6
+    evr = model["explained_variance_ratio"]
+    assert evr[0] > 0.6 and evr == sorted(evr, reverse=True)
+    proj = S.pca_project(df, model).orderBy("vec_id").collect()
+    expect = (X - X.mean(0)) @ np.array(model["components"]).T
+    got = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in proj])
+    assert np.allclose(got, expect, atol=1e-5)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_dim"):
+        S.pca_fit(df, k=2, max_dim=4)
+
+
+def test_zipf_fit_ground_truth(spark):
+    """Exact-Zipf corpus (freq ∝ 1/rank): slope -1, r2 1; rank ties cannot
+    move the fit (tied freqs share ln f)."""
+    # token w_r appears round(120/r) times, r = 1..6 -> perfect power law
+    words = []
+    for r in range(1, 7):
+        words += [f"w{r}"] * round(120 / r)
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    row = T.zipf_fit(df, top_n=10).first()
+    assert row["n_terms"] == 6
+    assert abs(row["slope"] + 1.0) < 0.02
+    assert row["r2"] > 0.999
