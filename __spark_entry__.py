@@ -2855,45 +2855,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (transparent, semantics-neutral): the driver verifies
     # only the first 50 dict entries per round, so each round's window leads
     # with queries that have never held a driver row and keeps the rest for
-    # continuity. Union of driver-green rows r01-r08 = 138 distinct queries
-    # covering ALL 133 then-oracle-backed entries (zero failures since r2);
-    # round 9 rotates in the last 5 never-driver-checked rows-only queries
-    # plus this round's 5 new oracle-backed ones, closing the FULL-registry
-    # closure. Every deterministic query — windowed or not — also runs
-    # against the same oracle in the local test suite
+    # continuity. Union of driver-green rows r01-r09 covers EVERY registry
+    # query (zero failures since r2). Every deterministic query — windowed
+    # or not — also runs against the same oracle in the local test suite
     # (tests/test_entry_contract.py) at sf0.01 every run, so rotation never
     # leaves a query unverified.
     return {
-        # -- r9 rotation (r8 VERDICT #2-#5): the THREE new oracle-backed
-        # -- queries lead (end-to-end curate hash oracle, near-dup-aware data
-        # -- card, streaming sessionize), then the FIVE never-driver-checked
-        # -- rows-only queries (they cannot hash-match — seeded xxhash /
-        # -- k-means / orchestration — but rows+schema evidence is free and
-        # -- closes the full-registry closure: after this round all 146
-        # -- registry queries hold a driver row in some round). The other 42
-        # -- slots keep the r08-green window; eight multi-round-green TPC-H
-        # -- continuity slots parked to the tail to make room.
+        # -- r10 rotation (r9 VERDICT #1/#2/#4/#5/#7): the SIX new queries
+        # -- lead (line-level boilerplate dedup, stream-stream interval
+        # -- join, perceptual image near-dup, Broder containment, embedding
+        # -- PCA, Zipf fit — four oracle-backed, two rows-only by nature),
+        # -- then the THIRTEEN twice-green queries parked since r8 rotate
+        # -- back through the window so their evidence doesn't go stale
+        # -- (VERDICT #5). To make room, the 13 r9-green queries move to the
+        # -- tail — every one holds a fresh r9 driver row.
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
         "events_stream_stream_join": q_events_stream_stream_join,  # NEW r10 (SEVENTH streaming row: stream-stream interval join; r9 VERDICT #2)
         "image_near_dup": q_image_near_dup,                # NEW r10 (perceptual dHash image near-dup; rows-only — PNG decode; r9 VERDICT #4)
         "containment_pairs_docs": q_containment_pairs_docs,  # NEW r10 (Broder asymmetric containment — quote/partial-copy detection)
         "embedding_pca": q_embedding_pca,                  # NEW r10 (distributed-moment PCA + driver eigh; rows-only — numpy ground truth)
         "zipf_fit_docs": q_zipf_fit_docs,                  # NEW r10 (Zipf rank-frequency regression; regr_* oracle)
-        "curate_md5_docs": q_curate_md5_docs,              # NEW r9 (end-to-end curate chain hash oracle; r8 VERDICT #3)
-        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # NEW r9 (near-dup-aware data card; r8 VERDICT #4)
-        "events_stream_sessions": q_events_stream_sessions,  # NEW r9 (fifth REAL streaming row: session_window+watermark; r8 VERDICT #5)
-        "bpe_token_stats_docs": q_bpe_token_stats_docs,    # first driver row (rows-only: trained BPE merges)
-        "cdc_chunk_docs": q_cdc_chunk_docs,                # first driver row (rows-only: rolling-hash CDC)
-        "curate_docs": q_curate_docs,                      # first driver row (rows-only: auto-gated chain; md5 twin above IS hash-checked)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # first driver row (rows-only: seeded xxhash LSH)
-        "embedding_pq_topk": q_embedding_pq_topk,          # first driver row (rows-only: k-means codebooks)
-        "bm25_topk_docs": q_bm25_topk_docs,                # NEW r9 (Okapi BM25 lexical top-k; TakeOrderedAndProject)
-        "docs_stream_index_probe": q_docs_stream_index_probe,  # NEW r9 (SIXTH streaming row: stream-static index probe)
-        "tfidf_topterms_docs": q_tfidf_topterms_docs,      # NEW late-r9 (per-doc TF-IDF keywords)
-        "events_trailing_avg": q_events_trailing_avg,      # NEW late-r9 (microsecond-exact time-RANGE trailing window)
-        "events_session_paths": q_events_session_paths,    # NEW late-r9 (session journey/funnel census)
-        "bigram_pmi_docs": q_bigram_pmi_docs,              # NEW late-r9 (word2phrase collocation mining)
-        "token_entropy_docs": q_token_entropy_docs,        # NEW late-r9 (per-source diversity census)
+        "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
+        "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
+        # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------
+        "local_supplier_volume": q_local_supplier_volume,  # r06+r08 green (Q5 shape)
+        "volume_shipping": q_volume_shipping,              # r06+r08 green (Q7 shape)
+        "sales_opportunity": q_sales_opportunity,          # r06+r08 green (Q22 shape)
+        "shipmode_priority": q_shipmode_priority,          # r06+r08 green (Q12 shape)
+        "promo_revenue": q_promo_revenue,                  # r06+r08 green (Q14 shape)
+        "large_volume_orders": q_large_volume_orders,      # r06+r08 green (Q18 shape)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # r06+r08 green
+        "weighted_sample_docs": q_weighted_sample_docs,    # r06+r08 green
+        "stratified_sample_customers": q_stratified_sample_customers,  # r06+r08 green
+        "mixture_sample_docs": q_mixture_sample_docs,      # r06+r08 green
+        "events_stream_windowed": q_events_stream_windowed,  # r06+r08 green (second streaming row)
+        "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green
+        "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08 green
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -2938,11 +2935,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": q_vocab_coverage_docs,      # new r6 (tokenizer budget census)
         "token_rarity_docs": q_token_rarity_docs,          # new r6 (inverse-frequency surprisal proxy)
         # ---- slots 51+ begin here (window = first 50 entries) ----------------
-        "stratified_sample_customers": q_stratified_sample_customers,  # r06+r08 green (pushed past the window by token_entropy_docs r9)
-        "mixture_sample_docs": q_mixture_sample_docs,      # r06+r08 green (pushed past the window by bigram_pmi_docs r9)
-        "events_stream_windowed": q_events_stream_windowed,  # r06+r08 green (pushed past the window by events_session_paths r9)
-        "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green (pushed past the window by tfidf_topterms_docs r9)
-        "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08 green (pushed past the window by events_trailing_avg r9)
+        # -- r9-green block parked r10 (every entry holds a fresh r9 row) ------
+        "curate_md5_docs": q_curate_md5_docs,              # r9 green (end-to-end curate chain hash oracle)
+        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # r9 green (near-dup-aware data card)
+        "events_stream_sessions": q_events_stream_sessions,  # r9 green (fifth streaming row: session_window+watermark)
+        "bpe_token_stats_docs": q_bpe_token_stats_docs,    # r9 row (rows-only: trained BPE merges)
+        "cdc_chunk_docs": q_cdc_chunk_docs,                # r9 row (rows-only: rolling-hash CDC)
+        "curate_docs": q_curate_docs,                      # r9 row (rows-only: auto-gated chain; md5 twin IS hash-checked)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r9 row (rows-only: seeded xxhash LSH)
+        "embedding_pq_topk": q_embedding_pq_topk,          # r9 row (rows-only: k-means codebooks)
+        "bm25_topk_docs": q_bm25_topk_docs,                # r9 green (Okapi BM25 lexical top-k)
+        "docs_stream_index_probe": q_docs_stream_index_probe,  # r9 green (sixth streaming row: stream-static probe)
+        "tfidf_topterms_docs": q_tfidf_topterms_docs,      # r9 green (per-doc TF-IDF keywords)
+        "events_trailing_avg": q_events_trailing_avg,      # r9 green (µs-exact time-RANGE trailing window)
+        "events_session_paths": q_events_session_paths,    # r9 green (session journey/funnel census)
         "repeated_spans_docs": q_repeated_spans_docs,      # r06+r08 green (pushed past the window by docs_stream_index_probe r9)
         "remove_spans_docs": q_remove_spans_docs,          # r06+r08 green (pushed past the window by bm25_topk_docs r9)
         "charlm_quality_docs": q_charlm_quality_docs,      # new r6 (CCNet-style char-LM quality)
@@ -2960,14 +2966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- run via tests/test_entry_contract.py. Parked r6 (late):     ----
         # ---- 19 more r02-r05-green entries moved out to make room for    ----
         # ---- the 35 first-time slots above.                              ----
-        "local_supplier_volume": q_local_supplier_volume,  # r06+r08 green (parked r9 for the rotation block)
-        "volume_shipping": q_volume_shipping,              # r06+r08 green (parked r9)
-        "sales_opportunity": q_sales_opportunity,          # r06+r08 green (parked r9)
-        "shipmode_priority": q_shipmode_priority,          # r06+r08 green (parked r9)
-        "promo_revenue": q_promo_revenue,                  # r06+r08 green (parked r9)
-        "large_volume_orders": q_large_volume_orders,      # r06+r08 green (parked r9)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # r06+r08 green (parked r9)
-        "weighted_sample_docs": q_weighted_sample_docs,    # r06+r08 green (parked r9)
         "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05+r07 green (parked r8 for dedup_cluster_sizes_docs)
         "corr_lineitem": q_corr_lineitem,                  # r05+r07 green (parked r8 for dedup_best_quality_docs)
         "impute_median_customer": q_impute_median_customer,  # r05+r07 green (parked r8 for decontaminate_spans_docs)
