@@ -295,6 +295,11 @@ _EXCHANGE_CEILINGS = {
     # doc-keyed reassembly agg; the boilerplate set joins back broadcast
     # (measured 2)
     "line_dedup_docs": 3,
+    # r10: containment = gram-hash distinct + dup census + pair agg + size
+    # join (measured 4); zipf = word-count shuffle + prefix-sum range
+    # shuffle + 1-row regression agg (measured 2)
+    "containment_pairs_docs": 5,
+    "zipf_fit_docs": 3,
 }
 
 
