@@ -2511,6 +2511,49 @@ def q_embedding_pca(spark, sf):  # NON-SQL (driver eigendecomposition; numpy gro
     )
 
 
+def q_embedding_kmeans_refine(spark, sf):  # NON-SQL (iterative Lloyd; numpy ground truth in test_llm.py)
+    """FULL-corpus distributed k-means (llm/similarity.kmeans_fit, r10):
+    driver Lloyd on the capped sample for init (the ivf_build path), then
+    kmeans_refine over EVERY vector — per iteration one map-only JVM
+    assignment + one (cluster, dim)-keyed mean shuffle (word-count shape;
+    k·d rows to the driver, never vectors). The scale path for when the
+    driver sample isn't representative. Output: per-cluster member count +
+    mean distance-to-centroid, rounded — deterministic under the fixed
+    seed; rows-only (iterative refinement is not SQL-expressible; exact
+    per-iteration parity vs numpy Lloyd is pinned by
+    test_kmeans_refine_matches_numpy_lloyd)."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = L_sim.kmeans_fit(emb, k=8, refine_iters=3)
+    assigned = L_sim.ivf_assign(emb, cents)
+    # distance to the ASSIGNED centroid: per-centroid distance array,
+    # element_at by the assignment index — pure JVM expressions
+    dists = F.array(
+        *[
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        L_sim.lit_vec(c),
+                        lambda a, b: a - b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            )
+            for c in cents
+        ]
+    )
+    return (
+        assigned.withColumn("__d", F.element_at(dists, F.col("__ivf_cluster") + 1))
+        .groupBy("__ivf_cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("__d"), 6).alias("mean_dist"),
+        )
+        .select(F.col("__ivf_cluster").alias("cluster"), "n_members", "mean_dist")
+    )
+
+
 def q_bpe_token_stats_docs(spark, sf):  # NON-SQL (iterative merge induction + per-word encoder loop)
     """Trained-BPE corpus census (llm/bpe.py): induce 200 merges from a
     bounded sample (driver-side — the standard tokenizer practice), then
@@ -2875,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_docs": q_containment_pairs_docs,  # NEW r10 (Broder asymmetric containment — quote/partial-copy detection)
         "embedding_pca": q_embedding_pca,                  # NEW r10 (distributed-moment PCA + driver eigh; rows-only — numpy ground truth)
         "zipf_fit_docs": q_zipf_fit_docs,                  # NEW r10 (Zipf rank-frequency regression; regr_* oracle)
+        "embedding_kmeans_refine": q_embedding_kmeans_refine,  # NEW r10 (full-corpus distributed Lloyd; rows-only — numpy ground truth)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
         "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
         # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------

@@ -817,3 +817,62 @@ def pca_project(
             ),
         )
     return out
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    iters: int = 5,
+) -> list[list[float]]:
+    """DISTRIBUTED Lloyd refinement of a centroid set — the full-corpus
+    k-means pass for when the driver-sample quantizer (``_kmeans_driver``,
+    capped at ``IVF_TRAIN_CAP`` vectors) isn't representative: ivf_assign is
+    a map-only JVM expression, and each iteration's centroid update is ONE
+    (cluster, dim)-keyed mean shuffle (posexplode → groupBy — the word-count
+    shape, map-side combined; k·d result rows to the driver per iteration,
+    never vector data). The classify.py discipline: one aggregation per
+    training iteration, nothing quadratic.
+
+    Empty clusters keep their previous centroid (standard Lloyd fallback,
+    same rule as the driver twin). Returns the refined centroid list —
+    feed to :func:`ivf_assign` / :func:`ivf_topk` unchanged."""
+    cents = [list(map(float, c)) for c in centroids]
+    for _ in range(iters):
+        upd = (
+            ivf_assign(df, cents, vec_col)
+            .select("__ivf_cluster", F.posexplode(vec_col).alias("__dim", "__x"))
+            .groupBy("__ivf_cluster", "__dim")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in upd:
+            new[r["__ivf_cluster"]][r["__dim"]] = float(r["__m"])
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    sample_iters: int = 8,
+    refine_iters: int = 5,
+) -> list[list[float]]:
+    """Full k-means: driver Lloyd on the capped sample for INIT (cheap,
+    bounded — the ivf_build path), then :func:`kmeans_refine` over the
+    ENTIRE corpus (one shuffle per iteration). The scale contract: the
+    sample bounds driver memory, the refinement sees every vector."""
+    from analyst_toolkit_spark.llm.similarity import _kmeans_driver  # self-import for clarity
+
+    cap = IVF_TRAIN_CAP
+    vecs = [
+        r["v"]
+        for r in df.select(F.col(vec_col).alias("v")).limit(cap).collect()
+    ]
+    init = _kmeans_driver(vecs, k, sample_iters, seed)
+    return kmeans_refine(df, init, vec_col=vec_col, iters=refine_iters)

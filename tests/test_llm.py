@@ -2216,3 +2216,46 @@ def test_zipf_fit_ground_truth(spark):
     assert row["n_terms"] == 6
     assert abs(row["slope"] + 1.0) < 0.02
     assert row["r2"] > 0.999
+
+
+def test_kmeans_refine_matches_numpy_lloyd(spark):
+    """Distributed Lloyd (kmeans_refine) ground truth: starting from the
+    same init, each distributed iteration equals the numpy Lloyd iteration
+    on the collected matrix (assign by min L2, mean update, empty clusters
+    keep their centroid); kmeans_fit converges on a separable cloud."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # three tight, well-separated clusters in 4-d
+    centers = np.array([[0, 0, 0, 0], [10, 10, 0, 0], [0, 0, 10, 10]], dtype=float)
+    X = np.vstack([c + 0.3 * rng.normal(size=(40, 4)) for c in centers])
+    X = X.astype("float32").astype(float)  # match Spark's float column
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    init = [[1.0, 1.0, 1.0, 1.0], [8.0, 8.0, 1.0, 1.0], [1.0, 1.0, 8.0, 8.0]]
+
+    def lloyd(c, it):
+        c = np.array(c)
+        for _ in range(it):
+            d = ((X * X).sum(1)[:, None] - 2 * X @ c.T + (c * c).sum(1)[None, :])
+            a = d.argmin(1)
+            for j in range(len(c)):
+                if (a == j).any():
+                    c[j] = X[a == j].mean(0)
+        return c
+
+    got = np.array(S.kmeans_refine(df, init, iters=3))
+    assert np.allclose(got, lloyd(init, 3), atol=1e-6)
+    # full convergence from the (deterministic) init recovers the true
+    # centers — order-free compare
+    conv = np.array(S.kmeans_refine(df, init, iters=10))
+    d = ((conv[:, None, :] - centers[None, :, :]) ** 2).sum(-1) ** 0.5
+    assert d.min(axis=0).max() < 0.2
+    # kmeans_fit (sample init + distributed refine) is deterministic and
+    # shaped right; plain Lloyd from random init may land in a local
+    # minimum, so recovery is asserted on the refine contract above
+    f1 = S.kmeans_fit(df, k=3, refine_iters=3)
+    f2 = S.kmeans_fit(df, k=3, refine_iters=3)
+    assert f1 == f2 and len(f1) == 3 and len(f1[0]) == 4
