@@ -1428,6 +1428,7 @@ def containment_pairs(
     n: int = 8,
     threshold: float = 0.5,
     max_gram_docs: int | None = None,
+    pair_cap: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment join (Broder, "On the resemblance and
     containment of documents", SEQUENCES'97): for each ordered pair (a, b),
@@ -1450,18 +1451,41 @@ def containment_pairs(
     fan-out; identical rule to minhash bucket caps). All shuffles key on the
     8-byte gram hash or the id pair, never gram text. The DuckDB oracle
     groups raw gram strings with the same 2..cap band and agrees at test
-    scale, certifying the hash path collision-free there."""
+    scale, certifying the hash path collision-free there.
+
+    ``pair_cap`` (defaults to NEARDUP_PAIR_CAP): a Σ nd(nd−1) census over
+    qualifying grams runs before the join and RAISES past the cap — on a
+    duplicated corpus the true containment output is quadratic in the
+    duplication factor, so the fix is deduping first, not a bigger join."""
     cap = MAX_BUCKET if max_gram_docs is None else max_gram_docs
     grams = df.select(
         F.col(id_col), F.explode(shingles(key, n)).alias("__g")
     ).select(id_col, F.xxhash64("__g").alias("__gh"))
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
-    dup = (
+    dup_sizes = (
         grams.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__nd"))
         .filter((F.col("__nd") >= 2) & (F.col("__nd") <= cap))
-        .select("__gh")
     )
+    # candidate-volume census BEFORE the join (the NEARDUP_PAIR_CAP
+    # discipline): Σ nd(nd-1) ordered candidate rows over qualifying grams.
+    # On a heavily-duplicated corpus (copies share every gram) this grows
+    # quadratically in the duplication factor — the TRUE output does too
+    # (containment pairs every copy with every copy), so past the cap the
+    # right move is a raise, not a silent truncate: exact/near dedup FIRST
+    # (the production pipeline order), then containment over survivors.
+    pcap = NEARDUP_PAIR_CAP if pair_cap is None else pair_cap
+    row = dup_sizes.agg(
+        F.sum((F.col("__nd") * (F.col("__nd") - 1)).cast("long")).alias("c")
+    ).first()
+    est = int(row["c"] or 0)
+    if est > pcap:
+        raise ValueError(
+            f"containment_pairs: ~{est} candidate pairs exceeds pair_cap "
+            f"{pcap}; dedup the corpus first (near-dup copies pair "
+            "quadratically) or raise pair_cap deliberately"
+        )
+    dup = dup_sizes.select("__gh")
     gg = grams.join(dup, "__gh", "left_semi")
     a, b = gg.alias("a"), gg.alias("b")
     pairs = (

@@ -867,8 +867,6 @@ def kmeans_fit(
     bounded — the ivf_build path), then :func:`kmeans_refine` over the
     ENTIRE corpus (one shuffle per iteration). The scale contract: the
     sample bounds driver memory, the refinement sees every vector."""
-    from analyst_toolkit_spark.llm.similarity import _kmeans_driver  # self-import for clarity
-
     cap = IVF_TRAIN_CAP
     vecs = [
         r["v"]

@@ -2259,3 +2259,16 @@ def test_kmeans_refine_matches_numpy_lloyd(spark):
     f1 = S.kmeans_fit(df, k=3, refine_iters=3)
     f2 = S.kmeans_fit(df, k=3, refine_iters=3)
     assert f1 == f2 and len(f1) == 3 and len(f1[0]) == 4
+
+
+def test_containment_pair_cap_census(spark):
+    """The Σnd(nd−1) candidate census raises past pair_cap (duplicated
+    corpora pair quadratically — dedup first), and the cap leaves small
+    corpora untouched."""
+    rows = [(i, "same duplicated body of many tokens here repeated") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pair_cap"):
+        D.containment_pairs(df, n=4, threshold=0.0, pair_cap=10)
+    # 6 identical docs -> 30 ordered pairs, containment 1.0 everywhere
+    out = D.containment_pairs(df, n=4, threshold=0.9, pair_cap=10**6)
+    assert out.count() == 30
