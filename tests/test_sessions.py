@@ -354,3 +354,23 @@ def test_interval_join_stream_matches_batch_any_split(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
+
+
+def test_interval_join_batch_left_outer(spark):
+    """how='left' over batch frames: unmatched left rows survive null-padded
+    (the batch-parity contract; in streaming, outer emission additionally
+    waits for the watermark to close the row's match window — documented)."""
+    from analyst_toolkit_spark.streaming.joins import interval_join
+
+    purch = spark.createDataFrame(
+        [(1, 100, "2024-01-01 12:00:00"), (9, 101, "2024-01-01 12:00:00")],
+        "user_id long, purchase_id long, pts string",
+    ).withColumn("pts", F.to_timestamp("pts"))
+    clicks = spark.createDataFrame(
+        [(1, 200, "2024-01-01 11:30:00")],
+        "user_id long, click_id long, cts string",
+    ).withColumn("cts", F.to_timestamp("cts"))
+    out = interval_join(purch, clicks, key="user_id", left_ts="pts",
+                        right_ts="cts", window="1 hour", how="left")
+    got = {(r["purchase_id"]): r["click_id"] for r in out.collect()}
+    assert got == {100: 200, 101: None}
