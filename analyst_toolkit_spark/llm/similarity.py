@@ -724,6 +724,7 @@ def pca_fit(
     ``eigenvalues``, ``explained_variance_ratio``."""
     import numpy as np
 
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("pca_fit: empty input")
@@ -835,8 +836,10 @@ def kmeans_refine(
     training iteration, nothing quadratic.
 
     Empty clusters keep their previous centroid (standard Lloyd fallback,
-    same rule as the driver twin). Returns the refined centroid list —
-    feed to :func:`ivf_assign` / :func:`ivf_topk` unchanged."""
+    same rule as the driver twin). Null vectors are dropped. Returns the
+    refined centroid list — feed to :func:`ivf_assign` / :func:`ivf_topk`
+    unchanged."""
+    df = df.filter(F.col(vec_col).isNotNull())
     cents = [list(map(float, c)) for c in centroids]
     for _ in range(iters):
         upd = (

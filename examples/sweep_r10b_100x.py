@@ -71,7 +71,11 @@ def main() -> None:
         n, en = corpus.count(), emb.count()
 
         t = time.time()
-        noop(D.containment_pairs(corpus, n=8, threshold=0.3))
+        # pair_cap raised deliberately: the sweep measures the linear-path
+        # CAPABILITY; the default cap is the production POLICY (and fires
+        # correctly here — base-corpus gram collisions scale ~linearly with
+        # m and cross 5M between 1x and 10x)
+        noop(D.containment_pairs(corpus, n=8, threshold=0.3, pair_cap=10**10))
         print(f"[{m}x {n} docs] containment_pairs: {time.time() - t:.1f}s", flush=True)
 
         t = time.time()
