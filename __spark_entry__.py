@@ -1780,6 +1780,18 @@ def q_zipf_fit_docs(spark, sf):
     return L_text.zipf_fit(docs, top_n=100)
 
 
+def q_lexical_cosine_pairs_docs(spark, sf):
+    """All-pairs TF-IDF cosine similarity join (llm/text.tfidf_cosine_pairs,
+    late r10 — Bayardo WWW'07 shape): unit-normalized tf·idf vectors,
+    inverted-index candidates (terms in 2..1000 docs), cosine = Σ shared
+    uw_a·uw_b, threshold 0.9 — the weighted complement to Jaccard /
+    containment. Spark keys every shuffle on xxhash64(term); the oracle
+    joins raw term strings with the same band — agreement certifies the
+    hash path collision-free at this scale."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.tfidf_cosine_pairs(docs, threshold=0.9)
+
+
 def q_containment_pairs_docs(spark, sf):
     """Asymmetric CONTAINMENT join (llm/dedup.containment_pairs, r10 —
     Broder SEQUENCES'97): |G(a) ∩ G(b)| / |G(a)| over distinct 8-gram sets,
@@ -2919,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,                  # NEW r10 (distributed-moment PCA + driver eigh; rows-only — numpy ground truth)
         "zipf_fit_docs": q_zipf_fit_docs,                  # NEW r10 (Zipf rank-frequency regression; regr_* oracle)
         "embedding_kmeans_refine": q_embedding_kmeans_refine,  # NEW r10 (full-corpus distributed Lloyd; rows-only — numpy ground truth)
+        "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,  # NEW late-r10 (Bayardo all-pairs TF-IDF cosine join)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
         "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
         # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------
@@ -4022,6 +4035,26 @@ def oracle_sql() -> dict[str, str]:
          AND p.event_type = 'purchase'
          AND c.event_type IN ('click', 'view')
          AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    """
+    sqls["lexical_cosine_pairs_docs"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS nd FROM documents),
+        w AS (SELECT tf.doc_id, tf.t, dfc.df,
+                     tf.tf * ln(1.0 + (SELECT nd FROM n) * 1.0 / dfc.df) AS w
+              FROM tf JOIN dfc USING (t)),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id),
+        uu AS (SELECT w.doc_id, w.t, w.w / nrm.nm AS uw
+               FROM w JOIN nrm USING (doc_id)
+               WHERE w.df BETWEEN 2 AND 1000)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(sum(a.uw * b.uw), 6) AS cosine
+        FROM uu a JOIN uu b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING round(sum(a.uw * b.uw), 6) >= 0.9
     """
     sqls["zipf_fit_docs"] = """
         WITH tok AS (

@@ -1248,3 +1248,83 @@ def zipf_fit(df: DataFrame, key: str = "text", top_n: int = 100) -> DataFrame:
         F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
         F.round(F.pow(F.corr(x, y), 2), 6).alias("r2"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_term_docs: int | None = None,
+    pair_cap: int | None = None,
+) -> DataFrame:
+    """All-pairs lexical COSINE similarity join over unit-normalized TF-IDF
+    vectors (the Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity
+    Search" shape, inverted-index candidates): cosine(a, b) =
+    Σ_{t shared} uw_a(t)·uw_b(t), so only documents sharing a candidate
+    term ever meet — never a dense all-pairs compare. The WEIGHTED
+    complement to set-based Jaccard/containment: near-identical wording
+    scores high even when lengths differ, and rare-term overlap counts for
+    more than stopword overlap. idf = ln(1 + N/df), the
+    :func:`tfidf_top_terms` convention.
+
+    Plan at 100 TB: tokenize ONCE (the per-(doc, term) tf aggregate and the
+    weighted stream are cut with lazy localCheckpoints — the dsir
+    single-tokenize-pass discipline; without the cuts each downstream
+    branch re-explodes the corpus). All shuffles key on xxhash64(term) or
+    the id pair, never term text. Candidate terms are banded to
+    2..``max_term_docs`` docs (singletons can't pair; hub terms past the
+    cap — stopwords — carry negligible idf weight AND quadratic fan-out,
+    the same drop rule as containment/minhash buckets; the oracle mirrors
+    the band). A Σ df(df−1)/2 census RAISES past ``pair_cap`` (default
+    NEARDUP_PAIR_CAP) — duplicated corpora pair quadratically; dedup first.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded at 6."""
+    from analyst_toolkit_spark.llm.dedup import MAX_BUCKET, NEARDUP_PAIR_CAP
+
+    cap = MAX_BUCKET if max_term_docs is None else max_term_docs
+    pcap = NEARDUP_PAIR_CAP if pair_cap is None else pair_cap
+    n_docs = df.count()
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    )
+    tf = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(id_col, F.xxhash64("__t").alias("__th"))
+        .groupBy(id_col, "__th")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)  # tokenize once; reused by dfc AND w
+    )
+    dfc = tf.groupBy("__th").agg(F.count(F.lit(1)).alias("__df"))
+    est = int(
+        dfc.filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
+        .agg(F.sum((F.col("__df") * (F.col("__df") - 1) / 2).cast("long")).alias("c"))
+        .first()["c"]
+        or 0
+    )
+    if est > pcap:
+        raise ValueError(
+            f"tfidf_cosine_pairs: ~{est} candidate pairs exceeds pair_cap "
+            f"{pcap}; dedup the corpus first or raise pair_cap deliberately"
+        )
+    w = (
+        tf.join(dfc, "__th")
+        .withColumn("__w", F.col("__tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("__df")))
+        .localCheckpoint(eager=False)  # reused by the norm AND the pair join
+    )
+    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm"))
+    u = w.join(nrm, id_col).select(
+        id_col, "__th", "__df", (F.col("__w") / F.col("__nm")).alias("__uw")
+    )
+    uu = u.filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
+    a, b = uu.alias("a"), uu.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__th") == F.col("b.__th"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.round(F.sum(F.col("a.__uw") * F.col("b.__uw")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

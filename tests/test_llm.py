@@ -2272,3 +2272,33 @@ def test_containment_pair_cap_census(spark):
     # 6 identical docs -> 30 ordered pairs, containment 1.0 everywhere
     out = D.containment_pairs(df, n=4, threshold=0.9, pair_cap=10**6)
     assert out.count() == 30
+
+
+def test_tfidf_cosine_pairs_ground_truth(spark):
+    """Weighted cosine vs set overlap: identical docs score 1.0; docs
+    sharing only the stopword-ish common term score near 0 (idf crushes
+    it); the census gate raises on duplicated corpora."""
+    rows = [
+        (1, "alpha beta gamma delta common"),
+        (2, "alpha beta gamma delta common"),          # identical -> 1.0
+        (3, "zeta eta theta iota common"),             # only 'common' shared
+        (4, "unique solitary vocabulary entirely"),    # no candidate terms
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in T.tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] < 0.15 and got[(2, 3)] < 0.15
+    assert not any(4 in p for p in got)
+    # manual check: cos(1,3) = uw1(common) * uw3(common)
+    import math
+
+    def w(tf, df_):
+        return tf * math.log(1 + 4 / df_)
+
+    w_rare, w_common = w(1, 2), w(1, 3)
+    nm1 = math.sqrt(4 * w_rare**2 + w_common**2)
+    nm3 = math.sqrt(4 * w(1, 1)**2 + w_common**2)
+    assert abs(got[(1, 3)] - round(w_common**2 / (nm1 * nm3), 6)) <= 1e-6
+    with pytest.raises(ValueError, match="pair_cap"):
+        T.tfidf_cosine_pairs(df, threshold=0.0, pair_cap=1)

@@ -300,6 +300,10 @@ _EXCHANGE_CEILINGS = {
     # shuffle + 1-row regression agg (measured 2)
     "containment_pairs_docs": 5,
     "zipf_fit_docs": 3,
+    # late-r10: tf agg is behind the lazy cut; visible = norm agg, pair agg,
+    # plus one keyed join; candidate/idf sides broadcast at this scale
+    # (measured 3)
+    "lexical_cosine_pairs_docs": 4,
 }
 
 
