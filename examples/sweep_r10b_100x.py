@@ -79,6 +79,10 @@ def main() -> None:
         print(f"[{m}x {n} docs] containment_pairs: {time.time() - t:.1f}s", flush=True)
 
         t = time.time()
+        noop(T.tfidf_cosine_pairs(corpus, threshold=0.9, pair_cap=10**10))
+        print(f"[{m}x {n} docs] tfidf_cosine_pairs: {time.time() - t:.1f}s", flush=True)
+
+        t = time.time()
         noop(T.zipf_fit(corpus, top_n=100))
         print(f"[{m}x {n} docs] zipf_fit: {time.time() - t:.1f}s", flush=True)
 
