@@ -873,7 +873,10 @@ def kmeans_fit(
     cap = IVF_TRAIN_CAP
     vecs = [
         r["v"]
-        for r in df.select(F.col(vec_col).alias("v")).limit(cap).collect()
+        for r in df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("v"))
+        .limit(cap)
+        .collect()
     ]
     init = _kmeans_driver(vecs, k, sample_iters, seed)
     return kmeans_refine(df, init, vec_col=vec_col, iters=refine_iters)
