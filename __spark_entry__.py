@@ -1882,6 +1882,18 @@ def q_corpus_data_card_docs(spark, sf):
     return L_text.corpus_data_card(docs)
 
 
+def q_corpus_data_card_boilerplate_docs(spark, sf):
+    """BOILERPLATE-aware data card (r10 — llm/text.corpus_data_card with the
+    opt-in ``boilerplate_sep`` arm): everything the exact-dup card reports
+    PLUS per-source total_lines / boilerplate_lines (lines occurring in
+    >= 3 distinct docs corpus-wide, sep=' the ' on this newline-free
+    corpus) — 'how much of this source would line_dedup remove', read
+    BEFORE running the cleanup. The arm shuffles only (xxhash64(line), id,
+    source); the oracle composes the green card SQL with the line census."""
+    docs = load_table(spark, sf, "documents")
+    return L_text.corpus_data_card(docs, boilerplate_sep=" the ", boilerplate_min_docs=3)
+
+
 def q_corpus_data_card_neardup_docs(spark, sf):
     """NEAR-dup-aware data card (r8 VERDICT #4 — llm/text.corpus_data_card
     with the opt-in ``components`` arm): everything the exact-dup card
@@ -2932,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_docs": q_zipf_fit_docs,                  # NEW r10 (Zipf rank-frequency regression; regr_* oracle)
         "embedding_kmeans_refine": q_embedding_kmeans_refine,  # NEW r10 (full-corpus distributed Lloyd; rows-only — numpy ground truth)
         "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,  # NEW late-r10 (Bayardo all-pairs TF-IDF cosine join)
+        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,  # NEW late-r10 (card + line-boilerplate exposure arm)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
         "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
         # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------
@@ -4856,6 +4869,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
                CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_match_docs
         FROM dd GROUP BY 1
+    """
+    # boilerplate-aware card (r10): the same card plus per-source
+    # total_lines / boilerplate_lines from the line_dedup census
+    sqls["corpus_data_card_boilerplate_docs"] = f"""
+        WITH m AS (SELECT md5(text) AS h, count(*) AS mult FROM documents GROUP BY 1),
+        d AS (
+          SELECT source, lang,
+                 length(regexp_extract_all(text, '{_TOK_RE}')) AS toks_n,
+                 {_quality_score_sql_expr()} AS q,
+                 regexp_extract_all(lower(text), '[a-z'']+') AS toks,
+                 m.mult AS mult
+          FROM documents LEFT JOIN m ON md5(text) = m.h),
+        dd AS (
+          SELECT source, lang, toks_n, q, mult,
+                 CASE WHEN {_g4} < 1 THEN 'und'
+                      WHEN {_mk['de']} = {_g4} THEN 'de'
+                      WHEN {_mk['en']} = {_g4} THEN 'en'
+                      WHEN {_mk['es']} = {_g4} THEN 'es'
+                      ELSE 'fr' END AS detected
+          FROM d),
+        card AS (
+          SELECT source, count(*) AS docs,
+                 CAST(sum(toks_n) AS BIGINT) AS total_tokens,
+                 round(avg(q), 6) AS avg_quality,
+                 CAST(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                 CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_match_docs
+          FROM dd GROUP BY 1),
+        l AS (
+          SELECT source, doc_id, unnest(string_split(text, ' the ')) AS line
+          FROM documents),
+        bl AS (SELECT line, 1 AS isbl FROM l GROUP BY line
+               HAVING count(DISTINCT doc_id) >= 3),
+        pg AS (
+          SELECT source, count(*) AS total_lines,
+                 CAST(sum(CASE WHEN b.isbl IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS boilerplate_lines
+          FROM l LEFT JOIN bl b USING (line) GROUP BY 1)
+        SELECT card.*, pg.total_lines, pg.boilerplate_lines
+        FROM card LEFT JOIN pg USING (source)
     """
     # near-dup-aware card (r8 VERDICT #4): the same card plus near_dup_docs —
     # membership in any >=2-member cluster of the shared md5-CC clustering

@@ -119,6 +119,8 @@ def corpus_data_card(
     lang_col: str | None = "lang",
     components: DataFrame | None = None,
     id_col: str = "doc_id",
+    boilerplate_sep: str | None = None,
+    boilerplate_min_docs: int = 30,
 ) -> DataFrame:
     """Per-group corpus DATA CARD — the one-page roll-up a dataset owner
     reads before training: document and token counts, mean heuristic
@@ -136,6 +138,13 @@ def corpus_data_card(
     sources where copies differ by a byte; this is the near-dup refinement
     of the same review.
 
+    ``boilerplate_sep`` (opt-in, r10) extends the card with the LINE-level
+    boilerplate exposure the :func:`line_dedup` cleanup would remove:
+    ``total_lines`` and ``boilerplate_lines`` per group, where a
+    boilerplate line occurs in >= ``boilerplate_min_docs`` distinct docs
+    corpus-wide — "how much of this source is nav bars / cookie banners",
+    read BEFORE deciding to run the cleanup.
+
     Plan: the per-doc metrics are PROJECTED BEFORE the multiplicity join, so
     only the md5 hash and a few numeric columns cross the join shuffle —
     never the document bodies (at corpus scale the text column is the
@@ -143,7 +152,9 @@ def corpus_data_card(
     corpus-scaling — no hint, AQE decides; at test scale it broadcasts the
     count side), one groupBy on the grouping column. The near-dup arm adds
     one component-keyed size agg + one id-keyed left join — component
-    labels only, never text."""
+    labels only, never text. The boilerplate arm shuffles only
+    (xxhash64(line), id, group) — the line_dedup census discipline — and
+    joins its group-cardinality result onto the card AFTER the main agg."""
     h = F.md5(F.col(key))
     mult = (
         df.select(h.alias("__dc_h"))
@@ -187,7 +198,29 @@ def corpus_data_card(
         aggs.append(F.sum(F.coalesce(F.col("__dc_nd"), F.lit(0))).cast("long").alias("near_dup_docs"))
     if lang_col is not None:
         aggs.append(F.sum("__dc_lm").alias("lang_match_docs"))
-    return scored.groupBy(by).agg(*aggs)
+    card = scored.groupBy(by).agg(*aggs)
+    if boilerplate_sep is not None:
+        lines = df.select(
+            F.col(by),
+            F.col(id_col).alias("__dc_id"),
+            F.explode(F.split(F.col(key), _re_escape(boilerplate_sep))).alias("__dc_line"),
+        ).select(by, "__dc_id", F.xxhash64("__dc_line").alias("__dc_lh"))
+        bl = (
+            lines.groupBy("__dc_lh")
+            .agg(F.countDistinct("__dc_id").alias("__dc_nd2"))
+            .filter(F.col("__dc_nd2") >= boilerplate_min_docs)
+            .select("__dc_lh", F.lit(1).alias("__dc_bl"))
+        )
+        per_group = (
+            lines.join(bl, "__dc_lh", "left")
+            .groupBy(by)
+            .agg(
+                F.count(F.lit(1)).alias("total_lines"),
+                F.sum(F.coalesce(F.col("__dc_bl"), F.lit(0))).cast("long").alias("boilerplate_lines"),
+            )
+        )
+        card = card.join(per_group, by, "left")
+    return card
 
 
 def normalize_text(col: str | Column) -> Column:

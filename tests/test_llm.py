@@ -2302,3 +2302,20 @@ def test_tfidf_cosine_pairs_ground_truth(spark):
     assert abs(got[(1, 3)] - round(w_common**2 / (nm1 * nm3), 6)) <= 1e-6
     with pytest.raises(ValueError, match="pair_cap"):
         T.tfidf_cosine_pairs(df, threshold=0.0, pair_cap=1)
+
+
+def test_data_card_boilerplate_arm(spark):
+    """The boilerplate_sep card arm counts per-group total vs
+    corpus-repeated lines (the line_dedup exposure preview); groups without
+    the column untouched otherwise."""
+    rows = [
+        (1, "cookie banner\nunique alpha", "a"),
+        (2, "cookie banner\nbody two", "a"),
+        (3, "cookie banner\nbody three", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    card = {r["source"]: (r["total_lines"], r["boilerplate_lines"])
+            for r in T.corpus_data_card(
+                df, lang_col=None, boilerplate_sep="\n", boilerplate_min_docs=3
+            ).collect()}
+    assert card == {"a": (4, 2), "b": (2, 1)}
