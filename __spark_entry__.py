@@ -1804,6 +1804,19 @@ def q_containment_pairs_docs(spark, sf):
     return L_dedup.containment_pairs(docs, n=8, threshold=0.3)
 
 
+def q_dedup_lines_within_docs(spark, sf):
+    """INTRA-document line dedup (llm/text.dedup_lines_within_doc, late
+    r10): keep the first occurrence of each ' the '-separated segment
+    within every doc, drop within-doc repeats — the per-page counterpart of
+    line_dedup_docs (no corpus census; doc-keyed window + reassembly only).
+    md5 of the cleaned text keeps bodies off the compare surface."""
+    docs = load_table(spark, sf, "documents")
+    out = L_text.dedup_lines_within_doc(docs, sep=" the ")
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "lines_kept", "lines_removed"
+    )
+
+
 def q_dedup_best_quality_docs(spark, sf):
     """Quality-aware survivor election over REAL near-dup clusters, fully
     oracle-backed (llm/dedup.dedup_representatives_by, new r8): components
@@ -2945,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_refine": q_embedding_kmeans_refine,  # NEW r10 (full-corpus distributed Lloyd; rows-only — numpy ground truth)
         "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,  # NEW late-r10 (Bayardo all-pairs TF-IDF cosine join)
         "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,  # NEW late-r10 (card + line-boilerplate exposure arm)
+        "dedup_lines_within_docs": q_dedup_lines_within_docs,  # NEW late-r10 (intra-doc line dedup, keep-first)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
         "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
         # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------
@@ -4048,6 +4062,23 @@ def oracle_sql() -> dict[str, str]:
          AND p.event_type = 'purchase'
          AND c.event_type IN ('click', 'view')
          AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    """
+    sqls["dedup_lines_within_docs"] = """
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' the ')) AS line,
+                 unnest(range(1, len(string_split(text, ' the ')) + 1)) AS pos
+          FROM documents),
+        k AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+          FROM l)
+        SELECT doc_id,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       ' the ' ORDER BY pos), '')) AS clean_md5,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
+               CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS lines_removed
+        FROM k GROUP BY doc_id
     """
     sqls["lexical_cosine_pairs_docs"] = """
         WITH tok AS (

@@ -1361,3 +1361,41 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("a.__uw") * F.col("b.__uw")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """INTRA-document line dedup: keep the FIRST occurrence of every line
+    within each document, drop the repeats — the within-page counterpart of
+    :func:`line_dedup` (chat-log echoes, scraped headers repeated per
+    section, template stutter; RefinedWeb's intra-document line filters).
+    Returns (id_col, clean_text, lines_kept, lines_removed).
+
+    Plan at 100 TB: entirely DOC-KEYED — a (doc, xxhash64(line))-partitioned
+    row_number window (never global, per-doc state only) then the same
+    doc-keyed ordered reassembly aggregate as line_dedup. No corpus-wide
+    census, no joins; two shuffles total, both on the document id (+line
+    hash), line text crossing only them."""
+    from pyspark.sql.window import Window
+
+    join_sep = sep if join_sep is None else join_sep
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias("pos", "__line"),
+    )
+    w = Window.partitionBy(id_col, F.xxhash64("__line")).orderBy("pos")
+    marked = lines.withColumn("__rn", F.row_number().over(w))
+    keep = F.when(F.col("__rn") == 1, F.struct("pos", "__line"))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(keep)), lambda s: s["__line"]),
+            join_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("lines_kept"),
+        F.sum(F.when(F.col("__rn") == 1, 0).otherwise(1)).alias("lines_removed"),
+    )

@@ -2319,3 +2319,19 @@ def test_data_card_boilerplate_arm(spark):
                 df, lang_col=None, boilerplate_sep="\n", boilerplate_min_docs=3
             ).collect()}
     assert card == {"a": (4, 2), "b": (2, 1)}
+
+
+def test_dedup_lines_within_doc_keep_first(spark):
+    """Intra-doc line dedup keeps the FIRST occurrence in place, drops
+    repeats, and never looks across documents."""
+    rows = [
+        (1, "header\nbody one\nheader\ntail\nheader"),
+        (2, "header\nonly once here"),  # cross-doc repeat is NOT removed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["lines_kept"], r["lines_removed"])
+           for r in T.dedup_lines_within_doc(df).collect()}
+    assert got == {
+        1: ("header\nbody one\ntail", 3, 2),
+        2: ("header\nonly once here", 2, 0),
+    }
