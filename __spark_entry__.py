@@ -1804,6 +1804,25 @@ def q_containment_pairs_docs(spark, sf):
     return L_dedup.containment_pairs(docs, n=8, threshold=0.3)
 
 
+def q_quality_decile_docs(spark, sf):
+    """Per-source quality DECILES via grouped exact NTILE (llm/pack.
+    grouped_ntile, late r10): group-resetting distributed prefix-sum row
+    numbers + map-only NTILE band arithmetic — never a per-group window
+    funnel (the skewed-group shape at 100 TB). Quality rounds at 6 BEFORE
+    ordering on both engines so the (q, doc_id) total order is identical;
+    oracle is the plain ntile(10) OVER (PARTITION BY source ORDER BY ...)."""
+    from analyst_toolkit_spark.llm import pack as L_pack
+
+    docs = load_table(spark, sf, "documents").select(
+        "source", "doc_id", F.round(L_text.quality_score("text"), 6).alias("q")
+    )
+    banded = L_pack.grouped_ntile(docs, 10, ["q", "doc_id"], "source", out_col="decile")
+    return banded.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("q"), 6).alias("avg_q"),
+    )
+
+
 def q_dedup_lines_within_docs(spark, sf):
     """INTRA-document line dedup (llm/text.dedup_lines_within_doc, late
     r10): keep the first occurrence of each ' the '-separated segment
@@ -2959,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,  # NEW late-r10 (Bayardo all-pairs TF-IDF cosine join)
         "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,  # NEW late-r10 (card + line-boilerplate exposure arm)
         "dedup_lines_within_docs": q_dedup_lines_within_docs,  # NEW late-r10 (intra-doc line dedup, keep-first)
+        "quality_decile_docs": q_quality_decile_docs,      # NEW late-r10 (grouped exact NTILE via group-reset prefix sum)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
         "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
         # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------
@@ -4062,6 +4082,19 @@ def oracle_sql() -> dict[str, str]:
          AND p.event_type = 'purchase'
          AND c.event_type IN ('click', 'view')
          AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    """
+    sqls["quality_decile_docs"] = f"""
+        WITH q AS (
+          SELECT source, doc_id, round({_quality_score_sql_expr()}, 6) AS q
+          FROM documents),
+        b AS (
+          SELECT source, q,
+                 ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS decile
+          FROM q)
+        SELECT source, decile,
+               count(*) AS docs,
+               round(avg(q), 6) AS avg_q
+        FROM b GROUP BY 1, 2
     """
     sqls["dedup_lines_within_docs"] = """
         WITH l AS (

@@ -258,3 +258,46 @@ def bucket_padding_stats(bucketed: DataFrame, cap_col: str = "bucket_cap") -> Da
             ).alias("efficiency"),
         )
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    n: int,
+    order_col: str | list[str],
+    group_col: str,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY group ORDER BY ...)`` without any
+    per-group single-task funnel: the per-group row numbers come from the
+    group-resetting distributed prefix sum (:func:`with_global_cumsum` with
+    ``group_col``), the per-group totals from one keyed count, and NTILE's
+    exact band arithmetic is then map-only. A plain partitioned window is
+    fine when groups are small — this is for the SKEWED case (one group =
+    half the corpus funnels through one task at 100 TB; here it spreads
+    over the range partitioning like every other group).
+
+    Ordering key must be unique WITHIN a group as a whole (append the
+    primary key last). Cost: one count-shuffle, one range shuffle +
+    materialization, one offsets broadcast, one totals join (unhinted —
+    group cardinality is corpus-derived; AQE broadcasts when small)."""
+    rn_df = with_global_cumsum(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        "__one",
+        order_col,
+        out_col="__rn",
+        num_partitions=num_partitions,
+        group_col=group_col,
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__tot"))
+    j = rn_df.join(totals, group_col)
+    rn = F.col("__rn")
+    qc = F.floor(F.col("__tot") / n).cast("long")
+    rc = (F.col("__tot") % n).cast("long")
+    head = rc * (qc + 1)
+    band = F.when(qc == F.lit(0), rn).otherwise(
+        F.when(rn <= head, F.ceil(rn / (qc + 1))).otherwise(
+            rc + F.ceil((rn - head) / qc)
+        )
+    )
+    return j.withColumn(out_col, band.cast("int")).drop("__one", "__rn", "__tot")

@@ -134,3 +134,30 @@ def test_length_buckets_and_padding_stats(spark):
     assert stats[4] == (2, 3, 5, 0.375)        # caps 4+4=8 slots, 3 used
     assert stats[64] == (1, 40, 24, 0.625)
     assert stats[-1] == (1, 2000, 0, None)     # overflow: no padding story
+
+
+def test_grouped_ntile_matches_sql_ntile(spark):
+    """grouped_ntile == ntile(n) OVER (PARTITION BY g ORDER BY v, pk) for
+    every group shape: skewed big group, group smaller than n (each row its
+    own band), exact-multiple group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from analyst_toolkit_spark.llm.pack import grouped_ntile
+
+    rows = (
+        [("big", i, float(i % 7)) for i in range(23)]
+        + [("tiny", 100 + i, float(i)) for i in range(2)]
+        + [("even", 200 + i, float(i % 3)) for i in range(12)]
+    )
+    df = spark.createDataFrame(rows, ["g", "pk", "v"])
+    got = {
+        (r["g"], r["pk"]): r["band"]
+        for r in grouped_ntile(df, 4, ["v", "pk"], "g", out_col="band").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "pk")
+    want = {
+        (r["g"], r["pk"]): r["band"]
+        for r in df.withColumn("band", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
