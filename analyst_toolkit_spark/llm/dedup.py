@@ -1458,14 +1458,20 @@ def containment_pairs(
     duplicated corpus the true containment output is quadratic in the
     duplication factor, so the fix is deduping first, not a bigger join."""
     cap = MAX_BUCKET if max_gram_docs is None else max_gram_docs
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(key, n)).alias("__g")
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    grams = (
+        df.select(F.col(id_col), F.explode(shingles(key, n)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__gh"))
+        # r10 ADVICE: the census below is a separate action — without a cut
+        # the explode/hash stream is recomputed for the census AND the join
+        # (the tfidf_cosine_pairs tf-aggregate discipline)
+        .localCheckpoint(eager=False)
+    )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
     dup_sizes = (
         grams.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__nd"))
         .filter((F.col("__nd") >= 2) & (F.col("__nd") <= cap))
+        .localCheckpoint(eager=False)  # census action + semi-join both read it
     )
     # candidate-volume census BEFORE the join (the NEARDUP_PAIR_CAP
     # discipline): Σ nd(nd-1) ordered candidate rows over qualifying grams.

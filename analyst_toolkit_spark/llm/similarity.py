@@ -734,6 +734,22 @@ def pca_fit(
             f"pca_fit: dim {d} > max_dim {max_dim} — the O(d^2) moment "
             "triangle is not the right plan; sample or pre-reduce first"
         )
+    # r10 ADVICE: d was inferred from the FIRST row only — a ragged vector or
+    # a null element would silently skew the covariance (F.sum skips null
+    # products while n counts every row). Fail loudly instead: one early-out
+    # scan (limit(1) stops at the first offender).
+    bad = (
+        df.filter(
+            (F.size(vec_col) != d) | F.exists(vec_col, lambda x: x.isNull())
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"pca_fit: found vectors with size != {d} or null elements — "
+            "clean/pad the embedding column first"
+        )
     idx = list(range(d))
     # flattened upper triangle of x xᵀ per row, then ONE groupBy(slot) sum —
     # n·d(d+1)/2 values reduced map-side to d(d+1)/2 per partition
@@ -869,12 +885,19 @@ def kmeans_fit(
     """Full k-means: driver Lloyd on the capped sample for INIT (cheap,
     bounded — the ivf_build path), then :func:`kmeans_refine` over the
     ENTIRE corpus (one shuffle per iteration). The scale contract: the
-    sample bounds driver memory, the refinement sees every vector."""
+    sample bounds driver memory, the refinement sees every vector.
+
+    The capped init sample is ordered by xxhash64(vector) (r10 ADVICE: a
+    bare limit() past the cap was partition-order dependent), so the init
+    set is a deterministic function of the corpus CONTENT under the fixed
+    seed — Catalyst plans orderBy+limit as a per-partition top-k merge
+    (TakeOrdered), never a full sort shuffle."""
     cap = IVF_TRAIN_CAP
     vecs = [
         r["v"]
         for r in df.filter(F.col(vec_col).isNotNull())
         .select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v")))
         .limit(cap)
         .collect()
     ]

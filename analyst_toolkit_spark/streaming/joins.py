@@ -49,7 +49,9 @@ def interval_join(
     timestamp columns must be named differently so both survive into the
     output. Pass watermarks on BOTH sides for streaming inputs — Spark
     requires them to bound join state and (for outer joins) to emit
-    null-padded rows."""
+    null-padded rows. For outer joins the key column is coalesced across
+    sides, so right-/full-unmatched rows carry the right key instead of
+    NULL (r10 ADVICE: dropping r[key] alone NULLed them)."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be named differently")
     overlap = (set(left.columns) & set(right.columns)) - {key}
@@ -61,9 +63,24 @@ def interval_join(
         l = l.withWatermark(left_ts, left_watermark)
     if right_watermark:
         r = r.withWatermark(right_ts, right_watermark)
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "right", "right_outer", "rightouter",
+        "full", "full_outer", "fullouter", "outer",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(f"interval_join: unsupported how={how!r}")
+    # alias both sides: when they derive from ONE stream (a self-join split
+    # by predicate) bare frame-column refs are ambiguous after the join
+    la, ra = l.alias("__ij_l"), r.alias("__ij_r")
     cond = (
-        (l[key] == r[key])
+        (F.col(f"__ij_l.{key}") == F.col(f"__ij_r.{key}"))
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {window}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return l.join(r, cond, how).drop(r[key])
+    joined = la.join(ra, cond, how)
+    # one key column, never NULL on unmatched rows of either side
+    cols = [F.coalesce(F.col(f"__ij_l.{key}"), F.col(f"__ij_r.{key}")).alias(key)]
+    cols += [F.col(f"__ij_l.{c}") for c in l.columns if c != key]
+    cols += [F.col(f"__ij_r.{c}") for c in r.columns if c != key]
+    return joined.select(*cols)

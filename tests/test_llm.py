@@ -2335,3 +2335,23 @@ def test_dedup_lines_within_doc_keep_first(spark):
         1: ("header\nbody one\ntail", 3, 2),
         2: ("header\nonly once here", 2, 0),
     }
+
+
+def test_pca_rejects_ragged_and_null_element_vectors(spark):
+    """r10 ADVICE: dim was inferred from the first row only — ragged vectors
+    or null elements silently skewed the covariance. Both now raise."""
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="size"):
+        S.pca_fit(ragged, k=1, max_dim=8)
+    nullel = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, None])], "id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="null"):
+        S.pca_fit(nullel, k=1, max_dim=8)
+    # fully-null VECTORS are still filtered (pre-existing contract), not fatal
+    okay = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])], "id long, embedding array<double>"
+    )
+    assert S.pca_fit(okay, k=1, max_dim=8)["n"] == 2

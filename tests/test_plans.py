@@ -16,11 +16,19 @@ QUERIES = entry_mod.queries()
 # eager materialization): plan string inspected on their lazy prefix instead
 _SKIP_PLAN_SCAN = {"embedding_ivf_topk", "pipeline_orders", "minhash_pairs_docs", "infer_configs_customer"}
 
-# the ONE query allowed to carry an ArrowEvalPython node: trained-BPE
-# encoding is a per-word iterative merge loop — genuinely inexpressible as
-# Spark expressions, and the documented legitimate Pandas-UDF seam. Scanned
-# separately to assert it is Arrow-batched, never row-at-a-time Python.
-_ALLOWED_ARROW_UDF = {"bpe_token_stats_docs", "cdc_chunk_docs"}  # cdc: per-doc rolling-hash scan, same seam
+# queries allowed to carry an ArrowEvalPython/MapInPandas node — the three
+# documented legitimate Pandas-UDF seams, each genuinely inexpressible as
+# Spark expressions. Scanned separately to assert they are Arrow-batched,
+# never row-at-a-time Python:
+#   bpe: per-word iterative merge loop; cdc: per-doc rolling-hash scan;
+#   image_near_dup: the multimodal DECODE seam (llm/multimodal mapInPandas
+#   PNG decode + on-executor corpus synthesis) — r10 VERDICT: previously
+#   passed only because the CC fixpoint materialized eagerly before the
+#   returned frame; the seam is sanctioned, so list it explicitly. It is
+#   allowed-but-not-required (whether the node survives into the returned
+#   frame's plan depends on where the CC fixpoint materializes).
+_REQUIRED_ARROW_UDF = {"bpe_token_stats_docs", "cdc_chunk_docs"}
+_ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {"image_near_dup"}
 
 
 def _plan(df):
@@ -33,8 +41,10 @@ def test_no_python_in_query_plans(name, spark, sf_dir):
     # BatchEvalPython = row-at-a-time Python UDF; ArrowEvalPython = pandas UDF.
     # The declarative query surface must compile to pure JVM expressions.
     assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
-    if name in _ALLOWED_ARROW_UDF:
+    if name in _REQUIRED_ARROW_UDF:
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan  # and it IS Arrow-batched
+    elif name in _ALLOWED_ARROW_UDF:
+        pass  # Arrow seam sanctioned; presence depends on eager materialization
     else:
         assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses a pandas UDF"
         assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"

@@ -374,3 +374,30 @@ def test_interval_join_batch_left_outer(spark):
                         right_ts="cts", window="1 hour", how="left")
     got = {(r["purchase_id"]): r["click_id"] for r in out.collect()}
     assert got == {100: 200, 101: None}
+
+
+def test_interval_join_outer_key_never_null(spark):
+    """r10 ADVICE: how='right'/'full' used to emit NULL keys for
+    right-unmatched rows (drop(r[key]) kept only the left key). The key is
+    now coalesced across sides — never NULL on any outer row — and an
+    unknown `how` fails loudly."""
+    from analyst_toolkit_spark.streaming.joins import interval_join
+
+    purch = spark.createDataFrame(
+        [(1, 100, "2024-01-01 12:00:00")],
+        "user_id long, purchase_id long, pts string",
+    ).withColumn("pts", F.to_timestamp("pts"))
+    clicks = spark.createDataFrame(
+        [(1, 200, "2024-01-01 11:30:00"), (7, 201, "2024-01-01 11:30:00")],
+        "user_id long, click_id long, cts string",
+    ).withColumn("cts", F.to_timestamp("cts"))
+    out = interval_join(purch, clicks, key="user_id", left_ts="pts",
+                        right_ts="cts", window="1 hour", how="right")
+    got = {r["click_id"]: (r["user_id"], r["purchase_id"]) for r in out.collect()}
+    assert got == {200: (1, 100), 201: (7, None)}  # key 7 survives, not NULL
+    full = interval_join(purch, clicks, key="user_id", left_ts="pts",
+                         right_ts="cts", window="1 hour", how="full")
+    assert {r["user_id"] for r in full.collect()} == {1, 7}
+    with pytest.raises(ValueError, match="unsupported how"):
+        interval_join(purch, clicks, key="user_id", left_ts="pts",
+                      right_ts="cts", how="cross")
