@@ -1781,13 +1781,16 @@ def q_zipf_fit_docs(spark, sf):
 
 
 def q_lexical_cosine_pairs_docs(spark, sf):
-    """All-pairs TF-IDF cosine similarity join (llm/text.tfidf_cosine_pairs,
-    late r10 — Bayardo WWW'07 shape): unit-normalized tf·idf vectors,
-    inverted-index candidates (terms in 2..1000 docs), cosine = Σ shared
-    uw_a·uw_b, threshold 0.9 — the weighted complement to Jaccard /
-    containment. Spark keys every shuffle on xxhash64(term); the oracle
-    joins raw term strings with the same band — agreement certifies the
-    hash path collision-free at this scale."""
+    """All-pairs TF-IDF cosine similarity join (llm/text.tfidf_cosine_pairs;
+    r11 upgraded to full Bayardo WWW'07 PREFIX FILTERING): unit-normalized
+    tf·idf vectors, cosine EXACT over every shared term (the r10 df band
+    dropped hub terms and emptied the join on hub-heavy corpora). Candidates
+    come from each doc's indexed prefix — the rare terms left once the
+    hub-first running uw² mass passes threshold²; the un-indexed suffix
+    provably cannot carry a qualifying pair. Threshold 0.9. Spark keys every
+    shuffle on xxhash64(term); the oracle computes the exact unbanded cosine
+    over raw term strings — agreement certifies both the hash path
+    collision-free AND the prefix filter lossless at this scale."""
     docs = load_table(spark, sf, "documents")
     return L_text.tfidf_cosine_pairs(docs, threshold=0.9)
 
@@ -4124,9 +4127,11 @@ def oracle_sql() -> dict[str, str]:
                      tf.tf * ln(1.0 + (SELECT nd FROM n) * 1.0 / dfc.df) AS w
               FROM tf JOIN dfc USING (t)),
         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id),
+        -- exact: no df band (r11 prefix filter is lossless); df >= 2 is a
+        -- no-op optimization — a term shared by any pair has df >= 2
         uu AS (SELECT w.doc_id, w.t, w.w / nrm.nm AS uw
                FROM w JOIN nrm USING (doc_id)
-               WHERE w.df BETWEEN 2 AND 1000)
+               WHERE w.df >= 2)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(sum(a.uw * b.uw), 6) AS cosine
         FROM uu a JOIN uu b ON a.t = b.t AND a.doc_id < b.doc_id

@@ -1288,34 +1288,44 @@ def tfidf_cosine_pairs(
     key: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    max_term_docs: int | None = None,
     pair_cap: int | None = None,
 ) -> DataFrame:
     """All-pairs lexical COSINE similarity join over unit-normalized TF-IDF
-    vectors (the Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity
-    Search" shape, inverted-index candidates): cosine(a, b) =
-    Σ_{t shared} uw_a(t)·uw_b(t), so only documents sharing a candidate
-    term ever meet — never a dense all-pairs compare. The WEIGHTED
-    complement to set-based Jaccard/containment: near-identical wording
-    scores high even when lengths differ, and rare-term overlap counts for
-    more than stopword overlap. idf = ln(1 + N/df), the
+    vectors with Bayardo et al. WWW'07 PREFIX FILTERING ("Scaling Up All
+    Pairs Similarity Search"): cosine(a, b) = Σ_{t shared} uw_a(t)·uw_b(t),
+    EXACT over every shared term — no term is ever dropped from the dot
+    product (r10's df band silently emptied the join on hub-heavy corpora;
+    this is the principled replacement the r10 docstring cited). The
+    WEIGHTED complement to set-based Jaccard/containment: near-identical
+    wording scores high even when lengths differ, and rare-term overlap
+    counts for more than stopword overlap. idf = ln(1 + N/df), the
     :func:`tfidf_top_terms` convention.
 
-    Plan at 100 TB: tokenize ONCE (the per-(doc, term) tf aggregate and the
-    weighted stream are cut with lazy localCheckpoints — the dsir
-    single-tokenize-pass discipline; without the cuts each downstream
-    branch re-explodes the corpus). All shuffles key on xxhash64(term) or
-    the id pair, never term text. Candidate terms are banded to
-    2..``max_term_docs`` docs (singletons can't pair; hub terms past the
-    cap — stopwords — carry negligible idf weight AND quadratic fan-out,
-    the same drop rule as containment/minhash buckets; the oracle mirrors
-    the band). A Σ df(df−1)/2 census RAISES past ``pair_cap`` (default
-    NEARDUP_PAIR_CAP) — duplicated corpora pair quadratically; dedup first.
+    Candidate generation (the prefix filter): within each doc, order the
+    shareable (df >= 2) terms HUB-FIRST (descending df, tie on term hash)
+    and take the running sum of uw². Terms while that sum < threshold²
+    form the doc's SUFFIX — for any unit vector y, dot(suffix, y) <=
+    ||suffix|| < threshold, so a pair meeting the threshold MUST share one
+    of the remaining (rare, indexed) PREFIX terms. Candidates = prefix
+    index ⋈ full term lists; exact cosines are then computed per candidate
+    pair from per-doc (term-hash → weight) maps via map_zip_with — pure
+    JVM expressions. Hub terms sit in the suffix precisely because idf
+    crushes their weight, so the quadratic stopword fan-out never enters
+    the join, yet still contributes its (tiny) exact share to the cosine.
+
+    Plan at 100 TB: tokenize ONCE (the tf aggregate and downstream streams
+    are cut with lazy localCheckpoints — the dsir single-tokenize-pass
+    discipline). All shuffles key on xxhash64(term) or the id pair, never
+    term text; the prefix ranking window is DOC-keyed (per-doc vocab
+    state, never global). A Σ prefix_count(t)·(df(t)−1) candidate census
+    RAISES past ``pair_cap`` (default NEARDUP_PAIR_CAP) — duplicated
+    corpora pair quadratically; dedup first.
 
     Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded at 6."""
-    from analyst_toolkit_spark.llm.dedup import MAX_BUCKET, NEARDUP_PAIR_CAP
+    from pyspark.sql.window import Window
 
-    cap = MAX_BUCKET if max_term_docs is None else max_term_docs
+    from analyst_toolkit_spark.llm.dedup import NEARDUP_PAIR_CAP
+
     pcap = NEARDUP_PAIR_CAP if pair_cap is None else pair_cap
     n_docs = df.count()
     toks = F.explode(
@@ -1329,9 +1339,38 @@ def tfidf_cosine_pairs(
         .localCheckpoint(eager=False)  # tokenize once; reused by dfc AND w
     )
     dfc = tf.groupBy("__th").agg(F.count(F.lit(1)).alias("__df"))
+    w = (
+        tf.join(dfc, "__th")
+        .withColumn("__w", F.col("__tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("__df")))
+        .localCheckpoint(eager=False)  # reused by the norm AND the pair join
+    )
+    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm"))
+    # shareable terms only (df=1 can never appear in both maps of a pair —
+    # keeping them out shrinks the index, the maps, AND the prefix itself:
+    # the suffix bound only needs to cover terms a pair could share)
+    u = (
+        w.join(nrm, id_col)
+        .filter(F.col("__df") >= 2)
+        .select(id_col, "__th", "__df", (F.col("__w") / F.col("__nm")).alias("__uw"))
+    )
+    # hub-first running mass: suffix (cum < t²) is provably un-shareable at
+    # the threshold; prefix (cum >= t²) is the inverted index
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy(F.desc("__df"), F.asc("__th"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__cum", F.sum(F.col("__uw") * F.col("__uw")).over(win))
+    u = u.localCheckpoint(eager=False)  # census + index join + maps all read it
+    t2 = float(threshold) * float(threshold)
+    idx = u.filter(F.col("__cum") >= t2).select(id_col, "__th")
+    # candidate-volume census BEFORE the join: Σ over indexed terms of
+    # prefix_count(t) · (df(t) − 1) ordered candidate rows
     est = int(
-        dfc.filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
-        .agg(F.sum((F.col("__df") * (F.col("__df") - 1) / 2).cast("long")).alias("c"))
+        idx.groupBy("__th")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+        .join(dfc, "__th")
+        .agg(F.sum((F.col("__ni") * (F.col("__df") - 1)).cast("long")).alias("c"))
         .first()["c"]
         or 0
     )
@@ -1340,25 +1379,36 @@ def tfidf_cosine_pairs(
             f"tfidf_cosine_pairs: ~{est} candidate pairs exceeds pair_cap "
             f"{pcap}; dedup the corpus first or raise pair_cap deliberately"
         )
-    w = (
-        tf.join(dfc, "__th")
-        .withColumn("__w", F.col("__tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("__df")))
-        .localCheckpoint(eager=False)  # reused by the norm AND the pair join
-    )
-    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm"))
-    u = w.join(nrm, id_col).select(
-        id_col, "__th", "__df", (F.col("__w") / F.col("__nm")).alias("__uw")
-    )
-    uu = u.filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
-    a, b = uu.alias("a"), uu.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__th") == F.col("b.__th"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    full = u.select(F.col(id_col).alias("__qid"), "__th")
+    cand = (
+        idx.join(full, "__th")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.least(id_col, "__qid").alias("id_a"),
+            F.greatest(id_col, "__qid").alias("id_b"),
         )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.round(F.sum(F.col("a.__uw") * F.col("b.__uw")), 6).alias("cosine"))
+        .distinct()
+    )
+    vec = u.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__th", "__uw"))).alias("__m")
+    )
+    va = vec.select(F.col(id_col).alias("id_a"), F.col("__m").alias("__ma"))
+    vb = vec.select(F.col(id_col).alias("id_b"), F.col("__m").alias("__mb"))
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "__ma",
+                "__mb",
+                lambda _, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0)),
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
