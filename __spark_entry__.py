@@ -2390,6 +2390,35 @@ def q_curate_md5_docs(spark, sf):
     return out.select("doc_id", "split", F.md5("text").alias("text_md5"))
 
 
+def q_curate_containment_docs(spark, sf):
+    """END-TO-END hash oracle for the r11 containment subset-drop curate
+    stage (r10 VERDICT #1): exact dedup (normalized md5 fingerprint, keep
+    min id) → Broder containment drop (docs whose distinct 8-gram set is
+    >= 0.5 contained in a strictly larger doc drop; equal sizes tie to the
+    smaller id). The policy the standalone containment_pairs signal exists
+    for — A⊂B ⇒ drop the subset, keep the superset — now wired into
+    curate_corpus where production runs it (post-dedup, census cheap).
+    Hash-matches the survivor set (doc_id, md5(text)) against one composed
+    DuckDB CTE — the curate_md5_docs grade of evidence for the new stage."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out, _ = L_cur.curate_corpus(
+        docs, exact_dedup=True, containment_drop_threshold=0.5,
+    )
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def q_containment_subset_docs(spark, sf):
+    """The standalone containment subset-drop POLICY surface
+    (llm/dedup.containment_subset_ids, r11): ids of docs whose distinct
+    8-gram set is >= 0.3 contained in a strictly larger doc (ties to the
+    smaller id). Oracle mirrors the pair join + the superset rule over raw
+    gram strings."""
+    docs = load_table(spark, sf, "documents")
+    return L_dedup.containment_subset_ids(docs, threshold=0.3).orderBy("doc_id")
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -2971,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- back through the window so their evidence doesn't go stale
         # -- (VERDICT #5). To make room, the 13 r9-green queries move to the
         # -- tail — every one holds a fresh r9 driver row.
+        "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
+        "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
         "events_stream_stream_join": q_events_stream_stream_join,  # NEW r10 (SEVENTH streaming row: stream-stream interval join; r9 VERDICT #2)
         "image_near_dup": q_image_near_dup,                # NEW r10 (perceptual dHash image near-dup; rows-only — PNG decode; r9 VERDICT #4)
@@ -4173,6 +4204,52 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p JOIN sz s ON s.doc_id = p.id_a
         WHERE round(p.shared * 1.0 / s.n_grams, 6) >= 0.3
     """
+    # r11: the containment subset-drop POLICY (drop a doc >= threshold
+    # contained in a strictly larger doc; size ties to the smaller id) —
+    # standalone surface + the curate-chain composition (exact dedup first).
+    _CONTAIN_DROP_CTES = """
+        tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+               FROM {src}),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+          FROM tk, unnest(range(1, len(toks) - 6)) AS t(i)
+          WHERE len(toks) >= 8),
+        sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 1000),
+        gg AS (SELECT g.* FROM g JOIN dup USING (gram)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM gg a JOIN gg b USING (gram)
+          WHERE a.doc_id != b.doc_id
+          GROUP BY 1, 2),
+        drops AS (
+          SELECT DISTINCT p.id_a
+          FROM pairs p
+          JOIN sz sa ON sa.doc_id = p.id_a
+          JOIN sz sb ON sb.doc_id = p.id_b
+          WHERE round(p.shared * 1.0 / sa.n_grams, 6) >= {thr}
+            AND (sb.n_grams > sa.n_grams
+                 OR (sb.n_grams = sa.n_grams AND p.id_b < p.id_a)))
+    """
+    sqls["containment_subset_docs"] = (
+        "WITH "
+        + _CONTAIN_DROP_CTES.format(src="documents", thr=0.3)
+        + " SELECT id_a AS doc_id FROM drops ORDER BY doc_id"
+    )
+    sqls["curate_containment_docs"] = (
+        f"""
+        WITH ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents GROUP BY md5({_NORM_SQL.format(col="text")})),
+        d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+        """
+        + _CONTAIN_DROP_CTES.format(src="d1", thr=0.5)
+        + """
+        SELECT d1.doc_id, md5(d1.text) AS text_md5
+        FROM d1 LEFT JOIN drops ON d1.doc_id = drops.id_a
+        WHERE drops.id_a IS NULL
+    """
+    )
     sqls["line_dedup_docs"] = """
         WITH l AS (
           SELECT doc_id,

@@ -10,6 +10,7 @@ order is the one production pipelines use:
   → classifier gate (pinned-weight logreg margin, map-only)
   → exact dedup (normalized fingerprint, keep smallest id)
   → near dedup (MinHash-LSH pairs → connected components → representatives)
+  → containment drop (subset docs >= threshold contained in a larger doc)
   → span removal (cross-document exact-substring spans cut from survivors)
   → char-LM gate (CCNet-style mean-probability threshold vs a reference)
   → decontaminate (benchmark n-gram overlap)
@@ -87,6 +88,17 @@ class CurationConfig:
     #: text.quality_score (ties to smallest id), so the clean page outlives
     #: its boilerplate-mangled copies. One extra component-keyed aggregate.
     near_dedup_keep: str = "min_id"
+    #: Broder containment subset-drop policy (r10 VERDICT #1 — the reason
+    #: dedup.containment_pairs exists): drop every doc whose distinct
+    #: ``containment_n``-gram set is >= this threshold contained in a
+    #: strictly LARGER doc (equal sizes tie to the smaller id) — quotes,
+    #: partial copies, page-subsets that symmetric near-dedup keeps. Runs
+    #: POST-near-dedup, where the Σnd(nd−1) pair census is guaranteed cheap
+    #: (near-dup copies pair quadratically; over survivors the candidate
+    #: volume is the organic overlap only).
+    containment_drop_threshold: float | None = None
+    containment_n: int = 8
+    containment_pair_cap: int | None = None
     #: n-gram length enables exact-substring span REMOVAL on the dedup
     #: survivors (llm/dedup.remove_repeated_spans): cross-document repeated
     #: token runs are cut from every doc; the text column becomes the cleaned
@@ -330,6 +342,19 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         _record(
             "near_dedup", method=strategy, threshold=cfg.near_dedup_threshold,
             keep=cfg.near_dedup_keep,
+        )
+
+    if cfg.containment_drop_threshold is not None:
+        out = _cut(out)  # referenced twice: the pair build + the anti-join back
+        drops = D.containment_subset_ids(
+            out, key=key, id_col=id_col, n=cfg.containment_n,
+            threshold=cfg.containment_drop_threshold,
+            pair_cap=cfg.containment_pair_cap,
+        )
+        out = out.join(drops, id_col, "left_anti")
+        _record(
+            "containment_drop", n=cfg.containment_n,
+            threshold=cfg.containment_drop_threshold,
         )
 
     if cfg.span_dedup_n:

@@ -1430,6 +1430,24 @@ def containment_pairs(
     max_gram_docs: int | None = None,
     pair_cap: int | None = None,
 ) -> DataFrame:
+    """Public 4-column surface over :func:`_containment_pairs_sized` —
+    see that docstring for semantics and the 100 TB plan. Output:
+    (id_a, id_b, shared_grams, containment), both directions."""
+    return _containment_pairs_sized(
+        df, key=key, id_col=id_col, n=n, threshold=threshold,
+        max_gram_docs=max_gram_docs, pair_cap=pair_cap,
+    ).select("id_a", "id_b", "shared_grams", "containment")
+
+
+def _containment_pairs_sized(
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_gram_docs: int | None = None,
+    pair_cap: int | None = None,
+) -> DataFrame:
     """ASYMMETRIC containment join (Broder, "On the resemblance and
     containment of documents", SEQUENCES'97): for each ordered pair (a, b),
     ``containment = |G(a) ∩ G(b)| / |G(a)|`` over distinct token ``n``-grams
@@ -1439,8 +1457,10 @@ def containment_pairs(
     containment ≈ 1.0). The dedup-policy complement to
     ``ngram_jaccard_pairs``: near-dup clustering keeps one of A≈B, while
     containment flags A⊂B so the subset doc can be dropped and the superset
-    kept. Output: (id_a, id_b, shared_grams, containment), both directions
-    of every qualifying pair.
+    kept (:func:`containment_subset_ids` applies exactly that policy).
+    Output: (id_a, id_b, shared_grams, containment, __n_a, __n_b) — the
+    distinct-gram sizes ride along for the subset-drop rule; the public
+    :func:`containment_pairs` strips them.
 
     Plan at 100 TB (the repeated_spans candidate-bound discipline): grams →
     distinct (id, xxhash64(gram)) map-heavy stream; ONLY grams appearing in
@@ -1466,7 +1486,11 @@ def containment_pairs(
         # (the tfidf_cosine_pairs tf-aggregate discipline)
         .localCheckpoint(eager=False)
     )
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
+    sizes = (
+        grams.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_grams"))
+        .localCheckpoint(eager=False)  # joined back for BOTH pair sides
+    )
     dup_sizes = (
         grams.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__nd"))
@@ -1506,10 +1530,43 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
     return (
-        pairs.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
-        .withColumn(
-            "containment", F.round(F.col("shared_grams") / F.col("__n_grams"), 6)
+        pairs.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n_grams").alias("__n_a")),
+            "id_a",
         )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n_grams").alias("__n_b")),
+            "id_b",
+        )
+        .withColumn("containment", F.round(F.col("shared_grams") / F.col("__n_a"), 6))
         .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "shared_grams", "containment")
     )
+
+
+def containment_subset_ids(
+    df: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_gram_docs: int | None = None,
+    pair_cap: int | None = None,
+) -> DataFrame:
+    """The dedup POLICY :func:`containment_pairs` exists for (A ⊂ B ⇒ drop
+    the subset, keep the superset): returns the ids of documents whose
+    distinct ``n``-gram set is >= ``threshold`` contained in a STRICTLY
+    LARGER document (more distinct grams; equal sizes tie to the smaller
+    id, so mutual-containment twins keep exactly one). One-pass rule — a
+    doc drops when ANY larger doc contains it at the threshold, whether or
+    not that larger doc itself survives; deterministic, a single filter
+    over the pair join, no fixpoint. Anti-join the result off the corpus
+    (the curate_corpus ``containment_drop_threshold`` stage does exactly
+    that, post-near-dedup where the pair census is guaranteed cheap)."""
+    pairs = _containment_pairs_sized(
+        df, key=key, id_col=id_col, n=n, threshold=threshold,
+        max_gram_docs=max_gram_docs, pair_cap=pair_cap,
+    )
+    superset = (F.col("__n_b") > F.col("__n_a")) | (
+        (F.col("__n_b") == F.col("__n_a")) & (F.col("id_b") < F.col("id_a"))
+    )
+    return pairs.filter(superset).select(F.col("id_a").alias(id_col)).distinct()

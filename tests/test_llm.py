@@ -2411,3 +2411,40 @@ def test_tfidf_cosine_prefix_filter_exact_vs_bruteforce(spark):
     assert set(got) == set(want)
     for p in want:
         assert abs(got[p] - want[p]) <= 2e-6, (p, got[p], want[p])
+
+
+def test_containment_subset_ids_policy(spark):
+    """A ⊂ B ⇒ drop the subset, keep the superset; equal-size mutual
+    containment keeps exactly the smaller id; unrelated docs untouched."""
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),                                   # subset of 2
+        (2, base + " eleven twelve thirteen fourteen fifteen sixteen"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),   # twin of 4
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "unrelated words entirely different corpus content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    drops = {r["doc_id"] for r in D.containment_subset_ids(df, n=4, threshold=0.5).collect()}
+    assert drops == {1, 4}  # 1 ⊂ 2; twins 3==4 keep min id 3
+
+
+def test_curate_containment_stage(spark):
+    """The curate-chain containment_drop stage anti-joins the subset ids
+    and records itself; disabled by default."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),
+        (2, base + " eleven twelve thirteen fourteen fifteen sixteen"),
+        (5, "unrelated words entirely different corpus content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, rep = L_cur.curate_corpus(
+        df, exact_dedup=False, containment_drop_threshold=0.5, containment_n=4,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 5}
+    assert rep["containment_drop"] == {"n": 4, "threshold": 0.5}
+    out2, rep2 = L_cur.curate_corpus(df, exact_dedup=False)
+    assert "containment_drop" not in rep2 and out2.count() == 3
