@@ -1401,6 +1401,84 @@ def q_events_stream_stream_join(spark, sf):
     )
 
 
+def q_events_stream_stream_left(spark, sf):
+    """STREAM-STREAM **LEFT OUTER** interval join through the driver gate
+    (streaming/joins.interval_join how='left', r11 — r10 VERDICT #3): the
+    one watermark behavior no other row exercises — null-padded rows for
+    unmatched left rows emit only when the (REAL, finite) watermark closes
+    the row's match window, so this runs with a genuine 3-day watermark,
+    not the horizon trick. Source: real events split into TWO files (sides
+    cross micro-batches) plus a far-future sentinel file; with
+    maxFilesPerTrigger=1 the sentinel batch runs with the watermark already
+    at max(real ts) − 3 days, flushing the outer state behind it. Compare
+    surface (horizon-aware): purchases whose match window is fully inside
+    the flush horizon — purchase_ts < max(ts) − 80 hours (3-day delay +
+    4-hour join window + 1-hour margin, conservatively clear of Spark's
+    state-watermark rounding) — hash-green vs a plain DuckDB LEFT interval
+    join under the same cutoff. Matched rows carry the µs-exact gap;
+    unmatched carry NULL click columns."""
+    from analyst_toolkit_spark.streaming.joins import interval_join
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    src = _stream_tmpdir("ev_ssl_src_")
+    # two real slices (even/odd event ids), then the sentinel — one file per
+    # micro-batch, written sequentially so discovery order is deterministic
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, "view", 0.0, None)], schema=events.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    def _stream():
+        return spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+    purchases = _stream().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = _stream().filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_type").alias("click_type"),
+    )
+    joined = interval_join(
+        purchases, clicks, key="user_id", left_ts="purchase_ts",
+        right_ts="click_ts", window="4 hours",
+        left_watermark="3 days", right_watermark="3 days", how="left",
+    )
+    sink = _stream_tmpdir("ev_ssl_sink_") + "/data"
+    ckpt = _stream_tmpdir("ev_ssl_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("purchase_ts") < F.lit(max_ts) - F.expr("INTERVAL 80 HOURS"))
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            "click_type",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
 def q_events_stream_stateful(spark, sf):
     """CUSTOM STATEFUL streaming operator through the driver gate
     (streaming/sessions.stateful_running_stats → ``applyInPandasWithState``,
@@ -3000,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- back through the window so their evidence doesn't go stale
         # -- (VERDICT #5). To make room, the 13 r9-green queries move to the
         # -- tail — every one holds a fresh r9 driver row.
+        "events_stream_stream_left": q_events_stream_stream_left,  # NEW r11 (EIGHTH streaming row: LEFT-OUTER interval join under a real finite watermark — r10 VERDICT #3)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
@@ -4116,6 +4195,20 @@ def oracle_sql() -> dict[str, str]:
          AND p.event_type = 'purchase'
          AND c.event_type IN ('click', 'view')
          AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    """
+    sqls["events_stream_stream_left"] = """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+              FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS click_id, ts AS cts,
+                     event_type AS click_type
+              FROM events WHERE event_type IN ('click', 'view'))
+        SELECT p.user_id, p.purchase_id, c.click_id, c.click_type,
+               CAST(date_diff('microsecond', c.cts, p.pts) AS BIGINT) AS gap_us
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.cts BETWEEN p.pts - INTERVAL 4 HOUR AND p.pts
+        WHERE p.pts < (SELECT m FROM mx) - INTERVAL 80 HOUR
     """
     sqls["quality_decile_docs"] = f"""
         WITH q AS (
