@@ -2847,6 +2847,46 @@ def q_embedding_ivf_topk(spark, sf):  # NON-SQL (kmeans coarse quantizer)
     return L_sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).drop("__ivf_cluster")
 
 
+def q_ivf_recall_grid(spark, sf):  # NON-SQL (seeded driver k-means + on-disk IVF layout)
+    """RECALL@10 grade of the persisted-IVF probe tiers (r10 VERDICT #5):
+    one index per storage tier (raw float / SQ8 int8 / PQ 32x4-bit ADC)
+    written through the real ivf_write partition-pruned layout, probed at
+    nprobe=4 of nlist=8 for FIVE deterministic query vectors (smallest
+    vec_ids), each graded against the brute-force cosine top-10 over the
+    same corpus. Output: per-tier mean/min recall@10 — the fidelity ladder
+    (raw ≈ SQ8 > PQ) recorded as driver evidence, with floors pinned by
+    test_ivf_probe_tier_recall_floors. Driver loop is the sanctioned
+    EVALUATION shape: 5 queries × 4 bounded top-k collects (≤10 rows each);
+    the probes themselves are partition-pruned scans."""
+    emb = load_table(spark, sf, "embeddings")
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    assigned, centroids = L_sim.ivf_build(emb, nlist=8)
+    base = _stream_tmpdir("ivf_recall_")
+    tiers = ("raw", "sq8", "pq")
+    for t in tiers:
+        L_sim.ivf_write(assigned, centroids, f"{base}/{t}", quantize=t)
+    rows = []
+    for qr in qrows:
+        qvec = [float(x) for x in qr["embedding"]]
+        exact = {r["vec_id"] for r in L_sim.cosine_topk(emb, qvec, k=10).collect()}
+        for t in tiers:
+            got = {
+                r["vec_id"]
+                for r in L_sim.ivf_probe(spark, f"{base}/{t}", qvec, k=10, nprobe=4).collect()
+            }
+            rows.append((t, int(qr["vec_id"]), len(got & exact) / 10.0))
+    res = spark.createDataFrame(rows, "storage string, query_id long, recall_at_10 double")
+    return (
+        res.groupBy("storage")
+        .agg(
+            F.round(F.avg("recall_at_10"), 2).alias("mean_recall_at_10"),
+            F.min("recall_at_10").alias("min_recall_at_10"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+        .orderBy("storage")
+    )
+
+
 def q_embedding_cluster(spark, sf):
     """Embedding near-dup CLUSTER resolution: cosine ≥ 0.9 pairs collapsed
     via connected components — the pairs→clusters loop closed for the
@@ -3079,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (VERDICT #5). To make room, the 13 r9-green queries move to the
         # -- tail — every one holds a fresh r9 driver row.
         "events_stream_stream_left": q_events_stream_stream_left,  # NEW r11 (EIGHTH streaming row: LEFT-OUTER interval join under a real finite watermark — r10 VERDICT #3)
+        "ivf_recall_grid": q_ivf_recall_grid,              # NEW r11 (recall@10 grade of the raw/SQ8/PQ probe tiers; rows-only — seeded k-means; r10 VERDICT #5)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)

@@ -2448,3 +2448,33 @@ def test_curate_containment_stage(spark):
     assert rep["containment_drop"] == {"n": 4, "threshold": 0.5}
     out2, rep2 = L_cur.curate_corpus(df, exact_dedup=False)
     assert "containment_drop" not in rep2 and out2.count() == 3
+
+
+def test_ivf_probe_tier_recall_floors(spark, oracle_sf_dir, tmp_path):
+    """r10 VERDICT #5: pin recall@10 floors for the PERSISTED probe tiers
+    (raw / SQ8 / PQ through the on-disk partition-pruned layout) against
+    brute-force cosine — the regression floor under the ivf_recall_grid
+    driver row. Exhaustive raw probe (nprobe = nlist) must be EXACT."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    assigned, centroids = S.ivf_build(emb, nlist=8)
+    idx = {}
+    for t in ("raw", "sq8", "pq"):
+        idx[t] = str(tmp_path / t)
+        S.ivf_write(assigned, centroids, idx[t], quantize=t)
+    rec = {t: [] for t in idx}
+    for qr in qrows:
+        qvec = [float(x) for x in qr["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()}
+        full = {r["vec_id"] for r in S.ivf_probe(spark, idx["raw"], qvec, k=10, nprobe=8).collect()}
+        assert full == exact  # exhaustive raw probe is brute force
+        for t in idx:
+            got = {r["vec_id"] for r in S.ivf_probe(spark, idx[t], qvec, k=10, nprobe=4).collect()}
+            rec[t].append(len(got & exact) / 10.0)
+    mean = {t: sum(v) / len(v) for t, v in rec.items()}
+    assert mean["raw"] >= 0.8 and min(rec["raw"]) >= 0.7
+    assert mean["sq8"] >= 0.75            # SQ8 ~ raw at this scale
+    assert mean["pq"] >= 0.5              # ADC tier trades recall for 16x size
