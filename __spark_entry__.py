@@ -3135,20 +3135,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_decile_docs": q_quality_decile_docs,      # NEW late-r10 (grouped exact NTILE via group-reset prefix sum)
         "bigram_pmi_docs": q_bigram_pmi_docs,              # r9 green (word2phrase collocation mining)
         "token_entropy_docs": q_token_entropy_docs,        # r9 green (per-source diversity census)
-        # -- rotated back in (r06+r08 green, parked r9 — r9 VERDICT #5) -------
-        "local_supplier_volume": q_local_supplier_volume,  # r06+r08 green (Q5 shape)
-        "volume_shipping": q_volume_shipping,              # r06+r08 green (Q7 shape)
-        "sales_opportunity": q_sales_opportunity,          # r06+r08 green (Q22 shape)
-        "shipmode_priority": q_shipmode_priority,          # r06+r08 green (Q12 shape)
-        "promo_revenue": q_promo_revenue,                  # r06+r08 green (Q14 shape)
-        "large_volume_orders": q_large_volume_orders,      # r06+r08 green (Q18 shape)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # r06+r08 green
-        "weighted_sample_docs": q_weighted_sample_docs,    # r06+r08 green
-        "stratified_sample_customers": q_stratified_sample_customers,  # r06+r08 green
-        "mixture_sample_docs": q_mixture_sample_docs,      # r06+r08 green
-        "events_stream_windowed": q_events_stream_windowed,  # r06+r08 green (second streaming row)
-        "asof_nearest_events": q_asof_nearest_events,      # r06+r08 green
-        "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08 green
+        # -- rotated back in r11: the THIRTEEN stalest registry rows — their
+        # -- last driver hash rows date to r01/r02 (pipeline_orders,
+        # -- infer_configs r01; the rest r02). All run green against the
+        # -- DuckDB oracle locally every pytest; this refreshes the DRIVER
+        # -- record. (The 13 r06+r08+r10-green queries they displace park to
+        # -- the tail, each holding a fresh r10 row.)
+        "pipeline_orders": q_pipeline_orders,              # r01 green (8-stage QA pipeline composition)
+        "infer_configs_customer": q_infer_configs_customer,  # r01 green (schema/config inference)
+        "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
+        "dup_count_lineitem": q_dup_count_lineitem,        # r02 green
+        "events_daily": q_events_daily,                    # r02 green
+        "events_hopping": q_events_hopping,                # r02 green
+        "events_tumbling": q_events_tumbling,              # r02 green
+        "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
+        "forecast_revenue_change": q_forecast_revenue_change,  # r02 green
+        "impute_mode_customer": q_impute_mode_customer,    # r02 green
+        "join_region_revenue": q_join_region_revenue,      # r02 green
+        "profile_by_segment": q_profile_by_segment,        # r02 green
+        "token_totals_documents": q_token_totals_documents,  # r02 green
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -3287,22 +3292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remap_values_orders": q_remap_values_orders,      # r02+r03 green
         "datetime_cascade_orders": q_datetime_cascade_orders,  # r02+r03 green
         "coerce_numeric_orders": q_coerce_numeric_orders,  # r02+r03 green
-        "profile_by_segment": q_profile_by_segment,        # r02 green
-        "dup_count_lineitem": q_dup_count_lineitem,        # r02 green
         "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
         "validation_violations_orders": q_validation_violations_orders,  # r02 green
-        "impute_mode_customer": q_impute_mode_customer,    # r02 green
-        "forecast_revenue_change": q_forecast_revenue_change,  # r02 green
-        "join_region_revenue": q_join_region_revenue,      # r02 green
         "topn_parts": q_topn_parts,                        # r02 green
-        "events_daily": q_events_daily,                    # r02 green
-        "events_tumbling": q_events_tumbling,              # r02 green
-        "events_hopping": q_events_hopping,                # r02 green
-        "boxplot_lineitem": q_boxplot_lineitem,            # r02 green
-        "token_totals_documents": q_token_totals_documents,  # r02 green
-        "fingerprint_dup_docs": q_fingerprint_dup_docs,    # r02 green
-        "pipeline_orders": q_pipeline_orders,              # orchestration (rows-only; r2 driver row)
-        "infer_configs_customer": q_infer_configs_customer,  # YAML emission (rows-only; r5 driver row)
+        # -- parked r11 (displaced by the stale-13 rotation; every one holds
+        # -- a fresh r10 driver row) -------------------------------------------
+        "local_supplier_volume": q_local_supplier_volume,  # r06+r08+r10 green (Q5 shape)
+        "volume_shipping": q_volume_shipping,              # r06+r08+r10 green (Q7 shape)
+        "sales_opportunity": q_sales_opportunity,          # r06+r08+r10 green (Q22 shape)
+        "shipmode_priority": q_shipmode_priority,          # r06+r08+r10 green (Q12 shape)
+        "promo_revenue": q_promo_revenue,                  # r06+r08+r10 green (Q14 shape)
+        "large_volume_orders": q_large_volume_orders,      # r06+r08+r10 green (Q18 shape)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # r06+r08+r10 green
+        "weighted_sample_docs": q_weighted_sample_docs,    # r06+r08+r10 green
+        "stratified_sample_customers": q_stratified_sample_customers,  # r06+r08+r10 green
+        "mixture_sample_docs": q_mixture_sample_docs,      # r06+r08+r10 green
+        "events_stream_windowed": q_events_stream_windowed,  # r06+r08+r10 green (second streaming row)
+        "asof_nearest_events": q_asof_nearest_events,      # r06+r08+r10 green
+        "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08+r10 green
     }
 
 
