@@ -1885,6 +1885,23 @@ def q_containment_pairs_docs(spark, sf):
     return L_dedup.containment_pairs(docs, n=8, threshold=0.3)
 
 
+def q_quality_topk_per_source_docs(spark, sf):
+    """Per-source TOP-K quality gate via the skew-safe two-phase top-k
+    (llm/pack.grouped_topk, r11): the "best 5 docs per source" selection
+    without a per-group window funnel — phase 1 takes per-(source,
+    input-partition) top-5 (a skewed source spreads over its partitions),
+    phase 2 merges k-per-partition winners. Quality rounds at 6 BEFORE
+    ordering (the quality_decile convention); ordering key (q, doc_id)
+    descending is total, so both engines agree exactly. Oracle: plain
+    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id DESC)."""
+    from analyst_toolkit_spark.llm import pack as L_pack
+
+    docs = load_table(spark, sf, "documents").select(
+        "source", "doc_id", F.round(L_text.quality_score("text"), 6).alias("q")
+    )
+    return L_pack.grouped_topk(docs, 5, ["q", "doc_id"], "source")
+
+
 def q_quality_decile_docs(spark, sf):
     """Per-source quality DECILES via grouped exact NTILE (llm/pack.
     grouped_ntile, late r10): group-resetting distributed prefix-sum row
@@ -3120,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail — every one holds a fresh r9 driver row.
         "events_stream_stream_left": q_events_stream_stream_left,  # NEW r11 (EIGHTH streaming row: LEFT-OUTER interval join under a real finite watermark — r10 VERDICT #3)
         "ivf_recall_grid": q_ivf_recall_grid,              # NEW r11 (recall@10 grade of the raw/SQ8/PQ probe tiers; rows-only — seeded k-means; r10 VERDICT #5)
+        "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # NEW r11 (skew-safe two-phase grouped top-k — no per-group window funnel)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
@@ -4270,6 +4288,18 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS docs,
                round(avg(q), 6) AS avg_q
         FROM b GROUP BY 1, 2
+    """
+    sqls["quality_topk_per_source_docs"] = f"""
+        WITH q AS (
+          SELECT source, doc_id, round({_quality_score_sql_expr()}, 6) AS q
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, q,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY q DESC, doc_id DESC) AS rank
+          FROM q)
+        SELECT source, doc_id, q, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5
     """
     sqls["dedup_lines_within_docs"] = """
         WITH l AS (

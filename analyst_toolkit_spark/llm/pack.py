@@ -301,3 +301,51 @@ def grouped_ntile(
         )
     )
     return j.withColumn(out_col, band.cast("int")).drop("__one", "__rn", "__tot")
+
+
+def grouped_topk(
+    df: DataFrame,
+    k: int,
+    order_col: str | list[str],
+    group_col: str,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` DESCENDING (the "best 100
+    docs per source" gate) without a per-group single-task window funnel —
+    the top-k complement to :func:`grouped_ntile`, same skew contract. A
+    plain ``row_number() OVER (PARTITION BY group ORDER BY ...)`` ships
+    every row of a group to ONE task; at 100 TB a half-corpus group is a
+    straggler and an OOM. Here the heavy lifting is two bounded phases:
+
+    1. per-(group, input-partition) top-k: ``groupBy(group,
+       spark_partition_id())`` + sort_array + slice. The exchange spreads a
+       skewed group over as many keys as it has input partitions (each
+       reduce-side list is bounded by ONE partition's share of the group,
+       never the whole group), and phase 2's input is only k rows per
+       (group, partition).
+    2. per-group merge of the per-partition winners: k × n_partitions rows
+       per group — bounded state, one more small shuffle.
+
+    Correct for ANY placement: top-k of a union is the top-k of the merged
+    per-slice top-ks, so the nondeterministic partition ids never leak into
+    the result. The ordering tuple must be UNIQUE within a group (append
+    the primary key last — the grouped_ntile contract); all key fields sort
+    DESCENDING, and the payload struct is compared only on full key ties
+    (never, when the key is total). Output: input columns + ``rank_col``
+    (1 = best)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    key = F.struct(
+        *[F.col(c) for c in order_cols], F.struct(*df.columns).alias("__row")
+    )
+    part = (
+        df.groupBy(F.col(group_col).alias("__g"), F.spark_partition_id().alias("__pid"))
+        .agg(F.slice(F.sort_array(F.collect_list(key), asc=False), 1, k).alias("__top"))
+        .select("__g", F.explode("__top").alias("__e"))
+    )
+    merged = part.groupBy("__g").agg(
+        F.slice(F.sort_array(F.collect_list("__e"), asc=False), 1, k).alias("__top")
+    )
+    out = merged.select(F.posexplode("__top").alias("__pos", "__e"))
+    return out.select(
+        F.col("__e.__row.*"), (F.col("__pos") + 1).cast("int").alias(rank_col)
+    )

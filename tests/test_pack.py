@@ -161,3 +161,28 @@ def test_grouped_ntile_matches_sql_ntile(spark):
         for r in df.withColumn("band", F.ntile(4).over(w)).collect()
     }
     assert got == want
+
+
+def test_grouped_topk_matches_sql_window(spark):
+    """grouped_topk == row_number() OVER (PARTITION BY g ORDER BY v DESC,
+    pk DESC) <= k across group shapes (skewed, smaller-than-k, ties in v),
+    under a forced multi-partition layout so the per-partition phase runs."""
+    from pyspark.sql.window import Window
+
+    rows = (
+        [("big", i, float(i % 7)) for i in range(23)]
+        + [("tiny", 100 + i, float(i)) for i in range(2)]
+        + [("ties", 200 + i, 1.0) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, ["g", "pk", "v"]).repartition(8)
+    got = {
+        (r["g"], r["rank"]): (r["pk"], r["v"])
+        for r in P.grouped_topk(df, 3, ["v", "pk"], "g").collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("pk"))
+    want = {
+        (r["g"], r["rn"]): (r["pk"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").collect()
+    }
+    assert got == want
+    assert len({g for g, _ in got}) == 3 and ("tiny", 2) in got and ("tiny", 3) not in got
