@@ -2217,6 +2217,20 @@ def q_semantic_dedup_embeddings(spark, sf):
     )
 
 
+def q_semantic_dedup_pca_embeddings(spark, sf):  # NON-SQL (driver eigh + seeded planes)
+    """SemDeDup with the paper's PCA front-end (llm/similarity.semantic_dedup
+    pca_dims=8, r11): fit PCA (bounded driver moments), project map-only,
+    BUCKET in the 8-d top-variance subspace, verify exact cosine in the
+    ORIGINAL space — hyperplane bits stop wasting sign bits on noise
+    directions and bucket assignment is 8·planes flops/row instead of
+    64·planes. Candidate recall changes; pair correctness does not (same
+    audit-view contract as semantic_dedup_embeddings). Rows-only: the
+    eigendecomposition is driver-side numpy."""
+    emb = load_table(spark, sf, "embeddings")
+    out = L_sim.semantic_dedup(emb, 64, n_planes=6, threshold=0.5, pca_dims=8)
+    return out.select("vec_id", "component", "is_rep")
+
+
 def q_decontaminate_spans_docs(spark, sf):
     """Span-level decontamination census (llm/dedup.remove_contaminated_spans,
     new r8): every 25th doc's text doubles as a benchmark entry; every
@@ -2428,9 +2442,11 @@ def q_length_buckets_docs(spark, sf):
 
 def q_curate_docs(spark, sf):  # NON-SQL (multi-stage orchestration; stages oracle-checked individually)
     """End-to-end curation chain census (llm/curate.py): quality gate →
-    exact dedup → near dedup → decontaminate → split → pack over documents.
-    Each constituent operator has its own oracle-green query; the chain
-    itself is procedural, so this records the rows-only check."""
+    exact dedup → near dedup → containment subset-drop (r11) →
+    decontaminate → split → pack over documents. Each constituent operator
+    has its own oracle-green query (the containment stage's composition is
+    hash-pinned by curate_containment_docs); the chain itself is
+    procedural, so this records the rows-only check."""
     from analyst_toolkit_spark.llm import curate as L_cur
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -2441,6 +2457,7 @@ def q_curate_docs(spark, sf):  # NON-SQL (multi-stage orchestration; stages orac
         max_repetition=0.5,
         exact_dedup=True,
         near_dedup_threshold=0.8,
+        containment_drop_threshold=0.5,
         benchmark=bench,
         splits={"train": 0.9, "val": 0.05, "test": 0.05},
         pack_budget=512,
@@ -3138,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stream_left": q_events_stream_stream_left,  # NEW r11 (EIGHTH streaming row: LEFT-OUTER interval join under a real finite watermark — r10 VERDICT #3)
         "ivf_recall_grid": q_ivf_recall_grid,              # NEW r11 (recall@10 grade of the raw/SQ8/PQ probe tiers; rows-only — seeded k-means; r10 VERDICT #5)
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # NEW r11 (skew-safe two-phase grouped top-k — no per-group window funnel)
+        "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,  # NEW r11 (SemDeDup PCA front-end: bucket reduced, verify original; rows-only — driver eigh)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)

@@ -148,16 +148,22 @@ def lsh_bucketed_pairs(
     n_planes: int = 8,
     threshold: float = 0.9,
     seed: int = 42,
+    bucket_vec_col: str | None = None,
 ) -> DataFrame:
     """ANN near-pair search: compare only vectors sharing a hyperplane bucket.
     Recall grows with fewer planes / multiple tables; this single-table variant
-    is the building block."""
+    is the building block.
+
+    ``bucket_vec_col`` (r11): bucket on a DIFFERENT vector column (``dim`` =
+    its dimensionality) while the cosine verify stays on ``vec_col`` — the
+    seam :func:`semantic_dedup`'s PCA front-end uses. Bucketing is only
+    candidate generation, so this changes RECALL, never pair correctness."""
     planes = _hyperplanes(dim, n_planes, seed)
     d = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket(F.col(bucket_vec_col or vec_col), planes).alias("bucket"),
     )
     a, b = d.alias("a"), d.alias("b")
     dot = dot_cols(F.col("a.v"), F.col("b.v"))
@@ -661,6 +667,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     seed: int = 42,
     checkpoint_dir: str | None = None,
+    pca_dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., *SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication*, 2023):
@@ -676,10 +683,29 @@ def semantic_dedup(
     scale). Returns the full input row set with ``component`` (smallest
     reachable id; own id for singletons) and ``is_rep`` (the elected
     survivor — exactly one true per component). Filtering ``is_rep`` is the
-    dedup; keeping all rows is the audit view."""
+    dedup; keeping all rows is the audit view.
+
+    ``pca_dims`` (r11): the SemDeDup paper's actual recipe — reduce first,
+    cluster in the reduced space. Fits :func:`pca_fit` (bounded driver
+    moments), projects map-only, and BUCKETS on the ``pca_dims``-d
+    projection while the cosine verify stays on the ORIGINAL vectors —
+    hyperplane bits in the top-variance subspace stop wasting sign bits on
+    noise directions, and bucket assignment costs pca_dims·n_planes flops
+    per row instead of dim·n_planes. Candidate recall changes; pair
+    correctness (exact original-space cosine >= threshold) does not."""
     from .dedup import connected_components
 
-    pairs = lsh_bucketed_pairs(df, dim, vec_col, id_col, n_planes, threshold, seed)
+    bucket_col = None
+    if pca_dims:
+        model = pca_fit(df, vec_col=vec_col, k=pca_dims)
+        proj = pca_project(df, model, vec_col=vec_col, prefix="__sdp")
+        df = proj.withColumn(
+            "__sd_red", F.array(*[F.col(f"__sdp{i}") for i in range(1, pca_dims + 1)])
+        ).drop(*[f"__sdp{i}" for i in range(1, pca_dims + 1)])
+        bucket_col, dim = "__sd_red", pca_dims
+    pairs = lsh_bucketed_pairs(
+        df, dim, vec_col, id_col, n_planes, threshold, seed, bucket_vec_col=bucket_col
+    )
     comps = connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
         F.col("node").alias("__sd_node"), F.col("component").alias("__sd_comp")
     )
@@ -689,7 +715,7 @@ def semantic_dedup(
     return (
         out.withColumn("component", F.coalesce(F.col("__sd_comp"), F.col(id_col)))
         .withColumn("is_rep", F.col("component") == F.col(id_col))
-        .drop("__sd_node", "__sd_comp")
+        .drop("__sd_node", "__sd_comp", "__sd_red")
     )
 
 

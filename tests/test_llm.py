@@ -2478,3 +2478,31 @@ def test_ivf_probe_tier_recall_floors(spark, oracle_sf_dir, tmp_path):
     assert mean["raw"] >= 0.8 and min(rec["raw"]) >= 0.7
     assert mean["sq8"] >= 0.75            # SQ8 ~ raw at this scale
     assert mean["pq"] >= 0.5              # ADC tier trades recall for 16x size
+
+
+def test_semantic_dedup_pca_front_end(spark, oracle_sf_dir):
+    """pca_dims buckets in the reduced space but verifies exact cosine in
+    the ORIGINAL space: exact-duplicate copies (identical vectors, new ids)
+    project identically, land in the same bucket, and resolve to two-member
+    components whose survivor is the min id; the temp projection column
+    never leaks into the output."""
+    from analyst_toolkit_spark.ingest import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    out = S.semantic_dedup(corpus, 64, n_planes=6, threshold=0.99, pca_dims=8)
+    assert "__sd_red" not in out.columns
+    rows = {r["vec_id"]: (r["component"], r["is_rep"]) for r in out.collect()}
+    for i in range(10):
+        assert rows[100000 + i] == (i, False)   # copy clusters to source, loses
+        assert rows[i] == (i, True)             # source survives
+    # each component elects exactly one representative
+    comps = out.groupBy("component").agg(
+        F.sum(F.col("is_rep").cast("int")).alias("reps")
+    )
+    assert comps.filter(F.col("reps") != 1).count() == 0
