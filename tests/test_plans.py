@@ -282,6 +282,18 @@ _EXCHANGE_CEILINGS = {
     "curate_md5_docs": 1,
     "corpus_data_card_neardup_docs": 7,
     "bm25_topk_docs": 6,
+    # new r11 (measured + 1 AQE headroom): grouped_topk is EXACTLY its two
+    # phases — per-(group, partition-id) top-k agg + the k-per-partition
+    # merge agg (measured 2; a third exchange means the funnel came back);
+    # the prefix-filter cosine tail = candidate distinct + two vector-map
+    # joins over the lazy cuts (measured 3); containment subset policy /
+    # curate-chain tails measured 3 each; the PCA semantic-dedup tail is
+    # post-fixpoint map-only (measured 0).
+    "quality_topk_per_source_docs": 3,
+    "lexical_cosine_pairs_docs": 4,
+    "containment_subset_docs": 4,
+    "curate_containment_docs": 4,
+    "semantic_dedup_pca_embeddings": 1,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
