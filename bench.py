@@ -287,6 +287,12 @@ def main() -> None:
     for nh_name in ("curate_md5_docs", "bm25_topk_docs"):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # r11 additions: the containment-policy curate chain (exact dedup +
+    # Broder subset-drop — the heaviest new composition) and the skew-safe
+    # grouped top-k (its two-phase shape must stay ~grouped_ntile-priced)
+    for nh_name in ("curate_containment_docs", "quality_topk_per_source_docs"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
     anchor_post = _anchor_sec(spark)
     print(f"# host anchor (post): {anchor_post:.3f}s (ref {ANCHOR_REF_POST})", file=sys.stderr)
