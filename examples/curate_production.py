@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""The production curation recipe, end to end — every major stage of
+`llm/curate.curate_corpus` in the order a real pre-training pipeline runs
+them, with the data card read before and after. Runnable documentation:
+
+  python examples/curate_production.py [sf_dir]     (default sf0.01)
+
+Stage order (and why):
+  1. line-level boilerplate dedup  — nav bars / cookie banners inflate
+     repetition and deflate quality, so cleaning precedes scoring
+     (RefinedWeb §3.2 order)
+  2. heuristic quality gate        — cheap, map-only; cuts the obvious junk
+     before anything that shuffles
+  3. classifier gate               — pinned-weight logreg margin, map-only
+  4. exact dedup                   — normalized fingerprint, keep min id
+  5. near dedup                    — MinHash-LSH → components → survivor
+     (auto gate: pair path vs linear bucket path by candidate census)
+  6. containment subset-drop (r11) — A ⊂ B ⇒ drop the subset, keep the
+     superset; runs post-near-dedup where the pair census is cheap
+  7. span decontamination          — cut benchmark-overlapping token runs,
+     keep the untainted remainder
+  8. leakage-safe split            — near-dup clusters never straddle
+     train/val/test
+  9. token-budget packing          — per-split prefix-sum sequence assembly
+
+At 100 TB: every self-referencing stage runs behind a lineage cut (set
+``checkpoint_dir`` to an object-store path for durable, resumable cuts),
+census gates refuse quadratic candidate volumes instead of attempting
+them, and the only driver-side data is the stage report.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import classify as C
+    from analyst_toolkit_spark.llm.curate import CurationConfig, curate_corpus
+    from analyst_toolkit_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("curate_production")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    # benchmark to decontaminate against: every 25th doc stands in for the
+    # eval set a real pipeline guards
+    benchmark = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+
+    cfg = CurationConfig(
+        key="text",
+        id_col="doc_id",
+        line_dedup_min_docs=30,          # stage 1 (sep="\n" default; the
+        line_dedup_sep=" the ",          # synthetic corpus has no newlines)
+        min_quality=0.2,                 # stage 2
+        max_repetition=0.5,
+        classifier_weights=[0.0] * len(C.FEATURE_NAMES),  # stage 3 (neutral
+        classifier_threshold=-1.0,       # weights: gate wired, nothing cut)
+        exact_dedup=True,                # stage 4
+        near_dedup_threshold=0.8,        # stage 5 (auto engine)
+        near_dedup_keep="best_quality",  # survivor = cleanest member
+        containment_drop_threshold=0.5,  # stage 6 (r11)
+        benchmark=benchmark,             # stage 7
+        decontaminate_mode="spans",
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        split_mode="leakage_safe",       # stage 8
+        pack_budget=512,                 # stage 9
+        report_counts=True,              # per-stage row census (opt-in scans)
+        report_data_card=True,           # before/after per-source card
+    )
+    curated, report = curate_corpus(docs, cfg)
+
+    print("\n=== stage report ===")
+    for stage, info in report.items():
+        line = {k: v for k, v in info.items() if k != "data_card"}
+        print(f"{stage}: {line}")
+    print("\n=== input data card ===")
+    for row in report["input"]["data_card"]:
+        print(row)
+    print("\n=== output data card ===")
+    for row in report["output"]["data_card"]:
+        print(row)
+    print("\n=== curated sample ===")
+    curated.select("doc_id", "split", "seq_id", "n_tokens").show(10)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
