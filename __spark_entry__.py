@@ -1868,7 +1868,13 @@ def q_lexical_cosine_pairs_docs(spark, sf):
     provably cannot carry a qualifying pair. Threshold 0.9. Spark keys every
     shuffle on xxhash64(term); the oracle computes the exact unbanded cosine
     over raw term strings — agreement certifies both the hash path
-    collision-free AND the prefix filter lossless at this scale."""
+    collision-free AND the prefix filter lossless at this scale.
+
+    At sf0.1+ the ~40-term synthetic vocabulary makes this corpus
+    adversarially DENSE (97.8M candidate census at sf0.1) and the default
+    pair_cap census RAISES — working as designed (dedup first / raise the
+    cap deliberately, as examples/sweep_r11_100x.py does to measure the
+    linear slope). The driver exercises this row at sf0.01 only."""
     docs = load_table(spark, sf, "documents")
     return L_text.tfidf_cosine_pairs(docs, threshold=0.9)
 
