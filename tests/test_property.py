@@ -571,3 +571,48 @@ def test_bm25_matches_bruteforce(spark, docs, terms):
     assert set(got) == set(expected)
     for i, exp in expected.items():
         assert got[i] == pytest.approx(round(exp, 6), abs=2e-6), (i, got[i], exp)
+
+
+# -- r11: Bayardo prefix-filter losslessness ---------------------------------
+# Small alphabet forces hub terms (high df) — exactly the regime where the
+# old df band silently lost pairs; the prefix filter must stay EXACT.
+_words = st.sampled_from(["hub", "alpha", "beta", "gamma", "rare", "word", "x9"])
+_doc = st.lists(_words, min_size=1, max_size=8).map(" ".join)
+
+
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=8),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+@SET
+def test_tfidf_cosine_prefix_filter_lossless(spark, docs, threshold):
+    import itertools
+
+    from analyst_toolkit_spark.llm.text import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(df, threshold=threshold).collect()}
+    # brute force over the exact unit tf-idf vectors
+    n = len(docs)
+    tf = [dict() for _ in docs]
+    for i, t in enumerate(docs):
+        for w in t.split():
+            tf[i][w] = tf[i].get(w, 0) + 1
+    dfc = {}
+    for bag in tf:
+        for w in bag:
+            dfc[w] = dfc.get(w, 0) + 1
+    vecs = []
+    for bag in tf:
+        v = {w: c * math.log(1 + n / dfc[w]) for w, c in bag.items()}
+        nm = math.sqrt(sum(x * x for x in v.values()))
+        vecs.append({w: x / nm for w, x in v.items()})
+    want = {}
+    for a, b in itertools.combinations(range(n), 2):
+        cos = round(sum(vecs[a][w] * vecs[b].get(w, 0.0) for w in vecs[a]), 6)
+        if cos >= threshold:
+            want[(a, b)] = cos
+    assert set(got) == set(want)
+    for p, c in want.items():
+        assert got[p] == pytest.approx(c, abs=2e-6)
