@@ -331,8 +331,9 @@ def grouped_topk(
     the result. The ordering tuple must be UNIQUE within a group (append
     the primary key last — the grouped_ntile contract); all key fields sort
     DESCENDING, and the payload struct is compared only on full key ties
-    (never, when the key is total). Output: input columns + ``rank_col``
-    (1 = best)."""
+    (never, when the key is total) — note sort_array still requires the
+    payload TYPE to be orderable, so drop map-typed columns before calling.
+    Output: input columns + ``rank_col`` (1 = best)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     key = F.struct(
         *[F.col(c) for c in order_cols], F.struct(*df.columns).alias("__row")
