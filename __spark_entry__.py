@@ -3196,6 +3196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_region_revenue": q_join_region_revenue,      # r02 green
         "profile_by_segment": q_profile_by_segment,        # r02 green
         "token_totals_documents": q_token_totals_documents,  # r02 green
+        "topn_parts": q_topn_parts,                        # r02 green
+        "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
+        "validation_violations_orders": q_validation_violations_orders,  # r02 green
         # -- r08-green continuity ----------------------------------------------
         "length_buckets_docs": q_length_buckets_docs,      # r08 green
         "logreg_gradient_docs": q_logreg_gradient_docs,    # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
@@ -3334,10 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remap_values_orders": q_remap_values_orders,      # r02+r03 green
         "datetime_cascade_orders": q_datetime_cascade_orders,  # r02+r03 green
         "coerce_numeric_orders": q_coerce_numeric_orders,  # r02+r03 green
-        "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
-        "validation_violations_orders": q_validation_violations_orders,  # r02 green
-        "topn_parts": q_topn_parts,                        # r02 green
-        # -- parked r11 (displaced by the stale-13 rotation; every one holds
+        # -- parked r11 (displaced by the stale rotation; every one holds
         # -- a fresh r10 driver row) -------------------------------------------
         "local_supplier_volume": q_local_supplier_volume,  # r06+r08+r10 green (Q5 shape)
         "volume_shipping": q_volume_shipping,              # r06+r08+r10 green (Q7 shape)
