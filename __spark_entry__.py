@@ -3113,6 +3113,21 @@ def q_pii_redact_docs(spark, sf):
     )
 
 
+def q_curate_redact_docs(spark, sf):
+    """Composition hash oracle for the r11 PII-scrub curate stage: redact
+    email/phone/URL to <TAG> sentinels FIRST (redaction changes bytes, so
+    it precedes anything that fingerprints), then exact dedup over the
+    REDACTED text — docs that differed only in a PII value collapse to one
+    survivor (min id). Runs over the injected-PII corpus (_docs_with_pii:
+    the raw word-soup corpus is PII-free); survivor set (doc_id,
+    md5(redacted text)) vs one composed DuckDB CTE."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = _docs_with_pii(spark, sf).select("doc_id", "text")
+    out, _ = L_cur.curate_corpus(docs, redact_pii=True, exact_dedup=True)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_chunk_docs(spark, sf):
     ch = L_text.chunk_documents(load_table(spark, sf, "documents"), chunk_size=32, stride=16)
     return ch.agg(
@@ -3162,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_grid": q_ivf_recall_grid,              # NEW r11 (recall@10 grade of the raw/SQ8/PQ probe tiers; rows-only — seeded k-means; r10 VERDICT #5)
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # NEW r11 (skew-safe two-phase grouped top-k — no per-group window funnel)
         "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,  # NEW r11 (SemDeDup PCA front-end: bucket reduced, verify original; rows-only — driver eigh)
+        "curate_redact_docs": q_curate_redact_docs,        # NEW r11 (PII scrub -> exact dedup chain composition, hash oracle)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
@@ -5415,6 +5431,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(redacted_len) AS BIGINT) AS total_redacted_chars
         FROM r
     """
+    sqls["curate_redact_docs"] = rf"""
+        WITH d AS ({{pii}}),
+        red AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\+[0-9][0-9\-]{{7,14}}[0-9]', '<PHONE>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g') AS text
+          FROM d),
+        ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM red GROUP BY md5({_NORM_SQL.format(col="text")}))
+        SELECT red.doc_id, md5(red.text) AS text_md5
+        FROM red JOIN ex USING (doc_id)
+    """.replace("{pii}", _PII_DOC_SQL)
     sqls["chunk_docs"] = r"""
         WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents),
         c AS (

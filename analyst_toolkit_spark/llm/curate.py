@@ -6,7 +6,8 @@ config-driven, and composes lazily (one DataFrame flows through; only the
 stage-count report materializes anything, and that is opt-in). The stage
 order is the one production pipelines use:
 
-  clean (strip_html) → quality gate (score / repetition / language)
+  clean (strip_html) → PII scrub (redact before anything fingerprints)
+  → quality gate (score / repetition / language)
   → classifier gate (pinned-weight logreg margin, map-only)
   → exact dedup (normalized fingerprint, keep smallest id)
   → near dedup (MinHash-LSH pairs → connected components → representatives)
@@ -40,6 +41,14 @@ class CurationConfig:
     key: str = "text"
     id_col: str = "doc_id"
     strip_html: bool = False
+    #: PII scrub (text.redact_pii): replace email/phone/URL matches with
+    #: <TAG> sentinels BEFORE anything fingerprints or scores the text —
+    #: redaction changes bytes, so it must precede dedup (two docs equal up
+    #: to a PII value become exact duplicates after the scrub, which is the
+    #: desired identity). Map-only regexp_replace; ``pii_patterns`` overrides
+    #: the default {email, phone, url} set (RE2-compatible, cross-engine).
+    redact_pii: bool = False
+    pii_patterns: dict[str, str] | None = None
     #: RefinedWeb/C4-style line-level boilerplate removal (text.line_dedup):
     #: lines (text between ``line_dedup_sep`` occurrences) found in >=
     #: line_dedup_min_docs DISTINCT documents corpus-wide are cut from every
@@ -228,6 +237,17 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
     if cfg.strip_html:
         out = out.withColumn(key, T.strip_html(key))
         _record("clean", op="strip_html")
+
+    if cfg.redact_pii:
+        pats = cfg.pii_patterns or {
+            "email": T.EMAIL_RE, "phone": T.PHONE_RE, "url": T.URL_RE
+        }
+        # surgery only: the per-tag n_<tag> count columns redact_pii appends
+        # are a census concern (the pii_redact_docs row), not chain schema
+        out = T.redact_pii(out, col=key, patterns=pats).drop(
+            *[f"n_{t}" for t in pats]
+        )
+        _record("redact_pii", patterns=sorted(pats))
 
     if cfg.line_dedup_min_docs is not None:
         out = _cut(out)  # census + removal reference the frame twice

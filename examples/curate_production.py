@@ -56,6 +56,7 @@ def main() -> None:
     cfg = CurationConfig(
         key="text",
         id_col="doc_id",
+        redact_pii=True,                 # stage 0: scrub before anything
         line_dedup_min_docs=30,          # stage 1 (sep="\n" default; the
         line_dedup_sep=" the ",          # synthetic corpus has no newlines)
         min_quality=0.2,                 # stage 2

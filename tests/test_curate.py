@@ -378,3 +378,26 @@ def test_curate_line_dedup_stage(spark):
         3: ("body three text present", "b"),
     }  # doc 4 was ONLY boilerplate -> dropped
     assert report["line_dedup"] == {"sep": "\n", "min_docs": 3}
+
+
+def test_curate_redact_pii_stage(spark):
+    """redact_pii scrubs BEFORE dedup, so two docs equal up to a PII value
+    become exact duplicates and collapse; the per-tag count columns never
+    leak into the chain schema."""
+    from analyst_toolkit_spark.llm.curate import curate_corpus
+
+    rows = [
+        (1, "contact alice@example.com for the dataset terms today"),
+        (2, "contact bob@example.org for the dataset terms today"),
+        (3, "entirely different body with no personal data inside"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, rep = curate_corpus(df, redact_pii=True, exact_dedup=True)
+    assert rep["redact_pii"] == {"patterns": ["email", "phone", "url"]}
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 3}  # 2 deduped against 1 post-scrub (min id kept)
+    assert "<EMAIL>" in got[1] and "alice" not in got[1]
+    assert not any(c.startswith("n_") for c in out.columns)
+    # disabled by default: all three survive, text untouched
+    out2, rep2 = curate_corpus(df, exact_dedup=True)
+    assert "redact_pii" not in rep2 and out2.count() == 3
