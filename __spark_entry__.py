@@ -2689,6 +2689,67 @@ def q_image_near_dup(spark, sf):  # NON-SQL (PNG decode; ground-truth tested in 
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def q_audio_near_dup(spark, sf):  # NON-SQL (WAV decode + rfft; ground-truth tested in test_llm.py)
+    """Perceptual AUDIO near-dup (llm/multimodal.audio_near_pairs, r11):
+    the audio twin of image_near_dup, completing the text/image/audio
+    modality triangle over ONE hamming machinery. A deterministic WAV
+    corpus is synthesized per doc_id ON THE EXECUTORS (30 groups x 3
+    variants: base / half-amplitude / +0.04 DC offset; hash-derived sine
+    mixes under group-unique envelopes, no RNG), then the Haitsma-Kalker
+    fingerprint (real stdlib PCM decode -> framed rfft band energies ->
+    time-frequency delta signs) runs through dedup.hamming_near_pairs and
+    connected components cluster the variants. The fingerprint is
+    amplitude-scale and DC-offset invariant by construction, so every
+    group resolves to one 3-member component at hamming 0 while cross-group
+    distances stay >= 14 (pinned by test_audio_near_dup_ground_truth).
+    Output: (component, n_members) — rows-only (DuckDB cannot decode WAV)."""
+    from analyst_toolkit_spark.llm import multimodal as L_mm
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 90).select("doc_id")
+
+    def gen(batches):
+        import math
+
+        import pandas as pd
+
+        from analyst_toolkit_spark.llm.multimodal import encode_wav
+
+        mask = (1 << 32) - 1
+
+        def group_signal(g: int, scale: float, off: float) -> list[float]:
+            rate = 8000
+            h = (g * 3266489917) & mask
+            h ^= h >> 13
+            f1, f2, f3 = 200 + h % 900, 300 + (h >> 8) % 1100, 150 + (h >> 16) % 700
+            env_rate, env2 = 1.5 + 0.45 * g, 0.5 + ((h >> 24) % 16) / 4.0
+            out = []
+            for t in range(rate):
+                tt = t / rate
+                env = 0.5 + 0.3 * math.sin(2 * math.pi * env_rate * tt) + 0.15 * math.sin(
+                    2 * math.pi * env2 * tt
+                )
+                v = env * (
+                    0.35 * math.sin(2 * math.pi * f1 * tt)
+                    + 0.25 * math.sin(2 * math.pi * f2 * tt)
+                    + 0.18 * math.sin(2 * math.pi * f3 * tt)
+                )
+                out.append(v * scale + off)
+            return out
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                g, v = int(did) % 30, int(did) // 30
+                scale, off = ((1.0, 0.0), (0.5, 0.0), (1.0, 0.04))[v]
+                blobs.append(bytes(encode_wav(8000, group_signal(g, scale, off))))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    wavs = docs.mapInPandas(gen, schema="doc_id long, content binary")
+    pairs = L_mm.audio_near_pairs(wavs, max_hamming=4)
+    comps = L_dedup.connected_components(pairs)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 def q_embedding_pca(spark, sf):  # NON-SQL (driver eigendecomposition; numpy ground truth in test_llm.py)
     """PCA census over the embeddings table (llm/similarity.pca_fit, r10):
     distributed O(d²) moment pass (one word-count-shaped shuffle) + driver
@@ -3178,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # NEW r11 (skew-safe two-phase grouped top-k — no per-group window funnel)
         "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,  # NEW r11 (SemDeDup PCA front-end: bucket reduced, verify original; rows-only — driver eigh)
         "curate_redact_docs": q_curate_redact_docs,        # NEW r11 (PII scrub -> exact dedup chain composition, hash oracle)
+        "audio_near_dup": q_audio_near_dup,                # NEW r11 (Haitsma-Kalker audio near-dup; rows-only — WAV decode + rfft)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)

@@ -643,3 +643,112 @@ def image_near_pairs(
         F.col(id_col), F.col("phash")
     )
     return hamming_near_pairs(sig, id_col=id_col, sig_col="phash", max_hamming=max_hamming)
+
+
+def encode_wav(rate: int, samples: list[float], bits: int = 16) -> bytes:
+    """Minimal mono PCM RIFF/WAVE encoder (the :func:`encode_png` twin for
+    audio): floats in [-1, 1] → 16-bit little-endian PCM. Deterministic —
+    used by tests and the synthetic driver corpora; round-trips through
+    :func:`decode_wav`."""
+    import struct
+
+    if bits != 16:
+        raise DecoderUnavailable("encode_wav: only 16-bit PCM")
+    q = [max(-32768, min(32767, int(round(x * 32767.0)))) for x in samples]
+    data = struct.pack("<" + "h" * len(q), *q)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_fingerprint64(samples: list[float], frames: int = 17, bands: int = 5) -> str:
+    """64-bit robust audio hash (the Haitsma & Kalker 2002 Philips shape):
+    mono signal → ``frames`` equal frames → per-frame log-spaced spectral
+    band energies (rfft magnitudes, DC dropped) → bit(f, b) = sign of the
+    time-frequency energy-difference delta
+    ``(E[f,b]−E[f,b+1]) − (E[f−1,b]−E[f−1,b+1])``. (frames−1)·(bands−1)
+    = 64 bits as a '0'/'1' string — the audio twin of :func:`dhash64`.
+
+    AMPLITUDE-SCALE INVARIANT by construction (scaling the signal by c
+    scales every energy by c², preserving every sign) and DC-offset
+    invariant (bin 0 dropped). Raises DecoderUnavailable when the signal is
+    too short to frame."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < frames * 32:
+        raise DecoderUnavailable("audio too short to fingerprint")
+    flen = x.size // frames
+    energies = np.empty((frames, bands))
+    for f in range(frames):
+        mag = np.abs(np.fft.rfft(x[f * flen : (f + 1) * flen]))[1:]
+        edges = np.unique(np.geomspace(1, mag.size, bands + 1).astype(int))
+        if edges.size < bands + 1:  # degenerate tiny frames: equal-width bands
+            edges = np.linspace(0, mag.size, bands + 1).astype(int)
+        else:
+            edges[0] = 0
+        for b in range(bands):
+            seg = mag[edges[b] : edges[b + 1]]
+            energies[f, b] = float(np.dot(seg, seg))
+    out = []
+    for f in range(1, frames):
+        for b in range(bands - 1):
+            d = (energies[f, b] - energies[f, b + 1]) - (
+                energies[f - 1, b] - energies[f - 1, b + 1]
+            )
+            out.append("1" if d > 0 else "0")
+    return "".join(out)
+
+
+def audio_perceptual_hash(
+    df: DataFrame,
+    blob_col: str = "content",
+    out_col: str = "aphash",
+) -> DataFrame:
+    """Append the 64-bit audio fingerprint ('0'/'1' string; NULL for blobs
+    the stdlib decoder cannot read — compressed formats stay behind the
+    documented DecoderUnavailable seam, and too-short clips are NULL too).
+    Arrow-batched ``mapInPandas`` — the same decode-seam contract as
+    :func:`image_perceptual_hash`. Multi-channel audio is mono-mixed
+    (channel mean) before fingerprinting."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType(), True)])
+
+    def _sig(b) -> str | None:
+        if b is None:
+            return None
+        try:
+            _rate, ch, _bits, samples = decode_wav(bytes(b))
+            if ch > 1:  # interleaved → channel-mean mono
+                n = len(samples) // ch
+                samples = [
+                    sum(samples[i * ch : (i + 1) * ch]) / ch for i in range(n)
+                ]
+            return audio_fingerprint64(samples)
+        except DecoderUnavailable:
+            return None
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [_sig(b) for b in pdf[blob_col]]
+            yield pdf
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+def audio_near_pairs(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: robust fingerprint per blob, then the
+    SAME pigeonhole banding + packed bit_count verify text SimHash and
+    image dHash ride (dedup.hamming_near_pairs) — one hamming machinery for
+    all three modalities, never an all-pairs compare. Undecodable blobs
+    drop (NULL signature). Output: (id_a, id_b, hamming)."""
+    from analyst_toolkit_spark.llm.dedup import hamming_near_pairs
+
+    sig = audio_perceptual_hash(df, blob_col=blob_col).select(F.col(id_col), F.col("aphash"))
+    return hamming_near_pairs(sig, id_col=id_col, sig_col="aphash", max_hamming=max_hamming)

@@ -2506,3 +2506,70 @@ def test_semantic_dedup_pca_front_end(spark, oracle_sf_dir):
         F.sum(F.col("is_rep").cast("int")).alias("reps")
     )
     assert comps.filter(F.col("reps") != 1).count() == 0
+
+
+def test_audio_fingerprint_invariances():
+    """Haitsma-Kalker fingerprint: 64 bits, EXACT invariance to amplitude
+    scaling and DC offset on the float signal (energies scale by c² / DC
+    bin dropped), and far from a different tone mix; too-short input
+    raises."""
+    import math
+
+    from analyst_toolkit_spark.llm.multimodal import (
+        DecoderUnavailable, audio_fingerprint64, decode_wav, encode_wav,
+    )
+
+    rate = 8000
+    sig = [
+        (0.5 + 0.3 * math.sin(2 * math.pi * 3 * t / rate))
+        * (0.3 * math.sin(2 * math.pi * 440 * t / rate)
+           + 0.2 * math.sin(2 * math.pi * 1200 * t / rate))
+        for t in range(rate)
+    ]
+    f = audio_fingerprint64(sig)
+    assert len(f) == 64 and set(f) <= {"0", "1"}
+    assert audio_fingerprint64([x * 0.5 for x in sig]) == f
+    assert audio_fingerprint64([x + 0.05 for x in sig]) == f
+    other = [0.3 * math.sin(2 * math.pi * 890 * t / rate) for t in range(rate)]
+    ham = sum(a != b for a, b in zip(f, audio_fingerprint64(other)))
+    assert ham >= 10
+    # WAV round trip: encode -> decode -> identical fingerprint
+    _, ch, bits, back = decode_wav(encode_wav(rate, sig))
+    assert (ch, bits) == (1, 16) and audio_fingerprint64(back) == f
+    with pytest.raises(DecoderUnavailable):
+        audio_fingerprint64([0.1] * 100)
+
+
+def test_audio_near_dup_ground_truth(spark, sf_dir):
+    """The audio_near_dup driver row resolves to exactly 30 three-member
+    components (base / half-amplitude / DC-offset variants hash identically
+    through int16 WAV quantization) with cross-group distance >= 14."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["audio_near_dup"](spark, sf_dir)
+    rows = {r["component"]: r["n_members"] for r in out.collect()}
+    assert len(rows) == 30 and set(rows.values()) == {3}
+    # cross-group separation: recompute two group fingerprints driver-side
+    import math
+
+    from analyst_toolkit_spark.llm.multimodal import audio_fingerprint64
+
+    mask = (1 << 32) - 1
+
+    def group_fp(g):
+        rate = 8000
+        h = (g * 3266489917) & mask
+        h ^= h >> 13
+        f1, f2, f3 = 200 + h % 900, 300 + (h >> 8) % 1100, 150 + (h >> 16) % 700
+        er, e2 = 1.5 + 0.45 * g, 0.5 + ((h >> 24) % 16) / 4.0
+        sig = []
+        for t in range(rate):
+            tt = t / rate
+            env = 0.5 + 0.3 * math.sin(2 * math.pi * er * tt) + 0.15 * math.sin(2 * math.pi * e2 * tt)
+            sig.append(env * (0.35 * math.sin(2 * math.pi * f1 * tt)
+                              + 0.25 * math.sin(2 * math.pi * f2 * tt)
+                              + 0.18 * math.sin(2 * math.pi * f3 * tt)))
+        return audio_fingerprint64(sig)
+
+    fa, fb = group_fp(0), group_fp(1)
+    assert sum(a != b for a, b in zip(fa, fb)) >= 14

@@ -28,7 +28,7 @@ _SKIP_PLAN_SCAN = {"embedding_ivf_topk", "pipeline_orders", "minhash_pairs_docs"
 #   allowed-but-not-required (whether the node survives into the returned
 #   frame's plan depends on where the CC fixpoint materializes).
 _REQUIRED_ARROW_UDF = {"bpe_token_stats_docs", "cdc_chunk_docs"}
-_ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {"image_near_dup"}
+_ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {"image_near_dup", "audio_near_dup"}
 
 
 def _plan(df):
