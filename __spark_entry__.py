@@ -1112,6 +1112,31 @@ def q_events_json_props(spark, sf):
     )
 
 
+def q_events_variant_props(spark, sf):
+    """Semi-structured props through Spark 4's native VARIANT type (r11):
+    ``parse_json`` once into a VARIANT column, then typed
+    ``try_variant_get`` extractions — the engine shreds the binary variant
+    instead of re-parsing JSON text per path access, which is the scale
+    story when props carry many fields (events_json_props is the
+    get_json_object text-path twin). Per k-decade: event count, min/max k,
+    mean value; malformed JSON yields NULL k (try_ semantics) and buckets
+    under decade NULL rather than erroring. Oracle: DuckDB json_extract
+    over the same paths."""
+    df = load_table(spark, sf, "events")
+    v = df.withColumn("__v", F.parse_json("props"))
+    k = F.try_variant_get("__v", "$.k", "bigint")
+    return (
+        v.withColumn("__k", k)
+        .groupBy(F.floor(F.col("__k") / 10).cast("bigint").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__k").alias("k_min"),
+            F.max("__k").alias("k_max"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 def q_events_anomaly(spark, sf):
     """Rolling z-score anomaly flags on daily event counts per type: mean/std
     over the 7 preceding days (windowed, one shuffle on event_type), |z| > 2
@@ -3240,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,  # NEW r11 (SemDeDup PCA front-end: bucket reduced, verify original; rows-only — driver eigh)
         "curate_redact_docs": q_curate_redact_docs,        # NEW r11 (PII scrub -> exact dedup chain composition, hash oracle)
         "audio_near_dup": q_audio_near_dup,                # NEW r11 (Haitsma-Kalker audio near-dup; rows-only — WAV decode + rfft)
+        "events_variant_props": q_events_variant_props,    # NEW r11 (Spark 4 VARIANT shredding of semi-structured props)
         "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
         "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
         "line_dedup_docs": q_line_dedup_docs,              # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
@@ -3754,6 +3780,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1
+    """
+    sqls["events_variant_props"] = """
+        WITH k AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+          FROM events)
+        SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
+               count(*) AS n,
+               min(k) AS k_min,
+               max(k) AS k_max,
+               round(avg(value), 6) AS avg_value
+        FROM k GROUP BY 1
     """
     # hyperplane LSH pairs: the planes are SEEDED (random.Random(42) gauss),
     # so the oracle inlines the exact same plane literals and replicates the
