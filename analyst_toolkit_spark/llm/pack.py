@@ -330,23 +330,44 @@ def grouped_topk(
     per-slice top-ks, so the nondeterministic partition ids never leak into
     the result. The ordering tuple must be UNIQUE within a group (append
     the primary key last — the grouped_ntile contract); all key fields sort
-    DESCENDING, and the payload struct is compared only on full key ties
-    (never, when the key is total) — note sort_array still requires the
-    payload TYPE to be orderable, so drop map-typed columns before calling.
-    Output: input columns + ``rank_col`` (1 = best)."""
+    DESCENDING. Output: input columns + ``rank_col`` (1 = best).
+
+    Only ``(group_col, *order_cols)`` ride the two ranking shuffles — the
+    payload columns never enter sort_array (so map-typed and other
+    non-orderable payload types are fine; r11 VERDICT nit) and, more
+    importantly at 100 TB, the heavy row body never shuffles at all: the
+    winners (k rows per group) join back onto the input in a null-safe
+    equi-join on the key tuple — size-gated broadcast hint (group
+    cardinality is corpus-derived, so no hard hint; AQE decides when the
+    estimate is unknown). The input is referenced twice (the slim key scan
+    + the join probe); both reads are column-pruned scans when the input
+    is a source table."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    key = F.struct(
-        *[F.col(c) for c in order_cols], F.struct(*df.columns).alias("__row")
-    )
+    key = F.struct(*[F.col(c) for c in order_cols])
+    slim = df.select(F.col(group_col), *[F.col(c) for c in order_cols])
     part = (
-        df.groupBy(F.col(group_col).alias("__g"), F.spark_partition_id().alias("__pid"))
+        slim.groupBy(F.col(group_col).alias("__g"), F.spark_partition_id().alias("__pid"))
         .agg(F.slice(F.sort_array(F.collect_list(key), asc=False), 1, k).alias("__top"))
         .select("__g", F.explode("__top").alias("__e"))
     )
     merged = part.groupBy("__g").agg(
         F.slice(F.sort_array(F.collect_list("__e"), asc=False), 1, k).alias("__top")
     )
-    out = merged.select(F.posexplode("__top").alias("__pos", "__e"))
-    return out.select(
-        F.col("__e.__row.*"), (F.col("__pos") + 1).cast("int").alias(rank_col)
+    winners = merged.select(
+        F.col("__g"), F.posexplode("__top").alias("__pos", "__e")
+    ).select(
+        F.col("__g").alias("__w_g"),
+        *[F.col(f"__e.{c}").alias(f"__w_{c}") for c in order_cols],
+        (F.col("__pos") + 1).cast("int").alias(rank_col),
+    )
+    # winners are k × n_groups rows; <=> (null-safe) keeps rows whose
+    # ordering tuple contains NULLs joinable, matching sort_array's null
+    # handling in the ranking phases
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+
+    cond = df[group_col].eqNullSafe(F.col("__w_g"))
+    for c in order_cols:
+        cond = cond & df[c].eqNullSafe(F.col(f"__w_{c}"))
+    return df.join(maybe_broadcast(winners), cond, "inner").drop(
+        "__w_g", *[f"__w_{c}" for c in order_cols]
     )

@@ -186,3 +186,21 @@ def test_grouped_topk_matches_sql_window(spark):
     }
     assert got == want
     assert len({g for g, _ in got}) == 3 and ("tiny", 2) in got and ("tiny", 3) not in got
+
+
+def test_grouped_topk_map_payload(spark):
+    """r11 VERDICT nit: the payload no longer rides sort_array, so
+    non-orderable payload types (map columns) work — ranking is on
+    (order keys) only and the payload joins back by the unique key tuple."""
+    rows = [("g1", i, float(i), {"k": str(i)}) for i in range(7)] + [
+        ("g2", 100 + i, 5.0, {"k": "tie"}) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["g", "pk", "v", "m"]).repartition(5)
+    got = P.grouped_topk(df, 2, ["v", "pk"], "g").collect()
+    by_rank = {(r["g"], r["rank"]): (r["pk"], r["m"]) for r in got}
+    assert by_rank[("g1", 1)] == (6, {"k": "6"})
+    assert by_rank[("g1", 2)] == (5, {"k": "5"})
+    # ties in v break descending on pk
+    assert by_rank[("g2", 1)] == (103, {"k": "tie"})
+    assert by_rank[("g2", 2)] == (102, {"k": "tie"})
+    assert len(got) == 4
