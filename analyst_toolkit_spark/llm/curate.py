@@ -11,6 +11,8 @@ order is the one production pipelines use:
   → classifier gate (pinned-weight logreg margin, map-only)
   → exact dedup (normalized fingerprint, keep smallest id)
   → near dedup (MinHash-LSH pairs → connected components → representatives)
+  → semantic dedup (embedding hyperplane-LSH → exact original-space cosine
+    verify → components → min-id survivor; SemDeDup, when embeddings present)
   → containment drop (subset docs >= threshold contained in a larger doc)
   → span removal (cross-document exact-substring spans cut from survivors)
   → char-LM gate (CCNet-style mean-probability threshold vs a reference)
@@ -108,6 +110,35 @@ class CurationConfig:
     containment_drop_threshold: float | None = None
     containment_n: int = 8
     containment_pair_cap: int | None = None
+    #: SemDeDup embedding-aware near-dedup stage (r11 VERDICT #1 — the last
+    #: integration gap): when the frame carries ``embedding_col``, drop every
+    #: doc whose ORIGINAL-space cosine to a kept doc is >= this threshold
+    #: (hyperplane-LSH candidates -> exact cosine verify -> connected
+    #: components -> min-id survivor, llm/similarity.semantic_dedup). Catches
+    #: paraphrases and templated rewrites whose token shingles differ — the
+    #: duplicates the lexical near-dedup keeps. Runs right AFTER the lexical
+    #: near-dedup (both are near-dedup policies; embedding identity is the
+    #: stricter-capture one) behind its own lineage cut.
+    semantic_dedup_threshold: float | None = None
+    embedding_col: str = "embedding"
+    #: SemDeDup paper recipe: bucket hyperplanes in the ``semantic_pca_dims``
+    #: top-variance subspace (fit over the surviving frame) while the cosine
+    #: verify stays on the original vectors — a recall knob, never a
+    #: correctness one.
+    semantic_pca_dims: int | None = None
+    semantic_n_planes: int = 8
+    #: which member of a semantic cluster survives — "min_id" (default) or
+    #: "best_quality" (highest text.quality_score, ties to smallest id):
+    #: the same survivor-election contract as ``near_dedup_keep``, because
+    #: a paraphrase cluster's keeper should be the clean page, not the
+    #: lowest id. One extra component-keyed argmax aggregate (labels +
+    #: score only — text never shuffles).
+    semantic_keep: str = "min_id"
+    #: census-before-quadratic-join gate for the semantic stage's bucket
+    #: self-join (the same pair_cap contract as the lexical near-dedup and
+    #: containment stages): Σ c·(c−1)/2 over hyperplane buckets must stay
+    #: under this before the join is attempted.
+    semantic_pair_cap: int | None = None
     #: n-gram length enables exact-substring span REMOVAL on the dedup
     #: survivors (llm/dedup.remove_repeated_spans): cross-document repeated
     #: token runs are cut from every doc; the text column becomes the cleaned
@@ -362,6 +393,61 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         _record(
             "near_dedup", method=strategy, threshold=cfg.near_dedup_threshold,
             keep=cfg.near_dedup_keep,
+        )
+
+    if cfg.semantic_dedup_threshold is not None:
+        from analyst_toolkit_spark.llm import similarity as SIM
+
+        if cfg.embedding_col not in out.columns:
+            # fail loudly: silently skipping the armed stage would ship a
+            # corpus the caller believes is semantically deduplicated
+            raise ValueError(
+                f"semantic_dedup_threshold set but embedding column "
+                f"{cfg.embedding_col!r} not in frame (columns: {out.columns})"
+            )
+        out = _cut(out)  # referenced twice: LSH pair build + the comps join back
+        first = (
+            out.select(F.size(cfg.embedding_col).alias("__d"))
+            .filter(F.col("__d") > 0)
+            .first()
+        )
+        if first is None:
+            raise ValueError(
+                f"semantic_dedup: no non-empty vectors in {cfg.embedding_col!r}"
+            )
+        cc_dir = (
+            f"{cfg.checkpoint_dir.rstrip('/')}/semantic_cc" if cfg.checkpoint_dir else None
+        )
+        sd = SIM.semantic_dedup(
+            out, int(first["__d"]), vec_col=cfg.embedding_col, id_col=id_col,
+            n_planes=cfg.semantic_n_planes, threshold=cfg.semantic_dedup_threshold,
+            checkpoint_dir=cc_dir, pca_dims=cfg.semantic_pca_dims,
+            pair_cap=cfg.semantic_pair_cap,
+        )
+        if cfg.semantic_keep == "best_quality":
+            # argmax(quality, -id) per component over the audit labels
+            # (singletons elect themselves) — the dedup_representatives_by
+            # shape: one component-keyed struct-max, then a semi-join back
+            idt = dict(sd.dtypes)[id_col]
+            winners = (
+                sd.select(
+                    "component",
+                    T.quality_score(F.col(key)).alias("__sdq"),
+                    F.col(id_col).cast("long").alias("__sid"),
+                )
+                .groupBy("component")
+                .agg(F.max(F.struct(F.col("__sdq"), (-F.col("__sid")).alias("__negid"))).alias("__w"))
+                .select((-F.col("__w.__negid")).cast(idt).alias(id_col))
+            )
+            out = sd.drop("component", "is_rep").join(winners, id_col, "left_semi")
+        elif cfg.semantic_keep == "min_id":
+            out = sd.filter(F.col("is_rep")).drop("component", "is_rep")
+        else:
+            raise ValueError(f"unknown semantic_keep: {cfg.semantic_keep!r}")
+        _record(
+            "semantic_dedup", threshold=cfg.semantic_dedup_threshold,
+            embedding_col=cfg.embedding_col, n_planes=cfg.semantic_n_planes,
+            pca_dims=cfg.semantic_pca_dims, keep=cfg.semantic_keep,
         )
 
     if cfg.containment_drop_threshold is not None:

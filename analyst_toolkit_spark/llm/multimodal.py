@@ -544,6 +544,75 @@ def audio_header_meta(df: DataFrame, blob_col: str = "content") -> DataFrame:
     return df.mapInPandas(mapper, schema=out_schema)
 
 
+def media_data_card(
+    df: DataFrame,
+    blob_col: str = "content",
+    by: str | None = None,
+    image_buckets: tuple = (128, 256, 512, 1024),
+    audio_buckets: tuple = (1.0, 10.0, 60.0),
+) -> DataFrame:
+    """Pre-training data card for a MULTIMODAL binary column (r11 VERDICT
+    #7) — the image/audio arm of text.corpus_data_card: "what is actually
+    in my blob column" before any codec-heavy stage runs. One header-parse
+    pass (the real no-codec parsers above: PNG/GIF/BMP/JPEG/TIFF/WebP
+    containers + RIFF/WAVE chunks) classifies every blob, then ONE keyed
+    aggregation builds the histogram card:
+
+    - ``modality``: 'image' / 'audio' / 'undecoded' (header parse failed —
+      rows with a NULL/empty blob also land here). The per-group undecoded
+      share IS the decode-failure rate the card exists to expose.
+    - ``fmt``: container format (png/jpeg/.../wav; NULL for undecoded).
+    - ``size_bucket``: resolution band for images ('<=128', '<=256', ...,
+      '>1024' by max side) / duration band for audio ('<=1s', '<=10s',
+      '<=60s', '>60s'); NULL for undecoded.
+    - ``n_blobs``, ``total_bytes``, ``pct_of_group`` (share within the
+      ``by`` group — undecoded rows' pct is the failure rate).
+
+    Map-only Arrow pass over header bytes (blobs never shuffle; the
+    aggregation ships only the small classified labels), so the card costs
+    one scan at 100 TB. Histogram bands are closed under the bucket lists —
+    schema is stable regardless of corpus content."""
+    group = [by] if by else []
+    parsed = image_header_meta(df, blob_col=blob_col)
+    parsed = audio_header_meta(parsed, blob_col=blob_col)
+    img_side = F.greatest(F.col("img_width"), F.col("img_height"))
+    img_bucket = F.lit(f">{image_buckets[-1]}")
+    for cap in reversed(image_buckets):
+        img_bucket = F.when(img_side <= cap, F.lit(f"<={cap}")).otherwise(img_bucket)
+    aud_bucket = F.lit(f">{audio_buckets[-1]:g}s")
+    for cap in reversed(audio_buckets):
+        aud_bucket = F.when(
+            F.col("audio_seconds") <= cap, F.lit(f"<={cap:g}s")
+        ).otherwise(aud_bucket)
+    classified = parsed.select(
+        *group,
+        F.length(F.col(blob_col)).alias("__bytes"),
+        F.when(F.col("img_format").isNotNull(), F.lit("image"))
+        .when(F.col("audio_sample_rate").isNotNull(), F.lit("audio"))
+        .otherwise(F.lit("undecoded"))
+        .alias("modality"),
+        F.when(F.col("img_format").isNotNull(), F.col("img_format"))
+        .when(F.col("audio_sample_rate").isNotNull(), F.lit("wav"))
+        .alias("fmt"),
+        F.when(F.col("img_format").isNotNull(), img_bucket)
+        .when(F.col("audio_seconds").isNotNull(), aud_bucket)
+        .alias("size_bucket"),
+    )
+    card = classified.groupBy(*group, "modality", "fmt", "size_bucket").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.coalesce(F.sum("__bytes"), F.lit(0)).cast("long").alias("total_bytes"),
+    )
+    # per-group share via aggregate + join (never a partitionless window):
+    # without `by` the totals frame is a 1-row groupless aggregate
+    # (broadcast-safe by construction); with `by` its cardinality is the
+    # group count — AQE decides the join strategy
+    tot = card.groupBy(*group).agg(F.sum("n_blobs").alias("__tot"))
+    joined = card.join(tot, group) if group else card.crossJoin(tot)
+    return joined.withColumn(
+        "pct_of_group", F.round(F.col("n_blobs") / F.col("__tot"), 6)
+    ).drop("__tot")
+
+
 # -- perceptual image hashing / near-dup -------------------------------------
 # The image-corpus counterpart of MinHash (r9 VERDICT #4): dHash (gradient
 # bits over a 9x8 grayscale thumbnail) and aHash (mean-threshold bits over

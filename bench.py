@@ -300,6 +300,12 @@ def main() -> None:
     for nh_name in ("curate_containment_docs", "quality_topk_per_source_docs"):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # r12 additions: the semantic-curate composition (exact dedup + embedding
+    # LSH + CC + survivor election over the doc⋈embedding corpus — the
+    # heaviest new chain) and the multimodal data card (header-parse seam)
+    for nh_name in ("curate_semantic_docs", "media_data_card_docs"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
     anchor_post = _anchor_sec(spark)
     print(f"# host anchor (post): {anchor_post:.3f}s (ref {ANCHOR_REF_POST})", file=sys.stderr)

@@ -15,13 +15,16 @@ Stage order (and why):
   4. exact dedup                   — normalized fingerprint, keep min id
   5. near dedup                    — MinHash-LSH → components → survivor
      (auto gate: pair path vs linear bucket path by candidate census)
-  6. containment subset-drop (r11) — A ⊂ B ⇒ drop the subset, keep the
+  6. semantic dedup (r12)          — embedding-space SemDeDup: paraphrases
+     whose token shingles differ collapse on original-space cosine; runs
+     when the frame carries an embedding column (joined below)
+  7. containment subset-drop (r11) — A ⊂ B ⇒ drop the subset, keep the
      superset; runs post-near-dedup where the pair census is cheap
-  7. span decontamination          — cut benchmark-overlapping token runs,
+  8. span decontamination          — cut benchmark-overlapping token runs,
      keep the untainted remainder
-  8. leakage-safe split            — near-dup clusters never straddle
+  9. leakage-safe split            — near-dup clusters never straddle
      train/val/test
-  9. token-budget packing          — per-split prefix-sum sequence assembly
+ 10. token-budget packing          — per-split prefix-sum sequence assembly
 
 At 100 TB: every self-referencing stage runs behind a lineage cut (set
 ``checkpoint_dir`` to an object-store path for durable, resumable cuts),
@@ -49,6 +52,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")
+    # the corpus carries precomputed embeddings (vec_id keys doc_id) — the
+    # semantic stage arms itself from the column's presence
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    docs = docs.join(emb, "doc_id", "left")
     # benchmark to decontaminate against: every 25th doc stands in for the
     # eval set a real pipeline guards
     benchmark = docs.filter(F.col("doc_id") % 25 == 0).select("text")
@@ -66,8 +75,11 @@ def main() -> None:
         exact_dedup=True,                # stage 4
         near_dedup_threshold=0.8,        # stage 5 (auto engine)
         near_dedup_keep="best_quality",  # survivor = cleanest member
-        containment_drop_threshold=0.5,  # stage 6 (r11)
-        benchmark=benchmark,             # stage 7
+        semantic_dedup_threshold=0.9,    # stage 6 (r12): embedding SemDeDup
+        semantic_pca_dims=8,             # bucket in the top-variance subspace
+        semantic_pair_cap=5_000_000,     # census gate before the bucket join
+        containment_drop_threshold=0.5,  # stage 7 (r11)
+        benchmark=benchmark,             # stage 8
         decontaminate_mode="spans",
         splits={"train": 0.9, "val": 0.05, "test": 0.05},
         split_mode="leakage_safe",       # stage 8

@@ -2480,6 +2480,51 @@ def test_ivf_probe_tier_recall_floors(spark, oracle_sf_dir, tmp_path):
     assert mean["pq"] >= 0.5              # ADC tier trades recall for 16x size
 
 
+def test_ivf_probe_refine_dial(spark, oracle_sf_dir, tmp_path):
+    """r11 VERDICT #2: refine_factor — over-probe in the cheap tier + exact
+    re-rank of the k×r shortlist on raw vectors (keep_raw indexes). Floors:
+    refine_factor=2 at nprobe=4/nlist=8 widens to an exhaustive scan, so
+    recall@10 must be >= 0.9 for EVERY tier (raw must be exactly brute
+    force); a compressed index without raw vectors raises the actionable
+    rebuild error instead of silently returning tier-fidelity results."""
+    import pytest as _pt
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    assigned, centroids = S.ivf_build(emb, nlist=8)
+    idx = {}
+    for t in ("raw", "sq8", "pq"):
+        idx[t] = str(tmp_path / t)
+        S.ivf_write(assigned, centroids, idx[t], quantize=t, keep_raw=True)
+    nocode = str(tmp_path / "sq8_nocode")
+    S.ivf_write(assigned, centroids, nocode, quantize="sq8")  # no raw column
+    rec = {t: [] for t in idx}
+    for qr in qrows:
+        qvec = [float(x) for x in qr["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()}
+        got_raw = {
+            r["vec_id"]
+            for r in S.ivf_probe(spark, idx["raw"], qvec, k=10, nprobe=4, refine_factor=2).collect()
+        }
+        assert got_raw == exact  # exhaustive over-probe on raw IS brute force
+        for t in idx:
+            got = {
+                r["vec_id"]
+                for r in S.ivf_probe(spark, idx[t], qvec, k=10, nprobe=4, refine_factor=2).collect()
+            }
+            rec[t].append(len(got & exact) / 10.0)
+    for t, v in rec.items():
+        assert sum(v) / len(v) >= 0.9, (t, v)
+    with _pt.raises(ValueError, match="keep_raw"):
+        S.ivf_probe(
+            spark, nocode, [float(x) for x in qrows[0]["embedding"]],
+            k=10, nprobe=4, refine_factor=2,
+        ).collect()
+
+
 def test_semantic_dedup_pca_front_end(spark, oracle_sf_dir):
     """pca_dims buckets in the reduced space but verifies exact cosine in
     the ORIGINAL space: exact-duplicate copies (identical vectors, new ids)
@@ -2573,3 +2618,159 @@ def test_audio_near_dup_ground_truth(spark, sf_dir):
 
     fa, fb = group_fp(0), group_fp(1)
     assert sum(a != b for a, b in zip(fa, fb)) >= 14
+
+
+def test_curate_semantic_stage(spark):
+    """r12 (r11 VERDICT #1): the curate-chain semantic_dedup stage — docs
+    with lexically distinct text but near-identical embeddings resolve to
+    the min id; missing embedding column fails loudly; ledger records the
+    stage config; disabled by default."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    v = [1.0, 0.0, 0.5, -0.25, 0.125, 0.75, -0.5, 0.25]
+    u = [-0.8, 0.3, 0.1, 0.9, -0.2, 0.4, 0.05, -0.6]
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", v),
+        (2, "a totally different paraphrase of that sentence", v),  # semantic dup of 1
+        (3, "unrelated content about weather and shipping lanes", u),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "embedding"])
+    out, rep = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_dedup_threshold=0.9, checkpoint=False
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    assert set(out.columns) == {"doc_id", "text", "embedding"}  # audit cols dropped
+    assert rep["semantic_dedup"]["threshold"] == 0.9
+    assert rep["semantic_dedup"]["embedding_col"] == "embedding"
+    out2, rep2 = L_cur.curate_corpus(df, exact_dedup=False, checkpoint=False)
+    assert "semantic_dedup" not in rep2 and out2.count() == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="embedding column"):
+        L_cur.curate_corpus(
+            df.drop("embedding"), exact_dedup=False,
+            semantic_dedup_threshold=0.9, checkpoint=False,
+        )
+
+
+def test_curate_semantic_stage_pca(spark):
+    """The in-chain PCA front-end (semantic_pca_dims): exact-copy embeddings
+    MUST still resolve (identical vectors project identically, so they share
+    every bucket) and the stage composes after exact text dedup."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    # i*7 mod 11 is a bijection on 0..10, so the 11 base vectors are distinct
+    # (i=11 would alias i=0 — identical vector by modular wraparound)
+    base = [[float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)] for i in range(11)]
+    rows = [(i, f"document body number {i}", base[i]) for i in range(11)]
+    # 13/14: paraphrases of 0/1 — same vector, different text
+    rows += [(13, "a rewrite of document zero", base[0]),
+             (14, "another rewrite of document one", base[1])]
+    # 15: exact text duplicate of doc 2 (exact dedup catches it first)
+    rows += [(15, "document body number 2", base[2])]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "embedding"])
+    out, rep = L_cur.curate_corpus(
+        df, exact_dedup=True, semantic_dedup_threshold=0.9999,
+        semantic_pca_dims=3, checkpoint=False,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 13 not in kept and 14 not in kept  # semantic stage (identical vectors)
+    assert 15 not in kept                     # exact stage (identical text)
+    assert set(range(11)) <= kept
+    assert rep["semantic_dedup"]["pca_dims"] == 3
+
+
+def test_media_data_card_ground_truth(spark):
+    """r12 (r11 VERDICT #7): media_data_card classifies a known mixed corpus
+    exactly — modality/format/size buckets, byte totals, and the undecoded
+    share (the decode-failure rate) — with a stable schema."""
+    import math
+
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    png_small = bytes(MM.encode_png(16, 16, 1, bytes(range(256))))
+    png_big = bytes(MM.encode_png(300, 2, 1, bytes((i % 256) for i in range(600))))
+    wav_short = bytes(MM.encode_wav(8000, [math.sin(i * 0.01) for i in range(4000)]))  # 0.5s
+    wav_long = bytes(MM.encode_wav(8000, [0.1] * 96000))  # 12s
+    rows = [
+        ("a", png_small), ("a", png_small), ("a", wav_short),
+        ("b", png_big), ("b", wav_long), ("b", b"\x00garbage"), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, content binary")
+    card = {
+        (r["source"], r["modality"], r["fmt"], r["size_bucket"]): (
+            r["n_blobs"], r["total_bytes"], r["pct_of_group"]
+        )
+        for r in MM.media_data_card(df, by="source").collect()
+    }
+    assert card[("a", "image", "png", "<=128")][0] == 2
+    assert card[("a", "image", "png", "<=128")][1] == 2 * len(png_small)
+    assert card[("a", "audio", "wav", "<=1s")] == (1, len(wav_short), 0.333333)
+    assert card[("b", "image", "png", "<=512")][0] == 1  # max side 300
+    assert card[("b", "audio", "wav", "<=60s")][0] == 1  # 12s band
+    # decode-failure exposure: garbage + NULL blob -> undecoded, pct = rate
+    assert card[("b", "undecoded", None, None)][0] == 2
+    assert card[("b", "undecoded", None, None)][2] == 0.5
+    assert len(card) == 5
+
+
+def test_lsh_bucketed_pairs_census_gate(spark):
+    """r12: the semantic candidate generator carries the same census-before-
+    quadratic-join gate as the text pair operators — identical vectors all
+    land in ONE bucket, so a duplicate-heavy corpus trips the cap before
+    the self-join; under the cap results are unchanged; the raise names
+    the dials."""
+    import pytest as _pt
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    v = [0.3, -0.7, 0.2, 0.9]
+    rows = [(i, v) for i in range(40)]  # one bucket, 40*39/2 = 780 pairs
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with _pt.raises(ValueError, match="n_planes"):
+        S.lsh_bucketed_pairs(df, 4, n_planes=4, threshold=0.9, pair_cap=100).collect()
+    ok = S.lsh_bucketed_pairs(df, 4, n_planes=4, threshold=0.9, pair_cap=1000)
+    assert ok.count() == 780  # under the cap: same pairs as ungated
+    # chain pass-through: the armed stage trips the same gate
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", v) for i in range(40)], ["doc_id", "text", "embedding"]
+    )
+    with _pt.raises(ValueError, match="pair_cap"):
+        L_cur.curate_corpus(
+            docs, exact_dedup=False, semantic_dedup_threshold=0.9,
+            semantic_pair_cap=100, checkpoint=False,
+        )
+
+
+def test_curate_semantic_keep_best_quality(spark):
+    """semantic_keep='best_quality': the paraphrase cluster's survivor is
+    the cleanest member (highest quality_score), not the lowest id — the
+    near_dedup_keep contract mirrored for the semantic stage."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    v = [0.4, -0.2, 0.8, 0.1]
+    u = [-0.9, 0.1, -0.3, 0.5]
+    junk = "x!! 1192 83 @@ ## $$ 77 zz qq 00 11 22 !!"
+    clean = "a perfectly ordinary clean english sentence with normal words"
+    rows = [(1, junk, v), (2, clean, v), (9, "unrelated solo document text", u)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "embedding"])
+    out, rep = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_dedup_threshold=0.9,
+        semantic_keep="best_quality", checkpoint=False,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 9}  # clean page wins
+    assert rep["semantic_dedup"]["keep"] == "best_quality"
+    # default stays min-id
+    out2, _ = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_dedup_threshold=0.9, checkpoint=False
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {1, 9}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="semantic_keep"):
+        L_cur.curate_corpus(
+            df, exact_dedup=False, semantic_dedup_threshold=0.9,
+            semantic_keep="typo", checkpoint=False,
+        )

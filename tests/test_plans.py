@@ -28,7 +28,13 @@ _SKIP_PLAN_SCAN = {"embedding_ivf_topk", "pipeline_orders", "minhash_pairs_docs"
 #   allowed-but-not-required (whether the node survives into the returned
 #   frame's plan depends on where the CC fixpoint materializes).
 _REQUIRED_ARROW_UDF = {"bpe_token_stats_docs", "cdc_chunk_docs"}
-_ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {"image_near_dup", "audio_near_dup"}
+_ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {
+    "image_near_dup",
+    "audio_near_dup",
+    # r12: the multimodal data card's header-parse pass is the same
+    # sanctioned Arrow decode seam (mapInPandas over header bytes)
+    "media_data_card_docs",
+}
 
 
 def _plan(df):
@@ -317,6 +323,14 @@ _EXCHANGE_CEILINGS = {
     # doc-keyed reassembly agg; the boilerplate set joins back broadcast
     # (measured 2)
     "line_dedup_docs": 3,
+    # r12 (measured + 1 AQE headroom): the semantic-curate arms' tails are
+    # the exact-dedup fingerprint semi-join + the semantic comps join over
+    # the lazy cuts (CC fixpoint eager at build; measured 2 each); the
+    # media card = header-parse mapInPandas + histogram agg + per-group
+    # totals agg + share join (measured 4)
+    "curate_semantic_docs": 3,
+    "curate_semantic_near_docs": 3,
+    "media_data_card_docs": 5,
     # r10: containment = gram-hash distinct + dup census + pair agg + size
     # join (measured 4); zipf = word-count shuffle + prefix-sum range
     # shuffle + 1-row regression agg (measured 2)
