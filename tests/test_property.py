@@ -616,3 +616,41 @@ def test_tfidf_cosine_prefix_filter_lossless(spark, docs, threshold):
     assert set(got) == set(want)
     for p, c in want.items():
         assert got[p] == pytest.approx(c, abs=2e-6)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # group (skew possible)
+            st.integers(min_value=-50, max_value=50),  # order value (ties likely)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_grouped_topk_property_vs_window(spark, rows, k, parts):
+    """r12 rewrite (rank on key tuple, payload joins back): grouped_topk ==
+    row_number() OVER (PARTITION BY g ORDER BY v DESC, pk DESC) <= k for
+    arbitrary group shapes, tie patterns, k, and input partitionings — the
+    placement-invariance contract under the new join-back tail."""
+    from pyspark.sql.window import Window
+
+    from analyst_toolkit_spark.llm import pack as P
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["g", "pk", "v"]).repartition(parts)
+    got = {
+        (r["g"], r["rank"]): (r["pk"], r["v"])
+        for r in P.grouped_topk(df, k, ["v", "pk"], "g").collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("pk"))
+    want = {
+        (r["g"], r["rn"]): (r["pk"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == want
