@@ -2706,6 +2706,57 @@ def q_curate_semantic_near_docs(spark, sf):  # NON-SQL (seeded planes + driver e
     return out.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_semantic_decontaminate_embeddings(spark, sf):
+    """Embedding-level benchmark decontamination (llm/similarity.
+    semantic_decontaminate — the semantic counterpart of the n-gram
+    decontaminate row): per corpus vector, the max cosine to any of 10
+    benchmark vectors, flagged at 0.999. Contamination is PLANTED so the
+    row has true positives: the even-id benchmark vectors re-enter the
+    corpus scaled ×1.5 (direction preserved — cosine exactly 1.0), while
+    the organic corpus max is ~0.51, far under the flag. The Spark plan is
+    the zero-shuffle literal-benchmark scan (the benchmark rides the plan
+    as one array-of-structs literal; plan-asserted 0 exchanges in
+    tests/test_llm.py); the oracle is the explicit CROSS JOIN + max."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 10)
+    planted = bench.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).unionByName(planted)
+    out = L_sim.semantic_decontaminate(corpus, bench, threshold=0.999)
+    return out.select("vec_id", "max_bench_cosine", "contaminated")
+
+
+def q_curate_semantic_decon_docs(spark, sf):
+    """END-TO-END hash oracle for the r12 semantic-DECONTAMINATION curate
+    stage (CurationConfig.semantic_benchmark): exact dedup → drop every doc
+    whose embedding cosine to any benchmark vector reaches 0.999. The
+    benchmark is the every-5th embedding; those docs sit IN the corpus
+    (cosine 1.0 to themselves) and each also has an 'EVALCOPY' paraphrase
+    mirror carrying the identical embedding but distinct text — the exact
+    contamination the lexical n-gram stage cannot see past a rewrite. The
+    organic max pairwise cosine is ~0.51 « 0.999, so the TRUE drop set is
+    precisely the benchmark-embedding carriers, and one composed DuckDB CTE
+    (exact dedup → cross-join max-cosine filter) reproduces the survivor
+    set byte-for-byte."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    corpus = _semantic_corpus(spark, sf, every=5, id_offset=3000, prefix="EVALCOPY ")
+    bench = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    ).select("embedding")
+    out, _ = L_cur.curate_corpus(
+        corpus,
+        exact_dedup=True,
+        semantic_benchmark=bench,
+        semantic_decon_threshold=0.999,
+    )
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -3459,14 +3510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the local test suite (tests/test_entry_contract.py) at sf0.01 every
     # run, so rotation never leaves a query unverified.
     return {
-        # -- r12 lead: four NEW queries (semantic curate stage both arms,
-        # -- streaming checkpoint recovery, multimodal data card) plus the
-        # -- two queries whose implementation changed this round and need a
-        # -- fresh driver row.
+        # -- r12 lead: six NEW queries (semantic curate stage both arms,
+        # -- semantic decontamination operator + curate stage, streaming
+        # -- checkpoint recovery, multimodal data card) plus the two queries
+        # -- whose implementation changed this round and need a fresh
+        # -- driver row.
         "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
         "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
         "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
         "media_data_card_docs": q_media_data_card_docs,  # NEW r12 (multimodal data-card arm: modality/format/size histogram + decode-failure rate; rows-only -- r11 VERDICT #7)
+        "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # NEW r12 (embedding-level benchmark decon, zero-shuffle literal-benchmark scan; hash oracle)
+        "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # NEW r12 (semantic-decontaminate curate stage, composed hash oracle)
         "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r12 (refine_factor over-probe + exact re-rank arm added -- r11 VERDICT #2); rows-only
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # impl changed r12 (grouped_topk ranks on key tuple, payload joins back -- r11 VERDICT nit #2)
         # -- r12 stale rotation (r11 VERDICT #5): the EIGHTEEN stalest
@@ -4785,6 +4839,64 @@ def oracle_sql() -> dict[str, str]:
         sem AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY embedding)
         SELECT d1.doc_id, md5(d1.text) AS text_md5
         FROM d1 JOIN sem USING (doc_id)
+    """
+    sqls["semantic_decontaminate_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        bench AS (
+          SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE vec_id < 10),
+        corpus AS (
+          SELECT vec_id, v FROM base WHERE vec_id >= 10
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+          FROM base WHERE vec_id < 10 AND vec_id % 2 = 0),
+        scored AS (
+          SELECT c.vec_id,
+                 max(list_sum(list_transform(range(1, len(c.v) + 1),
+                       i -> c.v[i] * b.v[i])) / b.n) AS ms
+          FROM corpus c CROSS JOIN bench b
+          GROUP BY c.vec_id),
+        cn AS (
+          SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM corpus)
+        SELECT s.vec_id,
+               round(s.ms / cn.n, 6) AS max_bench_cosine,
+               round(s.ms / cn.n, 6) >= 0.999 AS contaminated
+        FROM scored s JOIN cn USING (vec_id)
+    """
+    sqls["curate_semantic_decon_docs"] = f"""
+        WITH corpus AS (
+          SELECT d.doc_id, d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          UNION ALL
+          SELECT d.doc_id + 3000, 'EVALCOPY ' || d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          WHERE d.doc_id % 5 = 0),
+        ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM corpus GROUP BY md5({_NORM_SQL.format(col="text")})),
+        d1 AS (
+          SELECT c.doc_id, c.text,
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM corpus c JOIN ex USING (doc_id)),
+        bench AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS bn
+          FROM embeddings WHERE vec_id % 5 = 0),
+        scored AS (
+          SELECT d1.doc_id,
+                 max(list_sum(list_transform(range(1, len(d1.v) + 1),
+                       i -> d1.v[i] * b.bv[i])) / b.bn) AS ms
+          FROM d1 CROSS JOIN bench b GROUP BY d1.doc_id),
+        cn AS (
+          SELECT doc_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM d1)
+        SELECT d1.doc_id, md5(d1.text) AS text_md5
+        FROM d1 JOIN scored USING (doc_id) JOIN cn USING (doc_id)
+        WHERE round(scored.ms / cn.n, 6) < 0.999
     """
     sqls["line_dedup_docs"] = """
         WITH l AS (

@@ -17,6 +17,8 @@ order is the one production pipelines use:
   → span removal (cross-document exact-substring spans cut from survivors)
   → char-LM gate (CCNet-style mean-probability threshold vs a reference)
   → decontaminate (benchmark n-gram overlap)
+  → semantic decontaminate (embedding cosine vs eval vectors — the
+    paraphrase-contamination net the n-gram check can't catch)
   → weighted sample (deterministic md5-uniform)
   → split (stable md5-bucket train/val/test)
   → pack (token-budget sequence assignment)
@@ -162,6 +164,22 @@ class CurationConfig:
     #: left with zero tokens are dropped.
     decontaminate_mode: str = "drop"
     decontaminate_ngram: int = 8
+    #: SEMANTIC decontamination (r12 — llm/similarity.semantic_decontaminate):
+    #: a frame of benchmark/eval EMBEDDINGS; every surviving doc whose
+    #: ``embedding_col`` cosine to ANY benchmark vector reaches
+    #: ``semantic_decon_threshold`` is dropped. Catches eval items that were
+    #: paraphrased into the corpus — where no token n-gram survives for the
+    #: lexical decontaminate stage to see. The benchmark rides the plan as a
+    #: bounded literal (``semantic_decon_max_benchmark``, fail-loud past it —
+    #: route big eval sets through semantic_decontaminate_lsh outside the
+    #: chain), so the stage is MAP-ONLY: zero shuffle, zero join, composes
+    #: into whatever scan precedes it. Requires ``embedding_col`` on the
+    #: frame (fails loudly otherwise). ``semantic_benchmark_vec_col`` names
+    #: the benchmark frame's vector column when it differs.
+    semantic_benchmark: DataFrame | None = None
+    semantic_decon_threshold: float = 0.95
+    semantic_decon_max_benchmark: int = 2048
+    semantic_benchmark_vec_col: str | None = None
     sample_weight: str | None = None  # column name; None disables
     splits: dict[str, float] | None = None
     #: "hash" (default) assigns each surviving row independently by md5
@@ -523,6 +541,34 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             _record(
                 "decontaminate", mode="drop", max_overlap=cfg.max_benchmark_overlap
             )
+
+    if cfg.semantic_benchmark is not None:
+        from analyst_toolkit_spark.llm import similarity as S
+
+        if cfg.embedding_col not in out.columns:
+            raise ValueError(
+                f"semantic_benchmark set but embedding column "
+                f"{cfg.embedding_col!r} not in frame (columns: {out.columns})"
+            )
+        flagged = S.semantic_decontaminate(
+            out,
+            cfg.semantic_benchmark,
+            threshold=cfg.semantic_decon_threshold,
+            vec_col=cfg.embedding_col,
+            bench_vec_col=cfg.semantic_benchmark_vec_col,
+            max_benchmark=cfg.semantic_decon_max_benchmark,
+        )
+        # null max_bench_cosine (null corpus vector) keeps the row — an
+        # unembedded doc is un-checkable, not contaminated; map-only filter,
+        # no lineage cut needed (the benchmark is an independent frame).
+        out = flagged.filter(
+            ~F.coalesce(F.col("contaminated"), F.lit(False))
+        ).drop("max_bench_cosine", "contaminated")
+        _record(
+            "semantic_decontaminate",
+            threshold=cfg.semantic_decon_threshold,
+            embedding_col=cfg.embedding_col,
+        )
 
     if cfg.sample_weight is not None:
         out = T.weighted_sample(out, cfg.sample_weight, id_col=id_col)

@@ -804,6 +804,182 @@ def semantic_dedup(
     )
 
 
+# -- semantic (embedding-level) benchmark decontamination ---------------------
+
+#: Benchmark-size ceiling for the literal-benchmark decontamination scan.
+#: Eval suites are small and fixed (hundreds to low thousands of held-out
+#: items), so shipping them inside the plan is the natural broadcast; past
+#: this the plan literal stops being cheap and the bipartite LSH path
+#: (:func:`semantic_decontaminate_lsh`) is the right tool.
+DECON_BENCH_MAX = 2048
+
+
+def _bench_literal(rows: list, vec_col: str) -> Column:
+    """One parsed ``array(struct(v, n), ...)`` literal holding every benchmark
+    vector and its L2 norm — a single py4j RPC + JVM parse, same rationale as
+    :func:`lit_vec` (the per-element builder costs one driver RPC per float).
+    """
+    import math
+
+    frags = []
+    for r in rows:
+        vals = [float(x) for x in r[vec_col]]
+        if not all(math.isfinite(x) for x in vals):
+            raise ValueError("semantic_decontaminate: non-finite benchmark vector")
+        n = math.sqrt(sum(v * v for v in vals))
+        if n == 0.0:
+            raise ValueError("semantic_decontaminate: zero-norm benchmark vector")
+        frags.append(
+            "struct(array(" + ",".join(repr(v) + "D" for v in vals) + ") as v, "
+            + repr(n) + "D as n)"
+        )
+    return F.expr("array(" + ",".join(frags) + ")")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    max_benchmark: int = DECON_BENCH_MAX,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus row whose
+    embedding's cosine to ANY benchmark/eval vector reaches ``threshold`` —
+    the semantic counterpart of :func:`analyst_toolkit_spark.llm.text.
+    decontaminate` (n-gram overlap), catching eval items that were
+    paraphrased or re-templated into the training corpus, where no token
+    n-gram survives to overlap.
+
+    Plan shape for 100 TB of corpus vs a small benchmark (the production
+    case — eval suites are thousands of items, fixed): the benchmark
+    vectors are collected once (bounded by ``max_benchmark``, fail-loud
+    past it) and shipped INSIDE the plan as one literal array of
+    (vector, norm) structs; each corpus row folds over that literal with
+    ``F.aggregate`` + ``zip_with`` dot products — pure JVM expressions,
+    ZERO shuffle, no join, no broadcast exchange even: the scan itself is
+    the whole plan (plan-asserted in tests). Corpus rows never move.
+
+    Returns the full corpus row set plus ``max_bench_cosine`` (double,
+    rounded 6 — the honest audit number) and ``contaminated`` (boolean).
+    A null corpus vector yields null in both (the caller decides; the
+    curate stage keeps such rows). Empty benchmarks raise — a silent
+    no-op decontamination pass is worse than none.
+    """
+    bcol = bench_vec_col or vec_col
+    rows = benchmark.select(F.col(bcol).alias("__b")).limit(max_benchmark + 1).collect()
+    if not rows:
+        raise ValueError("semantic_decontaminate: empty benchmark set")
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark exceeds max_benchmark="
+            f"{max_benchmark} vectors — use semantic_decontaminate_lsh for "
+            f"large eval sets, or raise the cap"
+        )
+    blit = _bench_literal(rows, "__b")
+    vec = F.col(vec_col).cast("array<double>")
+    # max over benchmark of dot/|b| first (greatest skips the null init), one
+    # division by the corpus norm at the end — |v| is computed once per row.
+    max_scaled = F.aggregate(
+        blit,
+        F.lit(None).cast("double"),
+        lambda acc, b: F.greatest(
+            acc,
+            F.aggregate(
+                F.zip_with(vec, b["v"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / b["n"],
+        ),
+    )
+    maxcos = F.round(max_scaled / norm(F.col(vec_col)), 6)
+    return corpus.withColumn("max_bench_cosine", maxcos).withColumn(
+        "contaminated", F.col("max_bench_cosine") >= F.lit(float(threshold))
+    )
+
+
+def semantic_decontaminate_lsh(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    pair_cap: int | None = None,
+) -> DataFrame:
+    """The large-benchmark tier of :func:`semantic_decontaminate`: when the
+    eval set itself is too big to ride the plan as a literal, bucket BOTH
+    sides with the same hyperplanes and compare only same-bucket
+    (corpus, benchmark) candidates — the bipartite form of
+    :func:`lsh_bucketed_pairs`. Exact cosine verifies every candidate, so
+    precision is 1; recall follows the bucket geometry (identical vectors
+    share every plane's sign, so exact eval copies are always caught —
+    the same recall contract the SemDeDup stage documents).
+
+    ``pair_cap``: census gate over the bipartite candidate volume
+    Σ_bucket c_corpus·c_bench BEFORE the join (one labels-only aggregation
+    per side) — the standing refuse-quadratic-work-up-front rule.
+
+    Output matches the brute-force tier (corpus rows + ``max_bench_cosine``
+    + ``contaminated``) with one honest difference: ``max_bench_cosine`` is
+    the max over CANDIDATES only (null when no benchmark vector shared a
+    bucket) — a lower bound on the true max, which is exactly what a
+    candidate-pruned index can certify.
+    """
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+
+    bcol = bench_vec_col or vec_col
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("__c_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    b = benchmark.select(
+        F.col(bcol).alias("__bv"),
+        norm(F.col(bcol)).alias("__bn"),
+        hyperplane_bucket(F.col(bcol), planes).alias("__bucket"),
+    )
+    if pair_cap is not None:
+        c = c.localCheckpoint(eager=False)
+        b = b.localCheckpoint(eager=False)
+        cc = c.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cc"))
+        bc = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("bc"))
+        est = (
+            cc.join(bc, "__bucket")
+            .agg(F.sum(F.col("cc") * F.col("bc")).alias("pairs"))
+            .first()["pairs"]
+        )
+        if est is not None and est > pair_cap:
+            raise ValueError(
+                f"semantic_decontaminate_lsh: bipartite candidate census "
+                f"{int(est)} exceeds pair_cap={pair_cap} — raise n_planes "
+                f"(shrinks buckets) or raise the cap"
+            )
+    dot = dot_cols(F.col("__cv"), F.col("__bv"))
+    hits = (
+        c.join(maybe_broadcast(b), "__bucket")
+        .withColumn("__cos", F.round(dot / (F.col("__cn") * F.col("__bn")), 6))
+        .groupBy("__c_id")
+        .agg(F.max("__cos").alias("max_bench_cosine"))
+    )
+    # hits is ≤ |corpus| label rows (id + double) — corpus-derived, so no
+    # hard hint; AQE decides the join strategy.
+    out = corpus.join(hits, corpus[id_col] == F.col("__c_id"), "left").drop("__c_id")
+    return out.withColumn(
+        "contaminated",
+        F.when(
+            F.col("max_bench_cosine").isNotNull(),
+            F.col("max_bench_cosine") >= F.lit(float(threshold)),
+        ).otherwise(F.lit(False)),
+    )
+
+
 # -- PCA over embedding columns ----------------------------------------------
 
 

@@ -2774,3 +2774,129 @@ def test_curate_semantic_keep_best_quality(spark):
             df, exact_dedup=False, semantic_dedup_threshold=0.9,
             semantic_keep="typo", checkpoint=False,
         )
+
+
+# -- semantic (embedding-level) benchmark decontamination (r12) ---------------
+
+
+def test_semantic_decontaminate_parity(spark):
+    """Brute-force tier vs a numpy oracle: per corpus row, max cosine to any
+    benchmark vector (rounded 6) and the threshold flag — plus the plan
+    contract that IS the operator's 100 TB claim: the benchmark rides the
+    plan as a literal, so the whole scan has ZERO exchanges."""
+    import math
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    bench_vecs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 1.0, 0.0], [0.5, -0.5, 0.25, -1.0]]
+    corpus_vecs = {
+        10: [2.0, 0.0, 0.0, 0.0],       # scaled copy of bench 0 -> cosine 1.0
+        11: [0.1, 0.9, 1.1, 0.0],       # near bench 1
+        12: [-1.0, 0.0, 0.0, 0.0],      # anti-parallel -> max over OTHER benches
+        13: [0.3, 0.3, 0.3, 0.3],
+    }
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in corpus_vecs.items()], "vec_id int, embedding array<double>"
+    )
+    bench = spark.createDataFrame([(v,) for v in bench_vecs], "embedding array<double>")
+    out = S.semantic_decontaminate(corpus, bench, threshold=0.95)
+    got = {r["vec_id"]: (r["max_bench_cosine"], r["contaminated"]) for r in out.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for vid, v in corpus_vecs.items():
+        want = round(max(cos(v, b) for b in bench_vecs), 6)
+        assert abs(got[vid][0] - want) < 1e-9, vid
+        assert got[vid][1] == (want >= 0.95), vid
+    # the zero-shuffle plan contract
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, "literal-benchmark scan must not shuffle"
+    # null corpus vector -> null audit fields (the caller decides)
+    withnull = corpus.unionByName(
+        spark.createDataFrame([(99, None)], "vec_id int, embedding array<double>")
+    )
+    row = {
+        r["vec_id"]: r
+        for r in S.semantic_decontaminate(withnull, bench, threshold=0.95).collect()
+    }[99]
+    assert row["max_bench_cosine"] is None and row["contaminated"] is None
+
+
+def test_semantic_decontaminate_guards(spark):
+    """Fail-loud contracts: empty benchmark (a silent no-op decon pass is
+    worse than none), oversized benchmark (points at the LSH tier), and
+    zero-norm / non-finite benchmark vectors."""
+    from analyst_toolkit_spark.llm import similarity as S
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="empty benchmark"):
+        S.semantic_decontaminate(corpus, empty)
+    big = spark.range(5).select(F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="semantic_decontaminate_lsh"):
+        S.semantic_decontaminate(corpus, big, max_benchmark=4)
+    zero = spark.createDataFrame([([0.0, 0.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match="zero-norm"):
+        S.semantic_decontaminate(corpus, zero)
+
+
+def test_semantic_decontaminate_lsh_tier(spark):
+    """The large-benchmark tier: exact eval copies are ALWAYS caught
+    (identical vectors share every hyperplane sign — the same recall floor
+    the SemDeDup stage documents), candidates are verified with exact
+    cosine (precision 1), non-candidates come back null/false, and the
+    bipartite pair_cap census refuses quadratic bucket volumes up front."""
+    from analyst_toolkit_spark.llm import similarity as S
+
+    dim = 8
+    base = [float((i * 7 + 3) % 11 - 5) for i in range(dim)]
+    other = [float((i * 5 + 1) % 13 - 6) for i in range(dim)]
+    corpus = spark.createDataFrame(
+        [(1, base), (2, [x * 3.0 for x in base]), (3, other)],
+        "vec_id int, embedding array<double>",
+    )
+    bench = spark.createDataFrame([(base,)], "embedding array<double>")
+    out = S.semantic_decontaminate_lsh(corpus, bench, dim=dim, threshold=0.999)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert got[1]["contaminated"] and got[1]["max_bench_cosine"] == 1.0
+    assert got[2]["contaminated"] and got[2]["max_bench_cosine"] == 1.0  # scaled copy
+    assert not got[3]["contaminated"]
+    # census gate: 1-plane buckets make everything a candidate; cap refuses
+    with pytest.raises(ValueError, match="pair_cap"):
+        S.semantic_decontaminate_lsh(
+            corpus, bench, dim=dim, threshold=0.999, n_planes=1, pair_cap=1
+        )
+
+
+def test_curate_semantic_decon_stage(spark):
+    """The curate-chain stage: benchmark-embedding carriers drop (including
+    paraphrases the n-gram decon can't see), unembedded (null) docs are
+    kept — un-checkable is not contaminated — the ledger records the stage,
+    and a frame without the embedding column fails loudly."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    ev = [0.6, -0.8, 0.0, 0.0]
+    rows = [
+        (1, "the eval item verbatim text", ev),
+        (2, "a paraphrased rewrite sharing no eight gram", [x * 2.0 for x in ev]),
+        (3, "organic document about tides", [0.0, 0.0, 1.0, 0.0]),
+        (4, "doc that was never embedded", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "embedding"])
+    bench = spark.createDataFrame([(ev,)], "embedding array<double>")
+    out, rep = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_benchmark=bench,
+        semantic_decon_threshold=0.99, checkpoint=False,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {3, 4}
+    assert set(out.columns) == {"doc_id", "text", "embedding"}  # audit cols dropped
+    assert rep["semantic_decontaminate"]["threshold"] == 0.99
+    out2, rep2 = L_cur.curate_corpus(df, exact_dedup=False, checkpoint=False)
+    assert "semantic_decontaminate" not in rep2 and out2.count() == 4
+    with pytest.raises(ValueError, match="embedding column"):
+        L_cur.curate_corpus(
+            df.drop("embedding"), exact_dedup=False,
+            semantic_benchmark=bench, checkpoint=False,
+        )

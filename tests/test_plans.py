@@ -300,6 +300,13 @@ _EXCHANGE_CEILINGS = {
     "containment_subset_docs": 4,
     "curate_containment_docs": 4,
     "semantic_dedup_pca_embeddings": 1,
+    # r12 semantic decontamination: the literal-benchmark scan is the whole
+    # plan — ZERO exchanges is the operator's contract (measured 0, ceiling
+    # 0 on purpose: one shuffle here means the benchmark stopped riding the
+    # plan); the curate-chain row's tail is the corpus-construction join +
+    # exact-dedup agg pair (measured 3).
+    "semantic_decontaminate_embeddings": 0,
+    "curate_semantic_decon_docs": 4,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
