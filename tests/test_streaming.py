@@ -198,3 +198,52 @@ def test_streaming_quality_gates_match_batch(spark, sf_dir):
 
     for d in (src, ck1, ck2):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_semantic_decontaminate_matches_batch(spark, sf_dir):
+    """The r12 semantic decontamination scan applies to a document stream
+    UNMODIFIED: the benchmark rides the plan as a literal and the operator
+    is a stateless projection (zero shuffle, zero state), so the same call
+    that filters a 100 TB batch corpus gates an arriving stream in append
+    mode — no foreachBatch needed. Every (max_bench_cosine, contaminated)
+    pair must agree row-for-row with the batch engine."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    src = tempfile.mkdtemp(prefix="decon_stream_")
+    ck = tempfile.mkdtemp(prefix="ckpt_")
+    corpus.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    flagged = S.semantic_decontaminate(stream, bench, threshold=0.999)
+    assert flagged.isStreaming  # applied directly — stateless, append-safe
+
+    got: dict = {}
+    q = foreach_batch_runner(
+        flagged,
+        lambda b, _i: got.update(
+            {r.vec_id: (r.max_bench_cosine, r.contaminated) for r in b.collect()}
+        ),
+        ck,
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r.vec_id: (r.max_bench_cosine, r.contaminated)
+        for r in S.semantic_decontaminate(corpus, bench, threshold=0.999).collect()
+    }
+    assert got == want and len(got) == corpus.count()
+
+    for d in (src, ck):
+        shutil.rmtree(d, ignore_errors=True)
