@@ -2757,6 +2757,22 @@ def q_curate_semantic_decon_docs(spark, sf):
     return out.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_training_shards_docs(spark, sf):
+    """Training-shard export manifest (llm/pack.shard_assign +
+    shard_manifest — the OUTPUT side of the curation pipeline): documents
+    assigned to 8 token-balanced contiguous shards via the distributed
+    prefix sum (no single-partition global window), then the per-shard
+    manifest a training job verifies against: doc count, token mass, id
+    range, and an order-free 48-bit-md5-sum content fingerprint. Every
+    number is engine-portable arithmetic, so the whole layout is
+    hash-verified against a DuckDB windowed-cumsum CTE."""
+    from analyst_toolkit_spark.llm import pack as L_pack
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sharded = L_pack.shard_assign(docs, 8)
+    return L_pack.shard_manifest(sharded)
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -3510,16 +3526,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the local test suite (tests/test_entry_contract.py) at sf0.01 every
     # run, so rotation never leaves a query unverified.
     return {
-        # -- r12 lead: six NEW queries (semantic curate stage both arms,
-        # -- semantic decontamination operator + curate stage, streaming
-        # -- checkpoint recovery, multimodal data card) plus the two queries
-        # -- whose implementation changed this round and need a fresh
-        # -- driver row.
+        # -- r12 lead: seven NEW queries (semantic curate stage both arms,
+        # -- semantic decontamination operator + curate stage, training-shard
+        # -- export manifest, streaming checkpoint recovery, multimodal data
+        # -- card) plus the two queries whose implementation changed this
+        # -- round and need a fresh driver row.
         "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
         "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
         "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
         "media_data_card_docs": q_media_data_card_docs,  # NEW r12 (multimodal data-card arm: modality/format/size histogram + decode-failure rate; rows-only -- r11 VERDICT #7)
         "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # NEW r12 (embedding-level benchmark decon, zero-shuffle literal-benchmark scan; hash oracle)
+        "training_shards_docs": q_training_shards_docs,  # NEW r12 (token-balanced training-shard manifest via distributed prefix sum; hash oracle)
         "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # NEW r12 (semantic-decontaminate curate stage, composed hash oracle)
         "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r12 (refine_factor over-probe + exact re-rank arm added -- r11 VERDICT #2); rows-only
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # impl changed r12 (grouped_topk ranks on key tuple, payload joins back -- r11 VERDICT nit #2)
@@ -4839,6 +4856,27 @@ def oracle_sql() -> dict[str, str]:
         sem AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY embedding)
         SELECT d1.doc_id, md5(d1.text) AS text_md5
         FROM d1 JOIN sem USING (doc_id)
+    """
+    sqls["training_shards_docs"] = """
+        WITH t AS (
+          SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+          FROM documents),
+        tot AS (SELECT sum(n_tokens) AS total FROM t),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 CAST(least(7, CAST(floor((cum - n_tokens) * 8 / (SELECT total FROM tot)) AS BIGINT)) AS INT) AS shard
+          FROM c)
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)) AS BIGINT) AS content_fp
+        FROM s GROUP BY shard
     """
     sqls["semantic_decontaminate_embeddings"] = """
         WITH base AS (

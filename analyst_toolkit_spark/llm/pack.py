@@ -371,3 +371,131 @@ def grouped_topk(
     return df.join(maybe_broadcast(winners), cond, "inner").drop(
         "__w_g", *[f"__w_{c}" for c in order_cols]
     )
+
+
+# -- training-shard export -----------------------------------------------------
+# The OUTPUT side of a curation pipeline: a training job does not read "a
+# parquet table", it reads N shards of roughly equal token mass, each small
+# enough for one loader worker, with a manifest saying what is in each. The
+# assignment below is deterministic and engine-portable (md5 arithmetic /
+# the distributed prefix sum), so a shard layout reproduces byte-for-byte
+# across runs and is oracle-checkable end-to-end.
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    mode: str = "balanced",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document to one of ``n_shards`` training shards.
+
+    ``mode="balanced"`` (default): contiguous token-balanced shards —
+    documents are taken in ``id_col`` order and
+    ``shard = floor(start_offset · n_shards / total_tokens)`` where
+    ``start_offset`` is the exact global running token total BEFORE the doc
+    (the :func:`with_global_cumsum` distributed prefix sum — no
+    single-partition global window). Every shard lands within one document
+    of the ideal token mass; the assignment is a pure function of the
+    corpus, independent of partitioning.
+
+    ``mode="hash"``: ``md5(id|salt)``-bucketed — token balance is only
+    statistical, but the assignment is STABLE under corpus growth (a doc
+    keeps its shard when neighbors are added/removed), which is what
+    incremental corpus builds want. Same engine-portable md5 arithmetic as
+    ``text.hash_split``.
+
+    Output: input columns + ``n_tokens`` (long) + ``shard`` (int).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = F.col(tokens_col) if tokens_col else token_count(key)
+    wt = df.withColumn("n_tokens", toks.cast("long"))
+    if mode == "hash":
+        bucket = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return wt.withColumn("shard", (bucket % F.lit(int(n_shards))).cast("int"))
+    if mode != "balanced":
+        raise ValueError(f"unknown shard mode: {mode!r} (balanced | hash)")
+    total = wt.agg(F.sum("n_tokens")).first()[0] or 0
+    cum = with_global_cumsum(wt, "n_tokens", id_col)
+    if total <= 0:
+        return cum.withColumn("shard", F.lit(0)).drop(_CUM)
+    shard = F.least(
+        F.lit(int(n_shards) - 1),
+        F.floor(
+            (F.col(_CUM) - F.col("n_tokens")) * F.lit(int(n_shards)) / F.lit(float(total))
+        ),
+    )
+    return cum.withColumn("shard", shard.cast("int")).drop(_CUM)
+
+
+def shard_manifest(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest: doc count, token mass, id range, and an
+    ORDER-FREE content fingerprint (sum of the first 48 md5 bits of each
+    id — commutative, so it is partitioning-independent and reproduces in
+    any engine with md5; 48-bit terms keep the sum far from long overflow
+    below ~2^15 docs per shard × 2^48). A training job checks its shard
+    against this before it starts; a re-run proves layout identity by
+    comparing manifests, never by re-reading data."""
+    fp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.sum(fp).alias("content_fp"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    mode: str = "balanced",
+    fmt: str = "parquet",
+    write_mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the shard layout: ``path/shard=K/`` per shard (hive
+    partition dirs — a loader reads exactly its own directory, nothing
+    else; directory pruning is free for any later Spark scan), rows sorted
+    by ``id_col`` within each shard for deterministic in-shard order, plus
+    the manifest at ``path/_manifest`` (parquet — it IS a table). Returns
+    the manifest DataFrame.
+
+    The frame is repartitioned ON the shard column before the write so each
+    shard is written by one task (one file per shard dir at any scale —
+    pick ``n_shards`` so a shard fits a loader worker, which also keeps the
+    write task bounded). The assignment is computed once behind the prefix
+    sum's materialization; write and manifest read the same lineage.
+    """
+    sharded = shard_assign(
+        df, n_shards, key=key, id_col=id_col, tokens_col=tokens_col, mode=mode
+    )
+    (
+        sharded.repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("shard")
+        .mode(write_mode)
+        .format(fmt)
+        .save(path)
+    )
+    manifest = shard_manifest(sharded, id_col=id_col)
+    manifest.write.mode(write_mode).parquet(f"{path.rstrip('/')}/_manifest")
+    return manifest
