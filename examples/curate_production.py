@@ -22,9 +22,14 @@ Stage order (and why):
      superset; runs post-near-dedup where the pair census is cheap
   8. span decontamination          — cut benchmark-overlapping token runs,
      keep the untainted remainder
+  8b. semantic decontamination (r12) — drop docs whose EMBEDDING cosine
+     reaches an eval vector: the paraphrased eval item no n-gram survives
+     to flag; zero-shuffle literal-benchmark scan
   9. leakage-safe split            — near-dup clusters never straddle
      train/val/test
  10. token-budget packing          — per-split prefix-sum sequence assembly
+ 11. shard export                  — the train split written as
+     token-balanced `shard=K/` dirs + manifest (write_training_shards)
 
 At 100 TB: every self-referencing stage runs behind a lineage cut (set
 ``checkpoint_dir`` to an object-store path for durable, resumable cuts),
@@ -61,6 +66,9 @@ def main() -> None:
     # benchmark to decontaminate against: every 25th doc stands in for the
     # eval set a real pipeline guards
     benchmark = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    # the SAME eval set's embeddings arm the semantic decontamination net —
+    # the paraphrase-contamination the n-gram spans can't see
+    bench_emb = docs.filter(F.col("doc_id") % 25 == 0).select("embedding")
 
     cfg = CurationConfig(
         key="text",
@@ -81,6 +89,8 @@ def main() -> None:
         containment_drop_threshold=0.5,  # stage 7 (r11)
         benchmark=benchmark,             # stage 8
         decontaminate_mode="spans",
+        semantic_benchmark=bench_emb,    # stage 8b (r12): embedding-level
+        semantic_decon_threshold=0.999,  # decon — zero-shuffle literal scan
         splits={"train": 0.9, "val": 0.05, "test": 0.05},
         split_mode="leakage_safe",       # stage 8
         pack_budget=512,                 # stage 9
@@ -101,6 +111,22 @@ def main() -> None:
         print(row)
     print("\n=== curated sample ===")
     curated.select("doc_id", "split", "seq_id", "n_tokens").show(10)
+
+    # ship it: the train split as token-balanced shards + manifest — what a
+    # training job actually reads (one shard dir per loader worker)
+    import tempfile
+
+    from analyst_toolkit_spark.llm.pack import write_training_shards
+
+    out_dir = tempfile.mkdtemp(prefix="train_shards_")
+    manifest = write_training_shards(
+        curated.filter(F.col("split") == "train").drop("embedding"),
+        out_dir,
+        n_shards=8,
+        tokens_col="n_tokens",
+    )
+    print(f"\n=== train shards ({out_dir}) ===")
+    manifest.orderBy("shard").show()
     spark.stop()
 
 
