@@ -654,3 +654,45 @@ def test_grouped_topk_property_vs_window(spark, rows, k, parts):
         .collect()
     }
     assert got == want
+
+
+@SET
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=50),
+    n_shards=st.integers(min_value=1, max_value=6),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_shard_assign_property(spark, toks, n_shards, parts):
+    """r12 shard_assign (balanced): for ARBITRARY token distributions,
+    shard counts, and input partitionings — assignments are contiguous in
+    id order, every shard's token mass is within one document of the ideal
+    total/n, shard ids stay in range, and the assignment equals the plain
+    single-node cumsum rule (the oracle arithmetic)."""
+    import math
+
+    from analyst_toolkit_spark.llm import pack as P
+
+    data = [(i, "w " * t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(data, ["doc_id", "text"]).repartition(parts)
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"])
+        for r in P.shard_assign(df, n_shards).collect()
+    }
+    total = sum(toks)
+    # single-node reference: shard = floor(start * n / total), clamped
+    cum = 0
+    for i, t in enumerate(toks):
+        if total <= 0:
+            want = 0
+        else:
+            want = min(n_shards - 1, math.floor(cum * n_shards / total))
+        assert got[i] == (want, t), (i, got[i], want)
+        cum += t
+    ordered = [got[i][0] for i in range(len(toks))]
+    assert ordered == sorted(ordered)  # contiguity
+    per: dict[int, int] = {}
+    for i, t in enumerate(toks):
+        per[got[i][0]] = per.get(got[i][0], 0) + t
+    if total > 0:
+        ideal = total / n_shards
+        assert all(abs(v - ideal) <= max(toks) for v in per.values())
