@@ -2773,6 +2773,38 @@ def q_training_shards_docs(spark, sf):
     return L_pack.shard_manifest(sharded)
 
 
+def q_semantic_index_probe(spark, sf):
+    """Incremental SEMANTIC dedup probe (llm/incremental.semantic_index_write
+    / semantic_probe — the embedding counterpart of the exact/near lexical
+    index layers): the corpus's hyperplane buckets persist once
+    (bucket-partitioned parquet), then a new batch asks "has the corpus seen
+    a vector this close?" reading ONLY its own bucket directories
+    (PartitionFilters-asserted in tests/test_incremental.py). The batch
+    carries ×1.5-scaled copies of indexed vectors — identical direction ⇒
+    identical sign bits ⇒ always a candidate ⇒ exact-cosine 1.0 — plus
+    vectors the index never saw (organic max cosine ~0.51 « 0.999), so the
+    probe's match set EQUALS the brute-force truth and one DuckDB cosine
+    join reproduces (vec_id, is_known_dup, matched_id) byte-for-byte."""
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    copies = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    batch = copies.unionByName(emb.filter(F.col("vec_id") < 10))
+    path = _stream_tmpdir("sem_idx_")
+    # 64 buckets at bench scale (256-dir committer overhead dominates a tiny
+    # corpus; the match-set equality is plane-count-independent — identical
+    # directions share every sign bit under ANY plane family)
+    L_inc.semantic_index_write(corpus, path, n_planes=6)
+    out = L_inc.semantic_probe(spark, path, batch, threshold=0.999)
+    return out.select("vec_id", "is_known_dup", "matched_id")
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -3526,17 +3558,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the local test suite (tests/test_entry_contract.py) at sf0.01 every
     # run, so rotation never leaves a query unverified.
     return {
-        # -- r12 lead: seven NEW queries (semantic curate stage both arms,
+        # -- r12 lead: eight NEW queries (semantic curate stage both arms,
         # -- semantic decontamination operator + curate stage, training-shard
-        # -- export manifest, streaming checkpoint recovery, multimodal data
-        # -- card) plus the two queries whose implementation changed this
-        # -- round and need a fresh driver row.
+        # -- export manifest, incremental semantic-index probe, streaming
+        # -- checkpoint recovery, multimodal data card) plus the two queries
+        # -- whose implementation changed this round and need a fresh
+        # -- driver row.
         "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
         "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
         "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
         "media_data_card_docs": q_media_data_card_docs,  # NEW r12 (multimodal data-card arm: modality/format/size histogram + decode-failure rate; rows-only -- r11 VERDICT #7)
         "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # NEW r12 (embedding-level benchmark decon, zero-shuffle literal-benchmark scan; hash oracle)
         "training_shards_docs": q_training_shards_docs,  # NEW r12 (token-balanced training-shard manifest via distributed prefix sum; hash oracle)
+        "semantic_index_probe": q_semantic_index_probe,  # NEW r12 (incremental embedding-index probe, bucket-partition-pruned; hash oracle)
         "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # NEW r12 (semantic-decontaminate curate stage, composed hash oracle)
         "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r12 (refine_factor over-probe + exact re-rank arm added -- r11 VERDICT #2); rows-only
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # impl changed r12 (grouped_topk ranks on key tuple, payload joins back -- r11 VERDICT nit #2)
@@ -4877,6 +4911,32 @@ def oracle_sql() -> dict[str, str]:
                max(doc_id) AS max_id,
                CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)) AS BIGINT) AS content_fp
         FROM s GROUP BY shard
+    """
+    sqls["semantic_index_probe"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE vec_id >= 10),
+        batch AS (
+          SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+          FROM base WHERE vec_id >= 10 AND vec_id < 20
+          UNION ALL
+          SELECT vec_id, v FROM base WHERE vec_id < 10),
+        bn AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM batch),
+        m AS (
+          SELECT b.vec_id, min(c.vec_id) AS matched_id
+          FROM bn b JOIN corpus c
+            ON round(list_sum(list_transform(range(1, len(b.v) + 1),
+                 i -> b.v[i] * c.v[i])) / (b.n * c.n), 6) >= 0.999
+          GROUP BY b.vec_id)
+        SELECT bn.vec_id,
+               m.matched_id IS NOT NULL AS is_known_dup,
+               m.matched_id
+        FROM bn LEFT JOIN m USING (vec_id)
     """
     sqls["semantic_decontaminate_embeddings"] = """
         WITH base AS (

@@ -377,3 +377,153 @@ def near_probe(
         .filter(F.col("est_jaccard") >= threshold)
         .select("batch_id", "index_id", "est_jaccard")
     )
+
+
+# -- semantic (embedding) index layer ------------------------------------------
+# The embedding counterpart of the exact/near lexical layers: persist the
+# corpus's hyperplane buckets once, then answer "has the corpus seen a vector
+# this close?" for a daily increment by reading ONLY the bucket partitions
+# the batch lands in — never the corpus. Same plane family as
+# llm/similarity (deterministic from (dim, n_planes, seed), regenerated at
+# probe time from the meta sidecar — planes are never persisted, so an index
+# can't drift from its probe arithmetic).
+
+#: bucket-count ceiling for the point-lookup probe tier (isin directory
+#: pruning); a batch touching more distinct buckets probes by join.
+SEM_PROBE_ISIN_MAX = int(os.environ.get("SPARK_GRAFT_SEM_PROBE_ISIN_MAX", "1024"))
+
+
+def semantic_index_write(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the semantic layer: (id, vector, norm, bucket) parquet
+    partitioned by the hyperplane bucket (≤ 2^n_planes directories — 256 at
+    the default 8 planes; raise n_planes for bigger corpora so per-bucket
+    mass stays bounded, the same occupancy dial the SemDeDup stage
+    documents). Norms are computed once at write time; the vector rides
+    along because the probe's exact-cosine verify needs it — index row
+    size is dim floats + 2 longs regardless of document size.
+
+    The bucket shuffle before the write is the same small-files discipline
+    as the fingerprint layer: each bucket lands in one task, one file."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(F.col("d") > 0).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    from analyst_toolkit_spark.llm.similarity import _hyperplanes, hyperplane_bucket, norm
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = path.rstrip("/")
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vnorm"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions(id_col)
+    )
+    rows.write.mode(mode).partitionBy("bucket").parquet(base + "/vectors")
+    if mode != "append":
+        _write_meta(
+            df.sparkSession,
+            base,
+            {"n_planes": n_planes, "seed": seed, "dim": dim, "id_col": id_col},
+        )
+
+
+def semantic_index_append(df: DataFrame, path: str, **kwargs) -> None:
+    """Append a batch with the INDEX's recorded plane family — appending
+    under different planes would scatter identical vectors across buckets
+    and silently break probe recall, so meta.json wins."""
+    meta = _read_meta(df.sparkSession, path.rstrip("/"))
+    for param in ("n_planes", "seed", "id_col"):
+        if param in meta:
+            kwargs[param] = meta[param]
+    semantic_index_write(df, path, mode="append", **kwargs)
+
+
+def semantic_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Flag batch vectors the index has (nearly) seen: per batch row, the
+    SMALLEST index id whose exact cosine reaches ``threshold`` among
+    same-bucket candidates, plus the best candidate cosine as the audit
+    number.
+
+    Probe shape: batch buckets are computed map-only with the index's own
+    plane family (meta sidecar); when the batch touches ≤
+    ``SEM_PROBE_ISIN_MAX`` distinct buckets (bounded collect — bucket
+    cardinality ≤ 2^n_planes regardless of batch size) the index scan is
+    pruned with an ``isin`` on the partition column — directory-level
+    pruning, the corpus is never rescanned. Bigger bucket sets fall back to
+    a plain join on the partition column. Candidates are verified with
+    EXACT cosine on the stored vectors, so precision is 1; recall follows
+    bucket geometry (identical/scaled vectors share every sign bit and are
+    always caught — the exact-copy contract every LSH path here documents).
+
+    Output: (id_col, is_known_dup, matched_id, best_cosine) — best_cosine
+    is the max over candidates (null when no bucket was shared), a lower
+    bound on the true max, which is what a candidate-pruned index can
+    certify."""
+    from analyst_toolkit_spark.llm.similarity import (
+        _hyperplanes,
+        dot_cols,
+        hyperplane_bucket,
+        norm,
+    )
+
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    n_planes = int(meta.get("n_planes", 8))
+    seed = int(meta.get("seed", 42))
+    dim = int(meta.get("dim", 0))
+    idx_id = meta.get("id_col", id_col)
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = batch.select(
+        F.col(id_col).alias("__b_id"),
+        F.col(vec_col).alias("__b_vec"),
+        norm(F.col(vec_col)).alias("__b_norm"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).localCheckpoint(eager=False)  # bucketing cost paid once (collect + join)
+
+    buckets = [
+        r["bucket"]
+        for r in b.select("bucket").distinct().limit(SEM_PROBE_ISIN_MAX + 1).collect()
+    ]
+    index = spark.read.parquet(base + "/vectors")
+    if len(buckets) <= SEM_PROBE_ISIN_MAX:
+        index = index.filter(F.col("bucket").isin(buckets))
+    cos = F.round(
+        dot_cols(F.col("__b_vec"), F.col("vec")) / (F.col("__b_norm") * F.col("vnorm")), 6
+    )
+    cand = (
+        b.join(index, "bucket")
+        .withColumn("__cos", cos)
+        .groupBy("__b_id")
+        .agg(
+            F.max("__cos").alias("best_cosine"),
+            F.min(
+                F.when(F.col("__cos") >= F.lit(float(threshold)), F.col(idx_id))
+            ).alias("matched_id"),
+        )
+    )
+    return (
+        b.join(cand, "__b_id", "left")
+        .select(
+            F.col("__b_id").alias(id_col),
+            F.col("matched_id").isNotNull().alias("is_known_dup"),
+            "matched_id",
+            "best_cosine",
+        )
+    )

@@ -306,6 +306,17 @@ def main() -> None:
     for nh_name in ("curate_semantic_docs", "media_data_card_docs"):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # late-r12 additions: the zero-shuffle decontamination scan (its cost is
+    # the per-row literal fold — any shuffle regression shows as a jump), the
+    # semantic-decon curate composition, and the shard-manifest prefix sum
+    for nh_name in (
+        "semantic_decontaminate_embeddings",
+        "curate_semantic_decon_docs",
+        "training_shards_docs",
+        "semantic_index_probe",
+    ):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
     anchor_post = _anchor_sec(spark)
     print(f"# host anchor (post): {anchor_post:.3f}s (ref {ANCHOR_REF_POST})", file=sys.stderr)

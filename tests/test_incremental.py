@@ -254,3 +254,79 @@ def test_exact_probe_unknown_size_never_force_broadcasts(spark, corpus_and_batch
     assert "ResolvedHint" not in analyzed
     # semantics unchanged vs the normal (point-lookup tier) path
     assert sorted(map(tuple, out.collect())) == normal_rows
+
+
+# -- semantic (embedding) index layer (r12) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_corpus_and_batch(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    # batch: scaled copies of indexed vectors (cosine exactly 1.0, same
+    # bucket by construction) + vectors the index has never seen
+    copies = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    fresh = emb.filter(F.col("vec_id") < 10)
+    return corpus, copies.unionByName(fresh)
+
+
+@pytest.fixture(scope="module")
+def sem_index_path(tmp_path_factory, spark, sem_corpus_and_batch):
+    path = str(tmp_path_factory.mktemp("sem_index") / "idx")
+    corpus, _ = sem_corpus_and_batch
+    I.semantic_index_write(corpus, path)
+    return path
+
+
+def test_semantic_probe_flags_known_vectors(spark, sem_corpus_and_batch, sem_index_path):
+    """Scaled copies of indexed vectors match their source (exact-copy
+    recall contract: identical direction -> identical bucket -> always a
+    candidate -> exact-cosine verified at 1.0); organic vectors (max
+    pairwise cosine ~0.51 in this corpus) never reach 0.999."""
+    corpus, batch = sem_corpus_and_batch
+    out = {r["vec_id"]: r for r in I.semantic_probe(spark, sem_index_path, batch, threshold=0.999).collect()}
+    for r in batch.collect():
+        vid = r["vec_id"]
+        if vid >= 100000:
+            assert out[vid]["is_known_dup"], vid
+            assert out[vid]["matched_id"] == vid - 100000, vid
+            assert out[vid]["best_cosine"] == 1.0, vid
+        else:
+            assert not out[vid]["is_known_dup"], vid
+
+
+def test_semantic_probe_prunes_partitions(spark, sem_corpus_and_batch, sem_index_path):
+    """The probe reads only the bucket directories the batch lands in — the
+    isin on the partition column must appear as PartitionFilters (directory
+    pruning), never a post-scan filter."""
+    _, batch = sem_corpus_and_batch
+    plan = I.semantic_probe(spark, sem_index_path, batch)._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters: [", 1)
+    assert len(part) == 2 and "bucket" in part[1].split("]")[0]
+
+
+def test_semantic_append_uses_index_planes(spark, sem_corpus_and_batch, tmp_path):
+    """Append must bucket with the INDEX's plane family (meta wins over the
+    caller): vectors appended under different requested planes still land
+    where the original probe arithmetic finds them."""
+    corpus, _ = sem_corpus_and_batch
+    path = str(tmp_path / "sem_idx")
+    I.semantic_index_write(corpus, path, n_planes=6, seed=7)
+    extra = corpus.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    # caller passes a WRONG plane family; meta must override it
+    I.semantic_index_append(extra, path, n_planes=12, seed=99)
+    probe = corpus.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    out = {r["vec_id"]: r for r in I.semantic_probe(spark, path, probe, threshold=0.999).collect()}
+    for vid, r in out.items():
+        assert r["is_known_dup"], vid
+        # smallest matching id: the ORIGINAL corpus row, not the append copy
+        assert r["matched_id"] == vid - 900000, vid
