@@ -527,3 +527,58 @@ def semantic_probe(
             "best_cosine",
         )
     )
+
+
+def semantic_probe_stream(
+    stream_df: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Streaming twin of :func:`semantic_probe`: flag stream vectors the
+    persisted index has (nearly) seen via a STREAM-STATIC equi-join on the
+    bucket column — state-free (the on-disk index carries the memory, the
+    same contract as :func:`exact_probe_stream`), so appends land in later
+    micro-batches without restarting the query.
+
+    The stream side buckets map-only with the index's plane family (meta
+    sidecar); directory pruning can't apply (the micro-batch's bucket set
+    is unknown at plan time), so each micro-batch pays one hash join
+    against the bucket-partitioned scan, with exact-cosine verification on
+    the candidates. The batch probe's final per-id ``groupBy`` reduction
+    would make this an aggregated (non-append) stream, so the output here
+    is the MATCH-PAIR stream instead — (stream id, matched index id,
+    cosine) filtered to ``>= threshold`` — and the caller reduces
+    downstream (foreachBatch, or a watermarked dropDuplicates on the
+    stream id) where that trade-off belongs."""
+    from analyst_toolkit_spark.llm.similarity import (
+        _hyperplanes,
+        dot_cols,
+        hyperplane_bucket,
+        norm,
+    )
+
+    spark = stream_df.sparkSession
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    planes = _hyperplanes(int(meta.get("dim", 0)), int(meta.get("n_planes", 8)), int(meta.get("seed", 42)))
+    idx_id = meta.get("id_col", id_col)
+    index = spark.read.parquet(base + "/vectors").withColumnsRenamed(
+        {idx_id: "matched_id"}
+    )
+    s = stream_df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__s_vec"),
+        norm(F.col(vec_col)).alias("__s_norm"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cos = F.round(
+        dot_cols(F.col("__s_vec"), F.col("vec")) / (F.col("__s_norm") * F.col("vnorm")), 6
+    )
+    return (
+        s.join(index, "bucket")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select(id_col, "matched_id", "cosine")
+    )

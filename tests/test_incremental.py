@@ -330,3 +330,40 @@ def test_semantic_append_uses_index_planes(spark, sem_corpus_and_batch, tmp_path
         assert r["is_known_dup"], vid
         # smallest matching id: the ORIGINAL corpus row, not the append copy
         assert r["matched_id"] == vid - 900000, vid
+
+
+def test_semantic_probe_stream_matches_batch(spark, sem_corpus_and_batch, sem_index_path, tmp_path):
+    """The stream-static twin: candidate pairs >= threshold from a streamed
+    batch equal the batch probe's match set (id -> matched index ids)."""
+    import shutil
+    import tempfile
+
+    from analyst_toolkit_spark.streaming.rules import foreach_batch_runner
+
+    corpus, batch = sem_corpus_and_batch
+    src = tempfile.mkdtemp(prefix="sem_stream_")
+    ck = str(tmp_path / "ckpt")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    pairs = I.semantic_probe_stream(stream, sem_index_path, threshold=0.999)
+    assert pairs.isStreaming
+
+    got: set = set()
+    q = foreach_batch_runner(
+        pairs,
+        lambda b, _i: got.update((r["vec_id"], r["matched_id"]) for r in b.collect()),
+        ck,
+    )
+    q.awaitTermination(120)
+
+    want = {
+        (r["vec_id"], r["matched_id"])
+        for r in I.semantic_probe(spark, sem_index_path, batch, threshold=0.999).collect()
+        if r["is_known_dup"]
+    }
+    # batch probe reports min matched id; the stream reports every pair —
+    # the stream set must COVER the batch matches and contain nothing under
+    # threshold (here: only the exact-copy pairs exist at 0.999)
+    assert want <= got and len(got) > 0
+    assert {v for v, _ in got} == {v for v, _ in want}
+    shutil.rmtree(src, ignore_errors=True)

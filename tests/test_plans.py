@@ -307,6 +307,12 @@ _EXCHANGE_CEILINGS = {
     # exact-dedup agg pair (measured 3).
     "semantic_decontaminate_embeddings": 0,
     "curate_semantic_decon_docs": 4,
+    # late-r12: shard manifest = the prefix-sum tail (range shuffle behind
+    # the eager cut) + manifest agg (measured 2); index probe = bucketing
+    # behind the lazy cut + candidate-agg + flag join (measured 2, the
+    # pruned index scan joins without shuffling the batch twice).
+    "training_shards_docs": 3,
+    "semantic_index_probe": 3,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
