@@ -2805,6 +2805,34 @@ def q_semantic_index_probe(spark, sf):
     return out.select("vec_id", "is_known_dup", "matched_id")
 
 
+def q_semantic_decon_lsh_embeddings(spark, sf):
+    """The LARGE-eval tier of semantic decontamination
+    (llm/similarity.semantic_decontaminate_lsh): bipartite hyperplane
+    buckets between corpus and benchmark, exact-cosine verify on
+    candidates. Same planted construction as the literal-scan row (×1.5
+    eval copies — identical direction ⇒ identical sign bits ⇒ always a
+    candidate ⇒ cosine 1.0; organic max ~0.51 « 0.999), so the FLAG set
+    equals the brute-force truth and the same DuckDB CROSS JOIN oracle
+    certifies it. Only (vec_id, contaminated) is emitted: the LSH tier's
+    max_bench_cosine is a candidates-only lower bound by contract (null
+    when no bucket is shared), so the audit column is tier-specific while
+    the flag is not."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 10)
+    planted = bench.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).unionByName(planted)
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    out = L_sim.semantic_decontaminate_lsh(
+        corpus, bench, dim=int(dim_row["d"]), threshold=0.999
+    )
+    return out.select("vec_id", "contaminated")
+
+
 def q_cdc_chunk_docs(spark, sf):  # NON-SQL (per-doc rolling-hash scan)
     """Content-defined chunking census (llm/text.cdc_chunks): chunk counts +
     chunk-hash dedup ratio over the corpus — the shift-resistant chunk-level
@@ -3558,12 +3586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the local test suite (tests/test_entry_contract.py) at sf0.01 every
     # run, so rotation never leaves a query unverified.
     return {
-        # -- r12 lead: eight NEW queries (semantic curate stage both arms,
-        # -- semantic decontamination operator + curate stage, training-shard
-        # -- export manifest, incremental semantic-index probe, streaming
-        # -- checkpoint recovery, multimodal data card) plus the two queries
-        # -- whose implementation changed this round and need a fresh
-        # -- driver row.
+        # -- r12 lead: nine NEW queries (semantic curate stage both arms,
+        # -- semantic decontamination operator both tiers + curate stage,
+        # -- training-shard export manifest, incremental semantic-index
+        # -- probe, streaming checkpoint recovery, multimodal data card)
+        # -- plus the two queries whose implementation changed this round
+        # -- and need a fresh driver row.
         "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
         "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
         "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
@@ -3571,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # NEW r12 (embedding-level benchmark decon, zero-shuffle literal-benchmark scan; hash oracle)
         "training_shards_docs": q_training_shards_docs,  # NEW r12 (token-balanced training-shard manifest via distributed prefix sum; hash oracle)
         "semantic_index_probe": q_semantic_index_probe,  # NEW r12 (incremental embedding-index probe, bucket-partition-pruned; hash oracle)
+        "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # NEW r12 (bipartite-LSH decon tier; exact-copy flag set == brute force; hash oracle)
         "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # NEW r12 (semantic-decontaminate curate stage, composed hash oracle)
         "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r12 (refine_factor over-probe + exact re-rank arm added -- r11 VERDICT #2); rows-only
         "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # impl changed r12 (grouped_topk ranks on key tuple, payload joins back -- r11 VERDICT nit #2)
@@ -4911,6 +4940,30 @@ def oracle_sql() -> dict[str, str]:
                max(doc_id) AS max_id,
                CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)) AS BIGINT) AS content_fp
         FROM s GROUP BY shard
+    """
+    sqls["semantic_decon_lsh_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        bench AS (
+          SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE vec_id < 10),
+        corpus AS (
+          SELECT vec_id, v FROM base WHERE vec_id >= 10
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+          FROM base WHERE vec_id < 10 AND vec_id % 2 = 0),
+        cn AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM corpus),
+        hits AS (
+          SELECT c.vec_id
+          FROM cn c CROSS JOIN bench b
+          WHERE round(list_sum(list_transform(range(1, len(c.v) + 1),
+                  i -> c.v[i] * b.v[i])) / (c.n * b.n), 6) >= 0.999
+          GROUP BY c.vec_id)
+        SELECT cn.vec_id, h.vec_id IS NOT NULL AS contaminated
+        FROM cn LEFT JOIN hits h USING (vec_id)
     """
     sqls["semantic_index_probe"] = """
         WITH base AS (
