@@ -2763,9 +2763,11 @@ def q_training_shards_docs(spark, sf):
     assigned to 8 token-balanced contiguous shards via the distributed
     prefix sum (no single-partition global window), then the per-shard
     manifest a training job verifies against: doc count, token mass, id
-    range, and an order-free 48-bit-md5-sum content fingerprint. Every
-    number is engine-portable arithmetic, so the whole layout is
-    hash-verified against a DuckDB windowed-cumsum CTE."""
+    range, and an order-free overflow-free content fingerprint (bit_xor of
+    the first 60 md5 bits per id — safe at ANY docs-per-shard under Spark 4
+    ANSI, unlike a sum of hash terms). Every number is engine-portable
+    arithmetic, so the whole layout is hash-verified against a DuckDB
+    windowed-cumsum CTE."""
     from analyst_toolkit_spark.llm import pack as L_pack
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -4922,7 +4924,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["training_shards_docs"] = """
         WITH t AS (
-          SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+          SELECT doc_id,
+                 greatest(0, coalesce(len(regexp_extract_all(text, '\\S+')), 0)) AS n_tokens
           FROM documents),
         tot AS (SELECT sum(n_tokens) AS total FROM t),
         c AS (
@@ -4938,7 +4941,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                min(doc_id) AS min_id,
                max(doc_id) AS max_id,
-               CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)) AS BIGINT) AS content_fp
+               CAST(bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)) AS BIGINT) AS content_fp
         FROM s GROUP BY shard
     """
     sqls["semantic_decon_lsh_embeddings"] = """

@@ -413,7 +413,13 @@ def shard_assign(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     toks = F.col(tokens_col) if tokens_col else token_count(key)
-    wt = df.withColumn("n_tokens", toks.cast("long"))
+    # NULL text makes token_count NULL (or -1 under legacy sizeOfNull); either
+    # would poison the prefix sum (null shard, or a negative offset flooring
+    # to shard -1 and a shard=-1 directory outside the 0..n_shards-1
+    # contract). Clamp to a non-negative token mass up front.
+    wt = df.withColumn(
+        "n_tokens", F.greatest(F.lit(0), F.coalesce(toks.cast("long"), F.lit(0)))
+    )
     if mode == "hash":
         bucket = F.conv(
             F.substring(
@@ -440,13 +446,19 @@ def shard_assign(
 
 def shard_manifest(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-shard manifest: doc count, token mass, id range, and an
-    ORDER-FREE content fingerprint (sum of the first 48 md5 bits of each
-    id — commutative, so it is partitioning-independent and reproduces in
-    any engine with md5; 48-bit terms keep the sum far from long overflow
-    below ~2^15 docs per shard × 2^48). A training job checks its shard
-    against this before it starts; a re-run proves layout identity by
-    comparing manifests, never by re-reading data."""
-    fp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+    ORDER-FREE content fingerprint: ``bit_xor`` of the first 60 md5 bits of
+    each id. XOR is commutative AND overflow-free, so the fingerprint is
+    partitioning-independent at ANY shard size — a 100 TB shard with
+    millions of docs is exactly as safe as a unit-test shard (the earlier
+    48-bit-term SUM overflowed a long past ~2^15 docs/shard, which under
+    Spark 4's default ANSI mode would make the manifest THROW at production
+    scale). 60 bits (15 hex chars) keeps the value positive in a signed
+    long in every engine; DuckDB reproduces it with
+    ``bit_xor(CAST(concat('0x', substr(md5(id),1,15)) AS UBIGINT))``.
+    A training job checks its shard against this before it starts; a re-run
+    proves layout identity by comparing manifests, never by re-reading
+    data."""
+    fp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
     return (
@@ -456,7 +468,7 @@ def shard_manifest(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
             F.min(id_col).alias("min_id"),
             F.max(id_col).alias("max_id"),
-            F.sum(fp).alias("content_fp"),
+            F.bit_xor(fp).alias("content_fp"),
         )
     )
 
@@ -490,7 +502,11 @@ def write_training_shards(
     )
     (
         sharded.repartition(int(n_shards), F.col("shard"))
-        .sortWithinPartitions(id_col)
+        # leading with the partition column satisfies FileFormatWriter's
+        # required ordering exactly, so the documented in-shard id order is
+        # guaranteed by construction instead of depending on the stability
+        # of a writer-inserted sort on 'shard'
+        .sortWithinPartitions("shard", id_col)
         .write.partitionBy("shard")
         .mode(write_mode)
         .format(fmt)
