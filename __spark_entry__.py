@@ -2757,6 +2757,38 @@ def q_curate_semantic_decon_docs(spark, sf):
     return out.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_curate_semantic_decon_lsh_docs(spark, sf):
+    """END-TO-END hash oracle for the r13 in-chain LSH decontamination tier
+    (CurationConfig.semantic_decon_tier="lsh" — r12 VERDICT #4): exact dedup
+    → bipartite hyperplane-LSH candidate buckets against the benchmark →
+    exact-cosine verify → drop at >= 0.999. Exact-copy arm: the 'EVALLSH'
+    mirrors carry byte-identical embeddings to the every-5th benchmark
+    vectors, and identical vectors share EVERY hyperplane sign, so they are
+    always candidates and always verify at cosine 1.0; the organic max
+    pairwise cosine is ~0.51 « 0.999, so even when an organic doc shares a
+    bucket the exact verify keeps it. The LSH tier's drop set therefore
+    EQUALS brute force, and the same composed DuckDB CTE (exact dedup →
+    CROSS JOIN max-cosine filter) the literal tier uses reproduces the
+    survivor set byte-for-byte. The bipartite census gate
+    (semantic_decon_pair_cap) rides the chain config."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    corpus = _semantic_corpus(spark, sf, every=5, id_offset=4000, prefix="EVALLSH ")
+    bench = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    ).select("embedding")
+    out, _ = L_cur.curate_corpus(
+        corpus,
+        exact_dedup=True,
+        semantic_benchmark=bench,
+        semantic_decon_threshold=0.999,
+        semantic_decon_tier="lsh",
+        semantic_decon_n_planes=8,
+        semantic_decon_pair_cap=5_000_000,
+    )
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_training_shards_docs(spark, sf):
     """Training-shard export manifest (llm/pack.shard_assign +
     shard_manifest — the OUTPUT side of the curation pipeline): documents
@@ -3594,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- probe, streaming checkpoint recovery, multimodal data card)
         # -- plus the two queries whose implementation changed this round
         # -- and need a fresh driver row.
+        "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,  # NEW r13 (LSH decon tier wired into the chain -- r12 VERDICT #4; exact-copy arm hash oracle)
         "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
         "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
         "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
@@ -5051,6 +5084,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT d1.doc_id, md5(d1.text) AS text_md5
         FROM d1 JOIN scored USING (doc_id) JOIN cn USING (doc_id)
         WHERE round(scored.ms / cn.n, 6) < 0.999
+    """
+    # the LSH tier's drop set equals brute force on this construction
+    # (exact-copy candidates always share buckets; organic cosines « 0.999
+    # fail the exact verify), so the SAME brute-force CTE is the oracle.
+    sqls["curate_semantic_decon_lsh_docs"] = f"""
+        WITH corpus AS (
+          SELECT d.doc_id, d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          UNION ALL
+          SELECT d.doc_id + 4000, 'EVALLSH ' || d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          WHERE d.doc_id % 5 = 0),
+        ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM corpus GROUP BY md5({_NORM_SQL.format(col="text")})),
+        d1 AS (
+          SELECT c.doc_id, c.text,
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM corpus c JOIN ex USING (doc_id)),
+        bench AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS bn
+          FROM embeddings WHERE vec_id % 5 = 0),
+        scored AS (
+          SELECT d1.doc_id,
+                 max(round(list_sum(list_transform(range(1, len(d1.v) + 1),
+                       i -> d1.v[i] * b.bv[i])) / (b.bn *
+                       sqrt(list_sum(list_transform(d1.v, x -> x * x)))), 6)) AS mc
+          FROM d1 CROSS JOIN bench b GROUP BY d1.doc_id)
+        SELECT d1.doc_id, md5(d1.text) AS text_md5
+        FROM d1 JOIN scored USING (doc_id)
+        WHERE scored.mc < 0.999
     """
     sqls["line_dedup_docs"] = """
         WITH l AS (

@@ -169,10 +169,11 @@ class CurationConfig:
     #: ``embedding_col`` cosine to ANY benchmark vector reaches
     #: ``semantic_decon_threshold`` is dropped. Catches eval items that were
     #: paraphrased into the corpus — where no token n-gram survives for the
-    #: lexical decontaminate stage to see. The benchmark rides the plan as a
-    #: bounded literal (``semantic_decon_max_benchmark``, fail-loud past it —
-    #: route big eval sets through semantic_decontaminate_lsh outside the
-    #: chain), so the stage is MAP-ONLY: zero shuffle, zero join, composes
+    #: lexical decontaminate stage to see. In the default "literal" tier the
+    #: benchmark rides the plan as a bounded literal
+    #: (``semantic_decon_max_benchmark``, fail-loud past it; see
+    #: ``semantic_decon_tier`` for the in-chain LSH tier / auto fallback),
+    #: so the stage is MAP-ONLY: zero shuffle, zero join, composes
     #: into whatever scan precedes it. Requires ``embedding_col`` on the
     #: frame (fails loudly otherwise). ``semantic_benchmark_vec_col`` names
     #: the benchmark frame's vector column when it differs.
@@ -180,6 +181,21 @@ class CurationConfig:
     semantic_decon_threshold: float = 0.95
     semantic_decon_max_benchmark: int = 2048
     semantic_benchmark_vec_col: str | None = None
+    #: Which decontamination tier runs (r12 VERDICT #4): "literal" ships the
+    #: benchmark inside the plan (zero-shuffle map-only scan — the default,
+    #: right for eval suites up to ~thousands of vectors at moderate dims);
+    #: "lsh" buckets BOTH sides with shared hyperplanes and exact-verifies
+    #: same-bucket candidates (similarity.semantic_decontaminate_lsh — the
+    #: big-benchmark tier, e.g. a full benchmark-suite dump or high-dim
+    #: embeddings past the literal tier's plan-size cap); "auto" picks
+    #: "literal" when the benchmark fits BOTH caps (count and n×dim cells),
+    #: else falls back to "lsh" — no more fail-then-rerun-outside-the-chain.
+    #: LSH-tier knobs: ``semantic_decon_n_planes`` (bucket geometry) and
+    #: ``semantic_decon_pair_cap`` (bipartite candidate census gate —
+    #: Σ c_corpus·c_bench refused up front, the standing rule).
+    semantic_decon_tier: str = "literal"
+    semantic_decon_n_planes: int = 8
+    semantic_decon_pair_cap: int | None = None
     sample_weight: str | None = None  # column name; None disables
     splits: dict[str, float] | None = None
     #: "hash" (default) assigns each surviving row independently by md5
@@ -550,22 +566,70 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
                 f"semantic_benchmark set but embedding column "
                 f"{cfg.embedding_col!r} not in frame (columns: {out.columns})"
             )
-        flagged = S.semantic_decontaminate(
-            out,
-            cfg.semantic_benchmark,
-            threshold=cfg.semantic_decon_threshold,
-            vec_col=cfg.embedding_col,
-            bench_vec_col=cfg.semantic_benchmark_vec_col,
-            max_benchmark=cfg.semantic_decon_max_benchmark,
-        )
-        # null max_bench_cosine (null corpus vector) keeps the row — an
-        # unembedded doc is un-checkable, not contaminated; map-only filter,
-        # no lineage cut needed (the benchmark is an independent frame).
+        bvc = cfg.semantic_benchmark_vec_col or cfg.embedding_col
+        tier = cfg.semantic_decon_tier
+        if tier not in ("literal", "lsh", "auto"):
+            raise ValueError(
+                f"semantic_decon_tier must be literal | lsh | auto, got {tier!r}"
+            )
+        if tier == "auto":
+            # literal only when the benchmark fits BOTH caps: vector count
+            # (bounded collect) and n×dim plan-literal cells; else LSH.
+            head = (
+                cfg.semantic_benchmark.select(F.size(F.col(bvc)).alias("d"))
+                .limit(cfg.semantic_decon_max_benchmark + 1)
+                .collect()
+            )
+            bdim = next((int(r["d"]) for r in head if r["d"] and r["d"] > 0), 0)
+            fits = (
+                len(head) <= cfg.semantic_decon_max_benchmark
+                and len(head) * bdim <= S.DECON_BENCH_MAX_CELLS
+            )
+            tier = "literal" if fits else "lsh"
+        if tier == "literal":
+            flagged = S.semantic_decontaminate(
+                out,
+                cfg.semantic_benchmark,
+                threshold=cfg.semantic_decon_threshold,
+                vec_col=cfg.embedding_col,
+                bench_vec_col=cfg.semantic_benchmark_vec_col,
+                max_benchmark=cfg.semantic_decon_max_benchmark,
+            )
+        else:
+            # the LSH tier references the running frame in two subtrees
+            # (bucket build + hit join-back) — cut lineage like the other
+            # two-subtree stages so upstream work isn't recomputed.
+            out = _cut(out)
+            dim_row = (
+                cfg.semantic_benchmark.select(F.size(F.col(bvc)).alias("d"))
+                .filter(F.col("d") > 0)
+                .first()
+            )
+            if dim_row is None:
+                raise ValueError(
+                    "semantic_decontaminate (lsh tier): empty benchmark set"
+                )
+            flagged = S.semantic_decontaminate_lsh(
+                out,
+                cfg.semantic_benchmark,
+                dim=int(dim_row["d"]),
+                threshold=cfg.semantic_decon_threshold,
+                vec_col=cfg.embedding_col,
+                id_col=id_col,
+                bench_vec_col=cfg.semantic_benchmark_vec_col,
+                n_planes=cfg.semantic_decon_n_planes,
+                pair_cap=cfg.semantic_decon_pair_cap,
+            )
+        # null max_bench_cosine (null corpus vector, or no shared bucket in
+        # the LSH tier) keeps the row — an unembedded doc is un-checkable,
+        # not contaminated; the literal tier needs no lineage cut (the
+        # benchmark is an independent frame; map-only filter).
         out = flagged.filter(
             ~F.coalesce(F.col("contaminated"), F.lit(False))
         ).drop("max_bench_cosine", "contaminated")
         _record(
             "semantic_decontaminate",
+            tier=tier,
             threshold=cfg.semantic_decon_threshold,
             embedding_col=cfg.embedding_col,
         )

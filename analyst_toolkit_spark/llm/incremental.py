@@ -298,10 +298,14 @@ def exact_probe_stream(
 ) -> DataFrame:
     """Streaming twin of :func:`exact_probe`: flag stream documents whose
     exact content the persisted index has seen, via a STREAM-STATIC left
-    join. Spark re-resolves the static side every micro-batch, so index
-    appends land in later batches without restarting the query; the operator
-    itself is state-free (no watermark) — the on-disk index carries the
-    memory, which is the point of an incremental pipeline.
+    join. The operator itself is state-free (no watermark) — the on-disk
+    index carries the memory, which is the point of an incremental
+    pipeline. Honest visibility contract: the static side's parquet FILE
+    LISTING is snapshotted when the plan is built (InMemoryFileIndex is not
+    relisted per micro-batch), so index appends become visible on the next
+    query (re)start, not mid-stream — restart the query after an append
+    cycle, or re-read the index inside a ``foreachBatch`` caller when
+    mid-stream freshness is required.
 
     Unlike the batch probe, partition pruning can't apply (the batch's
     prefix set is unknown at plan time); each micro-batch pays one hash join
@@ -440,11 +444,32 @@ def semantic_index_write(
 def semantic_index_append(df: DataFrame, path: str, **kwargs) -> None:
     """Append a batch with the INDEX's recorded plane family — appending
     under different planes would scatter identical vectors across buckets
-    and silently break probe recall, so meta.json wins."""
+    and silently break probe recall, so meta.json wins. That includes the
+    DIMENSION: ``_hyperplanes(dim, ...)`` draws a dim-dependent RNG stream,
+    so a wrong-dim batch (different embedding model, wrong column) would
+    regenerate a DIFFERENT plane family and scatter its appends into wrong
+    buckets — exactly the silent recall break the meta sidecar exists to
+    prevent. The batch's vector dim is validated against ``meta['dim']``
+    and a mismatch raises."""
     meta = _read_meta(df.sparkSession, path.rstrip("/"))
     for param in ("n_planes", "seed", "id_col"):
         if param in meta:
             kwargs[param] = meta[param]
+    if "dim" in meta:
+        vec_col = kwargs.get("vec_col", "embedding")
+        got = (
+            df.select(F.size(F.col(vec_col)).alias("d"))
+            .filter(F.col("d") > 0)
+            .first()
+        )
+        if got is not None and int(got["d"]) != int(meta["dim"]):
+            raise ValueError(
+                f"semantic_index_append: batch vector dim {int(got['d'])} != "
+                f"index dim {int(meta['dim'])} (meta.json) — appending would "
+                f"regenerate a different hyperplane family and scatter the "
+                f"batch into wrong buckets; re-embed the batch or rebuild "
+                f"the index"
+            )
     semantic_index_write(df, path, mode="append", **kwargs)
 
 
@@ -539,8 +564,10 @@ def semantic_probe_stream(
     """Streaming twin of :func:`semantic_probe`: flag stream vectors the
     persisted index has (nearly) seen via a STREAM-STATIC equi-join on the
     bucket column — state-free (the on-disk index carries the memory, the
-    same contract as :func:`exact_probe_stream`), so appends land in later
-    micro-batches without restarting the query.
+    same contract and the same honest visibility rule as
+    :func:`exact_probe_stream`: the static file listing is snapshotted at
+    plan build, so appends become visible on query restart, not
+    mid-stream).
 
     The stream side buckets map-only with the index's plane family (meta
     sidecar); directory pruning can't apply (the micro-batch's bucket set

@@ -813,17 +813,41 @@ def semantic_dedup(
 #: (:func:`semantic_decontaminate_lsh`) is the right tool.
 DECON_BENCH_MAX = 2048
 
+#: Plan-size guard for the literal tier (r12 VERDICT #3): the benchmark rides
+#: the plan as a parsed expression string at ~20 chars per double, so the cap
+#: must bound n_vectors × dim (CELLS), not just the row count — 2048 vectors
+#: were "under the cap" while 2048×4096-dim built a ~170 MB expression string
+#: to ship over py4j and parse. 262144 cells ≈ 5 MB expr ≈ seconds of parse;
+#: past it, fail loudly toward the LSH tier. (A non-string literal was
+#: measured and rejected: per-vector ``F.lit`` costs one py4j RPC per FLOAT —
+#: ~0.4 s/vector at 768d, 217 s for a 512-vector benchmark.)
+DECON_BENCH_MAX_CELLS = 262144
 
-def _bench_literal(rows: list, vec_col: str) -> Column:
+
+def _bench_literal(rows: list, vec_col: str) -> tuple[Column, int]:
     """One parsed ``array(struct(v, n), ...)`` literal holding every benchmark
     vector and its L2 norm — a single py4j RPC + JVM parse, same rationale as
     :func:`lit_vec` (the per-element builder costs one driver RPC per float).
+
+    Returns ``(literal, dim)`` and REQUIRES every benchmark vector to share
+    one dimensionality: a mixed-dim benchmark (wrong column, two embedding
+    models) would otherwise null out every ``zip_with`` dot product and turn
+    the decontamination pass into a silent no-op — worse than none.
     """
     import math
 
     frags = []
+    dim = None
     for r in rows:
         vals = [float(x) for x in r[vec_col]]
+        if dim is None:
+            dim = len(vals)
+        elif len(vals) != dim:
+            raise ValueError(
+                f"semantic_decontaminate: benchmark vectors disagree on "
+                f"dimensionality ({dim} vs {len(vals)}) — mixed embedding "
+                f"models or the wrong vector column"
+            )
         if not all(math.isfinite(x) for x in vals):
             raise ValueError("semantic_decontaminate: non-finite benchmark vector")
         n = math.sqrt(sum(v * v for v in vals))
@@ -833,7 +857,7 @@ def _bench_literal(rows: list, vec_col: str) -> Column:
             "struct(array(" + ",".join(repr(v) + "D" for v in vals) + ") as v, "
             + repr(n) + "D as n)"
         )
-    return F.expr("array(" + ",".join(frags) + ")")
+    return F.expr("array(" + ",".join(frags) + ")"), int(dim or 0)
 
 
 def semantic_decontaminate(
@@ -843,6 +867,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     bench_vec_col: str | None = None,
     max_benchmark: int = DECON_BENCH_MAX,
+    max_cells: int = DECON_BENCH_MAX_CELLS,
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: flag every corpus row whose
     embedding's cosine to ANY benchmark/eval vector reaches ``threshold`` —
@@ -864,7 +889,12 @@ def semantic_decontaminate(
     rounded 6 — the honest audit number) and ``contaminated`` (boolean).
     A null corpus vector yields null in both (the caller decides; the
     curate stage keeps such rows). Empty benchmarks raise — a silent
-    no-op decontamination pass is worse than none.
+    no-op decontamination pass is worse than none. So do dimensionality
+    mismatches, on BOTH sides: mixed-dim benchmark vectors raise at build
+    time, and a corpus vector whose length differs from the benchmark dim
+    raises at RUN time (``raise_error`` in the plan) — without the guard,
+    ``zip_with`` pads with nulls, every cosine comes back null, and the
+    null-keeps-row rule downstream silently passes the whole corpus.
     """
     bcol = bench_vec_col or vec_col
     rows = benchmark.select(F.col(bcol).alias("__b")).limit(max_benchmark + 1).collect()
@@ -876,7 +906,17 @@ def semantic_decontaminate(
             f"{max_benchmark} vectors — use semantic_decontaminate_lsh for "
             f"large eval sets, or raise the cap"
         )
-    blit = _bench_literal(rows, "__b")
+    blit, bench_dim = _bench_literal(rows, "__b")
+    cells = len(rows) * bench_dim
+    if cells > max_cells:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark literal would be "
+            f"{len(rows)} vectors x {bench_dim} dims = {cells} cells "
+            f"(max_cells={max_cells}) — a plan-sized expression string this "
+            f"large is the actual failure mode the cap guards; use "
+            f"semantic_decontaminate_lsh for high-dim/large eval sets, or "
+            f"raise max_cells deliberately"
+        )
     vec = F.col(vec_col).cast("array<double>")
     # max over benchmark of dot/|b| first (greatest skips the null init), one
     # division by the corpus norm at the end — |v| is computed once per row.
@@ -893,7 +933,20 @@ def semantic_decontaminate(
             / b["n"],
         ),
     )
-    maxcos = F.round(max_scaled / norm(F.col(vec_col)), 6)
+    maxcos = (
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("double"))
+        .when(
+            F.size(vec) != F.lit(bench_dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_decontaminate: corpus vector dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(f" != benchmark dim {bench_dim} — wrong embedding column or model"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.round(max_scaled / norm(F.col(vec_col)), 6))
+    )
     return corpus.withColumn("max_bench_cosine", maxcos).withColumn(
         "contaminated", F.col("max_bench_cosine") >= F.lit(float(threshold))
     )

@@ -332,6 +332,29 @@ def test_semantic_append_uses_index_planes(spark, sem_corpus_and_batch, tmp_path
         assert r["matched_id"] == vid - 900000, vid
 
 
+def test_semantic_append_rejects_wrong_dim(spark, sem_corpus_and_batch, tmp_path):
+    """r12 ADVICE: _hyperplanes draws a dim-dependent RNG stream, so a
+    wrong-dim append batch would regenerate a DIFFERENT plane family and
+    scatter into wrong buckets — the silent recall break meta.json exists
+    to prevent. The append must raise, and the index must stay probeable."""
+    corpus, _ = sem_corpus_and_batch
+    path = str(tmp_path / "sem_idx_dim")
+    I.semantic_index_write(corpus, path)
+    wrong = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="batch vector dim 3 != index dim"):
+        I.semantic_index_append(wrong, path)
+    # index untouched: a known vector still probes green
+    probe = corpus.limit(1).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    assert all(
+        r["is_known_dup"]
+        for r in I.semantic_probe(spark, path, probe, threshold=0.999).collect()
+    )
+
+
 def test_semantic_probe_stream_matches_batch(spark, sem_corpus_and_batch, sem_index_path, tmp_path):
     """The stream-static twin: candidate pairs >= threshold from a streamed
     batch equal the batch probe's match set (id -> matched index ids)."""

@@ -2842,6 +2842,54 @@ def test_semantic_decontaminate_guards(spark):
         S.semantic_decontaminate(corpus, zero)
 
 
+def test_semantic_decontaminate_dim_guards(spark):
+    """r12 ADVICE (medium): a dim mismatch must FAIL, not silently no-op.
+    Mixed-dim benchmark raises at build time; a corpus vector whose length
+    differs from the benchmark dim raises at RUN time via raise_error in the
+    plan (without the guard, zip_with pads with nulls, every cosine is null,
+    and the curate stage's null-keeps-row rule passes every row). Null corpus
+    vectors are still allowed through as null."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    mixed = spark.createDataFrame(
+        [([1.0, 0.0],), ([1.0, 0.0, 0.0],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="disagree on"):
+        S.semantic_decontaminate(corpus, mixed)
+    bench2d = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    flagged = S.semantic_decontaminate(corpus, bench2d, threshold=0.95)
+    with pytest.raises(SparkRuntimeException, match="benchmark dim 2"):
+        flagged.collect()
+    # null corpus vector still passes through as null under the guard
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id int, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in S.semantic_decontaminate(withnull, bench2d, threshold=0.95).collect()
+    }
+    assert rows[1]["max_bench_cosine"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["max_bench_cosine"] is None and rows[2]["contaminated"] is None
+
+
+def test_semantic_decontaminate_cell_cap(spark):
+    """r12 VERDICT #3: the literal-tier cap must bound n_vectors x dim —
+    a 2048-vector benchmark at production dims is a 100 MB expression
+    string, the actual failure mode. The raise is actionable (points at
+    the LSH tier) and fires BEFORE the literal is built."""
+    from analyst_toolkit_spark.llm import similarity as S
+
+    corpus = spark.createDataFrame([(1, [1.0] * 64)], "vec_id int, embedding array<double>")
+    bench = spark.range(8).select(F.array(*[F.lit(1.0)] * 64).alias("embedding"))
+    with pytest.raises(ValueError, match="cells.*semantic_decontaminate_lsh"):
+        S.semantic_decontaminate(corpus, bench, max_cells=256)
+
+
 def test_semantic_decontaminate_lsh_tier(spark):
     """The large-benchmark tier: exact eval copies are ALWAYS caught
     (identical vectors share every hyperplane sign — the same recall floor
@@ -2900,3 +2948,63 @@ def test_curate_semantic_decon_stage(spark):
             df.drop("embedding"), exact_dedup=False,
             semantic_benchmark=bench, checkpoint=False,
         )
+
+
+def test_curate_semantic_decon_lsh_tier(spark):
+    """r12 VERDICT #4: the LSH decon tier is reachable FROM the chain.
+    semantic_decon_tier='lsh' drops exact/scaled benchmark-embedding
+    carriers (always same-bucket by construction), keeps organic and
+    unembedded docs, records the tier in the ledger, and the bipartite
+    pair_cap census gate is wired through. 'auto' picks lsh when the
+    benchmark exceeds the literal caps, literal when it fits."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    ev = [0.6, -0.8, 0.3, 0.1]
+    rows = [
+        (1, "the eval item verbatim text", ev),
+        (2, "a paraphrased rewrite sharing no eight gram", [x * 2.0 for x in ev]),
+        (3, "organic document about tides", [0.1, 0.9, -0.4, 0.2]),
+        (4, "doc that was never embedded", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "embedding"])
+    bench = spark.createDataFrame([(ev,)], "embedding array<double>")
+    out, rep = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_benchmark=bench,
+        semantic_decon_threshold=0.999, semantic_decon_tier="lsh",
+        checkpoint=False,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {3, 4}
+    assert set(out.columns) == {"doc_id", "text", "embedding"}
+    assert rep["semantic_decontaminate"]["tier"] == "lsh"
+    # the census gate is reachable through the chain config
+    with pytest.raises(ValueError, match="pair_cap"):
+        L_cur.curate_corpus(
+            df, exact_dedup=False, semantic_benchmark=bench,
+            semantic_decon_tier="lsh", semantic_decon_n_planes=1,
+            semantic_decon_pair_cap=1, checkpoint=False,
+        )
+    with pytest.raises(ValueError, match="literal | lsh | auto"):
+        L_cur.curate_corpus(
+            df, exact_dedup=False, semantic_benchmark=bench,
+            semantic_decon_tier="typo", checkpoint=False,
+        )
+    # auto: a benchmark past the count cap falls back to lsh...
+    bench3 = bench.unionByName(
+        spark.createDataFrame([([0.0, 0.0, 0.0, 1.0],), ([0.0, 1.0, 0.0, 0.0],)],
+                              "embedding array<double>")
+    )
+    out_a, rep_a = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_benchmark=bench3,
+        semantic_decon_threshold=0.999, semantic_decon_tier="auto",
+        semantic_decon_max_benchmark=2, checkpoint=False,
+    )
+    assert rep_a["semantic_decontaminate"]["tier"] == "lsh"
+    assert {r["doc_id"] for r in out_a.collect()} == {3, 4}
+    # ...and one that fits both caps stays literal (same survivor set)
+    out_b, rep_b = L_cur.curate_corpus(
+        df, exact_dedup=False, semantic_benchmark=bench,
+        semantic_decon_threshold=0.999, semantic_decon_tier="auto",
+        checkpoint=False,
+    )
+    assert rep_b["semantic_decontaminate"]["tier"] == "literal"
+    assert {r["doc_id"] for r in out_b.collect()} == {3, 4}
