@@ -2839,6 +2839,60 @@ def q_semantic_index_probe(spark, sf):
     return out.select("vec_id", "is_known_dup", "matched_id")
 
 
+def q_semantic_probe_stream(spark, sf):
+    """TENTH streaming row (r12 VERDICT #5): the STREAM-STATIC twin of the
+    semantic index probe (llm/incremental.semantic_probe_stream) through
+    the driver gate. The corpus's hyperplane buckets persist once; the
+    embeddings table then streams through a state-free bucket equi-join
+    against the index, with exact-cosine verification — the incremental
+    embedding-ingest shape where the on-disk index carries the memory.
+    The stream transform is MAP-ONLY (vec_id 10–19 are replaced in-flight
+    by ×1.5-scaled copies at +100000 — identical direction ⇒ identical
+    sign bits ⇒ always same-bucket ⇒ exact cosine 1.0), so the match-pair
+    output (stream id, matched index id, cosine ≥ 0.999) is deterministic
+    under ANY micro-batch split: scaled copies match exactly their source,
+    untouched indexed rows match themselves, fresh rows (vec_id < 10,
+    organic max cosine ~0.51) match nothing. One DuckDB cosine join
+    reproduces the pair set byte-for-byte."""
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = _stream_tmpdir("sem_probe_idx_")
+    L_inc.semantic_index_write(corpus, path, n_planes=6)
+
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(f"{sf}/embeddings*.parquet")
+    is_copy = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    stream = raw.select(
+        F.when(is_copy, F.col("vec_id") + 100000).otherwise(F.col("vec_id")).alias("vec_id"),
+        F.when(
+            is_copy,
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.5)),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    pairs = L_inc.semantic_probe_stream(stream, path, threshold=0.999)
+    sink = _stream_tmpdir("sem_probe_sink_") + "/data"
+    ckpt = _stream_tmpdir("sem_probe_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    (
+        pairs.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink).select("vec_id", "matched_id", "cosine")
+
+
 def q_semantic_decon_lsh_embeddings(spark, sf):
     """The LARGE-eval tier of semantic decontamination
     (llm/similarity.semantic_decontaminate_lsh): bipartite hyperplane
@@ -3339,9 +3393,11 @@ def q_ivf_recall_grid(spark, sf):  # NON-SQL (seeded driver k-means + on-disk IV
     vec_ids), each graded against the brute-force cosine top-10 over the
     same corpus. Output: per-tier mean/min recall@10 — the fidelity ladder
     (raw ≈ SQ8 > PQ) recorded as driver evidence, with floors pinned by
-    test_ivf_probe_tier_recall_floors. Driver loop is the sanctioned
-    EVALUATION shape: 5 queries × 4 bounded top-k collects (≤10 rows each);
-    the probes themselves are partition-pruned scans.
+    test_ivf_probe_tier_recall_floors. The evaluation is BATCHED (r12
+    VERDICT #7): all five queries ride one ivf_probe_many action per
+    (tier, mode) arm and one union job for the exact ground truth — 7
+    bounded collects total (≤50 rows each) instead of 35; the probes
+    themselves are partition-pruned scans.
 
     r12 (r11 VERDICT #2): a REFINE arm per tier — indexes written
     keep_raw=True, probed with refine_factor=2 (over-probe 2× the
@@ -3349,24 +3405,35 @@ def q_ivf_recall_grid(spark, sf):  # NON-SQL (seeded driver k-means + on-disk IV
     vectors). The production recall dial, graded next to the plain probe."""
     emb = load_table(spark, sf, "embeddings")
     qrows = emb.orderBy("vec_id").limit(5).collect()
+    queries = [(int(qr["vec_id"]), [float(x) for x in qr["embedding"]]) for qr in qrows]
     assigned, centroids = L_sim.ivf_build(emb, nlist=8)
     base = _stream_tmpdir("ivf_recall_")
     tiers = ("raw", "sq8", "pq")
     for t in tiers:
         L_sim.ivf_write(assigned, centroids, f"{base}/{t}", quantize=t, keep_raw=True)
+    # r13 (r12 VERDICT #7): batch every per-query collect — the exact
+    # ground truth is one union-of-TakeOrdered job, and each (tier, mode)
+    # arm is ONE ivf_probe_many action instead of five sequential probes
+    # (35 jobs -> 7; per-query results identical by construction).
+    exact_df = None
+    for qid, qvec in queries:
+        b = L_sim.cosine_topk(emb, qvec, k=10).select(
+            F.lit(qid).alias("query_id"), "vec_id"
+        )
+        exact_df = b if exact_df is None else exact_df.unionByName(b)
+    exact: dict[int, set] = {qid: set() for qid, _ in queries}
+    for r in exact_df.collect():
+        exact[r["query_id"]].add(r["vec_id"])
     rows = []
-    for qr in qrows:
-        qvec = [float(x) for x in qr["embedding"]]
-        exact = {r["vec_id"] for r in L_sim.cosine_topk(emb, qvec, k=10).collect()}
-        for t in tiers:
-            for mode, rf in (("plain", 0), ("refine2", 2)):
-                got = {
-                    r["vec_id"]
-                    for r in L_sim.ivf_probe(
-                        spark, f"{base}/{t}", qvec, k=10, nprobe=4, refine_factor=rf
-                    ).collect()
-                }
-                rows.append((t, mode, int(qr["vec_id"]), len(got & exact) / 10.0))
+    for t in tiers:
+        for mode, rf in (("plain", 0), ("refine2", 2)):
+            got: dict[int, set] = {qid: set() for qid, _ in queries}
+            for r in L_sim.ivf_probe_many(
+                spark, f"{base}/{t}", queries, k=10, nprobe=4, refine_factor=rf
+            ).collect():
+                got[r["query_id"]].add(r["vec_id"])
+            for qid, _ in queries:
+                rows.append((t, mode, qid, len(got[qid] & exact[qid]) / 10.0))
     res = spark.createDataFrame(
         rows, "storage string, mode string, query_id long, recall_at_10 double"
     )
@@ -3627,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- plus the two queries whose implementation changed this round
         # -- and need a fresh driver row.
         "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,  # NEW r13 (LSH decon tier wired into the chain -- r12 VERDICT #4; exact-copy arm hash oracle)
+        "semantic_probe_stream": q_semantic_probe_stream,  # NEW r13 (TENTH streaming row: stream-static semantic index probe -- r12 VERDICT #5; hash oracle)
         "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
         "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
         "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
@@ -5026,6 +5094,29 @@ def oracle_sql() -> dict[str, str]:
                m.matched_id IS NOT NULL AS is_known_dup,
                m.matched_id
         FROM bn LEFT JOIN m USING (vec_id)
+    """
+    sqls["semantic_probe_stream"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE vec_id >= 10),
+        stream AS (
+          SELECT CASE WHEN vec_id >= 10 AND vec_id < 20
+                      THEN vec_id + 100000 ELSE vec_id END AS vec_id,
+                 CASE WHEN vec_id >= 10 AND vec_id < 20
+                      THEN list_transform(v, x -> x * 1.5) ELSE v END AS v
+          FROM base),
+        sn AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM stream)
+        SELECT s.vec_id, c.vec_id AS matched_id,
+               round(list_sum(list_transform(range(1, len(s.v) + 1),
+                 i -> s.v[i] * c.v[i])) / (s.n * c.n), 6) AS cosine
+        FROM sn s JOIN corpus c
+          ON round(list_sum(list_transform(range(1, len(s.v) + 1),
+               i -> s.v[i] * c.v[i])) / (s.n * c.n), 6) >= 0.999
     """
     sqls["semantic_decontaminate_embeddings"] = """
         WITH base AS (

@@ -644,6 +644,8 @@ def ivf_probe(
     id_col: str = "vec_id",
     cluster_col: str = "__ivf_cluster",
     refine_factor: int = 0,
+    _sidecar: dict | None = None,
+    _vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k probe against a persisted IVF index (:func:`ivf_write` layout):
     rank centroids driver-side (nlist dot products), scan ONLY the nprobe
@@ -676,15 +678,10 @@ def ivf_probe(
     boundary-straddling queries): recall@10 0.58-0.66 at nprobe=4 →
     >= 0.9 for all three tiers at refine_factor=4.
     """
-    import json
     import math
 
-    sidecar = json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/centroids.json"))
-    if isinstance(sidecar, dict):
-        centroids = sidecar["centroids"]
-        storage = sidecar.get("storage", "sq8" if sidecar.get("quantize") else "raw")
-    else:  # pre-r5 sidecar: bare centroid list, raw vectors
-        centroids, storage = sidecar, "raw"
+    sidecar = _sidecar if _sidecar is not None else _read_ivf_sidecar(spark, path)
+    centroids, storage = sidecar["centroids"], sidecar["storage"]
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
     def _cos(c: list[float]) -> float:
@@ -693,7 +690,11 @@ def ivf_probe(
 
     n_eff = min(len(centroids), nprobe * refine_factor) if refine_factor else nprobe
     probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i]))[:n_eff]
-    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+    vectors = (
+        _vectors
+        if _vectors is not None
+        else spark.read.parquet(path.rstrip("/") + "/vectors")
+    )
     pruned = vectors.filter(F.col(cluster_col).isin(probes))
     if storage == "raw":
         # scoring is already exact — refine here IS the over-probe
@@ -735,6 +736,72 @@ def ivf_probe(
         F.broadcast(shortlist), id_col
     )
     return cosine_topk(raws, query_vec, k, vec_col, id_col)
+
+
+def _read_ivf_sidecar(spark, path: str) -> dict:
+    """Parse the ivf_write centroid sidecar once (normalizing the pre-r5
+    bare-list form) so batched probes don't re-read it per query."""
+    import json
+
+    sidecar = json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/centroids.json"))
+    if not isinstance(sidecar, dict):  # pre-r5 sidecar: bare centroid list, raw
+        sidecar = {"centroids": sidecar, "storage": "raw"}
+    sidecar.setdefault(
+        "storage", "sq8" if sidecar.get("quantize") else "raw"
+    )
+    return sidecar
+
+
+def ivf_probe_many(
+    spark,
+    path: str,
+    queries: list,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "__ivf_cluster",
+    refine_factor: int = 0,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched IVF probe — the production query-workload shape: answer MANY
+    query vectors in ONE Spark action instead of one job per query.
+
+    ``queries`` is a list of ``(query_id, vector)`` pairs. Each query's
+    result rows are EXACTLY its single :func:`ivf_probe` output (same
+    centroid ranking, same partition pruning, same tier scoring and
+    rounding, same id tie-break) — the batch form is a union of the
+    per-query plans over ONE shared sidecar parse and ONE shared index
+    scan relation, so Spark schedules all branches inside a single job
+    and wall-clock is the slowest branch, not the sum. At 100 TB each
+    branch still reads only its own nprobe partition directories; shared
+    partitions between queries are served by the same cached footers.
+
+    Output: ``(query_id_col, id_col, cosine)``. Plan cost: no new
+    exchanges beyond the per-query plans (the union is free); the driver
+    pays len(queries) × nlist dot products, same as the sequential loop.
+    """
+    if not queries:
+        raise ValueError("ivf_probe_many: empty query list")
+    sidecar = _read_ivf_sidecar(spark, path)
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+    out = None
+    for qid, qvec in queries:
+        branch = ivf_probe(
+            spark,
+            path,
+            [float(x) for x in qvec],
+            k=k,
+            nprobe=nprobe,
+            vec_col=vec_col,
+            id_col=id_col,
+            cluster_col=cluster_col,
+            refine_factor=refine_factor,
+            _sidecar=sidecar,
+            _vectors=vectors,
+        ).select(F.lit(qid).alias(query_id_col), F.col(id_col), F.col("cosine"))
+        out = branch if out is None else out.unionByName(branch)
+    return out
 
 
 def semantic_dedup(

@@ -2525,6 +2525,43 @@ def test_ivf_probe_refine_dial(spark, oracle_sf_dir, tmp_path):
         ).collect()
 
 
+def test_ivf_probe_many_matches_sequential(spark, oracle_sf_dir, tmp_path):
+    """r12 VERDICT #7: the batched probe must return, per query, EXACTLY the
+    single ivf_probe rows (same ids, same rounded cosines) for every
+    storage tier, plain and refine — one action instead of one job per
+    query, zero semantic drift."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    assigned, centroids = S.ivf_build(emb, nlist=8)
+    for t in ("raw", "sq8", "pq"):
+        path = str(tmp_path / t)
+        S.ivf_write(assigned, centroids, path, quantize=t, keep_raw=True)
+        for rf in (0, 2):
+            batched: dict[int, set] = {}
+            for r in S.ivf_probe_many(
+                spark, path, queries, k=10, nprobe=4, refine_factor=rf
+            ).collect():
+                batched.setdefault(r["query_id"], set()).add(
+                    (r["vec_id"], r["cosine"])
+                )
+            for qid, qvec in queries:
+                single = {
+                    (r["vec_id"], r["cosine"])
+                    for r in S.ivf_probe(
+                        spark, path, qvec, k=10, nprobe=4, refine_factor=rf
+                    ).collect()
+                }
+                assert batched.get(qid) == single, (t, rf, qid)
+    with pytest.raises(ValueError, match="empty query list"):
+        S.ivf_probe_many(spark, str(tmp_path / "raw"), [])
+
+
 def test_semantic_dedup_pca_front_end(spark, oracle_sf_dir):
     """pca_dims buckets in the reduced space but verifies exact cosine in
     the ORIGINAL space: exact-duplicate copies (identical vectors, new ids)

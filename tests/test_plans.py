@@ -307,6 +307,12 @@ _EXCHANGE_CEILINGS = {
     # exact-dedup agg pair (measured 3).
     "semantic_decontaminate_embeddings": 0,
     "curate_semantic_decon_docs": 4,
+    # r13: the in-chain LSH decon tier cuts lineage before the bipartite
+    # join, so the returned tail is the hit agg + flag join-back over the
+    # cut (measured 2); the streaming probe row returns the sink read-back
+    # (measured 0 — the join ran inside the stream).
+    "curate_semantic_decon_lsh_docs": 3,
+    "semantic_probe_stream": 1,
     # late-r12: shard manifest = the prefix-sum tail (range shuffle behind
     # the eager cut) + manifest agg (measured 2); index probe = bucketing
     # behind the lazy cut + candidate-agg + flag join (measured 2, the
