@@ -2516,6 +2516,41 @@ def q_weighted_sample_docs(spark, sf):
     )
 
 
+def q_epoch_mix_docs(spark, sf):
+    """Fractional-epoch upsampling census (llm/text.epoch_mix — NEW r13):
+    the data-recipe step mixture_sample (rates <= 1) cannot express —
+    repeat high-quality sources beyond one pass (wiki x2.5, books x1.8
+    style). copies = floor(e) + [md5-uniform(id) < frac(e)], each copy
+    tagged epoch 0..copies-1; map-only sequence+explode, zero shuffles.
+    The md5 gate reproduces in DuckDB, so the exact per-(source, epoch)
+    census (counts + id mass + id range) is hash-checkable."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    mixed = L_text.epoch_mix(
+        docs, {"src0": 2.5, "src1": 2.0, "src2": 0.4}, source_col="source"
+    )
+    return mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_mass"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+def q_global_shuffle_docs(spark, sf):
+    """Deterministic seeded global corpus permutation (llm/pack.
+    global_shuffle — NEW r13): positions 0..N-1 in md5(id|salt) order via
+    the distributed two-phase prefix sum (range partition on the uniformly
+    distributed md5 key — the one exchange is balanced by construction;
+    never a single-partition window). The ENTIRE mapping is returned and
+    hash-compared against the plain windowed row_number oracle — identical
+    output proves the distributed permutation exact."""
+    from analyst_toolkit_spark.llm import pack as L_pack
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    out = L_pack.global_shuffle(docs, salt="r13")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("shuffle_pos"))
+
+
 def q_pack_sequences_docs(spark, sf):
     """Token-budget sequence packing census (llm/pack.py): documents walked
     in doc_id order, seq_id = floor(running_tokens_before/budget) — the
@@ -3677,219 +3712,209 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (transparent, semantics-neutral): the driver verifies
-    # only the first 50 dict entries per round, so each round's window leads
-    # with queries that have never held a driver row (or whose implementation
-    # changed this round), then rotates the STALEST parked evidence back in,
-    # and fills the rest with the next-stalest continuity block. Union of
-    # driver-green rows r01-r11 covers EVERY registry query (zero failures
-    # since r2). Every deterministic query also runs against the same oracle
-    # in the local test suite (tests/test_entry_contract.py) at sf0.01 every
-    # run, so rotation never leaves a query unverified.
     return {
-        # -- r12 lead: nine NEW queries (semantic curate stage both arms,
-        # -- semantic decontamination operator both tiers + curate stage,
-        # -- training-shard export manifest, incremental semantic-index
-        # -- probe, streaming checkpoint recovery, multimodal data card)
-        # -- plus the two queries whose implementation changed this round
-        # -- and need a fresh driver row.
+        # Ordering policy (transparent, semantics-neutral): the driver verifies
+        # only the first 50 dict entries per round. The r13 window leads with
+        # the two NEW queries, then every query whose implementation changed
+        # this round (shard manifest fingerprint, decon dim guards + tier
+        # routing, incremental-index append guard, batched IVF recall grid),
+        # then rotates the EIGHTEEN stalest parked rows (last driver evidence
+        # r05-era) back in -- r12 VERDICT #2 -- and fills the rest with the
+        # next-stalest continuity block (r07/r08-era, then r09). Union of
+        # driver-green rows r01-r12 covers EVERY registry query (zero failures
+        # since r2); every deterministic query also runs against the same
+        # DuckDB oracle locally each pytest via tests/test_entry_contract.py,
+        # so rotation never leaves a query unverified.
         "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,  # NEW r13 (LSH decon tier wired into the chain -- r12 VERDICT #4; exact-copy arm hash oracle)
         "semantic_probe_stream": q_semantic_probe_stream,  # NEW r13 (TENTH streaming row: stream-static semantic index probe -- r12 VERDICT #5; hash oracle)
-        "curate_semantic_docs": q_curate_semantic_docs,  # NEW r12 (SemDeDup wired into curate_corpus; exact-copy arm hash oracle -- r11 VERDICT #1)
-        "curate_semantic_near_docs": q_curate_semantic_near_docs,  # NEW r12 (near-miss arm, PCA front-end on; rows-only -- seeded planes + driver eigh)
-        "events_stream_recovery": q_events_stream_recovery,  # NEW r12 (NINTH streaming row: restart-from-checkpoint == uninterrupted == batch oracle -- r11 VERDICT #6)
-        "media_data_card_docs": q_media_data_card_docs,  # NEW r12 (multimodal data-card arm: modality/format/size histogram + decode-failure rate; rows-only -- r11 VERDICT #7)
-        "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # NEW r12 (embedding-level benchmark decon, zero-shuffle literal-benchmark scan; hash oracle)
-        "training_shards_docs": q_training_shards_docs,  # NEW r12 (token-balanced training-shard manifest via distributed prefix sum; hash oracle)
-        "semantic_index_probe": q_semantic_index_probe,  # NEW r12 (incremental embedding-index probe, bucket-partition-pruned; hash oracle)
-        "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # NEW r12 (bipartite-LSH decon tier; exact-copy flag set == brute force; hash oracle)
-        "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # NEW r12 (semantic-decontaminate curate stage, composed hash oracle)
-        "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r12 (refine_factor over-probe + exact re-rank arm added -- r11 VERDICT #2); rows-only
-        "quality_topk_per_source_docs": q_quality_topk_per_source_docs,  # impl changed r12 (grouped_topk ranks on key tuple, payload joins back -- r11 VERDICT nit #2)
-        # -- r12 stale rotation (r11 VERDICT #5): the EIGHTEEN stalest
-        # -- registry rows -- last driver hash rows r03/r04-era. All run
-        # -- green against the DuckDB oracle locally every pytest; this
-        # -- refreshes the DRIVER record.
-        "change_summary_orders": q_change_summary_orders,  # r02+r03 green
-        "dropped_rows_orders": q_dropped_rows_orders,  # r02+r03 green
-        "value_audit_orders": q_value_audit_orders,  # r02+r03 green
-        "drift_orders": q_drift_orders,  # r02+r03 green
-        "remap_values_orders": q_remap_values_orders,  # r02+r03 green
-        "datetime_cascade_orders": q_datetime_cascade_orders,  # r02+r03 green
-        "coerce_numeric_orders": q_coerce_numeric_orders,  # r02+r03 green
-        "events_json_props": q_events_json_props,  # r04+r05 green
-        "dupes_flag_lineitem": q_dupes_flag_lineitem,  # r04+r05 green
-        "profile_customer": q_profile_customer,  # r04 green
-        "impute_mean_customer": q_impute_mean_customer,  # r04 green
-        "outlier_zscore_orders": q_outlier_zscore_orders,  # r04 green
-        "embedding_knn": q_embedding_knn,  # r04 green
-        "supplier_nation_balance": q_supplier_nation_balance,  # r04 green
-        "part_brand_stats": q_part_brand_stats,  # r04 green
-        "simhash_groups_docs": q_simhash_groups_docs,  # r04 rows-only (seeded xxhash64)
-        "simhash_near_docs": q_simhash_near_docs,  # r04 rows-only (seeded xxhash64)
-        "embedding_ivf_topk": q_embedding_ivf_topk,  # r04 rows-only (k-means)
-        # -- next-stalest continuity: the r05-green block (last driver rows
-        # -- r05-era -- the rotation candidates for r13). Everything this
-        # -- window displaces parks below with a fresh r10/r11 row.
-        "dup_clusters_lineitem": q_dup_clusters_lineitem,  # r05 green
-        "value_counts_topn_priority": q_value_counts_topn_priority,  # r05 green
-        "dtype_composition_lineitem": q_dtype_composition_lineitem,  # r05 green
-        "outlier_clip_lineitem": q_outlier_clip_lineitem,  # r05 green
-        "range_join_bands": q_range_join_bands,  # r05 green
-        "null_audit_orders": q_null_audit_orders,  # r05 green
-        "data_dictionary_customer": q_data_dictionary_customer,  # r05 green
-        "exact_dup_docs": q_exact_dup_docs,  # r05 green
-        "dedup_cluster_docs": q_dedup_cluster_docs,  # r05 green
-        "ngram_jaccard_docs": q_ngram_jaccard_docs,  # r05 green
-        "lang_detect_docs": q_lang_detect_docs,  # r05 green
-        "quality_docs": q_quality_docs,  # r05 green
-        "stopword_vocab_docs": q_stopword_vocab_docs,  # r05 green
-        "binary_stats_docs": q_binary_stats_docs,  # r05 green
-        "pii_redact_docs": q_pii_redact_docs,  # r05 green
-        "chunk_docs": q_chunk_docs,  # r05 green
-        "url_extract_docs": q_url_extract_docs,  # r05 green
-        "embedding_near_dup": q_embedding_near_dup,  # r05 green
-        "embedding_topk": q_embedding_topk,  # r05 green
-        "row_diff_orders": q_row_diff_orders,  # r05 green
-        "text_stats_documents": q_text_stats_documents,  # r05 green
-        "minhash_pairs_docs": q_minhash_pairs_docs,  # r05 green
-        "events_sessions": q_events_sessions,  # r05 green
-        "datetime_parse_orders": q_datetime_parse_orders,  # r05 green
-        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,  # r05 green
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,  # r05 green
+        "epoch_mix_docs": q_epoch_mix_docs,  # NEW r13 (fractional-epoch recipe upsampling; md5-gate hash oracle)
+        "global_shuffle_docs": q_global_shuffle_docs,  # NEW r13 (seeded global permutation via distributed prefix sum; full-mapping hash oracle)
+        "training_shards_docs": q_training_shards_docs,  # impl changed r13 (overflow-free bit_xor manifest fingerprint + null clamp + writer order -- r12 VERDICT #1; hash oracle regenerated)
+        "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # impl changed r13 (bench-dim guards + cell-aware literal cap -- r12 VERDICT #3 / ADVICE; hash oracle)
+        "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # impl changed r13 (shared dim guards ride the LSH tier too; hash oracle)
+        "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # impl changed r13 (decon stage now routes literal|lsh|auto; hash oracle)
+        "semantic_index_probe": q_semantic_index_probe,  # impl changed r13 (append-side dim validation vs meta -- ADVICE; probe unchanged; hash oracle)
+        "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r13 (evaluation batched via ivf_probe_many, 51.8 s -> 19.2 s -- r12 VERDICT #7; rows-only)
+        "embedding_ivf_topk": q_embedding_ivf_topk,  # impl-adjacent r13 (similarity.py probe surface changed this round; rows-only -- k-means)
+        "pricing_summary": q_pricing_summary,  # r05-era stale rotation (r12 VERDICT #2)
+        "shipping_priority": q_shipping_priority,  # r05-era stale rotation (r12 VERDICT #2)
+        "window_running_total": q_window_running_total,  # r05-era stale rotation (r12 VERDICT #2)
+        "returned_revenue_customers": q_returned_revenue_customers,  # r05-era stale rotation (r12 VERDICT #2)
+        "product_profit_nation": q_product_profit_nation,  # r05-era stale rotation (r12 VERDICT #2)
+        "late_orders_priority": q_late_orders_priority,  # r05-era stale rotation (r12 VERDICT #2)
+        "rollup_returns": q_rollup_returns,  # r05-era stale rotation (r12 VERDICT #2)
+        "crosstab_lineitem": q_crosstab_lineitem,  # r05-era stale rotation (r12 VERDICT #2)
+        "histogram_price": q_histogram_price,  # r05-era stale rotation (r12 VERDICT #2)
+        "events_anomaly": q_events_anomaly,  # r05-era stale rotation (r12 VERDICT #2)
+        "simhash_md5_groups": q_simhash_md5_groups,  # r05-era stale rotation (r12 VERDICT #2)
+        "simhash_md5_near": q_simhash_md5_near,  # r05-era stale rotation (r12 VERDICT #2)
+        "hash_split_docs": q_hash_split_docs,  # r05-era stale rotation (r12 VERDICT #2)
+        "datetime_parse_orders": q_datetime_parse_orders,  # r05-era stale rotation (r12 VERDICT #2)
+        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,  # r05-era stale rotation (r12 VERDICT #2)
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,  # r05-era stale rotation (r12 VERDICT #2)
+        "minhash_pairs_docs": q_minhash_pairs_docs,  # r05-era stale rotation (r12 VERDICT #2)
+        "events_sessions": q_events_sessions,  # r05-era stale rotation (r12 VERDICT #2)
+        "profile_lineitem": q_profile_lineitem,  # next-stalest continuity (last driver row r07/r08-era)
+        "validation_summary_orders": q_validation_summary_orders,  # next-stalest continuity (last driver row r07/r08-era)
+        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # next-stalest continuity (last driver row r07/r08-era)
+        "corr_lineitem": q_corr_lineitem,  # next-stalest continuity (last driver row r07/r08-era)
+        "impute_median_customer": q_impute_median_customer,  # next-stalest continuity (last driver row r07/r08-era)
+        "normalize_text_customer": q_normalize_text_customer,  # next-stalest continuity (last driver row r07/r08-era)
+        "fuzzy_correction_customer": q_fuzzy_correction_customer,  # next-stalest continuity (last driver row r07/r08-era)
+        "asof_join_events": q_asof_join_events,  # next-stalest continuity (last driver row r07/r08-era)
+        "charlm_quality_docs": q_charlm_quality_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "quality_classifier_docs": q_quality_classifier_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "url_dedup_docs": q_url_dedup_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "corpus_drift_docs": q_corpus_drift_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "token_drift_terms_docs": q_token_drift_terms_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "embedding_drift": q_embedding_drift,  # next-stalest continuity (last driver row r07/r08-era)
+        "remove_spans_docs": q_remove_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "repeated_spans_docs": q_repeated_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
+        "bpe_token_stats_docs": q_bpe_token_stats_docs,  # continuity fill (last driver row r09)
+        "cdc_chunk_docs": q_cdc_chunk_docs,  # continuity fill (last driver row r09)
+        "curate_docs": q_curate_docs,  # continuity fill (last driver row r09)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # continuity fill (last driver row r09)
         # ---- slots 51+ begin here (window = first 50 entries). Every entry
-        # ---- below holds a green driver row in a recent round (r11-new rows
-        # ---- parked with their fresh r11 evidence; the r01/r02-era block was
-        # ---- re-greened wholesale in r11; r06-r10 blocks noted inline) and
-        # ---- stays oracle-checked locally each run via
-        # ---- tests/test_entry_contract.py.
-        "events_stream_stream_left": q_events_stream_stream_left,  # NEW r11 (EIGHTH streaming row: LEFT-OUTER interval join under a real finite watermark — r10 VERDICT #3)
-        "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,  # NEW r11 (SemDeDup PCA front-end: bucket reduced, verify original; rows-only — driver eigh)
-        "curate_redact_docs": q_curate_redact_docs,  # NEW r11 (PII scrub -> exact dedup chain composition, hash oracle)
-        "audio_near_dup": q_audio_near_dup,  # NEW r11 (Haitsma-Kalker audio near-dup; rows-only — WAV decode + rfft)
-        "events_variant_props": q_events_variant_props,  # NEW r11 (Spark 4 VARIANT shredding of semi-structured props)
-        "curate_containment_docs": q_curate_containment_docs,  # NEW r11 (containment subset-drop wired into curate; end-to-end hash oracle — r10 VERDICT #1)
-        "containment_subset_docs": q_containment_subset_docs,  # NEW r11 (standalone subset-drop policy surface)
-        "line_dedup_docs": q_line_dedup_docs,  # NEW r10 (RefinedWeb/C4 line-level boilerplate dedup; r9 VERDICT #1)
-        "events_stream_stream_join": q_events_stream_stream_join,  # NEW r10 (SEVENTH streaming row: stream-stream interval join; r9 VERDICT #2)
-        "image_near_dup": q_image_near_dup,  # NEW r10 (perceptual dHash image near-dup; rows-only — PNG decode; r9 VERDICT #4)
-        "containment_pairs_docs": q_containment_pairs_docs,  # NEW r10 (Broder asymmetric containment — quote/partial-copy detection)
-        "embedding_pca": q_embedding_pca,  # NEW r10 (distributed-moment PCA + driver eigh; rows-only — numpy ground truth)
-        "zipf_fit_docs": q_zipf_fit_docs,  # NEW r10 (Zipf rank-frequency regression; regr_* oracle)
-        "embedding_kmeans_refine": q_embedding_kmeans_refine,  # NEW r10 (full-corpus distributed Lloyd; rows-only — numpy ground truth)
-        "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,  # NEW late-r10 (Bayardo all-pairs TF-IDF cosine join)
-        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,  # NEW late-r10 (card + line-boilerplate exposure arm)
-        "dedup_lines_within_docs": q_dedup_lines_within_docs,  # NEW late-r10 (intra-doc line dedup, keep-first)
-        "quality_decile_docs": q_quality_decile_docs,  # NEW late-r10 (grouped exact NTILE via group-reset prefix sum)
-        "bigram_pmi_docs": q_bigram_pmi_docs,  # r9 green (word2phrase collocation mining)
-        "token_entropy_docs": q_token_entropy_docs,  # r9 green (per-source diversity census)
-        "pipeline_orders": q_pipeline_orders,  # r01 green (8-stage QA pipeline composition)
-        "infer_configs_customer": q_infer_configs_customer,  # r01 green (schema/config inference)
-        "boxplot_lineitem": q_boxplot_lineitem,  # r02 green
-        "dup_count_lineitem": q_dup_count_lineitem,  # r02 green
-        "events_daily": q_events_daily,  # r02 green
-        "events_hopping": q_events_hopping,  # r02 green
-        "events_tumbling": q_events_tumbling,  # r02 green
-        "fingerprint_dup_docs": q_fingerprint_dup_docs,  # r02 green
-        "forecast_revenue_change": q_forecast_revenue_change,  # r02 green
-        "impute_mode_customer": q_impute_mode_customer,  # r02 green
-        "join_region_revenue": q_join_region_revenue,  # r02 green
-        "profile_by_segment": q_profile_by_segment,  # r02 green
-        "token_totals_documents": q_token_totals_documents,  # r02 green
-        "topn_parts": q_topn_parts,  # r02 green
-        "value_counts_mktsegment": q_value_counts_mktsegment,  # r02 green
-        "validation_violations_orders": q_validation_violations_orders,  # r02 green
-        "length_buckets_docs": q_length_buckets_docs,  # r08 green
-        "logreg_gradient_docs": q_logreg_gradient_docs,  # registered r8 (w=0 training-step oracle; r7 VERDICT #2)
-        "token_budget_sample_docs": q_token_budget_sample_docs,  # NEW r8 (token-budget data-recipe mixing)
-        "decontaminate_spans_docs": q_decontaminate_spans_docs,  # NEW r8 (span-level decontamination surgery)
-        "dedup_best_quality_docs": q_dedup_best_quality_docs,  # NEW r8 (quality-aware survivor election; md5-CC oracle)
-        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,  # NEW r8 (duplication profile; md5-CC oracle)
-        "dedup_split_docs": q_dedup_split_docs,  # NEW r8 (leakage-safe cluster-atomic split; md5-CC oracle)
-        "oov_rate_docs": q_oov_rate_docs,  # NEW r8 (per-doc OOV rate under a budget vocab)
-        "events_stream_dedup": q_events_stream_dedup,  # NEW r8 (third REAL streaming row: dropDuplicatesWithinWatermark)
-        "events_stream_stateful": q_events_stream_stateful,  # NEW r8 (fourth streaming row: applyInPandasWithState custom state)
-        "corpus_data_card_docs": q_corpus_data_card_docs,  # NEW r8 (per-source pre-training data card)
-        "dsir_weights_docs": q_dsir_weights_docs,  # NEW late-r8 (DSIR importance-weight data selection)
-        "kmv_distinct_docs": q_kmv_distinct_docs,  # NEW late-r8 (bottom-k distinct-cardinality sketch)
-        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,  # NEW late-r8 (KMV pairwise source overlap)
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # NEW late-r8 (SemDeDup: LSH pairs -> CC -> survivor)
-        "events_stream_validate": q_events_stream_validate,  # NEW r6: real readStream->foreachBatch through the driver gate
-        "dedup_index_probe": q_dedup_index_probe,  # r6 rotate-in (incremental dedup)
-        "pack_sequences_docs": q_pack_sequences_docs,  # r6 rotate-in (budget packing)
-        "strip_html_docs": q_strip_html_docs,  # r6 rotate-in (HTML strip round-trip)
-        "repetition_docs": q_repetition_docs,  # r6 rotate-in (dup-ngram quality)
-        "decontaminate_docs": q_decontaminate_docs,  # r6 rotate-in (benchmark overlap)
-        "embedding_cluster": q_embedding_cluster,  # r6 rotate-in (cosine pairs -> components)
-        "decile_bands_orders": q_decile_bands_orders,  # impl changed r6 (global NTILE window -> distributed prefix-sum row numbers; needs a fresh row)
-        "market_share": q_market_share,  # new r6 (Q8 share ratio)
-        "order_count_distribution": q_order_count_distribution,  # new r6 (Q13 left-join distribution)
-        "top_supplier_revenue": q_top_supplier_revenue,  # new r6 (Q15 scalar-max)
-        "small_quantity_revenue": q_small_quantity_revenue,  # new r6 (Q17 correlated avg)
-        "bracketed_revenue": q_bracketed_revenue,  # new r6 (Q19 disjunctive brackets)
-        "waiting_suppliers": q_waiting_suppliers,  # new r6 (Q21 sole-late-supplier)
-        "min_cost_supplier": q_min_cost_supplier,  # new r6 (Q2 correlated-min over derived catalog)
-        "excess_share_suppliers": q_excess_share_suppliers,  # new r6 (Q20 excess-share semi-join)
-        "embedding_pq_census": q_embedding_pq_census,  # new r6 (PQ grid-encode fidelity)
-        "embedding_norm_outliers": q_embedding_norm_outliers,  # new r6 (pre-index norm sanity gate)
-        "vocab_coverage_docs": q_vocab_coverage_docs,  # new r6 (tokenizer budget census)
-        "token_rarity_docs": q_token_rarity_docs,  # new r6 (inverse-frequency surprisal proxy)
-        "curate_md5_docs": q_curate_md5_docs,  # r9 green (end-to-end curate chain hash oracle)
-        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # r9 green (near-dup-aware data card)
-        "events_stream_sessions": q_events_stream_sessions,  # r9 green (fifth streaming row: session_window+watermark)
-        "bpe_token_stats_docs": q_bpe_token_stats_docs,  # r9 row (rows-only: trained BPE merges)
-        "cdc_chunk_docs": q_cdc_chunk_docs,  # r9 row (rows-only: rolling-hash CDC)
-        "curate_docs": q_curate_docs,  # r9 row (rows-only: auto-gated chain; md5 twin IS hash-checked)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r9 row (rows-only: seeded xxhash LSH)
-        "embedding_pq_topk": q_embedding_pq_topk,  # r9 row (rows-only: k-means codebooks)
-        "bm25_topk_docs": q_bm25_topk_docs,  # r9 green (Okapi BM25 lexical top-k)
-        "docs_stream_index_probe": q_docs_stream_index_probe,  # r9 green (sixth streaming row: stream-static probe)
-        "tfidf_topterms_docs": q_tfidf_topterms_docs,  # r9 green (per-doc TF-IDF keywords)
-        "events_trailing_avg": q_events_trailing_avg,  # r9 green (µs-exact time-RANGE trailing window)
-        "events_session_paths": q_events_session_paths,  # r9 green (session journey/funnel census)
-        "repeated_spans_docs": q_repeated_spans_docs,  # r06+r08 green (pushed past the window by docs_stream_index_probe r9)
-        "remove_spans_docs": q_remove_spans_docs,  # r06+r08 green (pushed past the window by bm25_topk_docs r9)
-        "charlm_quality_docs": q_charlm_quality_docs,  # new r6 (CCNet-style char-LM quality)
-        "quality_classifier_docs": q_quality_classifier_docs,  # new r6 (pinned-weight logreg scoring; training tested locally)
-        "url_dedup_docs": q_url_dedup_docs,  # new r6 (canonical-URL identity dedup)
-        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # new late-r6 (bucket clustering, md5 oracle twin — end-to-end CC hash-verified)
-        "corpus_drift_docs": q_corpus_drift_docs,  # new r6 (unigram TV-distance drift)
-        "token_drift_terms_docs": q_token_drift_terms_docs,  # new r6 (top drift movers)
-        "embedding_drift": q_embedding_drift,  # new r6 (centroid shift between snapshots)
-        "profile_lineitem": q_profile_lineitem,  # r05 green
-        "validation_summary_orders": q_validation_summary_orders,  # r05 green
-        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # r05+r07 green (parked r8 for dedup_cluster_sizes_docs)
-        "corr_lineitem": q_corr_lineitem,  # r05+r07 green (parked r8 for dedup_best_quality_docs)
-        "impute_median_customer": q_impute_median_customer,  # r05+r07 green (parked r8 for decontaminate_spans_docs)
-        "normalize_text_customer": q_normalize_text_customer,  # r05+r07 green (parked r8 for token_budget_sample_docs)
-        "fuzzy_correction_customer": q_fuzzy_correction_customer,  # r05+r07 green (parked r8 for the two rotation slots)
-        "asof_join_events": q_asof_join_events,  # r05+r07 green (parked r8 for the two rotation slots)
-        "pricing_summary": q_pricing_summary,  # r02+r05 green (Q1)
-        "shipping_priority": q_shipping_priority,  # r05 green (Q3)
-        "window_running_total": q_window_running_total,  # r05 green
-        "returned_revenue_customers": q_returned_revenue_customers,  # r05 green (Q10)
-        "product_profit_nation": q_product_profit_nation,  # r05 green (Q9)
-        "late_orders_priority": q_late_orders_priority,  # r05 green (Q4)
-        "rollup_returns": q_rollup_returns,  # r05 green (ROLLUP)
-        "crosstab_lineitem": q_crosstab_lineitem,  # r05 green
-        "histogram_price": q_histogram_price,  # r05 green
-        "events_anomaly": q_events_anomaly,  # r05 green
-        "simhash_md5_groups": q_simhash_md5_groups,  # r05 green
-        "simhash_md5_near": q_simhash_md5_near,  # r05 green
-        "hash_split_docs": q_hash_split_docs,  # r05 green
-        "local_supplier_volume": q_local_supplier_volume,  # r06+r08+r10 green (Q5 shape)
-        "volume_shipping": q_volume_shipping,  # r06+r08+r10 green (Q7 shape)
-        "sales_opportunity": q_sales_opportunity,  # r06+r08+r10 green (Q22 shape)
-        "shipmode_priority": q_shipmode_priority,  # r06+r08+r10 green (Q12 shape)
-        "promo_revenue": q_promo_revenue,  # r06+r08+r10 green (Q14 shape)
-        "large_volume_orders": q_large_volume_orders,  # r06+r08+r10 green (Q18 shape)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # r06+r08+r10 green
-        "weighted_sample_docs": q_weighted_sample_docs,  # r06+r08+r10 green
-        "stratified_sample_customers": q_stratified_sample_customers,  # r06+r08+r10 green
-        "mixture_sample_docs": q_mixture_sample_docs,  # r06+r08+r10 green
-        "events_stream_windowed": q_events_stream_windowed,  # r06+r08+r10 green (second streaming row)
-        "asof_nearest_events": q_asof_nearest_events,  # r06+r08+r10 green
-        "range_join_binned_bands": q_range_join_binned_bands,  # r06+r08+r10 green
+        "embedding_pq_topk": q_embedding_pq_topk,  # r9 row (rows-only: k-means codebooks; displaced from the window by the two NEW r13 rows)
+        "bm25_topk_docs": q_bm25_topk_docs,  # r9 green (displaced from the window by the two NEW r13 rows)
+        # ---- below holds a green driver row r09-r12 (distribution after r12:
+        # ---- r12 x50, r11 x48, r10 x25, r9 x24) and stays oracle-checked
+        # ---- locally each run via tests/test_entry_contract.py.
+        "curate_semantic_docs": q_curate_semantic_docs,
+        "curate_semantic_near_docs": q_curate_semantic_near_docs,
+        "events_stream_recovery": q_events_stream_recovery,
+        "media_data_card_docs": q_media_data_card_docs,
+        "quality_topk_per_source_docs": q_quality_topk_per_source_docs,
+        "change_summary_orders": q_change_summary_orders,
+        "dropped_rows_orders": q_dropped_rows_orders,
+        "value_audit_orders": q_value_audit_orders,
+        "drift_orders": q_drift_orders,
+        "remap_values_orders": q_remap_values_orders,
+        "datetime_cascade_orders": q_datetime_cascade_orders,
+        "coerce_numeric_orders": q_coerce_numeric_orders,
+        "events_json_props": q_events_json_props,
+        "dupes_flag_lineitem": q_dupes_flag_lineitem,
+        "profile_customer": q_profile_customer,
+        "impute_mean_customer": q_impute_mean_customer,
+        "outlier_zscore_orders": q_outlier_zscore_orders,
+        "embedding_knn": q_embedding_knn,
+        "supplier_nation_balance": q_supplier_nation_balance,
+        "part_brand_stats": q_part_brand_stats,
+        "simhash_groups_docs": q_simhash_groups_docs,
+        "simhash_near_docs": q_simhash_near_docs,
+        "dup_clusters_lineitem": q_dup_clusters_lineitem,
+        "value_counts_topn_priority": q_value_counts_topn_priority,
+        "dtype_composition_lineitem": q_dtype_composition_lineitem,
+        "outlier_clip_lineitem": q_outlier_clip_lineitem,
+        "range_join_bands": q_range_join_bands,
+        "null_audit_orders": q_null_audit_orders,
+        "data_dictionary_customer": q_data_dictionary_customer,
+        "exact_dup_docs": q_exact_dup_docs,
+        "dedup_cluster_docs": q_dedup_cluster_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "lang_detect_docs": q_lang_detect_docs,
+        "quality_docs": q_quality_docs,
+        "stopword_vocab_docs": q_stopword_vocab_docs,
+        "binary_stats_docs": q_binary_stats_docs,
+        "pii_redact_docs": q_pii_redact_docs,
+        "chunk_docs": q_chunk_docs,
+        "url_extract_docs": q_url_extract_docs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "row_diff_orders": q_row_diff_orders,
+        "text_stats_documents": q_text_stats_documents,
+        "events_stream_stream_left": q_events_stream_stream_left,
+        "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,
+        "curate_redact_docs": q_curate_redact_docs,
+        "audio_near_dup": q_audio_near_dup,
+        "events_variant_props": q_events_variant_props,
+        "curate_containment_docs": q_curate_containment_docs,
+        "containment_subset_docs": q_containment_subset_docs,
+        "line_dedup_docs": q_line_dedup_docs,
+        "events_stream_stream_join": q_events_stream_stream_join,
+        "image_near_dup": q_image_near_dup,
+        "containment_pairs_docs": q_containment_pairs_docs,
+        "embedding_pca": q_embedding_pca,
+        "zipf_fit_docs": q_zipf_fit_docs,
+        "embedding_kmeans_refine": q_embedding_kmeans_refine,
+        "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,
+        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,
+        "dedup_lines_within_docs": q_dedup_lines_within_docs,
+        "quality_decile_docs": q_quality_decile_docs,
+        "bigram_pmi_docs": q_bigram_pmi_docs,
+        "token_entropy_docs": q_token_entropy_docs,
+        "pipeline_orders": q_pipeline_orders,
+        "infer_configs_customer": q_infer_configs_customer,
+        "boxplot_lineitem": q_boxplot_lineitem,
+        "dup_count_lineitem": q_dup_count_lineitem,
+        "events_daily": q_events_daily,
+        "events_hopping": q_events_hopping,
+        "events_tumbling": q_events_tumbling,
+        "fingerprint_dup_docs": q_fingerprint_dup_docs,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "impute_mode_customer": q_impute_mode_customer,
+        "join_region_revenue": q_join_region_revenue,
+        "profile_by_segment": q_profile_by_segment,
+        "token_totals_documents": q_token_totals_documents,
+        "topn_parts": q_topn_parts,
+        "value_counts_mktsegment": q_value_counts_mktsegment,
+        "validation_violations_orders": q_validation_violations_orders,
+        "length_buckets_docs": q_length_buckets_docs,
+        "logreg_gradient_docs": q_logreg_gradient_docs,
+        "token_budget_sample_docs": q_token_budget_sample_docs,
+        "decontaminate_spans_docs": q_decontaminate_spans_docs,
+        "dedup_best_quality_docs": q_dedup_best_quality_docs,
+        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,
+        "dedup_split_docs": q_dedup_split_docs,
+        "oov_rate_docs": q_oov_rate_docs,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
+        "corpus_data_card_docs": q_corpus_data_card_docs,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "kmv_distinct_docs": q_kmv_distinct_docs,
+        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "events_stream_validate": q_events_stream_validate,
+        "dedup_index_probe": q_dedup_index_probe,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "strip_html_docs": q_strip_html_docs,
+        "repetition_docs": q_repetition_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "embedding_cluster": q_embedding_cluster,
+        "decile_bands_orders": q_decile_bands_orders,
+        "market_share": q_market_share,
+        "order_count_distribution": q_order_count_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "bracketed_revenue": q_bracketed_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "excess_share_suppliers": q_excess_share_suppliers,
+        "embedding_pq_census": q_embedding_pq_census,
+        "embedding_norm_outliers": q_embedding_norm_outliers,
+        "vocab_coverage_docs": q_vocab_coverage_docs,
+        "token_rarity_docs": q_token_rarity_docs,
+        "curate_md5_docs": q_curate_md5_docs,
+        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,
+        "events_stream_sessions": q_events_stream_sessions,
+        "docs_stream_index_probe": q_docs_stream_index_probe,
+        "tfidf_topterms_docs": q_tfidf_topterms_docs,
+        "events_trailing_avg": q_events_trailing_avg,
+        "events_session_paths": q_events_session_paths,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "sales_opportunity": q_sales_opportunity,
+        "shipmode_priority": q_shipmode_priority,
+        "promo_revenue": q_promo_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "stratified_sample_customers": q_stratified_sample_customers,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "events_stream_windowed": q_events_stream_windowed,
+        "asof_nearest_events": q_asof_nearest_events,
+        "range_join_binned_bands": q_range_join_binned_bands,
     }
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
@@ -5738,6 +5763,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, count(*) AS docs,
                CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
         FROM mixed GROUP BY 1
+    """
+    # epoch_mix (NEW r13): copies = floor(e) + [md5-uniform(id||'|epoch') <
+    # frac(e)]; DuckDB's select-list unnest(range(n)) expands one row per
+    # copy (empty list for copies=0 drops the row, same as the Spark filter)
+    sqls["epoch_mix_docs"] = """
+        WITH e AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+                             WHEN 'src2' THEN 0.4 ELSE 0.0 END AS eps
+          FROM documents),
+        c AS (
+          SELECT doc_id, source,
+                 CAST(floor(eps) AS INT)
+                 + CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '||epoch')), 1, 12)) AS UBIGINT)
+                             / power(16.0, 12) < eps - floor(eps)
+                        THEN 1 ELSE 0 END AS copies
+          FROM e),
+        x AS (SELECT doc_id, source, CAST(unnest(range(copies)) AS INT) AS epoch
+              FROM c WHERE copies > 0)
+        SELECT source, epoch, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_mass,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM x GROUP BY 1, 2
+    """
+    # global_shuffle (NEW r13): the whole permutation vs the plain windowed
+    # row_number — identical mapping proves the distributed prefix-sum
+    # permutation exact (doc_id breaks the astronomically-unlikely md5 tie)
+    sqls["global_shuffle_docs"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(row_number() OVER (
+                    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|r13')), doc_id) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM documents
     """
     sqls["weighted_sample_docs"] = """
         WITH d AS (

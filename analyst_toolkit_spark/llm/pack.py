@@ -382,6 +382,54 @@ def grouped_topk(
 # across runs and is oracle-checkable end-to-end.
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    pos_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded GLOBAL permutation of the corpus — the "shuffle
+    the training stream" step that precedes shard writing: documents sorted
+    by ``md5(id|salt)`` get positions ``0..N-1`` in that order, so feeding
+    ``shard_assign``/``write_training_shards`` ordered by ``pos_col``
+    produces a training stream with no residual source/id locality (the
+    raw corpus is usually clustered by crawl order, and a locality-free
+    stream is what loss-curve stability wants). Vary ``salt`` to draw an
+    independent permutation per training run; the permutation is a pure
+    function of ``(id, salt)`` — re-runs and input partitioning never
+    change it, and the whole mapping reproduces in a SQL oracle
+    (``row_number() OVER (ORDER BY md5(id||'|'||salt), id) - 1``).
+
+    Plan shape at 100 TB: the md5 sort key is uniformly distributed, so the
+    ONE ``repartitionByRange`` exchange inside the
+    :func:`with_global_cumsum` prefix sum is perfectly balanced by
+    construction (no skew salting needed — the key IS the salt); position
+    assignment is the same two-phase distributed prefix sum every global
+    order in this module rides, never a single-partition window. The id
+    column breaks the (astronomically unlikely) md5 tie so the order key
+    is provably unique, which the range-partitioned cumsum requires.
+
+    Output: input columns + ``pos_col`` (long, 0-based, a permutation of
+    ``0..count-1``).
+    """
+    keyed = df.withColumn(
+        "__shuf_key",
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))),
+    ).withColumn("__shuf_one", F.lit(1))
+    out = with_global_cumsum(
+        keyed,
+        "__shuf_one",
+        ["__shuf_key", id_col],
+        out_col="__shuf_cum",
+        num_partitions=num_partitions,
+    )
+    return (
+        out.withColumn(pos_col, (F.col("__shuf_cum") - 1).cast("long"))
+        .drop("__shuf_key", "__shuf_one", "__shuf_cum")
+    )
+
+
 def shard_assign(
     df: DataFrame,
     n_shards: int,

@@ -931,6 +931,59 @@ def mixture_sample(
     return out
 
 
+def epoch_mix(
+    df: DataFrame,
+    epochs: float | dict,
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+    epoch_col: str = "epoch",
+    salt: str = "",
+) -> DataFrame:
+    """Fractional-epoch UPsampling — the other half of the data recipe that
+    :func:`mixture_sample` (rates <= 1) cannot express: multi-source
+    pretraining recipes repeat high-quality sources beyond one pass (e.g.
+    wiki x 2.5, books x 1.8, web x 0.6, Llama/DoReMi-style), and the corpus
+    assembly step must emit each document ``floor(e)`` times plus one more
+    with probability ``frac(e)``, so the expected per-source token mass is
+    exactly ``e`` epochs.
+
+    ``epochs`` is a single float for the whole frame or a dict
+    ``source -> float`` keyed by ``source_col`` (sources absent from the
+    dict get 0 epochs and are dropped). The fractional copy is gated by the
+    deterministic md5-uniform of ``(id, salt)`` — a pure function of the
+    row, so re-runs, repartitioning, and corpus growth never change which
+    docs earn the extra pass (the same stability contract as
+    ``weighted_sample``), and the exact output reproduces in a SQL oracle.
+    Each emitted copy carries ``epoch_col`` in ``0..copies-1`` so
+    ``(id, epoch)`` is a unique key for downstream shuffling/sharding.
+
+    Plan shape at 100 TB: a literal CASE chain for the rate, one
+    ``sequence + explode`` — map-only, zero shuffles, zero UDFs; output
+    size is exactly the recipe's token multiple of the input.
+    """
+    if isinstance(epochs, dict):
+        if source_col is None:
+            raise ValueError("per-source epochs require source_col")
+        e = F.lit(0.0)
+        for src, val in sorted(epochs.items()):
+            if float(val) < 0:
+                raise ValueError(f"epochs must be >= 0, got {val!r} for {src!r}")
+            e = F.when(F.col(source_col) == F.lit(src), F.lit(float(val))).otherwise(e)
+    else:
+        if float(epochs) < 0:
+            raise ValueError(f"epochs must be >= 0, got {epochs!r}")
+        e = F.lit(float(epochs))
+    whole = F.floor(e).cast("int")
+    extra = (hash_uniform(id_col, f"{salt}|epoch") < (e - F.floor(e))).cast("int")
+    copies = (whole + extra).alias("__copies")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+        .drop("__copies")
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],

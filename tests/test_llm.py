@@ -3045,3 +3045,47 @@ def test_curate_semantic_decon_lsh_tier(spark):
     )
     assert rep_b["semantic_decontaminate"]["tier"] == "literal"
     assert {r["doc_id"] for r in out_b.collect()} == {3, 4}
+
+
+def test_epoch_mix_whole_and_fractional(spark):
+    rows = [(i, f"doc {i}", "wiki" if i < 500 else "web") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    # whole epochs: exact duplication, epoch runs 0..k-1, (id, epoch) unique
+    out2 = T.epoch_mix(df, 2.0)
+    assert out2.count() == 2000
+    eps = {r["epoch"] for r in out2.select("epoch").distinct().collect()}
+    assert eps == {0, 1}
+    assert out2.select("doc_id", "epoch").distinct().count() == 2000
+
+    # fractional epochs: expected mass e*n, binomial spread around it
+    out25 = T.epoch_mix(df, 2.5)
+    n = out25.count()
+    assert 2300 <= n <= 2700
+    # every doc appears 2 or 3 times
+    per = out25.groupBy("doc_id").agg(F.count("*").alias("c"))
+    assert {r["c"] for r in per.select("c").distinct().collect()} <= {2, 3}
+
+    # per-source dict: unlisted sources drop, listed scale independently
+    mixed = T.epoch_mix(df, {"wiki": 2.5, "web": 0.4}, source_col="source")
+    counts = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert 1150 <= counts["wiki"] <= 1350  # 500 * 2.5
+    assert 140 <= counts["web"] <= 260  # 500 * 0.4
+    only = T.epoch_mix(df, {"wiki": 1.0}, source_col="source")
+    assert only.filter("source = 'web'").count() == 0
+
+    # determinism + partitioning independence of the fractional gate
+    a = {(r["doc_id"], r["epoch"]) for r in out25.collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in T.epoch_mix(df.repartition(9), 2.5).collect()}
+    assert a == b
+    # independent draw under a different salt
+    c = {(r["doc_id"], r["epoch"]) for r in T.epoch_mix(df, 2.5, salt="run2").collect()}
+    assert a != c
+
+    with pytest.raises(ValueError):
+        T.epoch_mix(df, {"wiki": 2.0})  # dict without source_col
+    with pytest.raises(ValueError):
+        T.epoch_mix(df, -0.5)

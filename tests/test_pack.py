@@ -348,3 +348,32 @@ def test_shard_assign_null_text_clamped(spark):
     assert toks[0] == 0 and toks[2] == 0 and toks[1] == 3 and toks[3] == 2
     hashed = P.shard_assign(df, 2, mode="hash").collect()
     assert all(r["n_tokens"] >= 0 and 0 <= r["shard"] <= 1 for r in hashed)
+
+
+def test_global_shuffle_is_permutation_and_partitioning_independent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    out = P.global_shuffle(docs, salt="run1")
+    pos = [r["shuffle_pos"] for r in out.select("shuffle_pos").collect()]
+    assert sorted(pos) == list(range(n))  # exact permutation of 0..N-1
+    # deterministic + independent of input partitioning
+    a = {r["doc_id"]: r["shuffle_pos"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in P.global_shuffle(docs.repartition(7), salt="run1").collect()
+    }
+    assert a == b
+    # a different salt draws a genuinely different permutation
+    c = {r["doc_id"]: r["shuffle_pos"] for r in P.global_shuffle(docs, salt="run2").collect()}
+    assert a != c and sorted(c.values()) == list(range(n))
+
+
+def test_global_shuffle_matches_single_node_md5_order(spark):
+    import hashlib
+
+    rows = [(i, f"doc {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["shuffle_pos"] for r in P.global_shuffle(df, salt="s").collect()}
+    order = sorted(range(50), key=lambda i: (hashlib.md5(f"{i}|s".encode()).hexdigest(), i))
+    truth = {doc: pos for pos, doc in enumerate(order)}
+    assert got == truth
