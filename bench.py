@@ -44,6 +44,18 @@ SYMMETRIC — value_normalized = value / ratio always, so fast hosts stop
 flattering the headline the way slow hosts used to inflate it; the 1.25
 dead-band only labels the host quiet (``anchor_quiet``). See the ANCHOR_REF
 block below for the measurements behind median-of-5 and pre+post slots.
+
+Round 13 (r12 VERDICT #6): the micro anchor alone under-corrected suite-level
+contention (r12: anchor "quiet" at 0.929 while sub-second parquet queries
+drifted +40-50%), so a SUITE-LEVEL calibration probe — three fixed headline
+queries timed pre+post against pinned quiet-host refs — now folds into
+``anchor_ratio``; both components are recorded in the printed line so weather
+is adjudicable from the artifact alone. Slot-disagreement rule (measured
+incident this round): when the pre and post slot ratios disagree beyond
+STORM_BAND the weather moved mid-run, and the correction takes the slot
+closer to quiet instead of the average — a storm confined to one slot must
+never normalize the whole suite (over-correction flatters; see the
+``anchor_storm`` flag).
 """
 
 from __future__ import annotations
@@ -138,6 +150,49 @@ ANCHOR_DEADBAND = 1.25  # |log ratio| band inside which the host is labeled quie
 #: honestly ~21.4 s anchor-adjusted). The dead-band now only sets the
 #: ``anchor_quiet`` flag; it no longer suppresses the correction.
 
+#: r13 (r12 VERDICT #6 / "What's wrong" #3): the in-memory micro anchor
+#: demonstrably UNDER-corrects suite-level contention — BENCH_r12's anchor
+#: read "quiet" (0.929) during a run whose sub-second parquet queries drifted
+#: +40-50%. The micro anchor exercises codegen + hash-agg, but the drifted
+#: paths' cost is task-scheduling + parquet-scan + shuffle-fetch latency over
+#: many small tasks, which a single 32-partition in-memory plan barely
+#: touches. The fix is a SUITE-LEVEL calibration probe: three fixed headline
+#: queries (parquet scan + window + session gap-and-island — exactly the
+#: shapes that drifted in r12) are timed pre and post suite against pinned
+#: quiet-host refs, and ``anchor_ratio`` is now the geometric mean of the
+#: micro ratio and the probe ratio. Both components are still recorded
+#: (``anchor_ratio_micro`` / ``anchor_ratio_cal``) so round-over-round noise
+#: is adjudicable from the artifact alone — a micro/cal disagreement IS the
+#: "anchor missed the weather" flag that previously needed a manual rerun.
+CAL_QUERIES = ("pricing_summary", "window_running_total", "events_sessions")
+#: Per-query [pre-slot, post-slot] quiet-host medians — mean of TWO full
+#: r13 quiet-host bench sessions (micro ratios 0.88 and 1.02, bracketing
+#: quiet; sf0.1, local[32]); per-slot refs because the post slot is
+#: JIT-warmer, same reasoning as ANCHOR_REF vs ANCHOR_REF_POST. Single
+#: readings wobble ~±20% between quiet sessions, so each ref averages two
+#: sessions and the ratio geomeans 3 queries x 2 slots.
+CAL_REF = {
+    "pricing_summary": [0.455, 0.303],
+    "window_running_total": [0.312, 0.183],
+    "events_sessions": [0.504, 0.531],
+}
+
+
+def _cal_sec(spark, qs, sf_dir) -> dict[str, float]:
+    """Suite-level calibration slot: median-of-3 of the three probe queries
+    (each warmed once untimed, same per-plan protocol as the headline)."""
+    out: dict[str, float] = {}
+    for name in CAL_QUERIES:
+        fn = qs[name]
+        _materialize(fn(spark, sf_dir))  # warm-up, untimed
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 3)
+    return out
+
 
 def _anchor_sec(spark) -> float:
     from pyspark.sql import functions as F
@@ -186,6 +241,8 @@ def main() -> None:
 
     anchor_pre = _anchor_sec(spark)
     print(f"# host anchor (pre): {anchor_pre:.3f}s (ref {ANCHOR_REF})", file=sys.stderr)
+    cal_pre = _cal_sec(spark, qs, sf_dir)
+    print(f"# suite calibration (pre): {cal_pre}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -317,13 +374,53 @@ def main() -> None:
     ):
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
+    # r13 additions: the seeded global permutation (its one range exchange +
+    # prefix sum must stay ~shard_assign-priced) and the fractional-epoch
+    # upsampler (map-only — any shuffle regression shows as a jump)
+    for nh_name in ("global_shuffle_docs", "epoch_mix_docs"):
+        if nh_name in qs:
+            _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
+    cal_post = _cal_sec(spark, qs, sf_dir)
+    print(f"# suite calibration (post): {cal_post}", file=sys.stderr)
     anchor_post = _anchor_sec(spark)
     print(f"# host anchor (post): {anchor_post:.3f}s (ref {ANCHOR_REF_POST})", file=sys.stderr)
     # load ratio = mean of each slot's ratio to ITS quiet calibration; the
     # pre/post disagreement is the weather-changed-mid-run flag
-    ratio = round((anchor_pre / ANCHOR_REF + anchor_post / ANCHOR_REF_POST) / 2, 3)
     anchor = round((anchor_pre + anchor_post) / 2, 3)
+    # Per-SLOT combined ratios (r13): each slot folds its micro reading and
+    # its suite-probe geomean against that slot's own quiet refs. The micro
+    # anchor detects pure-CPU contention with zero data dependence; the
+    # probe detects the scheduling/scan/shuffle weather the micro anchor
+    # missed in r12.
+    import math
+
+    def _geomean(vals):
+        return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+    cal_pre_ratio = _geomean([cal_pre[n] / CAL_REF[n][0] for n in CAL_QUERIES])
+    cal_post_ratio = _geomean([cal_post[n] / CAL_REF[n][1] for n in CAL_QUERIES])
+    ratio_pre = math.sqrt((anchor_pre / ANCHOR_REF) * cal_pre_ratio)
+    ratio_post = math.sqrt((anchor_post / ANCHOR_REF_POST) * cal_post_ratio)
+    ratio_micro = round((anchor_pre / ANCHOR_REF + anchor_post / ANCHOR_REF_POST) / 2, 3)
+    ratio_cal = round(math.sqrt(cal_pre_ratio * cal_post_ratio), 3)
+    # Slot agreement decides how to combine (measured incident, this round:
+    # a noisy-neighbor storm hit ONLY the pre slot — 2.25 s anchor — and
+    # died before the suite ran; the post slot read quiet and the suite was
+    # only ~1.1x inflated. Averaging the slots charged the whole suite 2x
+    # and NORMALIZED 21.9 s DOWN to 10.9 s — over-correction in the
+    # flattering direction, exactly what r11 banned). When the slots agree
+    # within STORM_BAND, the weather was stable and the geomean is the best
+    # estimate; when they disagree, the session-average is unknowable from
+    # endpoint slots, so take the slot CLOSER TO QUIET (log-distance to
+    # 1.0) — under-correcting is the only honest failure mode — and raise
+    # the anchor_storm flag so the round reader knows the weather moved.
+    STORM_BAND = 1.35
+    storm = max(ratio_pre, ratio_post) / min(ratio_pre, ratio_post) > STORM_BAND
+    if storm:
+        ratio = round(min(ratio_pre, ratio_post, key=lambda r: abs(math.log(r))), 3)
+    else:
+        ratio = round(math.sqrt(ratio_pre * ratio_post), 3)
     # r11 VERDICT #1: normalize SYMMETRICALLY — a host running faster than
     # the anchor calibration flatters the raw headline exactly as much as a
     # slow host inflates it, so value_normalized divides by the ratio in
@@ -342,6 +439,14 @@ def main() -> None:
         "anchor_post": anchor_post,
         "anchor_ref": [ANCHOR_REF, ANCHOR_REF_POST],
         "anchor_ratio": ratio,
+        "anchor_ratio_micro": ratio_micro,
+        "anchor_ratio_cal": ratio_cal,
+        "anchor_ratio_pre": round(ratio_pre, 3),
+        "anchor_ratio_post": round(ratio_post, 3),
+        "anchor_storm": storm,
+        "cal_pre": cal_pre,
+        "cal_post": cal_post,
+        "cal_ref": CAL_REF,
         "anchor_quiet": quiet,
         "value_normalized": normalized,
         "queries": timings,
@@ -369,6 +474,9 @@ def main() -> None:
                 "unit": "sec",
                 "anchor_sec": anchor,
                 "anchor_ratio": ratio,
+                "anchor_ratio_micro": ratio_micro,
+                "anchor_ratio_cal": ratio_cal,
+                "anchor_storm": storm,
                 "value_normalized": normalized,
                 "queries": timings,
                 "runs": runs,
