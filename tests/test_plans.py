@@ -319,6 +319,14 @@ _EXCHANGE_CEILINGS = {
     # pruned index scan joins without shuffling the batch twice).
     "training_shards_docs": 3,
     "semantic_index_probe": 3,
+    # r13 recipe-assembly rows. epoch_mix is map-only (sequence+explode) —
+    # the single exchange is the census groupBy (measured 1; a second means
+    # the upsampler itself started shuffling). global_shuffle's range
+    # exchange hides behind the prefix-sum's eager cut (ExistingRDD); the
+    # visible tail is the pid-window re-shuffle over the cut (measured 1,
+    # zero parquet re-scans).
+    "epoch_mix_docs": 2,
+    "global_shuffle_docs": 2,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
