@@ -2639,6 +2639,40 @@ def q_curate_md5_docs(spark, sf):
     return out.select("doc_id", "split", F.md5("text").alias("text_md5"))
 
 
+def q_curate_recipe_docs(spark, sf):
+    """END-TO-END hash oracle for the r13 recipe-assembly chain tail:
+    exact dedup (normalized md5 fingerprint, keep min id) → hash split
+    (train/val/test) → fractional-epoch upsampling (epochs=1.5: every doc
+    once, an md5-gated half twice; copies inherit the doc's split so
+    repetition never straddles train/test) → seeded global shuffle (the
+    permutation keyed on (id, epoch)) → packing that WALKS THE PERMUTED
+    ORDER per split. Every stage is individually oracle-green; this pins
+    the COMPOSITION — stage ordering, the (id, epoch) key handoff, and
+    that sequences really are built from the shuffled stream — by
+    hash-matching the complete per-copy state (split, epoch, shuffle_pos,
+    running tokens, seq_id) against one composed DuckDB CTE."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out, _ = L_cur.curate_corpus(
+        docs,
+        exact_dedup=True,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        epochs=1.5,
+        shuffle_salt="r13",
+        pack_budget=256,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("epoch"),
+        F.col("split"),
+        F.col("shuffle_pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("_cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("seq_id"),
+    )
+
+
 def q_curate_containment_docs(spark, sf):
     """END-TO-END hash oracle for the r11 containment subset-drop curate
     stage (r10 VERDICT #1): exact dedup (normalized md5 fingerprint, keep
@@ -3729,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_probe_stream": q_semantic_probe_stream,  # NEW r13 (TENTH streaming row: stream-static semantic index probe -- r12 VERDICT #5; hash oracle)
         "epoch_mix_docs": q_epoch_mix_docs,  # NEW r13 (fractional-epoch recipe upsampling; md5-gate hash oracle)
         "global_shuffle_docs": q_global_shuffle_docs,  # NEW r13 (seeded global permutation via distributed prefix sum; full-mapping hash oracle)
+        "curate_recipe_docs": q_curate_recipe_docs,  # NEW r13 (recipe-assembly chain tail: dedup -> split -> epochs -> shuffle -> pack, composed hash oracle)
         "training_shards_docs": q_training_shards_docs,  # impl changed r13 (overflow-free bit_xor manifest fingerprint + null clamp + writer order -- r12 VERDICT #1; hash oracle regenerated)
         "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # impl changed r13 (bench-dim guards + cell-aware literal cap -- r12 VERDICT #3 / ADVICE; hash oracle)
         "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # impl changed r13 (shared dim guards ride the LSH tier too; hash oracle)
@@ -3774,8 +3809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_docs": q_bpe_token_stats_docs,  # continuity fill (last driver row r09)
         "cdc_chunk_docs": q_cdc_chunk_docs,  # continuity fill (last driver row r09)
         "curate_docs": q_curate_docs,  # continuity fill (last driver row r09)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # continuity fill (last driver row r09)
         # ---- slots 51+ begin here (window = first 50 entries). Every entry
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r9 row (rows-only: seeded xxhash LSH; displaced from the window by curate_recipe_docs)
         "embedding_pq_topk": q_embedding_pq_topk,  # r9 row (rows-only: k-means codebooks; displaced from the window by the two NEW r13 rows)
         "bm25_topk_docs": q_bm25_topk_docs,  # r9 green (displaced from the window by the two NEW r13 rows)
         # ---- below holds a green driver row r09-r12 (distribution after r12:
@@ -5763,6 +5798,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, count(*) AS docs,
                CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
         FROM mixed GROUP BY 1
+    """
+    # curate_recipe (NEW r13): the full recipe-assembly chain tail as ONE
+    # composed CTE — exact dedup, hash split, 1.5-epoch upsample, seeded
+    # (id, epoch)-keyed global shuffle, per-split packing in PERMUTED order
+    sqls["curate_recipe_docs"] = f"""
+        WITH ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents GROUP BY md5({_NORM_SQL.format(col="text")})),
+        d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+        sp AS (
+          SELECT doc_id, text,
+                 CASE WHEN bucket < 9000 THEN 'train'
+                      WHEN bucket < 9500 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT *, CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|')), 1, 8)) AS UBIGINT) % 10000 AS bucket
+                FROM d1)),
+        ep AS (
+          SELECT doc_id, text, split,
+                 CAST(unnest(range(1 + CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '||epoch')), 1, 12)) AS UBIGINT)
+                                                 / power(16.0, 12) < 0.5
+                                            THEN 1 ELSE 0 END)) AS INT) AS epoch
+          FROM sp),
+        sh AS (
+          SELECT *, CAST(row_number() OVER (
+                   ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|', CAST(epoch AS VARCHAR), '|r13')),
+                            doc_id, epoch) - 1 AS BIGINT) AS shuffle_pos
+          FROM ep),
+        tk AS (SELECT *, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM sh),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY split ORDER BY shuffle_pos
+                                            ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tk)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, epoch, split, shuffle_pos,
+               n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+               concat(split, '/', CAST(CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS VARCHAR)) AS seq_id
+        FROM c
     """
     # epoch_mix (NEW r13): copies = floor(e) + [md5-uniform(id||'|epoch') <
     # frac(e)]; DuckDB's select-list unnest(range(n)) expands one row per

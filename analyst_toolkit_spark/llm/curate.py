@@ -211,6 +211,24 @@ class CurationConfig:
     #: Jaccard threshold for the leakage_safe clustering (defaults to
     #: near_dedup_threshold when that is set, else 0.8).
     split_cluster_threshold: float | None = None
+    #: Fractional-epoch recipe UPsampling (r13 — text.epoch_mix): a float
+    #: repeats the whole surviving corpus (1.5 = every doc once, half the
+    #: docs twice, md5-gated), a dict keyed by ``epoch_source_col`` gives
+    #: per-source epochs (wiki x2.5, web x0.6 style; unlisted sources
+    #: DROP). Runs AFTER the split stage — every epoch copy of a doc
+    #: inherits the doc's split, so repetition can never straddle
+    #: train/test — and before packing; each copy carries ``epoch`` in
+    #: 0..copies-1, and downstream stages key on (id, epoch).
+    epochs: float | dict | None = None
+    epoch_source_col: str = "source"
+    #: Seeded global training-stream shuffle (r13 — pack.global_shuffle):
+    #: when set, the surviving (possibly epoch-expanded) corpus gets a
+    #: deterministic global permutation position ``shuffle_pos`` keyed on
+    #: md5(id[, epoch] | salt), and the packing stage WALKS THE PERMUTED
+    #: ORDER instead of id order — locality-free training sequences (raw
+    #: corpora are crawl-ordered). Vary per training run for an
+    #: independent permutation.
+    shuffle_salt: str | None = None
     pack_budget: int | None = None
     report_counts: bool = False  # per-stage count() actions (full scans)
     #: Collect a per-group pre-training data card (text.corpus_data_card:
@@ -671,14 +689,43 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         else:
             raise ValueError(f"unknown split_mode: {cfg.split_mode!r}")
 
+    if cfg.epochs is not None:
+        out = T.epoch_mix(
+            out,
+            cfg.epochs,
+            id_col=id_col,
+            source_col=cfg.epoch_source_col if isinstance(cfg.epochs, dict) else None,
+        )
+        _record("epochs", epochs=cfg.epochs)
+
+    if cfg.shuffle_salt is not None:
+        # the unique key is (id, epoch) once the upsampler ran — one md5 key
+        # per id would leave epoch copies' relative order ambiguous inside
+        # the range-partitioned prefix sum
+        shuffle_ids = [id_col, "epoch"] if cfg.epochs is not None else [id_col]
+        out = P.global_shuffle(out, id_col=shuffle_ids, salt=cfg.shuffle_salt)
+        _record("global_shuffle", salt=cfg.shuffle_salt)
+
     if cfg.pack_budget:
         # Pack each split as an independent stream: without split_col the
         # global cumsum walks ALL docs in id order, so one packed training
         # sequence could mix train/val/test docs — leaking eval data into
         # training sequences, the exact contamination this chain prevents.
         split_col = "split" if cfg.splits else None
-        out = P.pack_sequences(out, cfg.pack_budget, key=key, id_col=id_col, split_col=split_col)
-        _record("pack", budget=cfg.pack_budget, per_split=bool(split_col))
+        if cfg.shuffle_salt is not None:
+            order: str | list[str] = "shuffle_pos"  # the locality-free stream
+        elif cfg.epochs is not None:
+            order = [id_col, "epoch"]  # id alone is no longer unique
+        else:
+            order = id_col
+        out = P.pack_sequences(
+            out, cfg.pack_budget, key=key, id_col=id_col,
+            split_col=split_col, order_col=order,
+        )
+        _record(
+            "pack", budget=cfg.pack_budget, per_split=bool(split_col),
+            order="shuffled" if cfg.shuffle_salt is not None else "id",
+        )
 
     _record("output")
     if cfg.report_data_card:

@@ -129,12 +129,20 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str | None = None,
     split_col: str | None = None,
+    order_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Assign every document to a training sequence under a token budget
     (concat-and-chunk semantics): documents are taken in ``id_col`` order and
     ``seq_id = floor(running_total_before_doc / budget)`` — a document that
     straddles a boundary opens the next sequence's budget, exactly like the
     streaming concat-then-split packers used in LLM data prep.
+
+    ``order_col`` overrides the packing walk order (default: ``id_col``).
+    It must be unique as a whole — pass ``"shuffle_pos"`` after
+    :func:`global_shuffle` so sequences are built from the locality-free
+    permuted stream, or ``[id, "epoch"]`` after
+    :func:`~analyst_toolkit_spark.llm.text.epoch_mix`, where the id alone
+    no longer is.
 
     Output: input columns + ``n_tokens``, ``_cum_tokens`` (global running
     total INCLUDING the doc), ``seq_id``. Deterministic and
@@ -149,7 +157,12 @@ def pack_sequences(
     """
     toks = F.col(tokens_col) if tokens_col else token_count(key)
     with_tokens = df.withColumn("n_tokens", toks.cast("long"))
-    cum = with_global_cumsum(with_tokens, "n_tokens", id_col, group_col=split_col)
+    cum = with_global_cumsum(
+        with_tokens,
+        "n_tokens",
+        order_col if order_col is not None else id_col,
+        group_col=split_col,
+    )
     seq = F.floor((F.col(_CUM) - F.col("n_tokens")) / F.lit(int(budget)))
     if split_col:
         seq = F.concat_ws("/", F.col(split_col), seq.cast("string"))
@@ -384,7 +397,7 @@ def grouped_topk(
 
 def global_shuffle(
     df: DataFrame,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     salt: str = "",
     pos_col: str = "shuffle_pos",
     num_partitions: int | None = None,
@@ -410,17 +423,24 @@ def global_shuffle(
     column breaks the (astronomically unlikely) md5 tie so the order key
     is provably unique, which the range-partitioned cumsum requires.
 
+    ``id_col`` may be a LIST of columns when no single column is unique —
+    e.g. after :func:`~analyst_toolkit_spark.llm.text.epoch_mix` the unique
+    key is (id, epoch), and two epoch copies of one doc must land at
+    independent positions (one md5 key would make their relative order
+    ambiguous inside the range-partitioned cumsum).
+
     Output: input columns + ``pos_col`` (long, 0-based, a permutation of
     ``0..count-1``).
     """
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     keyed = df.withColumn(
         "__shuf_key",
-        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))),
+        F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in ids], F.lit(salt))),
     ).withColumn("__shuf_one", F.lit(1))
     out = with_global_cumsum(
         keyed,
         "__shuf_one",
-        ["__shuf_key", id_col],
+        ["__shuf_key", *ids],
         out_col="__shuf_cum",
         num_partitions=num_partitions,
     )

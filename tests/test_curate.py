@@ -401,3 +401,72 @@ def test_curate_redact_pii_stage(spark):
     # disabled by default: all three survive, text untouched
     out2, rep2 = curate_corpus(df, exact_dedup=True)
     assert "redact_pii" not in rep2 and out2.count() == 3
+
+
+def test_curate_epochs_and_shuffle_stages(spark, sf_dir):
+    """r13 recipe-assembly tail: epochs after split (copies inherit the
+    doc's split), seeded global shuffle, and packing walks the permuted
+    order — deterministic end to end."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out, report = C.curate_corpus(
+        docs,
+        exact_dedup=True,
+        splits={"train": 0.9, "val": 0.1},
+        epochs=1.5,
+        shuffle_salt="run-a",
+        pack_budget=256,
+    )
+    assert list(report) == [
+        "input", "exact_dedup", "split", "epochs", "global_shuffle", "pack", "output",
+    ]
+    rows = out.collect()
+    # epoch copies exist, every copy of a doc shares the doc's split
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_doc.values())
+    assert {r["epoch"] for r in rows} == {0, 1}
+    # shuffle_pos is a permutation of 0..N-1 over the expanded corpus
+    pos = sorted(r["shuffle_pos"] for r in rows)
+    assert pos == list(range(len(rows)))
+    # packing walked the PERMUTED order per split: within a split,
+    # ascending shuffle_pos must give non-decreasing cumulative tokens
+    for split in ("train", "val"):
+        sp = sorted((r for r in rows if r["split"] == split), key=lambda r: r["shuffle_pos"])
+        cums = [r["_cum_tokens"] for r in sp]
+        assert cums == sorted(cums)
+        assert all(r["seq_id"].startswith(f"{split}/") for r in sp)
+    # deterministic under re-run and input repartitioning
+    out2, _ = C.curate_corpus(
+        docs.repartition(7),
+        exact_dedup=True,
+        splits={"train": 0.9, "val": 0.1},
+        epochs=1.5,
+        shuffle_salt="run-a",
+        pack_budget=256,
+    )
+    a = {(r["doc_id"], r["epoch"], r["split"], r["shuffle_pos"], r["seq_id"]) for r in rows}
+    b = {(r["doc_id"], r["epoch"], r["split"], r["shuffle_pos"], r["seq_id"]) for r in out2.collect()}
+    assert a == b
+    # a different salt permutes differently but keeps the same survivor set
+    out3, _ = C.curate_corpus(
+        docs,
+        exact_dedup=True,
+        splits={"train": 0.9, "val": 0.1},
+        epochs=1.5,
+        shuffle_salt="run-b",
+        pack_budget=256,
+    )
+    c = {(r["doc_id"], r["epoch"], r["split"], r["shuffle_pos"]) for r in out3.collect()}
+    assert {x[:3] for x in a} == {x[:3] for x in c} and a != {x + ("",) for x in c}
+
+
+def test_curate_epochs_dict_drops_unlisted_sources(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out, report = C.curate_corpus(
+        docs, epochs={"src0": 2.0, "src1": 1.0}, shuffle_salt=None,
+    )
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs == {"src0", "src1"}
+    n0 = docs.filter("source = 'src0'").count()
+    assert out.filter("source = 'src0'").count() == 2 * n0

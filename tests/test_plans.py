@@ -327,6 +327,11 @@ _EXCHANGE_CEILINGS = {
     # zero parquet re-scans).
     "epoch_mix_docs": 2,
     "global_shuffle_docs": 2,
+    # the full recipe-assembly chain tail: everything upstream (dedup agg,
+    # split, epoch explode, shuffle-key range exchange) hides behind the
+    # prefix-sum cuts; visible = the pid-window shuffle over the final cut
+    # (measured 1, 0 parquet re-scans, 0 single-partition exchanges)
+    "curate_recipe_docs": 2,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
