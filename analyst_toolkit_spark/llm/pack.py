@@ -476,6 +476,12 @@ def shard_assign(
     incremental corpus builds want. Same engine-portable md5 arithmetic as
     ``text.hash_split``.
 
+    ``id_col`` must be UNIQUE in balanced mode (the prefix-sum walk order):
+    after :func:`~analyst_toolkit_spark.llm.text.epoch_mix` the doc id no
+    longer is — pass the :func:`global_shuffle` position instead, which is
+    unique by construction and makes each shard a contiguous token-balanced
+    slice of the permuted stream.
+
     Output: input columns + ``n_tokens`` (long) + ``shard`` (int).
     """
     if n_shards < 1:

@@ -27,8 +27,13 @@ Stage order (and why):
      to flag; zero-shuffle literal-benchmark scan
   9. leakage-safe split            — near-dup clusters never straddle
      train/val/test
- 10. token-budget packing          — per-split prefix-sum sequence assembly
- 11. shard export                  — the train split written as
+ 10. epoch upsampling (r13)        — fractional recipe epochs AFTER the
+     split, so every copy inherits its doc's split
+ 11. seeded global shuffle (r13)   — deterministic md5(id, epoch | salt)
+     permutation; the training stream loses all crawl/id locality
+ 12. token-budget packing          — per-split prefix-sum sequence
+     assembly, walking the PERMUTED order
+ 13. shard export                  — the train split written as
      token-balanced `shard=K/` dirs + manifest (write_training_shards)
 
 At 100 TB: every self-referencing stage runs behind a lineage cut (set
@@ -93,7 +98,13 @@ def main() -> None:
         semantic_decon_threshold=0.999,  # decon — zero-shuffle literal scan
         splits={"train": 0.9, "val": 0.05, "test": 0.05},
         split_mode="leakage_safe",       # stage 8
-        pack_budget=512,                 # stage 9
+        epochs=1.25,                     # stage 9 (r13): recipe upsampling —
+        # every doc once, an md5-gated quarter twice; pass a per-source dict
+        # ({"wiki": 2.5, "web": 0.6}) for a real mixing recipe (unlisted
+        # sources drop); copies inherit the doc's split
+        shuffle_salt="prod-run-1",       # stage 10 (r13): seeded global
+        # permutation; packing walks the locality-free permuted stream
+        pack_budget=512,                 # stage 11
         report_counts=True,              # per-stage row census (opt-in scans)
         report_data_card=True,           # before/after per-source card
     )
@@ -110,10 +121,15 @@ def main() -> None:
     for row in report["output"]["data_card"]:
         print(row)
     print("\n=== curated sample ===")
-    curated.select("doc_id", "split", "seq_id", "n_tokens").show(10)
+    curated.select("doc_id", "epoch", "split", "shuffle_pos", "seq_id", "n_tokens").show(10)
 
     # ship it: the train split as token-balanced shards + manifest — what a
-    # training job actually reads (one shard dir per loader worker)
+    # training job actually reads (one shard dir per loader worker).
+    # id_col="shuffle_pos", NOT doc_id: epoch copies duplicate doc_id, and
+    # the balanced-mode prefix sum needs a UNIQUE walk key — the shuffle
+    # position is unique by construction AND makes each shard a contiguous
+    # token-balanced slice of the PERMUTED stream (shards stay
+    # locality-free, the whole point of the shuffle).
     import tempfile
 
     from analyst_toolkit_spark.llm.pack import write_training_shards
@@ -124,6 +140,7 @@ def main() -> None:
         out_dir,
         n_shards=8,
         tokens_col="n_tokens",
+        id_col="shuffle_pos",
     )
     print(f"\n=== train shards ({out_dir}) ===")
     manifest.orderBy("shard").show()
