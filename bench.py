@@ -178,6 +178,48 @@ CAL_REF = {
 }
 
 
+STORM_BAND = 1.35  # pre/post slot-ratio disagreement beyond this = weather moved mid-run
+
+
+def combine_anchor_ratios(
+    anchor_pre: float,
+    anchor_post: float,
+    cal_pre: dict,
+    cal_post: dict,
+) -> dict:
+    """Pure ratio-combination logic (unit-tested in tests/test_bench_anchor.py).
+
+    Each slot folds its micro reading and its suite-probe geomean against
+    that slot's own quiet refs; slots agreeing within STORM_BAND average
+    geometrically, disagreeing slots take the one CLOSER TO QUIET (a storm
+    confined to one slot must never normalize the whole suite — measured
+    incident r13: pre-slot-only storm would have over-corrected 21.9 s
+    down to 10.9 s, the flattering direction r11 banned).
+    """
+    import math
+
+    def _geomean(vals):
+        return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+    cal_pre_ratio = _geomean([cal_pre[n] / CAL_REF[n][0] for n in CAL_QUERIES])
+    cal_post_ratio = _geomean([cal_post[n] / CAL_REF[n][1] for n in CAL_QUERIES])
+    ratio_pre = math.sqrt((anchor_pre / ANCHOR_REF) * cal_pre_ratio)
+    ratio_post = math.sqrt((anchor_post / ANCHOR_REF_POST) * cal_post_ratio)
+    storm = max(ratio_pre, ratio_post) / min(ratio_pre, ratio_post) > STORM_BAND
+    if storm:
+        ratio = min(ratio_pre, ratio_post, key=lambda r: abs(math.log(r)))
+    else:
+        ratio = math.sqrt(ratio_pre * ratio_post)
+    return {
+        "ratio": round(ratio, 3),
+        "ratio_pre": round(ratio_pre, 3),
+        "ratio_post": round(ratio_post, 3),
+        "ratio_micro": round((anchor_pre / ANCHOR_REF + anchor_post / ANCHOR_REF_POST) / 2, 3),
+        "ratio_cal": round(math.sqrt(cal_pre_ratio * cal_post_ratio), 3),
+        "storm": storm,
+    }
+
+
 def _cal_sec(spark, qs, sf_dir) -> dict[str, float]:
     """Suite-level calibration slot: median-of-3 of the three probe queries
     (each warmed once untimed, same per-plan protocol as the headline)."""
@@ -388,39 +430,17 @@ def main() -> None:
     # load ratio = mean of each slot's ratio to ITS quiet calibration; the
     # pre/post disagreement is the weather-changed-mid-run flag
     anchor = round((anchor_pre + anchor_post) / 2, 3)
-    # Per-SLOT combined ratios (r13): each slot folds its micro reading and
-    # its suite-probe geomean against that slot's own quiet refs. The micro
-    # anchor detects pure-CPU contention with zero data dependence; the
-    # probe detects the scheduling/scan/shuffle weather the micro anchor
-    # missed in r12.
-    import math
-
-    def _geomean(vals):
-        return math.exp(sum(math.log(v) for v in vals) / len(vals))
-
-    cal_pre_ratio = _geomean([cal_pre[n] / CAL_REF[n][0] for n in CAL_QUERIES])
-    cal_post_ratio = _geomean([cal_post[n] / CAL_REF[n][1] for n in CAL_QUERIES])
-    ratio_pre = math.sqrt((anchor_pre / ANCHOR_REF) * cal_pre_ratio)
-    ratio_post = math.sqrt((anchor_post / ANCHOR_REF_POST) * cal_post_ratio)
-    ratio_micro = round((anchor_pre / ANCHOR_REF + anchor_post / ANCHOR_REF_POST) / 2, 3)
-    ratio_cal = round(math.sqrt(cal_pre_ratio * cal_post_ratio), 3)
-    # Slot agreement decides how to combine (measured incident, this round:
-    # a noisy-neighbor storm hit ONLY the pre slot — 2.25 s anchor — and
-    # died before the suite ran; the post slot read quiet and the suite was
-    # only ~1.1x inflated. Averaging the slots charged the whole suite 2x
-    # and NORMALIZED 21.9 s DOWN to 10.9 s — over-correction in the
-    # flattering direction, exactly what r11 banned). When the slots agree
-    # within STORM_BAND, the weather was stable and the geomean is the best
-    # estimate; when they disagree, the session-average is unknowable from
-    # endpoint slots, so take the slot CLOSER TO QUIET (log-distance to
-    # 1.0) — under-correcting is the only honest failure mode — and raise
-    # the anchor_storm flag so the round reader knows the weather moved.
-    STORM_BAND = 1.35
-    storm = max(ratio_pre, ratio_post) / min(ratio_pre, ratio_post) > STORM_BAND
-    if storm:
-        ratio = round(min(ratio_pre, ratio_post, key=lambda r: abs(math.log(r))), 3)
-    else:
-        ratio = round(math.sqrt(ratio_pre * ratio_post), 3)
+    # Per-SLOT combined ratios + the storm rule — see combine_anchor_ratios
+    # (pure, unit-tested). The micro anchor detects pure-CPU contention with
+    # zero data dependence; the suite probe detects the scheduling / scan /
+    # shuffle weather the micro anchor missed in r12.
+    combined = combine_anchor_ratios(anchor_pre, anchor_post, cal_pre, cal_post)
+    ratio = combined["ratio"]
+    ratio_micro = combined["ratio_micro"]
+    ratio_cal = combined["ratio_cal"]
+    ratio_pre = combined["ratio_pre"]
+    ratio_post = combined["ratio_post"]
+    storm = combined["storm"]
     # r11 VERDICT #1: normalize SYMMETRICALLY — a host running faster than
     # the anchor calibration flatters the raw headline exactly as much as a
     # slow host inflates it, so value_normalized divides by the ratio in
