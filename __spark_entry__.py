@@ -2799,6 +2799,30 @@ def q_semantic_decontaminate_embeddings(spark, sf):
     return out.select("vec_id", "max_bench_cosine", "contaminated")
 
 
+def q_semantic_decon_exposure_embeddings(spark, sf):
+    """Per-BENCHMARK-item contamination exposure (llm/similarity.
+    semantic_decon_exposure — NEW r13): the reverse view of the r12
+    semantic_decontaminate row. Eval-set triage reads THIS — which eval
+    item leaked, how many corpus hits, worst cosine — not the corpus-side
+    flag list. Same planted construction as the forward row (even-id
+    benchmark vectors re-enter the corpus scaled ×1.5: cosine exactly 1.0,
+    so even items have exactly one hit and odd items zero, organic max
+    ~0.51 « 0.999). The Spark plan keeps corpus bodies unshuffled (hits
+    filter map-side against the plan literal, only (index, cosine) pairs
+    explode into one bounded agg); the oracle is the explicit CROSS JOIN
+    per-pair cosine, filtered and grouped per benchmark id."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 10)
+    planted = bench.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).unionByName(planted)
+    return L_sim.semantic_decon_exposure(corpus, bench, threshold=0.999)
+
+
 def q_curate_semantic_decon_docs(spark, sf):
     """END-TO-END hash oracle for the r12 semantic-DECONTAMINATION curate
     stage (CurationConfig.semantic_benchmark): exact dedup → drop every doc
@@ -3764,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix_docs": q_epoch_mix_docs,  # NEW r13 (fractional-epoch recipe upsampling; md5-gate hash oracle)
         "global_shuffle_docs": q_global_shuffle_docs,  # NEW r13 (seeded global permutation via distributed prefix sum; full-mapping hash oracle)
         "curate_recipe_docs": q_curate_recipe_docs,  # NEW r13 (recipe-assembly chain tail: dedup -> split -> epochs -> shuffle -> pack, composed hash oracle)
+        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # NEW r13 (per-benchmark-item contamination exposure -- eval-set triage; hash oracle)
         "training_shards_docs": q_training_shards_docs,  # impl changed r13 (overflow-free bit_xor manifest fingerprint + null clamp + writer order -- r12 VERDICT #1; hash oracle regenerated)
         "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # impl changed r13 (bench-dim guards + cell-aware literal cap -- r12 VERDICT #3 / ADVICE; hash oracle)
         "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # impl changed r13 (shared dim guards ride the LSH tier too; hash oracle)
@@ -3808,8 +3833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans_docs": q_repeated_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
         "bpe_token_stats_docs": q_bpe_token_stats_docs,  # continuity fill (last driver row r09)
         "cdc_chunk_docs": q_cdc_chunk_docs,  # continuity fill (last driver row r09)
-        "curate_docs": q_curate_docs,  # continuity fill (last driver row r09)
         # ---- slots 51+ begin here (window = first 50 entries). Every entry
+        "curate_docs": q_curate_docs,  # r9 row (rows-only: auto-gated chain; displaced from the window by the exposure row)
         "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r9 row (rows-only: seeded xxhash LSH; displaced from the window by curate_recipe_docs)
         "embedding_pq_topk": q_embedding_pq_topk,  # r9 row (rows-only: k-means codebooks; displaced from the window by the two NEW r13 rows)
         "bm25_topk_docs": q_bm25_topk_docs,  # r9 green (displaced from the window by the two NEW r13 rows)
@@ -5798,6 +5823,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, count(*) AS docs,
                CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
         FROM mixed GROUP BY 1
+    """
+    # decon exposure (NEW r13): per-pair cosine ROUNDED AT 6 before the
+    # threshold filter (mirroring the Spark per-pair rounding), then count +
+    # max per benchmark id; zero-hit items complete via the LEFT JOIN
+    sqls["semantic_decon_exposure_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        bench AS (
+          SELECT vec_id AS bid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE vec_id < 10),
+        corpus AS (
+          SELECT vec_id, v FROM base WHERE vec_id >= 10
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+          FROM base WHERE vec_id < 10 AND vec_id % 2 = 0),
+        cn AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM corpus),
+        p AS (
+          SELECT b.bid,
+                 round(list_sum(list_transform(range(1, len(c.v) + 1),
+                       i -> c.v[i] * b.v[i])) / (b.n * c.n), 6) AS cos
+          FROM cn c CROSS JOIN bench b),
+        h AS (SELECT bid, count(*) AS nc, max(cos) AS mc
+              FROM p WHERE cos >= 0.999 GROUP BY bid)
+        SELECT b.bid AS vec_id,
+               CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
+               h.mc AS max_corpus_cosine
+        FROM bench b LEFT JOIN h USING (bid)
     """
     # curate_recipe (NEW r13): the full recipe-assembly chain tail as ONE
     # composed CTE — exact dedup, hash split, 1.5-epoch upsample, seeded

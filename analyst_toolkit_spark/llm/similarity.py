@@ -1019,6 +1019,128 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decon_exposure(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    max_benchmark: int = DECON_BENCH_MAX,
+    max_cells: int = DECON_BENCH_MAX_CELLS,
+) -> DataFrame:
+    """The REVERSE view of :func:`semantic_decontaminate` — per BENCHMARK
+    item, how exposed is it in the corpus: ``n_contaminated`` (corpus rows
+    whose cosine reaches ``threshold``) and ``max_corpus_cosine`` (the
+    worst hit). Eval-set triage reads this, not the corpus flags: an eval
+    item with hundreds of corpus hits is memorized-by-construction and
+    should be dropped from the benchmark (or its hits from the corpus);
+    the corpus-side flag list cannot say which item leaked.
+
+    Plan shape at 100 TB (same contract as the forward literal tier): the
+    benchmark rides the plan as one literal; each corpus row transforms it
+    into (index, cosine) pairs, FILTERS to hits map-side, and only the
+    surviving (index, cosine) pairs — normally a sliver — explode into the
+    one keyed aggregation over <= ``max_benchmark`` groups. Corpus row
+    bodies never shuffle. Zero-hit items are completed by a left join from
+    the driver-built benchmark-id frame; both join sides are bounded at
+    <= max_benchmark rows by construction (the hit aggregation's key is
+    the literal's index), so AQE broadcasts unhinted — the dsir
+    modulo-bounded precedent.
+
+    Output: (bench_id_col, n_contaminated, max_corpus_cosine) — one row
+    per benchmark item; zero-hit items carry (0, null). max_corpus_cosine
+    is the max over FLAGGED pairs only: un-flagged exposure is below
+    ``threshold`` by construction, and emitting every (item, cosine) pair
+    just to sharpen a sub-threshold max would shuffle |corpus| x |bench|
+    rows — the quadratic this tier exists to avoid. Null corpus vectors
+    contribute nothing; dim mismatches raise exactly like the forward
+    tier (shared guards).
+    """
+    bcol = bench_vec_col or vec_col
+    rows = (
+        benchmark.select(F.col(bench_id_col).alias("__bid"), F.col(bcol).alias("__b"))
+        .limit(max_benchmark + 1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("semantic_decon_exposure: empty benchmark set")
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"semantic_decon_exposure: benchmark exceeds max_benchmark="
+            f"{max_benchmark} vectors — triage the LSH tier's hit pairs "
+            f"instead, or raise the cap"
+        )
+    blit, bench_dim = _bench_literal(rows, "__b")
+    cells = len(rows) * bench_dim
+    if cells > max_cells:
+        raise ValueError(
+            f"semantic_decon_exposure: benchmark literal would be "
+            f"{len(rows)} vectors x {bench_dim} dims = {cells} cells "
+            f"(max_cells={max_cells}) — use the LSH tier for high-dim/large "
+            f"eval sets, or raise max_cells deliberately"
+        )
+    vec = F.col(vec_col).cast("array<double>")
+    # (index, cosine) per benchmark vector, filtered to hits BEFORE explode
+    pairs = F.transform(
+        blit,
+        lambda b, i: F.struct(
+            i.alias("i"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, b["v"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (b["n"] * norm(F.col(vec_col))),
+                6,
+            ).alias("cos"),
+        ),
+    )
+    hits = F.filter(pairs, lambda s: s["cos"] >= F.lit(float(threshold)))
+    guarded = (
+        F.when(F.col(vec_col).isNull(), F.array().cast("array<struct<i:int,cos:double>>"))
+        .when(
+            F.size(vec) != F.lit(bench_dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_decon_exposure: corpus vector dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(f" != benchmark dim {bench_dim} — wrong embedding column or model"),
+                )
+            ).cast("array<struct<i:int,cos:double>>"),
+        )
+        .otherwise(hits.cast("array<struct<i:int,cos:double>>"))
+    )
+    exposed = (
+        corpus.select(F.explode(guarded).alias("__h"))
+        .groupBy(F.col("__h.i").alias("__i"))
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("__h.cos").alias("max_corpus_cosine"),
+        )
+    )
+    spark = corpus.sparkSession
+    bid_type = dict(benchmark.dtypes)[bench_id_col]
+    ids = spark.createDataFrame(
+        [(i, r["__bid"]) for i, r in enumerate(rows)],
+        schema=f"__i int, {bench_id_col} {bid_type}",
+    )
+    # no hint: the preserved side of a left join cannot build-broadcast, and
+    # `exposed` is structurally bounded at <= len(rows) groups (the key is
+    # the literal's index) — the dsir modulo-bounded precedent: AQE sees two
+    # tiny sides and broadcasts on its own
+    return (
+        ids
+        .join(exposed, "__i", "left")
+        .select(
+            bench_id_col,
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.col("max_corpus_cosine"),
+        )
+    )
+
+
 def semantic_decontaminate_lsh(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -3089,3 +3089,52 @@ def test_epoch_mix_whole_and_fractional(spark):
         T.epoch_mix(df, {"wiki": 2.0})  # dict without source_col
     with pytest.raises(ValueError):
         T.epoch_mix(df, -0.5)
+
+
+def test_semantic_decon_exposure(spark):
+    """Per-benchmark-item exposure triage (r13): counts and max cosine over
+    FLAGGED corpus hits, zero-hit items completed with (0, null), shared dim
+    guards with the forward tier."""
+    import math
+
+    def vec(seed, dim=8):
+        vals = [math.sin(seed * 31 + j) for j in range(dim)]
+        return vals
+
+    # bench items 0,1,2; corpus: 3 scaled copies of item 0, 1 copy of item 1,
+    # none of item 2, plus unrelated organic vectors
+    bench = spark.createDataFrame(
+        [(i, vec(i)) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    corpus_rows = (
+        [(100 + k, [x * (1.0 + k) for x in vec(0)]) for k in range(3)]
+        + [(200, [x * 2.0 for x in vec(1)])]
+        + [(300 + k, vec(50 + k)) for k in range(5)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["n_contaminated"], r["max_corpus_cosine"])
+        for r in S.semantic_decon_exposure(corpus, bench, threshold=0.999).collect()
+    }
+    assert out[0] == (3, 1.0)
+    assert out[1] == (1, 1.0)
+    assert out[2][0] == 0 and out[2][1] is None
+
+    # null corpus vectors contribute nothing; wrong-dim corpus vectors raise
+    with_null = corpus.unionByName(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<double>")
+    )
+    out2 = {
+        r["vec_id"]: r["n_contaminated"]
+        for r in S.semantic_decon_exposure(with_null, bench, threshold=0.999).collect()
+    }
+    assert out2[0] == 3
+    import pytest as _p
+
+    bad = corpus.unionByName(
+        spark.createDataFrame([(998, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    )
+    with _p.raises(Exception, match="corpus vector dim"):
+        S.semantic_decon_exposure(bad, bench, threshold=0.999).collect()
+    with _p.raises(ValueError, match="empty benchmark"):
+        S.semantic_decon_exposure(corpus, bench.filter("vec_id < 0"))

@@ -332,6 +332,10 @@ _EXCHANGE_CEILINGS = {
     # prefix-sum cuts; visible = the pid-window shuffle over the final cut
     # (measured 1, 0 parquet re-scans, 0 single-partition exchanges)
     "curate_recipe_docs": 2,
+    # exposure triage: corpus bodies never shuffle — only the map-side-
+    # filtered (index, cosine) hit pairs reach the one bounded agg; the
+    # id-completion join broadcasts unhinted (measured 1 + 1 broadcast)
+    "semantic_decon_exposure_embeddings": 2,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
