@@ -2799,6 +2799,21 @@ def q_semantic_decontaminate_embeddings(spark, sf):
     return out.select("vec_id", "max_bench_cosine", "contaminated")
 
 
+def q_decon_exposure_docs(spark, sf):
+    """Per-BENCHMARK-item LEXICAL exposure (llm/text.decon_exposure — NEW
+    r13): the n-gram twin of the semantic exposure row, with CONTAINMENT
+    semantics (|grams(item) ∩ grams(doc)| / |grams(item)| — a short eval
+    item fully quoted in a long page is 100% leaked even though the page's
+    own overlap ratio is tiny). Benchmark = the every-25th slice of the
+    corpus itself, so every item has a guaranteed verbatim hit (containment
+    1.0 with itself) plus whatever organic boilerplate shares its grams.
+    Corpus docs sharing nothing with the benchmark never leave their
+    partitions; the oracle is the explicit gram join + per-item group."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return L_text.decon_exposure(docs, bench, n=8, threshold=0.8)
+
+
 def q_semantic_decon_exposure_embeddings(spark, sf):
     """Per-BENCHMARK-item contamination exposure (llm/similarity.
     semantic_decon_exposure — NEW r13): the reverse view of the r12
@@ -3789,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_docs": q_global_shuffle_docs,  # NEW r13 (seeded global permutation via distributed prefix sum; full-mapping hash oracle)
         "curate_recipe_docs": q_curate_recipe_docs,  # NEW r13 (recipe-assembly chain tail: dedup -> split -> epochs -> shuffle -> pack, composed hash oracle)
         "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # NEW r13 (per-benchmark-item contamination exposure -- eval-set triage; hash oracle)
+        "decon_exposure_docs": q_decon_exposure_docs,  # NEW r13 (lexical n-gram exposure twin, containment semantics; hash oracle)
         "training_shards_docs": q_training_shards_docs,  # impl changed r13 (overflow-free bit_xor manifest fingerprint + null clamp + writer order -- r12 VERDICT #1; hash oracle regenerated)
         "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # impl changed r13 (bench-dim guards + cell-aware literal cap -- r12 VERDICT #3 / ADVICE; hash oracle)
         "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # impl changed r13 (shared dim guards ride the LSH tier too; hash oracle)
@@ -3832,8 +3848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans_docs": q_remove_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
         "repeated_spans_docs": q_repeated_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
         "bpe_token_stats_docs": q_bpe_token_stats_docs,  # continuity fill (last driver row r09)
-        "cdc_chunk_docs": q_cdc_chunk_docs,  # continuity fill (last driver row r09)
         # ---- slots 51+ begin here (window = first 50 entries). Every entry
+        "cdc_chunk_docs": q_cdc_chunk_docs,  # r9 row (rows-only: rolling-hash CDC; displaced from the window by the lexical exposure row)
         "curate_docs": q_curate_docs,  # r9 row (rows-only: auto-gated chain; displaced from the window by the exposure row)
         "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r9 row (rows-only: seeded xxhash LSH; displaced from the window by curate_recipe_docs)
         "embedding_pq_topk": q_embedding_pq_topk,  # r9 row (rows-only: k-means codebooks; displaced from the window by the two NEW r13 rows)
@@ -5823,6 +5839,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, count(*) AS docs,
                CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
         FROM mixed GROUP BY 1
+    """
+    # lexical exposure (NEW r13): distinct 8-grams both sides, shared-gram
+    # count per (doc, item), containment = shared / item_size rounded at 6,
+    # then count/max per item; zero-gram and zero-hit items complete via
+    # the LEFT JOINs from the benchmark-id spine
+    sqls["decon_exposure_docs"] = """
+        WITH ctk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        cg AS (
+          SELECT doc_id AS did, unnest(list_distinct(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                                     i -> array_to_string(toks[i:i+7], ' '))
+                 ELSE [] END)) AS gram
+          FROM ctk),
+        b0 AS (SELECT doc_id AS bid FROM documents WHERE doc_id % 25 = 0),
+        bg AS (SELECT did AS bid, gram FROM cg WHERE did % 25 = 0),
+        bsz AS (SELECT bid, count(*) AS bsz FROM bg GROUP BY bid),
+        sh AS (SELECT c.did, b.bid, count(*) AS s
+               FROM cg c JOIN bg b USING (gram) GROUP BY 1, 2),
+        p AS (SELECT sh.bid, round(sh.s / CAST(bsz.bsz AS DOUBLE), 6) AS cont
+              FROM sh JOIN bsz USING (bid)),
+        h AS (SELECT bid, sum(CASE WHEN cont >= 0.8 THEN 1 ELSE 0 END) AS nc,
+                     max(cont) AS mc
+              FROM p GROUP BY bid)
+        SELECT b0.bid AS doc_id,
+               CAST(coalesce(bsz.bsz, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
+               h.mc AS max_containment
+        FROM b0 LEFT JOIN bsz ON b0.bid = bsz.bid LEFT JOIN h ON b0.bid = h.bid
     """
     # decon exposure (NEW r13): per-pair cosine ROUNDED AT 6 before the
     # threshold filter (mirroring the Spark per-pair rounding), then count +

@@ -720,6 +720,95 @@ def decontaminate(
     )
 
 
+def decon_exposure(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    bench_key: str = "text",
+    bench_id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    pair_cap: int | None = None,
+) -> DataFrame:
+    """The REVERSE view of :func:`decontaminate` — per BENCHMARK item, how
+    exposed is it in the corpus: ``n_contaminated`` (corpus docs whose
+    shared-gram CONTAINMENT of the item — |grams(item) ∩ grams(doc)| /
+    |grams(item)| — reaches ``threshold``) and ``max_containment`` (the
+    worst hit, over every doc sharing at least one gram). Eval-set triage
+    reads this, not the corpus flags: an eval item quoted verbatim across
+    hundreds of pages is memorized-by-construction and should leave the
+    benchmark; the corpus-side flag list cannot say which item leaked.
+    The lexical twin of :func:`~analyst_toolkit_spark.llm.similarity.
+    semantic_decon_exposure` — containment, not symmetric overlap, because
+    a 50-gram eval item fully quoted inside a 5000-gram page is 100%
+    leaked even though the page's own overlap_ratio is 1%.
+
+    Plan at 100 TB of docs vs a small benchmark: corpus docs explode to
+    DISTINCT (doc, gram) pairs map-side; the benchmark's (gram, item)
+    mapping rides the size-gated broadcast (``maybe_broadcast`` — same
+    contract as decontaminate); the only corpus-scale shuffle carries
+    (doc, item) hit pairs — docs sharing nothing with the benchmark
+    never leave their partitions. The join IS bipartite-quadratic-capable
+    (a gram frequent on both sides fans out), so ``pair_cap`` arms the
+    standing census gate: Σ_gram c_corpus·c_bench is counted BEFORE the
+    join and refused with the dial named (raise ``n`` — longer grams are
+    rarer — or pre-filter boilerplate).
+
+    Output: one row per benchmark item — (bench_id_col, n_grams,
+    n_contaminated, max_containment); items shorter than ``n`` words have
+    0 grams and (0, null), items sharing no gram with the corpus have
+    (0, null).
+    """
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+    from analyst_toolkit_spark.llm.dedup import shingles
+
+    bgrams = benchmark.select(
+        F.col(bench_id_col).alias("__bid"), F.explode(shingles(bench_key, n)).alias("gram")
+    )
+    bsizes = bgrams.groupBy("__bid").agg(F.count(F.lit(1)).alias("__bsz"))
+    bench_ids = benchmark.select(F.col(bench_id_col).alias("__bid")).distinct()
+    dgrams = docs.select(
+        F.col(id_col).alias("__did"), F.explode(shingles(key, n)).alias("gram")
+    )
+    if pair_cap is not None:
+        cg = dgrams.groupBy("gram").agg(F.count(F.lit(1)).alias("__cc"))
+        bg = bgrams.groupBy("gram").agg(F.count(F.lit(1)).alias("__bc"))
+        est = (
+            cg.join(bg, "gram").agg(F.sum(F.col("__cc") * F.col("__bc"))).first()[0] or 0
+        )
+        if est > pair_cap:
+            raise ValueError(
+                f"decon_exposure: {est} candidate (doc, item) gram hits exceed "
+                f"pair_cap={pair_cap} — raise n (longer grams are rarer) or "
+                f"pre-filter boilerplate from the corpus/benchmark"
+            )
+    shared = (
+        dgrams.join(maybe_broadcast(bgrams), "gram")
+        .groupBy("__did", "__bid")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    pairs = shared.join(maybe_broadcast(bsizes), "__bid").withColumn(
+        "__cont", F.round(F.col("__shared") / F.col("__bsz").cast("double"), 6)
+    )
+    per_item = pairs.groupBy("__bid").agg(
+        F.sum((F.col("__cont") >= F.lit(float(threshold))).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.max("__cont").alias("max_containment"),
+    )
+    return (
+        bench_ids.join(bsizes, "__bid", "left")
+        .join(per_item, "__bid", "left")
+        .select(
+            F.col("__bid").alias(bench_id_col),
+            F.coalesce(F.col("__bsz"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.col("max_containment"),
+        )
+    )
+
+
 # -- vocabulary induction / rarity scoring ------------------------------------
 # The tokenizer-prep side of a training pipeline: induce a frequency vocab
 # from the corpus, measure how much of the token mass a budget-V vocabulary

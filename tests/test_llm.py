@@ -3138,3 +3138,43 @@ def test_semantic_decon_exposure(spark):
         S.semantic_decon_exposure(bad, bench, threshold=0.999).collect()
     with _p.raises(ValueError, match="empty benchmark"):
         S.semantic_decon_exposure(corpus, bench.filter("vec_id < 0"))
+
+
+def test_decon_exposure_lexical(spark):
+    """Per-benchmark-item lexical exposure (r13): containment semantics —
+    a short eval item fully quoted inside a long page counts as 100%
+    leaked even though the page's own overlap ratio is tiny."""
+    item = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words = 1 gram at n=8
+    page = item + " " + " ".join(f"filler{i}" for i in range(100))
+    bench = spark.createDataFrame(
+        [(1, item), (2, "one two three four five six seven eight"), (3, "too short")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(10, page), (11, page + " more"), (12, "unrelated words " * 20)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["max_containment"])
+        for r in T.decon_exposure(docs, bench, n=8, threshold=1.0).collect()
+    }
+    # item 1 is fully contained in docs 10 and 11
+    assert out[1] == (1, 2, 1.0)
+    # item 2 shares nothing
+    assert out[2] == (1, 0, None)
+    # item 3 is shorter than n words: zero grams, zero exposure
+    assert out[3] == (0, 0, None)
+
+    # census gate refuses up front when armed
+    import pytest as _p
+
+    with _p.raises(ValueError, match="pair_cap"):
+        T.decon_exposure(docs, bench, n=8, threshold=1.0, pair_cap=0)
+
+    # partial containment: half the grams of a 2-gram item present
+    bench2 = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta iota")], ["doc_id", "text"]
+    )  # 9 words = 2 grams; only the first appears in `page`
+    out2 = T.decon_exposure(docs, bench2, n=8, threshold=0.4).collect()[0]
+    assert out2["n_grams"] == 2 and out2["max_containment"] == 0.5
+    assert out2["n_contaminated"] == 2  # both pages hold 1/2 >= 0.4

@@ -336,6 +336,11 @@ _EXCHANGE_CEILINGS = {
     # filtered (index, cosine) hit pairs reach the one bounded agg; the
     # id-completion join broadcasts unhinted (measured 1 + 1 broadcast)
     "semantic_decon_exposure_embeddings": 2,
+    # lexical exposure twin: the ONE corpus-scale exchange is the (doc,
+    # item) hit-pair agg; the other four are benchmark-scale (item sizes,
+    # id spine, per-item agg) with the gram mapping on the size-gated
+    # broadcast (measured 5 + 3 broadcasts)
+    "decon_exposure_docs": 6,
     # leakage-safe split tail = comps join + split-key agg over the eager CC
     # (measured 4); oov_rate = token-count shuffle + top-V sort-limit +
     # per-doc agg (measured 3)
