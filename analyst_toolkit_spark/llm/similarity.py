@@ -804,6 +804,306 @@ def ivf_probe_many(
     return out
 
 
+#: ivf_probe_join ships the coarse quantizer as ONE plan literal (nlist x dim
+#: doubles) — the same plan-sized-expression failure mode the decontamination
+#: caps guard, so the same 262144-cell ceiling. Past it, shrink nlist or rank
+#: clusters with an explicit centroids-DataFrame join instead of the literal.
+IVF_JOIN_MAX_CELLS = 262144
+
+
+def _per_query_topk(
+    scored: DataFrame,
+    qid: str,
+    id_col: str,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Top-``k`` rows per query by (cosine DESC, id ASC) — the single-probe
+    tie-break — without a per-query single-task window funnel (the
+    grouped_topk two-bounded-phase skew contract, llm/pack.py):
+
+    1. per-(query, input-partition) top-k: each reduce-side sort_array list
+       is bounded by ONE partition's share of that query's candidates;
+    2. per-query merge of the k x n_partitions winners.
+
+    The ordering key is ``struct(-cosine, id)`` sorted ASCENDING, so ties in
+    the (rounded) cosine break on the ascending id — bit-identical to
+    ``orderBy(desc(cosine), asc(id)).limit(k)`` because double negation is
+    exact. Only (query_id, id, cosine[, extra]) ride the two ranking
+    shuffles; ``extra_cols`` append behind the unique (nc, id) prefix so
+    they never perturb the order (used to carry the cluster id into the
+    refine re-rank join)."""
+    key = F.struct(
+        (-F.col("cosine")).alias("nc"),
+        F.col(id_col).alias("i"),
+        *[F.col(c).alias(c) for c in extra_cols],
+    )
+    part = (
+        scored.groupBy(F.col(qid).alias("__q"), F.spark_partition_id().alias("__pid"))
+        .agg(F.slice(F.sort_array(F.collect_list(key), asc=True), 1, k).alias("__top"))
+        .select("__q", F.explode("__top").alias("__e"))
+    )
+    merged = part.groupBy("__q").agg(
+        F.slice(F.sort_array(F.collect_list("__e"), asc=True), 1, k).alias("__top")
+    )
+    return merged.select(F.col("__q").alias(qid), F.explode("__top").alias("__e")).select(
+        qid,
+        F.col("__e.i").alias(id_col),
+        (-F.col("__e.nc")).alias("cosine"),
+        *[F.col(f"__e.{c}").alias(c) for c in extra_cols],
+    )
+
+
+def ivf_probe_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "__ivf_cluster",
+    refine_factor: int = 0,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_cells: int = IVF_JOIN_MAX_CELLS,
+) -> DataFrame:
+    """JOIN-form batched IVF probe — the production retrieval-workload shape
+    (r13 VERDICT #1). :func:`ivf_probe_many` unions one plan branch per
+    query and pays a driver-side centroid ranking per query: right for a
+    7-collect recall grid, wrong for 10k+ query vectors (plan size and
+    compile time grow linearly; a 10k-branch union won't schedule). Here the
+    workload is a DataFrame and the whole batch is ONE fixed-shape plan:
+
+    1. the coarse quantizer rides the plan as a single (i, v, n) struct-array
+       literal (``max_cells`` guards the plan-sized-expression failure mode);
+    2. each QUERY ROW ranks the centroids map-side — ``array_sort`` over
+       ``struct(-cosine, i)`` reproduces the single probe's stable
+       driver-side ranking (ties break on the ascending centroid index) —
+       and explodes into its ``nprobe`` (cluster) probes;
+    3. one equi-join on the cluster partition column scores candidates (the
+       query side is size-gated broadcast, so the corpus never shuffles and
+       Spark can dynamically partition-prune the scan for selective
+       workloads);
+    4. :func:`_per_query_topk` ranks per query in two bounded phases — no
+       per-query window funnel, no per-query plan branch.
+
+    Per-query results are EXACTLY the single :func:`ivf_probe` output (same
+    centroid ranking, tier scoring arithmetic, rounding, and id tie-break;
+    suite-equivalence-tested against :func:`ivf_probe_many` across all three
+    storage tiers, plain and refine). Tier scoring moves in-plan unchanged:
+
+    - raw: exact cosine over the pruned partitions;
+    - sq8: the query quantizes PER ROW with the exact
+      :func:`quantize_embeddings` arithmetic, then the scale-free
+      :func:`quantized_cosine` over stored int8 codes;
+    - pq: the ADC lookup table is built ONCE PER QUERY ROW (m x 2^nbits
+      sub-dot-products against the codebook literal, the driver-LUT moved
+      map-side), so each candidate still scores by m table lookups — the
+      ADC win survives the join form; the codeword-norm table is
+      query-independent and rides as one flat literal.
+
+    ``refine_factor`` keeps the single-probe semantics: over-probe
+    ``nprobe*r`` clusters; on the compressed tiers shortlist ``k*r`` by the
+    cheap score, then exact-re-rank the shortlist on raw vectors (requires
+    a ``keep_raw=True`` index) — the shortlist join back onto the vectors
+    scan keys on (cluster, id), so it too prunes partitions.
+
+    ``queries`` must carry (``query_id_col``, ``query_vec_col``); null query
+    vectors and dim mismatches raise IN-PLAN (the decontamination-guard
+    stance — a null-padded zip_with would silently zero a query's results).
+    Output: (query_id_col, id_col, cosine), ``k`` rows per query.
+
+    Cost shape at 100 TB: plan size is O(nlist x dim + m x 2^nbits), NOT
+    O(|queries|); one scan + one join + the two bounded ranking exchanges
+    regardless of workload size (examples/sweep_r14_probe_join.py measures
+    flat-vs-linear against the union form).
+    """
+    import math
+
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+
+    sidecar = _read_ivf_sidecar(spark, path)
+    centroids, storage = sidecar["centroids"], sidecar["storage"]
+    nlist, dim = len(centroids), len(centroids[0])
+    if nlist * dim > max_cells:
+        raise ValueError(
+            f"ivf_probe_join: centroid literal would be {nlist} clusters x "
+            f"{dim} dims = {nlist * dim} cells (max_cells={max_cells}) — "
+            f"shrink nlist, or rank clusters via an explicit centroid join "
+            f"for very large quantizers"
+        )
+    n_eff = min(nlist, nprobe * refine_factor) if refine_factor else nprobe
+
+    # (i, v, n) centroid literal — one parsed expression (the lit_vec lesson);
+    # norms precomputed in the same Python arithmetic the single probe uses.
+    frags = []
+    for i, c in enumerate(centroids):
+        vals = [float(x) for x in c]
+        if not all(math.isfinite(x) for x in vals):
+            raise ValueError("ivf_probe_join: non-finite centroid in sidecar")
+        cn = math.sqrt(sum(v * v for v in vals)) or 1.0
+        frags.append(
+            f"struct({i} as i, array("
+            + ",".join(repr(v) + "D" for v in vals)
+            + f") as v, {cn!r}D as n)"
+        )
+    centlit = F.expr("array(" + ",".join(frags) + ")")
+
+    guarded_vec = (
+        F.when(
+            F.col(query_vec_col).isNull(),
+            F.raise_error(
+                F.lit(f"ivf_probe_join: null query vector (column {query_vec_col!r})")
+            ).cast("array<double>"),
+        )
+        .when(
+            F.size(F.col(query_vec_col)) != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("ivf_probe_join: query vector dim "),
+                    F.size(F.col(query_vec_col)).cast("string"),
+                    F.lit(f" != index dim {dim} — wrong embedding column or model"),
+                )
+            ).cast("array<double>"),
+        )
+        .otherwise(F.col(query_vec_col).cast("array<double>"))
+    )
+    q = queries.select(F.col(query_id_col), guarded_vec.alias("__qv"))
+    qn_raw = norm(F.col("__qv"))
+    # `or 1.0` zero-norm fallback, exactly the single probe's driver arithmetic
+    q = q.withColumn("__qn", F.when(qn_raw == F.lit(0.0), F.lit(1.0)).otherwise(qn_raw))
+
+    # per-row centroid ranking: struct(-cos, i) sorted ascending == the
+    # driver's stable sorted(key=-cos) (ties keep index order)
+    pairs = F.transform(
+        centlit,
+        lambda c: F.struct(
+            (
+                -(
+                    F.aggregate(
+                        F.zip_with(F.col("__qv"), c["v"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (c["n"] * F.col("__qn"))
+                )
+            ).alias("nc"),
+            c["i"].alias("i"),
+        ),
+    )
+    probes = F.transform(F.slice(F.array_sort(pairs), 1, n_eff), lambda s: s["i"])
+
+    if storage == "sq8":
+        # exact quantize_embeddings arithmetic, staged scale (O(d^2) otherwise)
+        maxabs = F.aggregate(
+            F.col("__qv"), F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v))
+        )
+        q = q.withColumn("__qscale", F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0))
+        qcodes = F.transform(
+            F.col("__qv"),
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(v / F.col("__qscale") + F.lit(0.5)).cast("int")),
+            ),
+        )
+        q = q.withColumn("__qcodes", qcodes).drop("__qscale")
+    elif storage == "pq":
+        books = sidecar["pq_codebooks"]
+        m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+        cb_frags = [
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")" for c in book
+            )
+            + ")"
+            for book in books
+        ]
+        cblit = F.expr("array(" + ",".join(cb_frags) + ")")
+        # the ADC lookup table, built once per query row (m*ksub sub-dots) —
+        # flattened so candidate scoring is m element_at reads
+        lut = F.flatten(
+            F.transform(
+                cblit,
+                lambda book, j: F.transform(
+                    book,
+                    lambda c: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__qv"), j * F.lit(dsub) + 1, F.lit(dsub)),
+                            c,
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                ),
+            )
+        )
+        q = q.withColumn("__lut", lut)
+        # codeword-norm table: query-independent, identical to pq_topk's n2_lut
+        rn2_flat = [sum(x * x for x in c) for book in books for c in book]
+        rn2lit = lit_vec(rn2_flat)
+
+    qx = maybe_broadcast(q.withColumn("__cl", F.explode(probes)))
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+
+    if storage == "raw":
+        slim = vectors.select(F.col(cluster_col), F.col(id_col), F.col(vec_col).alias("__cv"))
+        joined = slim.join(qx, slim[cluster_col] == qx["__cl"])
+        cos = F.round(
+            dot_cols(F.col("__cv"), F.col("__qv")) / (norm(F.col("__cv")) * F.col("__qn")), 6
+        )
+        scored = joined.select(F.col(query_id_col), F.col(id_col), cos.alias("cosine"))
+        return _per_query_topk(scored, query_id_col, id_col, k)
+
+    if storage == "pq":
+        slim = vectors.select(F.col(cluster_col), F.col(id_col), F.col("pq_code"))
+        joined = slim.join(qx, slim[cluster_col] == qx["__cl"])
+        code_at = lambda j: j * F.lit(ksub) + F.element_at(F.col("pq_code"), j + 1) + 1  # noqa: E731
+        seq = F.sequence(F.lit(0), F.lit(m - 1))
+        qdot = F.aggregate(
+            seq, F.lit(0.0), lambda acc, j: acc + F.element_at(F.col("__lut"), code_at(j))
+        )
+        rn2 = F.aggregate(
+            seq, F.lit(0.0), lambda acc, j: acc + F.element_at(rn2lit, code_at(j))
+        )
+        score = qdot / (F.sqrt(F.greatest(rn2, F.lit(1e-30))) * F.col("__qn"))
+    else:  # sq8
+        slim = vectors.select(F.col(cluster_col), F.col(id_col), F.col("q_vec"))
+        joined = slim.join(qx, slim[cluster_col] == qx["__cl"])
+        score = quantized_cosine(F.col("q_vec"), F.col("__qcodes"))
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("cosine"), F.col("__cl")
+    )
+    if not refine_factor:
+        return _per_query_topk(scored, query_id_col, id_col, k).select(
+            query_id_col, id_col, "cosine"
+        )
+    if vec_col not in vectors.columns:
+        raise ValueError(
+            f"ivf_probe_join: refine_factor={refine_factor} needs raw vectors in "
+            f"the index — rebuild with ivf_write(..., keep_raw=True) (storage "
+            f"{storage!r} dropped {vec_col!r})"
+        )
+    # shortlist k*r per query by the cheap tier score, then exact re-rank on
+    # the raw vectors; the join back keys on (cluster, id) so the fat raw
+    # column is read only from probed partitions, only for shortlist rows
+    short = _per_query_topk(
+        scored, query_id_col, id_col, k * refine_factor, extra_cols=("__cl",)
+    ).select(query_id_col, F.col(id_col).alias("__sid"), "__cl")
+    sj = short.join(q.select(query_id_col, "__qv", "__qn"), query_id_col)
+    raws = vectors.select(F.col(cluster_col), F.col(id_col), F.col(vec_col))
+    cand = raws.join(
+        maybe_broadcast(sj),
+        (raws[cluster_col] == F.col("__cl")) & (raws[id_col] == F.col("__sid")),
+    )
+    exact = F.round(
+        dot_cols(F.col(vec_col), F.col("__qv")) / (norm(F.col(vec_col)) * F.col("__qn")), 6
+    )
+    rescored = cand.select(F.col(query_id_col), raws[id_col], exact.alias("cosine"))
+    return _per_query_topk(rescored, query_id_col, id_col, k)
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
@@ -1068,9 +1368,21 @@ def semantic_decon_exposure(
     if len(rows) > max_benchmark:
         raise ValueError(
             f"semantic_decon_exposure: benchmark exceeds max_benchmark="
-            f"{max_benchmark} vectors — triage the LSH tier's hit pairs "
-            f"instead, or raise the cap"
+            f"{max_benchmark} vectors — use semantic_decon_exposure_lsh for "
+            f"large eval sets, or raise the cap"
         )
+    # duplicate ids would split one item's hit counts across duplicate output
+    # rows, silently violating the one-row-per-benchmark-item contract — the
+    # same fail-loud stance as the empty-benchmark and dim guards
+    seen: set = set()
+    for r in rows:
+        if r["__bid"] in seen:
+            raise ValueError(
+                f"semantic_decon_exposure: duplicate benchmark id "
+                f"{r['__bid']!r} in {bench_id_col!r} — ids must be unique or "
+                f"the per-item exposure counts split across duplicate rows"
+            )
+        seen.add(r["__bid"])
     blit, bench_dim = _bench_literal(rows, "__b")
     cells = len(rows) * bench_dim
     if cells > max_cells:
@@ -1219,6 +1531,107 @@ def semantic_decontaminate_lsh(
             F.col("max_bench_cosine").isNotNull(),
             F.col("max_bench_cosine") >= F.lit(float(threshold)),
         ).otherwise(F.lit(False)),
+    )
+
+
+def semantic_decon_exposure_lsh(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    pair_cap: int | None = None,
+) -> DataFrame:
+    """Per-BENCHMARK-item contamination exposure over the bipartite LSH tier
+    (r13 VERDICT #2) — the large-benchmark twin of
+    :func:`semantic_decon_exposure`, exactly as
+    :func:`semantic_decontaminate_lsh` is the large-benchmark twin of
+    :func:`semantic_decontaminate`. When the eval set is too big for the
+    plan-literal tier (past ``DECON_BENCH_MAX`` / ``DECON_BENCH_MAX_CELLS``),
+    bucket BOTH sides with the same hyperplanes, exact-cosine-verify the
+    same-bucket (corpus, benchmark) candidates, and aggregate the hits BY
+    BENCHMARK ITEM: ``n_contaminated`` (corpus rows at >= ``threshold``) and
+    ``max_corpus_cosine`` (the worst hit) — eval-set triage reads this view,
+    the corpus-side flag list cannot say which item leaked.
+
+    Candidate semantics are the LSH tier's honest contract: counts and max
+    are over CANDIDATES only (a >= threshold pair in a different bucket is
+    missed — exact copies always share every plane sign, so verbatim and
+    scaled eval copies are always counted). Each vector carries exactly ONE
+    bucket (single-table LSH), so a (corpus, benchmark) pair is compared at
+    most once and ``n_contaminated`` never double-counts. ``pair_cap`` arms
+    the same bipartite census gate (Σ_bucket c_corpus·c_bench, labels-only
+    aggregation per side) before the join. ``bench_id_col`` values must be
+    unique — a duplicated id would carry its aggregate onto every duplicate
+    row (the literal tier fail-louds on duplicates at collect time; this
+    tier never collects the benchmark, so uniqueness is the caller's
+    contract). Null benchmark vectors bucket to null and match nothing:
+    they surface as zero-hit rows rather than raising (the literal tier
+    raises — it must materialize every vector; this tier need not).
+
+    Output: (bench_id_col, n_contaminated, max_corpus_cosine), one row per
+    benchmark row; zero-hit items carry (0, null). At 100 TB the only
+    corpus-scale exchange is the bucket join's hit stream; corpus row
+    bodies beyond (id, vector, norm, bucket) labels never shuffle, and the
+    final completion join is benchmark-sized on both sides."""
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+
+    bcol = bench_vec_col or vec_col
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("__c_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("__b_id"),
+        F.col(bcol).alias("__bv"),
+        norm(F.col(bcol)).alias("__bn"),
+        hyperplane_bucket(F.col(bcol), planes).alias("__bucket"),
+    )
+    if pair_cap is not None:
+        c = c.localCheckpoint(eager=False)
+        b = b.localCheckpoint(eager=False)
+        cc = c.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cc"))
+        bc = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("bc"))
+        est = (
+            cc.join(bc, "__bucket")
+            .agg(F.sum(F.col("cc") * F.col("bc")).alias("pairs"))
+            .first()["pairs"]
+        )
+        if est is not None and est > pair_cap:
+            raise ValueError(
+                f"semantic_decon_exposure_lsh: bipartite candidate census "
+                f"{int(est)} exceeds pair_cap={pair_cap} — raise n_planes "
+                f"(shrinks buckets) or raise the cap"
+            )
+    dot = dot_cols(F.col("__cv"), F.col("__bv"))
+    hits = (
+        c.join(maybe_broadcast(b.select("__b_id", "__bv", "__bn", "__bucket")), "__bucket")
+        .withColumn("__cos", F.round(dot / (F.col("__cn") * F.col("__bn")), 6))
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .groupBy("__b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("__cos").alias("max_corpus_cosine"),
+        )
+    )
+    # completion join: LEFT from the benchmark id spine so zero-hit items
+    # appear as (0, null); `hits` is <= |benchmark| groups by construction —
+    # both sides benchmark-sized, AQE broadcasts unhinted
+    out = b.select(F.col("__b_id").alias(bench_id_col)).join(
+        hits, F.col(bench_id_col) == F.col("__b_id"), "left"
+    )
+    return out.select(
+        bench_id_col,
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+        F.col("max_corpus_cosine"),
     )
 
 

@@ -3178,3 +3178,185 @@ def test_decon_exposure_lexical(spark):
     out2 = T.decon_exposure(docs, bench2, n=8, threshold=0.4).collect()[0]
     assert out2["n_grams"] == 2 and out2["max_containment"] == 0.5
     assert out2["n_contaminated"] == 2  # both pages hold 1/2 >= 0.4
+
+
+def test_ivf_probe_join_matches_union(spark, oracle_sf_dir, tmp_path):
+    """r13 VERDICT #1: the JOIN-form batched probe must return, per query,
+    EXACTLY the union-form ivf_probe_many rows (same ids, same rounded
+    cosines, same tie-breaks) for every storage tier, plain and refine, on
+    a 100+-query workload — while its plan stays ONE fixed shape instead of
+    one branch per query."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    qrows = emb.orderBy("vec_id").limit(110).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    qdf = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+    assigned, centroids = S.ivf_build(emb, nlist=8)
+    for t in ("raw", "sq8", "pq"):
+        path = str(tmp_path / t)
+        S.ivf_write(assigned, centroids, path, quantize=t, keep_raw=True)
+        for rf in (0, 2):
+            union_rows = sorted(
+                map(tuple, S.ivf_probe_many(
+                    spark, path, queries, k=10, nprobe=4, refine_factor=rf
+                ).collect())
+            )
+            join_rows = sorted(
+                map(tuple, S.ivf_probe_join(
+                    spark, path, qdf, k=10, nprobe=4, refine_factor=rf
+                ).collect())
+            )
+            assert join_rows == union_rows, (t, rf)
+            assert len(join_rows) == 110 * 10, (t, rf)
+
+
+def test_ivf_probe_join_plan_shape(spark, oracle_sf_dir, tmp_path):
+    """The plan gate behind the equivalence: NO per-query branches — zero
+    Unions, one parquet scan of the index, no Python rows — and the plan
+    is workload-size-INVARIANT (5 vs 50 queries compile to the same scan/
+    union/join counts), which is exactly what the union form cannot do."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    assigned, centroids = S.ivf_build(emb, nlist=8)
+    path = str(tmp_path / "raw")
+    S.ivf_write(assigned, centroids, path)
+
+    def _plan(n_queries: int) -> str:
+        qdf = spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.orderBy("vec_id").limit(n_queries).collect()],
+            "query_id long, query_vec array<double>",
+        )
+        df = S.ivf_probe_join(spark, path, qdf, k=5, nprobe=3)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for n in (5, 50):
+        plan = _plan(n)
+        assert "Union" not in plan, f"per-query branch leaked into the plan (n={n})"
+        assert "BatchEvalPython" not in plan, f"Python row processing in plan (n={n})"
+        assert plan.count("Scan parquet") == 1, f"index scanned more than once (n={n})"
+
+
+def test_ivf_probe_join_guards(spark, oracle_sf_dir, tmp_path):
+    """Fail-loud contract: plan-literal cell cap, in-plan null-query and
+    dim-mismatch raises (a null-padded zip_with would silently zero a
+    query's results), and the keep_raw requirement for compressed-tier
+    refine — all mirroring the single-probe / decontamination guards."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    assigned, centroids = S.ivf_build(emb, nlist=8)
+    raw_path = str(tmp_path / "raw")
+    sq8_path = str(tmp_path / "sq8")
+    S.ivf_write(assigned, centroids, raw_path)
+    S.ivf_write(assigned, centroids, sq8_path, quantize="sq8")  # no keep_raw
+    good = spark.createDataFrame(
+        [(0, [float(x) for x in emb.first()["embedding"]])],
+        "query_id long, query_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        S.ivf_probe_join(spark, raw_path, good, max_cells=10)
+    with pytest.raises(ValueError, match="keep_raw"):
+        S.ivf_probe_join(spark, sq8_path, good, refine_factor=2)
+    null_q = spark.createDataFrame(
+        [(0, None)], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(Exception, match="null query vector"):
+        S.ivf_probe_join(spark, raw_path, null_q).collect()
+    short_q = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(Exception, match="query vector dim"):
+        S.ivf_probe_join(spark, raw_path, short_q).collect()
+
+
+def test_semantic_decon_exposure_lsh_matches_literal(spark, oracle_sf_dir):
+    """r13 VERDICT #2: the LSH-tier exposure view must agree with the
+    literal tier row-for-row on a construction whose every >= threshold
+    pair is an exact-direction copy (always same-bucket, so the candidate
+    pruning loses nothing) — and must serve benchmarks PAST the literal
+    caps, where the literal tier fail-louds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 10)
+    planted = bench.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).unionByName(planted)
+    lit_rows = sorted(
+        map(tuple, S.semantic_decon_exposure(corpus, bench, threshold=0.999).collect())
+    )
+    lsh_rows = sorted(
+        map(tuple, S.semantic_decon_exposure_lsh(
+            corpus, bench, dim=64, threshold=0.999, pair_cap=10_000_000
+        ).collect())
+    )
+    assert lsh_rows == lit_rows
+
+    # past the literal caps: 5 scale-copies of the whole table = 2500 items
+    def scaler(s):
+        return lambda x: x * F.lit(s)
+
+    big = None
+    for si, s in ((1, 1.0), (2, 1.5), (3, 2.0), (4, 2.5), (5, 3.0)):
+        part = emb.select(
+            (F.col("vec_id") + 1000 * si).alias("vec_id"),
+            F.transform("embedding", scaler(float(s))).alias("embedding"),
+        )
+        big = part if big is None else big.unionByName(part)
+    corpus2 = emb.filter(F.col("vec_id") >= 10)
+    with pytest.raises(ValueError, match="max_benchmark"):
+        S.semantic_decon_exposure(corpus2, big, threshold=0.999)
+    out = S.semantic_decon_exposure_lsh(corpus2, big, dim=64, threshold=0.999).collect()
+    assert len(out) == 2500
+    by_hits = {0: 0, 1: 0}
+    for r in out:
+        by_hits[r["n_contaminated"]] = by_hits.get(r["n_contaminated"], 0) + 1
+        if r["n_contaminated"]:
+            assert r["max_corpus_cosine"] == 1.0
+        else:
+            assert r["max_corpus_cosine"] is None
+    # every scale-copy of a corpus-resident vector has exactly its source hit;
+    # copies of the 10 excluded ids (x5 scales) have none
+    assert by_hits == {0: 50, 1: 2450}
+    # census gate: a tiny pair_cap refuses the bucket join up front
+    with pytest.raises(ValueError, match="pair_cap"):
+        S.semantic_decon_exposure_lsh(
+            corpus2, big, dim=64, threshold=0.999, pair_cap=10
+        )
+
+
+def test_semantic_decon_exposure_duplicate_ids_raise(spark, oracle_sf_dir):
+    """ADVICE r13: duplicate benchmark ids would split one item's hit counts
+    across duplicate output rows, silently violating the one-row-per-item
+    contract — the literal tier fail-louds at collect time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 5)
+    dup_bench = bench.unionByName(bench)  # every id twice
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    with pytest.raises(ValueError, match="duplicate benchmark id"):
+        S.semantic_decon_exposure(corpus, dup_bench, threshold=0.999)
