@@ -2838,6 +2838,70 @@ def q_semantic_decon_exposure_embeddings(spark, sf):
     return L_sim.semantic_decon_exposure(corpus, bench, threshold=0.999)
 
 
+def q_semantic_decon_exposure_lsh_embeddings(spark, sf):
+    """Per-BENCHMARK-item exposure over the bipartite LSH tier (llm/
+    similarity.semantic_decon_exposure_lsh — NEW r14, r13 VERDICT #2): the
+    large-eval-set twin of the r13 literal exposure row, for benchmarks
+    PAST the plan-literal caps. The benchmark here is 2500 items — five
+    positive scale-copies (x1.0..x3.0) of every corpus vector, genuinely
+    past DECON_BENCH_MAX=2048 (the literal tier raises on this input;
+    pinned in tests) — and scaling preserves direction, so every copy
+    shares its source's hyperplane bucket: candidate pruning loses nothing
+    and the LSH view hash-matches the SAME explicit CROSS JOIN per-pair
+    cosine oracle the literal row uses. Items derived from corpus-resident
+    vectors (vec_id >= 10) have exactly one hit at cosine 1.0; copies of
+    the ten excluded ids have zero (organic max ~0.51 << 0.999), which
+    exercises the zero-hit completion join. pair_cap arms the bipartite
+    census gate on the driver row itself."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def _scaler(s):
+        # NB: a two-arg lambda would receive the ELEMENT INDEX as its second
+        # argument from F.transform — close over the scale instead
+        return lambda x: x * F.lit(s)
+
+    bench = None
+    for si, s in ((1, 1.0), (2, 1.5), (3, 2.0), (4, 2.5), (5, 3.0)):
+        part = emb.select(
+            (F.col("vec_id") + 1000 * si).alias("vec_id"),
+            F.transform("embedding", _scaler(float(s))).alias("embedding"),
+        )
+        bench = part if bench is None else bench.unionByName(part)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return L_sim.semantic_decon_exposure_lsh(
+        corpus, bench, dim=64, threshold=0.999, pair_cap=50_000_000
+    )
+
+
+def q_ivf_probe_join_embeddings(spark, sf):
+    """JOIN-form batched IVF probe (llm/similarity.ivf_probe_join — NEW r14,
+    r13 VERDICT #1): the production retrieval-workload shape — the whole
+    query batch is ONE fixed plan (centroid literal -> map-side per-query
+    cluster ranking -> one equi-join on the cluster partition column ->
+    two-bounded-phase per-query top-k) instead of ivf_probe_many's one
+    union branch per query. To make the row HASH-oracle-checkable (the
+    k-means rows are rows-only), the coarse quantizer here is DATA-DERIVED
+    and SQL-expressible: the eight vectors with vec_id < 8 serve as fixed
+    centroids, written through the real ivf_write partition-pruned layout;
+    twenty query vectors (vec_id 100..119) probe nprobe=3 of nlist=8 at
+    k=5. The DuckDB oracle replays the full pipeline — argmax(x.c-|c|^2/2)
+    assignment with the first-index tie-break, per-query top-nprobe
+    centroid ranking (cosine DESC, index ASC), and the rounded-cosine
+    (DESC, id ASC) top-k — over the same parquet table."""
+    emb = load_table(spark, sf, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    assigned = L_sim.ivf_assign(emb, centroids)
+    base = _stream_tmpdir("ivf_join_")
+    L_sim.ivf_write(assigned, centroids, base)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return L_sim.ivf_probe_join(spark, base, queries, k=5, nprobe=3)
+
+
 def q_curate_semantic_decon_docs(spark, sf):
     """END-TO-END hash oracle for the r12 semantic-DECONTAMINATION curate
     stage (CurationConfig.semantic_benchmark): exact dedup → drop every doc
@@ -3787,76 +3851,117 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering policy (transparent, semantics-neutral): the driver verifies
-        # only the first 50 dict entries per round. The r13 window leads with
-        # the two NEW queries, then every query whose implementation changed
-        # this round (shard manifest fingerprint, decon dim guards + tier
-        # routing, incremental-index append guard, batched IVF recall grid),
-        # then rotates the EIGHTEEN stalest parked rows (last driver evidence
-        # r05-era) back in -- r12 VERDICT #2 -- and fills the rest with the
-        # next-stalest continuity block (r07/r08-era, then r09). Union of
-        # driver-green rows r01-r12 covers EVERY registry query (zero failures
+        # only the first 50 dict entries per round. The r14 window leads with
+        # the two NEW queries (join-form IVF probe, LSH-tier exposure), then
+        # every query whose implementation changed this round (epoch_mix map
+        # literal + strict, curate reserved-column guards, exposure dup-id
+        # guard, token_budget bounded collect), then rotates the TWENTY-THREE
+        # stalest parked rows (last driver evidence r09-era) back in -- r13
+        # VERDICT #4 -- and fills the rest with the next-stalest continuity
+        # block (r10-era; 4 of 25 r10-era rows carry to r15). Union of
+        # driver-green rows r01-r13 covers EVERY registry query (zero failures
         # since r2); every deterministic query also runs against the same
         # DuckDB oracle locally each pytest via tests/test_entry_contract.py,
         # so rotation never leaves a query unverified.
-        "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,  # NEW r13 (LSH decon tier wired into the chain -- r12 VERDICT #4; exact-copy arm hash oracle)
-        "semantic_probe_stream": q_semantic_probe_stream,  # NEW r13 (TENTH streaming row: stream-static semantic index probe -- r12 VERDICT #5; hash oracle)
-        "epoch_mix_docs": q_epoch_mix_docs,  # NEW r13 (fractional-epoch recipe upsampling; md5-gate hash oracle)
-        "global_shuffle_docs": q_global_shuffle_docs,  # NEW r13 (seeded global permutation via distributed prefix sum; full-mapping hash oracle)
-        "curate_recipe_docs": q_curate_recipe_docs,  # NEW r13 (recipe-assembly chain tail: dedup -> split -> epochs -> shuffle -> pack, composed hash oracle)
-        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # NEW r13 (per-benchmark-item contamination exposure -- eval-set triage; hash oracle)
-        "decon_exposure_docs": q_decon_exposure_docs,  # NEW r13 (lexical n-gram exposure twin, containment semantics; hash oracle)
-        "training_shards_docs": q_training_shards_docs,  # impl changed r13 (overflow-free bit_xor manifest fingerprint + null clamp + writer order -- r12 VERDICT #1; hash oracle regenerated)
-        "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,  # impl changed r13 (bench-dim guards + cell-aware literal cap -- r12 VERDICT #3 / ADVICE; hash oracle)
-        "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,  # impl changed r13 (shared dim guards ride the LSH tier too; hash oracle)
-        "curate_semantic_decon_docs": q_curate_semantic_decon_docs,  # impl changed r13 (decon stage now routes literal|lsh|auto; hash oracle)
-        "semantic_index_probe": q_semantic_index_probe,  # impl changed r13 (append-side dim validation vs meta -- ADVICE; probe unchanged; hash oracle)
-        "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r13 (evaluation batched via ivf_probe_many, 51.8 s -> 19.2 s -- r12 VERDICT #7; rows-only)
-        "embedding_ivf_topk": q_embedding_ivf_topk,  # impl-adjacent r13 (similarity.py probe surface changed this round; rows-only -- k-means)
-        "pricing_summary": q_pricing_summary,  # r05-era stale rotation (r12 VERDICT #2)
-        "shipping_priority": q_shipping_priority,  # r05-era stale rotation (r12 VERDICT #2)
-        "window_running_total": q_window_running_total,  # r05-era stale rotation (r12 VERDICT #2)
-        "returned_revenue_customers": q_returned_revenue_customers,  # r05-era stale rotation (r12 VERDICT #2)
-        "product_profit_nation": q_product_profit_nation,  # r05-era stale rotation (r12 VERDICT #2)
-        "late_orders_priority": q_late_orders_priority,  # r05-era stale rotation (r12 VERDICT #2)
-        "rollup_returns": q_rollup_returns,  # r05-era stale rotation (r12 VERDICT #2)
-        "crosstab_lineitem": q_crosstab_lineitem,  # r05-era stale rotation (r12 VERDICT #2)
-        "histogram_price": q_histogram_price,  # r05-era stale rotation (r12 VERDICT #2)
-        "events_anomaly": q_events_anomaly,  # r05-era stale rotation (r12 VERDICT #2)
-        "simhash_md5_groups": q_simhash_md5_groups,  # r05-era stale rotation (r12 VERDICT #2)
-        "simhash_md5_near": q_simhash_md5_near,  # r05-era stale rotation (r12 VERDICT #2)
-        "hash_split_docs": q_hash_split_docs,  # r05-era stale rotation (r12 VERDICT #2)
-        "datetime_parse_orders": q_datetime_parse_orders,  # r05-era stale rotation (r12 VERDICT #2)
-        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,  # r05-era stale rotation (r12 VERDICT #2)
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,  # r05-era stale rotation (r12 VERDICT #2)
-        "minhash_pairs_docs": q_minhash_pairs_docs,  # r05-era stale rotation (r12 VERDICT #2)
-        "events_sessions": q_events_sessions,  # r05-era stale rotation (r12 VERDICT #2)
-        "profile_lineitem": q_profile_lineitem,  # next-stalest continuity (last driver row r07/r08-era)
-        "validation_summary_orders": q_validation_summary_orders,  # next-stalest continuity (last driver row r07/r08-era)
-        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,  # next-stalest continuity (last driver row r07/r08-era)
-        "corr_lineitem": q_corr_lineitem,  # next-stalest continuity (last driver row r07/r08-era)
-        "impute_median_customer": q_impute_median_customer,  # next-stalest continuity (last driver row r07/r08-era)
-        "normalize_text_customer": q_normalize_text_customer,  # next-stalest continuity (last driver row r07/r08-era)
-        "fuzzy_correction_customer": q_fuzzy_correction_customer,  # next-stalest continuity (last driver row r07/r08-era)
-        "asof_join_events": q_asof_join_events,  # next-stalest continuity (last driver row r07/r08-era)
-        "charlm_quality_docs": q_charlm_quality_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "quality_classifier_docs": q_quality_classifier_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "url_dedup_docs": q_url_dedup_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "corpus_drift_docs": q_corpus_drift_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "token_drift_terms_docs": q_token_drift_terms_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "embedding_drift": q_embedding_drift,  # next-stalest continuity (last driver row r07/r08-era)
-        "remove_spans_docs": q_remove_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "repeated_spans_docs": q_repeated_spans_docs,  # next-stalest continuity (last driver row r07/r08-era)
-        "bpe_token_stats_docs": q_bpe_token_stats_docs,  # continuity fill (last driver row r09)
-        # ---- slots 51+ begin here (window = first 50 entries). Every entry
-        "cdc_chunk_docs": q_cdc_chunk_docs,  # r9 row (rows-only: rolling-hash CDC; displaced from the window by the lexical exposure row)
-        "curate_docs": q_curate_docs,  # r9 row (rows-only: auto-gated chain; displaced from the window by the exposure row)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r9 row (rows-only: seeded xxhash LSH; displaced from the window by curate_recipe_docs)
-        "embedding_pq_topk": q_embedding_pq_topk,  # r9 row (rows-only: k-means codebooks; displaced from the window by the two NEW r13 rows)
-        "bm25_topk_docs": q_bm25_topk_docs,  # r9 green (displaced from the window by the two NEW r13 rows)
-        # ---- below holds a green driver row r09-r12 (distribution after r12:
-        # ---- r12 x50, r11 x48, r10 x25, r9 x24) and stays oracle-checked
-        # ---- locally each run via tests/test_entry_contract.py.
+        "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # NEW r14 (join-form batched IVF probe -- r13 VERDICT #1; data-derived centroids make the row hash-oracle-checkable)
+        "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # NEW r14 (LSH-tier per-benchmark-item exposure past the literal caps -- r13 VERDICT #2; same CROSS JOIN oracle as the literal row)
+        "epoch_mix_docs": q_epoch_mix_docs,  # impl changed r14 (per-source rates ride one flat map literal + strict option -- r13 VERDICT #6 / ADVICE; rate values identical, oracle unchanged)
+        "curate_recipe_docs": q_curate_recipe_docs,  # impl-adjacent r14 (reserved 'epoch'/'shuffle_pos' guards + epoch_strict in the chain -- r13 ADVICE; hash oracle)
+        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # impl changed r14 (duplicate-benchmark-id fail-loud guard -- r13 ADVICE; hash oracle)
+        "token_budget_sample_docs": q_token_budget_sample_docs,  # impl changed r14 (bounded per-domain collect, max_domains fail-loud -- r13 VERDICT "What's wrong" #2; hash oracle)
+        "cdc_chunk_docs": q_cdc_chunk_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "curate_docs": q_curate_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "embedding_pq_topk": q_embedding_pq_topk,  # r09-era stale rotation (r13 VERDICT #4)
+        "bm25_topk_docs": q_bm25_topk_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "order_count_distribution": q_order_count_distribution,  # r09-era stale rotation (r13 VERDICT #4)
+        "top_supplier_revenue": q_top_supplier_revenue,  # r09-era stale rotation (r13 VERDICT #4)
+        "small_quantity_revenue": q_small_quantity_revenue,  # r09-era stale rotation (r13 VERDICT #4)
+        "bracketed_revenue": q_bracketed_revenue,  # r09-era stale rotation (r13 VERDICT #4)
+        "waiting_suppliers": q_waiting_suppliers,  # r09-era stale rotation (r13 VERDICT #4)
+        "min_cost_supplier": q_min_cost_supplier,  # r09-era stale rotation (r13 VERDICT #4)
+        "excess_share_suppliers": q_excess_share_suppliers,  # r09-era stale rotation (r13 VERDICT #4)
+        "embedding_pq_census": q_embedding_pq_census,  # r09-era stale rotation (r13 VERDICT #4)
+        "embedding_norm_outliers": q_embedding_norm_outliers,  # r09-era stale rotation (r13 VERDICT #4)
+        "vocab_coverage_docs": q_vocab_coverage_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "token_rarity_docs": q_token_rarity_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "curate_md5_docs": q_curate_md5_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "events_stream_sessions": q_events_stream_sessions,  # r09-era stale rotation (r13 VERDICT #4)
+        "docs_stream_index_probe": q_docs_stream_index_probe,  # r09-era stale rotation (r13 VERDICT #4)
+        "tfidf_topterms_docs": q_tfidf_topterms_docs,  # r09-era stale rotation (r13 VERDICT #4)
+        "events_trailing_avg": q_events_trailing_avg,  # r09-era stale rotation (r13 VERDICT #4)
+        "events_session_paths": q_events_session_paths,  # r09-era stale rotation (r13 VERDICT #4)
+        "kmv_distinct_docs": q_kmv_distinct_docs,  # next-stalest continuity (last driver row r10)
+        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,  # next-stalest continuity (last driver row r10)
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # next-stalest continuity (last driver row r10)
+        "events_stream_validate": q_events_stream_validate,  # next-stalest continuity (last driver row r10)
+        "dedup_index_probe": q_dedup_index_probe,  # next-stalest continuity (last driver row r10)
+        "pack_sequences_docs": q_pack_sequences_docs,  # next-stalest continuity (last driver row r10)
+        "strip_html_docs": q_strip_html_docs,  # next-stalest continuity (last driver row r10)
+        "repetition_docs": q_repetition_docs,  # next-stalest continuity (last driver row r10)
+        "decontaminate_docs": q_decontaminate_docs,  # next-stalest continuity (last driver row r10)
+        "embedding_cluster": q_embedding_cluster,  # next-stalest continuity (last driver row r10)
+        "decile_bands_orders": q_decile_bands_orders,  # next-stalest continuity (last driver row r10)
+        "market_share": q_market_share,  # next-stalest continuity (last driver row r10)
+        "local_supplier_volume": q_local_supplier_volume,  # next-stalest continuity (last driver row r10)
+        "volume_shipping": q_volume_shipping,  # next-stalest continuity (last driver row r10)
+        "sales_opportunity": q_sales_opportunity,  # next-stalest continuity (last driver row r10)
+        "shipmode_priority": q_shipmode_priority,  # next-stalest continuity (last driver row r10)
+        "promo_revenue": q_promo_revenue,  # next-stalest continuity (last driver row r10)
+        "large_volume_orders": q_large_volume_orders,  # next-stalest continuity (last driver row r10)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # next-stalest continuity (last driver row r10)
+        "weighted_sample_docs": q_weighted_sample_docs,  # next-stalest continuity (last driver row r10)
+        "stratified_sample_customers": q_stratified_sample_customers,  # next-stalest continuity (last driver row r10)
+        # --- parked below the driver's 50-query verification window (all hold
+        # --- green driver rows r10-r13; re-verified locally every pytest) ---
+        "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,
+        "semantic_probe_stream": q_semantic_probe_stream,
+        "global_shuffle_docs": q_global_shuffle_docs,
+        "decon_exposure_docs": q_decon_exposure_docs,
+        "training_shards_docs": q_training_shards_docs,
+        "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,
+        "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,
+        "curate_semantic_decon_docs": q_curate_semantic_decon_docs,
+        "semantic_index_probe": q_semantic_index_probe,
+        "ivf_recall_grid": q_ivf_recall_grid,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "window_running_total": q_window_running_total,
+        "returned_revenue_customers": q_returned_revenue_customers,
+        "product_profit_nation": q_product_profit_nation,
+        "late_orders_priority": q_late_orders_priority,
+        "rollup_returns": q_rollup_returns,
+        "crosstab_lineitem": q_crosstab_lineitem,
+        "histogram_price": q_histogram_price,
+        "events_anomaly": q_events_anomaly,
+        "simhash_md5_groups": q_simhash_md5_groups,
+        "simhash_md5_near": q_simhash_md5_near,
+        "hash_split_docs": q_hash_split_docs,
+        "datetime_parse_orders": q_datetime_parse_orders,
+        "outlier_iqr_lineitem": q_outlier_iqr_lineitem,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "events_sessions": q_events_sessions,
+        "profile_lineitem": q_profile_lineitem,
+        "validation_summary_orders": q_validation_summary_orders,
+        "dedup_keep_first_lineitem": q_dedup_keep_first_lineitem,
+        "corr_lineitem": q_corr_lineitem,
+        "impute_median_customer": q_impute_median_customer,
+        "normalize_text_customer": q_normalize_text_customer,
+        "fuzzy_correction_customer": q_fuzzy_correction_customer,
+        "asof_join_events": q_asof_join_events,
+        "charlm_quality_docs": q_charlm_quality_docs,
+        "quality_classifier_docs": q_quality_classifier_docs,
+        "url_dedup_docs": q_url_dedup_docs,
+        "minhash_md5_components_docs": q_minhash_md5_components_docs,
+        "corpus_drift_docs": q_corpus_drift_docs,
+        "token_drift_terms_docs": q_token_drift_terms_docs,
+        "embedding_drift": q_embedding_drift,
+        "remove_spans_docs": q_remove_spans_docs,
+        "repeated_spans_docs": q_repeated_spans_docs,
+        "bpe_token_stats_docs": q_bpe_token_stats_docs,
         "curate_semantic_docs": q_curate_semantic_docs,
         "curate_semantic_near_docs": q_curate_semantic_near_docs,
         "events_stream_recovery": q_events_stream_recovery,
@@ -3938,7 +4043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_violations_orders": q_validation_violations_orders,
         "length_buckets_docs": q_length_buckets_docs,
         "logreg_gradient_docs": q_logreg_gradient_docs,
-        "token_budget_sample_docs": q_token_budget_sample_docs,
         "decontaminate_spans_docs": q_decontaminate_spans_docs,
         "dedup_best_quality_docs": q_dedup_best_quality_docs,
         "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,
@@ -3948,45 +4052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stateful": q_events_stream_stateful,
         "corpus_data_card_docs": q_corpus_data_card_docs,
         "dsir_weights_docs": q_dsir_weights_docs,
-        "kmv_distinct_docs": q_kmv_distinct_docs,
-        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-        "events_stream_validate": q_events_stream_validate,
-        "dedup_index_probe": q_dedup_index_probe,
-        "pack_sequences_docs": q_pack_sequences_docs,
-        "strip_html_docs": q_strip_html_docs,
-        "repetition_docs": q_repetition_docs,
-        "decontaminate_docs": q_decontaminate_docs,
-        "embedding_cluster": q_embedding_cluster,
-        "decile_bands_orders": q_decile_bands_orders,
-        "market_share": q_market_share,
-        "order_count_distribution": q_order_count_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "bracketed_revenue": q_bracketed_revenue,
-        "waiting_suppliers": q_waiting_suppliers,
-        "min_cost_supplier": q_min_cost_supplier,
-        "excess_share_suppliers": q_excess_share_suppliers,
-        "embedding_pq_census": q_embedding_pq_census,
-        "embedding_norm_outliers": q_embedding_norm_outliers,
-        "vocab_coverage_docs": q_vocab_coverage_docs,
-        "token_rarity_docs": q_token_rarity_docs,
-        "curate_md5_docs": q_curate_md5_docs,
-        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,
-        "events_stream_sessions": q_events_stream_sessions,
-        "docs_stream_index_probe": q_docs_stream_index_probe,
-        "tfidf_topterms_docs": q_tfidf_topterms_docs,
-        "events_trailing_avg": q_events_trailing_avg,
-        "events_session_paths": q_events_session_paths,
-        "local_supplier_volume": q_local_supplier_volume,
-        "volume_shipping": q_volume_shipping,
-        "sales_opportunity": q_sales_opportunity,
-        "shipmode_priority": q_shipmode_priority,
-        "promo_revenue": q_promo_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "embedding_quantize_int8": q_embedding_quantize_int8,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "stratified_sample_customers": q_stratified_sample_customers,
         "mixture_sample_docs": q_mixture_sample_docs,
         "events_stream_windowed": q_events_stream_windowed,
         "asof_nearest_events": q_asof_nearest_events,
@@ -5899,6 +5964,86 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
                h.mc AS max_corpus_cosine
         FROM bench b LEFT JOIN h USING (bid)
+    """
+    # LSH-tier exposure (NEW r14): SAME cross-join per-pair-cosine oracle as
+    # the literal row — every >= threshold pair is an exact-direction scale
+    # copy, so LSH candidate pruning provably loses nothing on this input
+    sqls["semantic_decon_exposure_lsh_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sc AS (SELECT * FROM (VALUES (1, 1.0), (2, 1.5), (3, 2.0), (4, 2.5), (5, 3.0)) AS t(si, s)),
+        bench AS (
+          SELECT b.vec_id + 1000 * t.si AS bid,
+                 list_transform(b.v, x -> x * CAST(t.s AS DOUBLE)) AS bv
+          FROM base b CROSS JOIN sc t),
+        bn AS (
+          SELECT bid, bv, sqrt(list_sum(list_transform(bv, x -> x * x))) AS n
+          FROM bench),
+        cn AS (
+          SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE vec_id >= 10),
+        p AS (
+          SELECT b.bid,
+                 round(list_sum(list_transform(range(1, len(c.v) + 1),
+                       i -> c.v[i] * b.bv[i])) / (c.n * b.n), 6) AS cos
+          FROM cn c CROSS JOIN bn b),
+        h AS (SELECT bid, count(*) AS nc, max(cos) AS mc
+              FROM p WHERE cos >= 0.999 GROUP BY bid)
+        SELECT b.bid AS vec_id,
+               CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
+               h.mc AS max_corpus_cosine
+        FROM bn b LEFT JOIN h USING (bid)
+    """
+    # join-form IVF probe (NEW r14): the full pipeline replayed in SQL over
+    # data-derived centroids — argmax(x.c - |c|^2/2) assignment (first-index
+    # tie-break), per-query top-nprobe centroid ranking (cosine DESC, index
+    # ASC = the stable driver sort), rounded-cosine (DESC, id ASC) top-k
+    sqls["ivf_probe_join_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT vec_id AS ci, v AS cv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS n,
+                 0.5 * list_sum(list_transform(v, x -> x * x)) AS half2
+          FROM base WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT b.vec_id, b.v, c.ci,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(b.v) + 1),
+                              i -> b.v[i] * c.cv[i])) - c.half2 DESC,
+                     c.ci ASC) AS rn
+            FROM base b CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+                      THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS qn
+          FROM base WHERE vec_id >= 100 AND vec_id < 120),
+        pr AS (
+          SELECT query_id, qv, qn, ci FROM (
+            SELECT q.query_id, q.qv, q.qn, c.ci,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_sum(list_transform(range(1, len(q.qv) + 1),
+                              i -> q.qv[i] * c.cv[i])) / (c.n * q.qn) DESC,
+                     c.ci ASC) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 3),
+        scd AS (
+          SELECT p.query_id, a.vec_id,
+                 round(list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * p.qv[i]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * p.qn),
+                       6) AS cosine
+          FROM pr p JOIN asg a ON a.ci = p.ci)
+        SELECT query_id, vec_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM scd)
+        WHERE rn <= 5
     """
     # curate_recipe (NEW r13): the full recipe-assembly chain tail as ONE
     # composed CTE — exact dedup, hash split, 1.5-epoch upsample, seeded

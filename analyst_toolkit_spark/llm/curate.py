@@ -221,6 +221,11 @@ class CurationConfig:
     #: 0..copies-1, and downstream stages key on (id, epoch).
     epochs: float | dict | None = None
     epoch_source_col: str = "source"
+    #: strict per-source epochs (r13 ADVICE): raise in-plan when a row's
+    #: source has no dict entry instead of silently dropping it (rate 0).
+    #: 'epoch' and 'shuffle_pos' are RESERVED output columns of the epochs /
+    #: shuffle stages — inputs already carrying them raise.
+    epoch_strict: bool = False
     #: Seeded global training-stream shuffle (r13 — pack.global_shuffle):
     #: when set, the surviving (possibly epoch-expanded) corpus gets a
     #: deterministic global permutation position ``shuffle_pos`` keyed on
@@ -690,15 +695,48 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             raise ValueError(f"unknown split_mode: {cfg.split_mode!r}")
 
     if cfg.epochs is not None:
+        if "epoch" in out.columns:
+            # reserved: withColumn would silently overwrite a caller column
+            # and downstream stages key on (id, epoch) — fail loud (r13 ADVICE)
+            raise ValueError(
+                "curate_corpus: the epochs stage writes the reserved column "
+                "'epoch' but the input already carries one — rename it first"
+            )
         out = T.epoch_mix(
             out,
             cfg.epochs,
             id_col=id_col,
             source_col=cfg.epoch_source_col if isinstance(cfg.epochs, dict) else None,
+            strict=cfg.epoch_strict,
         )
-        _record("epochs", epochs=cfg.epochs)
+        if cfg.report_counts and isinstance(cfg.epochs, dict):
+            # per-source survivor counts (r13 ADVICE): a typo'd source name
+            # silently drops the whole source — make it visible in the stage
+            # report. Opt-in (one extra keyed count) like every report_counts
+            # action; output cardinality = |sources|, the epoch_mix contract.
+            survivors = {
+                r[cfg.epoch_source_col]: r["__n"]
+                for r in out.groupBy(cfg.epoch_source_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            _record(
+                "epochs",
+                epochs=cfg.epochs,
+                source_rows={
+                    src: int(survivors.get(src, 0)) for src in cfg.epochs
+                },
+            )
+        else:
+            _record("epochs", epochs=cfg.epochs)
 
     if cfg.shuffle_salt is not None:
+        if "shuffle_pos" in out.columns:
+            raise ValueError(
+                "curate_corpus: the shuffle stage writes the reserved column "
+                "'shuffle_pos' but the input already carries one — rename it "
+                "first"
+            )
         # the unique key is (id, epoch) once the upsampler ran — one md5 key
         # per id would leave epoch copies' relative order ambiguous inside
         # the range-partitioned prefix sum
