@@ -165,6 +165,16 @@ ANCHOR_DEADBAND = 1.25  # |log ratio| band inside which the host is labeled quie
 #: is adjudicable from the artifact alone — a micro/cal disagreement IS the
 #: "anchor missed the weather" flag that previously needed a manual rerun.
 CAL_QUERIES = ("pricing_summary", "window_running_total", "events_sessions")
+
+#: Bench protocol version, carried in the artifact so cross-round headline
+#: comparisons are adjudicable from the record alone (r13 ADVICE): the r13
+#: protocol moved the calibration slot BEFORE the timed suite (4 executions
+#: each of three headline-shaped probes), so r13+ headlines run JIT/footer
+#: warmer than the r01-r12 artifacts — a protocol effect, not a code
+#: speedup. History: r3 noop-write materialization; r7 per-plan warm-up;
+#: r9 host anchor; r12 symmetric normalization; r13 suite-level calibration
+#: probes + storm rule; r14 probes FROZEN bench-local + this field.
+BENCH_PROTOCOL = "r14-frozen-cal"
 #: Per-query [pre-slot, post-slot] quiet-host medians — mean of TWO full
 #: r13 quiet-host bench sessions (micro ratios 0.88 and 1.02, bracketing
 #: quiet; sf0.1, local[32]); per-slot refs because the post slot is
@@ -220,12 +230,93 @@ def combine_anchor_ratios(
     }
 
 
-def _cal_sec(spark, qs, sf_dir) -> dict[str, float]:
-    """Suite-level calibration slot: median-of-3 of the three probe queries
-    (each warmed once untimed, same per-plan protocol as the headline)."""
+# -- FROZEN calibration probes (r13 VERDICT "What's wrong" #1) ----------------
+# CAL_REF pins QUIET-HOST timings of these three plans. If the probes ran the
+# live registry code, a future code regression in pricing_summary /
+# window_running_total / events_sessions would read as host load and be
+# divided out of the headline — the exact flattering-direction hazard the
+# storm rule exists to prevent. So the probes below are BENCH-LOCAL snapshots
+# of the three registry plans at their r13 semantics, written against pyspark
+# ONLY (no analyst_toolkit_spark import, no registry call — asserted by
+# tests/test_bench_anchor.py): a regression anywhere in the engine cannot
+# move them. REF-REFRESH RULE: these functions are never edited alongside
+# the registry; if a probe plan must ever change (new Spark version, new
+# testdata), re-measure CAL_REF on a quiet host in the same change and bump
+# BENCH_PROTOCOL. The registry twins are sync-checked (results equal at
+# sf0.001) so a deliberate registry change fails loudly instead of silently
+# diverging from the pinned refs.
+# All three tables carry only µs timestamps at every sf (checked r14), so a
+# plain parquet read is byte-identical to the registry's load_table path.
+
+
+def _cal_pricing_summary(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _cal_window_running_total(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def _cal_events_sessions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        df.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_CAL_PROBES = {
+    "pricing_summary": _cal_pricing_summary,
+    "window_running_total": _cal_window_running_total,
+    "events_sessions": _cal_events_sessions,
+}
+
+
+def _cal_sec(spark, sf_dir) -> dict[str, float]:
+    """Suite-level calibration slot: median-of-3 of the three FROZEN probe
+    plans (each warmed once untimed, same per-plan protocol as the
+    headline). Frozen = bench-local code, never the live registry — see the
+    _CAL_PROBES block above for why and for the ref-refresh rule."""
     out: dict[str, float] = {}
     for name in CAL_QUERIES:
-        fn = qs[name]
+        fn = _CAL_PROBES[name]
         _materialize(fn(spark, sf_dir))  # warm-up, untimed
         samples = []
         for _ in range(3):
@@ -283,7 +374,7 @@ def main() -> None:
 
     anchor_pre = _anchor_sec(spark)
     print(f"# host anchor (pre): {anchor_pre:.3f}s (ref {ANCHOR_REF})", file=sys.stderr)
-    cal_pre = _cal_sec(spark, qs, sf_dir)
+    cal_pre = _cal_sec(spark, sf_dir)
     print(f"# suite calibration (pre): {cal_pre}", file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -423,7 +514,7 @@ def main() -> None:
         if nh_name in qs:
             _nh(nh_name, lambda fn=qs[nh_name]: _materialize(fn(spark, sf_dir)))
 
-    cal_post = _cal_sec(spark, qs, sf_dir)
+    cal_post = _cal_sec(spark, sf_dir)
     print(f"# suite calibration (post): {cal_post}", file=sys.stderr)
     anchor_post = _anchor_sec(spark)
     print(f"# host anchor (post): {anchor_post:.3f}s (ref {ANCHOR_REF_POST})", file=sys.stderr)
@@ -467,6 +558,7 @@ def main() -> None:
         "cal_pre": cal_pre,
         "cal_post": cal_post,
         "cal_ref": CAL_REF,
+        "bench_protocol": BENCH_PROTOCOL,
         "anchor_quiet": quiet,
         "value_normalized": normalized,
         "queries": timings,
@@ -497,6 +589,7 @@ def main() -> None:
                 "anchor_ratio_micro": ratio_micro,
                 "anchor_ratio_cal": ratio_cal,
                 "anchor_storm": storm,
+                "protocol": BENCH_PROTOCOL,
                 "value_normalized": normalized,
                 "queries": timings,
                 "runs": runs,

@@ -62,3 +62,42 @@ def test_components_recorded():
     out = B.combine_anchor_ratios(B.ANCHOR_REF * 0.9, B.ANCHOR_REF_POST * 1.1, pre, post)
     for k in ("ratio", "ratio_pre", "ratio_post", "ratio_micro", "ratio_cal", "storm"):
         assert k in out
+
+
+def test_cal_probes_are_frozen_bench_local():
+    """r13 VERDICT "What's wrong" #1: CAL_REF pins quiet-host timings, so the
+    calibration probes must be BENCH-LOCAL snapshots — a registry/library
+    code regression must not be able to move them (it would read as host
+    load and be divided out of the headline). Asserts each probe is defined
+    in bench.py and references neither the registry nor the library."""
+    import inspect
+
+    for name in B.CAL_QUERIES:
+        fn = B._CAL_PROBES[name]
+        assert fn.__module__ == "bench", name
+        src = inspect.getsource(fn)
+        assert "analyst_toolkit_spark" not in src, name
+        assert "__spark_entry__" not in src, name
+        assert "entry_mod" not in src, name
+        assert "queries(" not in src, name
+    assert isinstance(B.BENCH_PROTOCOL, str) and B.BENCH_PROTOCOL
+
+
+def test_cal_probes_sync_with_registry(spark, sf_dir):
+    """Sync check for the ref-refresh rule: TODAY the frozen probes compute
+    exactly what their registry twins compute. If this fails because a
+    registry query was DELIBERATELY changed, do NOT edit the frozen probe to
+    follow it silently — re-freeze the probe, re-measure CAL_REF on a quiet
+    host in the same change, and bump BENCH_PROTOCOL (see the _CAL_PROBES
+    block in bench.py)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in B.CAL_QUERIES:
+        frozen = sorted(map(tuple, B._CAL_PROBES[name](spark, sf_dir).collect()))
+        live = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        assert frozen == live, (
+            f"{name}: frozen calibration probe diverged from the registry — "
+            f"if the registry change is deliberate, re-freeze the probe AND "
+            f"re-measure CAL_REF (bench.py ref-refresh rule)"
+        )
