@@ -336,6 +336,15 @@ _EXCHANGE_CEILINGS = {
     # filtered (index, cosine) hit pairs reach the one bounded agg; the
     # id-completion join broadcasts unhinted (measured 1 + 1 broadcast)
     "semantic_decon_exposure_embeddings": 2,
+    # r14 LSH-tier exposure twin: bucket join rides the size-gated broadcast
+    # (corpus labels never shuffle); visible = the per-item hit agg + the
+    # completion join over benchmark-sized sides (measured 2 + 1 broadcast)
+    "semantic_decon_exposure_lsh_embeddings": 2,
+    # r14 join-form IVF probe: ONE workload-size-invariant shape — broadcast
+    # query relation onto the pruned index scan, then the two bounded
+    # ranking exchanges of the per-query top-k (measured 2 + 1 broadcast;
+    # a third exchange means a per-query funnel crept in)
+    "ivf_probe_join_embeddings": 2,
     # lexical exposure twin: the ONE corpus-scale exchange is the (doc,
     # item) hit-pair agg; the other four are benchmark-scale (item sizes,
     # id spine, per-item agg) with the gram mapping on the size-gated
