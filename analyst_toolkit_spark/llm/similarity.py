@@ -882,9 +882,14 @@ def ivf_probe_join(
        driver-side ranking (ties break on the ascending centroid index) —
        and explodes into its ``nprobe`` (cluster) probes;
     3. one equi-join on the cluster partition column scores candidates (the
-       query side is size-gated broadcast, so the corpus never shuffles and
-       Spark can dynamically partition-prune the scan for selective
-       workloads);
+       query side is size-gated broadcast, so the corpus never shuffles);
+       the scan is STATICALLY partition-pruned to the union of probed
+       clusters first — the distinct probed set is bounded by nlist, so
+       collecting it is one tiny query-side job (never touches the index),
+       and the resulting isin filter reaches the directory level
+       (PartitionFilters, plan-asserted) exactly like the single probe's
+       literal filter; a selective workload reads only its own nprobe
+       directories, a broad one reads what it must;
     4. :func:`_per_query_topk` ranks per query in two bounded phases — no
        per-query window funnel, no per-query plan branch.
 
@@ -1045,7 +1050,17 @@ def ivf_probe_join(
         rn2lit = lit_vec(rn2_flat)
 
     qx = maybe_broadcast(q.withColumn("__cl", F.explode(probes)))
-    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+    # static pruning: the distinct probed-cluster set is <= nlist values by
+    # construction, so this collect is bounded regardless of workload size
+    # and runs on the QUERY side only (the index is never touched); the isin
+    # filter then prunes index directories exactly like the single probe
+    probed_set = sorted(
+        r["__cl"]
+        for r in q.withColumn("__cl", F.explode(probes)).select("__cl").distinct().collect()
+    )
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors").filter(
+        F.col(cluster_col).isin(probed_set)
+    )
 
     if storage == "raw":
         slim = vectors.select(F.col(cluster_col), F.col(id_col), F.col(vec_col).alias("__cv"))

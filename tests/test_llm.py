@@ -3239,6 +3239,13 @@ def test_ivf_probe_join_plan_shape(spark, oracle_sf_dir, tmp_path):
         assert "Union" not in plan, f"per-query branch leaked into the plan (n={n})"
         assert "BatchEvalPython" not in plan, f"Python row processing in plan (n={n})"
         assert plan.count("Scan parquet") == 1, f"index scanned more than once (n={n})"
+        # static cluster pruning must reach the directory level, exactly like
+        # the single probe's literal filter (the probed set is <= nlist values)
+        import re as _re
+
+        assert _re.search(r"PartitionFilters: \[[^\]]*__ivf_cluster[^\]]* IN ", plan), (
+            f"probed-cluster pruning missing from the scan (n={n})"
+        )
 
 
 def test_ivf_probe_join_guards(spark, oracle_sf_dir, tmp_path):
