@@ -921,9 +921,14 @@ def ivf_probe_join(
     a ``keep_raw=True`` index) — the shortlist join back onto the vectors
     scan keys on (cluster, id), so it too prunes partitions.
 
-    ``queries`` must carry (``query_id_col``, ``query_vec_col``); null query
-    vectors and dim mismatches raise IN-PLAN (the decontamination-guard
-    stance — a null-padded zip_with would silently zero a query's results).
+    ``queries`` must carry (``query_id_col``, ``query_vec_col``) with UNIQUE
+    query ids (the per-query top-k groups on the id, so a duplicated id
+    would merge two queries' candidate pools into one k-row answer — the
+    union form would instead emit k rows per duplicate); null query vectors
+    and dim mismatches raise IN-PLAN (the decontamination-guard stance — a
+    null-padded zip_with would silently zero a query's results). An empty
+    workload returns an empty frame (the union form raises: a list is
+    enumerable up front, a DataFrame is not).
     Output: (query_id_col, id_col, cosine), ``k`` rows per query.
 
     Cost shape at 100 TB: plan size is O(nlist x dim + m x 2^nbits), NOT
