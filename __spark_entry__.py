@@ -3750,6 +3750,50 @@ def q_embedding_lsh_pairs(spark, sf):
     return L_sim.lsh_bucketed_pairs(df, dim, n_planes=6, threshold=0.5)
 
 
+def q_embedding_lsh_multiprobe(spark, sf):
+    """Multi-TABLE hyperplane LSH near pairs (llm/similarity.
+    lsh_multi_table_pairs — NEW late-r14): the OR-amplification recall dial
+    over the single-table building block — three independent plane families
+    (seeds 42/43/44), a pair is a candidate on ANY collision, exact cosine
+    verifies once per distinct pair (precision stays 1, only recall moves:
+    at threshold 0.4 this corpus has 59 true pairs, the single table
+    catches 5, three tables catch 15 — measured r14). All three plane
+    families are inlined as literals into the DuckDB oracle, which
+    replicates bucket bits per table, the any-table candidate union, the
+    distinct, and the in-pair cosine verify exactly."""
+    df = load_table(spark, sf, "embeddings")
+    dim = len(df.select("embedding").first()[0])
+    return L_sim.lsh_multi_table_pairs(
+        df, dim, n_planes=6, threshold=0.4, n_tables=3, pair_cap=10_000_000
+    )
+
+
+def q_ivf_append_probe_embeddings(spark, sf):
+    """IVF index APPEND + join-form probe (llm/similarity.ivf_append — NEW
+    late-r14): the index-growth half of the persisted-index lifecycle.
+    The index is born from vec_id < 300 (fixed data-derived centroids,
+    vec_id < 8), then grows by TWO appended batches (300..399, 400+) —
+    assignment and storage use the ORIGINAL sidecar artifacts, new files
+    land only in the touched cluster directories — and the probe sees the
+    union: for raw/sq8 tiers an appended index is bit-identical to one
+    built whole with the same centroids (suite-asserted), so the SAME
+    DuckDB CTE that replays assignment + ranking + top-k over the full
+    table is the oracle for the grown index. Queries: vec_id 200..219
+    (k=6, nprobe=2) through ivf_probe_join."""
+    emb = load_table(spark, sf, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    base = _stream_tmpdir("ivf_append_")
+    init = emb.filter(F.col("vec_id") < 300)
+    L_sim.ivf_write(L_sim.ivf_assign(init, centroids), centroids, base)
+    L_sim.ivf_append(spark, base, emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)))
+    L_sim.ivf_append(spark, base, emb.filter(F.col("vec_id") >= 400))
+    queries = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return L_sim.ivf_probe_join(spark, base, queries, k=6, nprobe=2)
+
+
 def q_url_dedup_docs(spark, sf):
     """URL-level dedup (llm/text.canonicalize_url + url_dup_groups): five
     deterministic surface variants of the same logical URL per doc-group
@@ -3865,6 +3909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so rotation never leaves a query unverified.
         "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # NEW r14 (join-form batched IVF probe -- r13 VERDICT #1; data-derived centroids make the row hash-oracle-checkable)
         "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # NEW r14 (LSH-tier per-benchmark-item exposure past the literal caps -- r13 VERDICT #2; same CROSS JOIN oracle as the literal row)
+        "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,  # NEW late-r14 (IVF index APPEND -> join-form probe; raw appends bit-identical to a whole build, full-table CTE oracle)
+        "embedding_lsh_multiprobe": q_embedding_lsh_multiprobe,  # NEW late-r14 (multi-table LSH OR-amplification recall dial; 3 plane families inlined into the oracle)
         "epoch_mix_docs": q_epoch_mix_docs,  # impl changed r14 (per-source rates ride one flat map literal + strict option -- r13 VERDICT #6 / ADVICE; rate values identical, oracle unchanged)
         "curate_recipe_docs": q_curate_recipe_docs,  # impl-adjacent r14 (reserved 'epoch'/'shuffle_pos' guards + epoch_strict in the chain -- r13 ADVICE; hash oracle)
         "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # impl changed r14 (duplicate-benchmark-id fail-loud guard -- r13 ADVICE; hash oracle)
@@ -3911,10 +3957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,  # next-stalest continuity (last driver row r10)
         "large_volume_orders": q_large_volume_orders,  # next-stalest continuity (last driver row r10)
         "embedding_quantize_int8": q_embedding_quantize_int8,  # next-stalest continuity (last driver row r10)
-        "weighted_sample_docs": q_weighted_sample_docs,  # next-stalest continuity (last driver row r10)
-        "stratified_sample_customers": q_stratified_sample_customers,  # next-stalest continuity (last driver row r10)
         # --- parked below the driver's 50-query verification window (all hold
         # --- green driver rows r10-r13; re-verified locally every pytest) ---
+        "stratified_sample_customers": q_stratified_sample_customers,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
+        "weighted_sample_docs": q_weighted_sample_docs,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
         "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,
         "semantic_probe_stream": q_semantic_probe_stream,
         "global_shuffle_docs": q_global_shuffle_docs,
@@ -4421,6 +4467,87 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_sum(list_transform(range(1, 65),
                  j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
               / (a.n * b.n), 6) >= 0.5
+    """
+    # multi-table LSH (NEW late-r14): three plane families (seeds 42/43/44)
+    # inlined with a table index; candidates = any-table collision, DISTINCT
+    # before the one cosine verify — exactly the operator's plan shape
+    _mt_rows = ",\n              ".join(
+        "(" + str(t) + ", " + str(i) + ", [" + ", ".join(repr(x) for x in p) + "]::DOUBLE[])"
+        for t in range(3)
+        for i, p in enumerate(_hyperplanes(64, 6, seed=42 + t))
+    )
+    sqls["embedding_lsh_multiprobe"] = f"""
+        WITH planes(t, i, p) AS (VALUES
+              {_mt_rows}),
+        v AS (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+              FROM embeddings),
+        bk AS (
+          SELECT planes.t, v.vec_id,
+                 sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                          j -> CAST(v.embedding[j] AS DOUBLE) * planes.p[j])) >= 0
+                          THEN CAST(power(2, planes.i) AS BIGINT) ELSE 0 END) AS bucket
+          FROM v CROSS JOIN planes GROUP BY planes.t, v.vec_id),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               round(list_sum(list_transform(range(1, 65),
+                        j -> CAST(va.embedding[j] AS DOUBLE) * CAST(vb.embedding[j] AS DOUBLE)))
+                     / (va.n * vb.n), 6) AS cosine
+        FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+        WHERE round(list_sum(list_transform(range(1, 65),
+                 j -> CAST(va.embedding[j] AS DOUBLE) * CAST(vb.embedding[j] AS DOUBLE)))
+              / (va.n * vb.n), 6) >= 0.4
+    """
+    # IVF append + join probe (NEW late-r14): raw-tier appends are
+    # bit-identical to a whole build with the same centroids, so the oracle
+    # replays assignment + per-query ranking + top-k over the FULL table
+    sqls["ivf_append_probe_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT vec_id AS ci, v AS cv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS n,
+                 0.5 * list_sum(list_transform(v, x -> x * x)) AS half2
+          FROM base WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT b.vec_id, b.v, c.ci,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(b.v) + 1),
+                              i -> b.v[i] * c.cv[i])) - c.half2 DESC,
+                     c.ci ASC) AS rn
+            FROM base b CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+                      THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS qn
+          FROM base WHERE vec_id >= 200 AND vec_id < 220),
+        pr AS (
+          SELECT query_id, qv, qn, ci FROM (
+            SELECT q.query_id, q.qv, q.qn, c.ci,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_sum(list_transform(range(1, len(q.qv) + 1),
+                              i -> q.qv[i] * c.cv[i])) / (c.n * q.qn) DESC,
+                     c.ci ASC) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 2),
+        scd AS (
+          SELECT p.query_id, a.vec_id,
+                 round(list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * p.qv[i]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * p.qn),
+                       6) AS cosine
+          FROM pr p JOIN asg a ON a.ci = p.ci)
+        SELECT query_id, vec_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM scd)
+        WHERE rn <= 6
     """
     # SemDeDup: the embedding_lsh_pairs construction (same seed-42 plane
     # literals) as the edge set, then the recursive-CTE transitive closure

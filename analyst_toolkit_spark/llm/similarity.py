@@ -199,6 +199,101 @@ def lsh_bucketed_pairs(
     )
 
 
+def lsh_multi_table_pairs(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    seed: int = 42,
+    pair_cap: int | None = None,
+) -> DataFrame:
+    """Multi-TABLE hyperplane LSH near-pair search — the recall dial the
+    single-table :func:`lsh_bucketed_pairs` documents as its building
+    block. T independent plane families (table t seeds ``seed + t``, so
+    table 0 IS the single-table family — the multi-table candidate set is
+    a provable superset, suite-asserted) bucket every vector T ways; a
+    pair is a candidate if it collides in ANY table (OR-amplification:
+    for same-bucket probability p per table, miss probability falls from
+    (1-p) to (1-p)^T), and exact cosine verifies every candidate — so
+    precision stays 1 and ONLY recall moves. Exact copies still collide
+    in every table.
+
+    Plan shape at 100 TB: ONE pass computes all T bucket keys map-side
+    (T x n_planes dot products per row) behind a lazy lineage cut; each
+    table self-joins LABELS ONLY (id, bucket) — the vectors never enter
+    the candidate joins; the union dedups (a pair colliding in several
+    tables verifies once); one final labels->vectors join scores the
+    distinct candidates. ``pair_cap`` census-gates the SUMMED per-table
+    candidate volume Σ_t Σ_bucket c(c-1)/2 in ONE aggregation (an upper
+    bound on distinct candidates) before any join — the standing
+    refuse-quadratic-work-up-front rule. Cost is ~T x the single-table
+    bucket-join volume; spend tables when the miss rate matters (SemDeDup
+    recall), not by default.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded at 6 —
+    identical schema and arithmetic to the single-table operator."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    d = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        *[
+            hyperplane_bucket(F.col(vec_col), p).alias(f"__b{t}")
+            for t, p in enumerate(tables)
+        ],
+    )
+    d = d.localCheckpoint(eager=False)  # census + T joins + verify read one materialization
+    if pair_cap is not None:
+        melted = d.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb")
+        )
+        est = (
+            melted.groupBy("tb.t", "tb.b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+            .first()["pairs"]
+        )
+        if est is not None and est > pair_cap:
+            raise ValueError(
+                f"lsh_multi_table_pairs: summed per-table candidate census "
+                f"{int(est)} pairs exceeds pair_cap={pair_cap} — raise n_planes "
+                f"(shrinks buckets), lower n_tables, or raise the cap"
+            )
+    cand = None
+    for t in range(n_tables):
+        a = d.select(F.col(id_col).alias("id_a"), F.col(f"__b{t}").alias("__bk"))
+        b = d.select(F.col(id_col).alias("id_b"), F.col(f"__b{t}").alias("__bk"))
+        c_t = (
+            a.join(b, "__bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = c_t if cand is None else cand.unionByName(c_t)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    va = d.select(F.col(id_col).alias("id_a"), F.col("v").alias("__va"), F.col("n").alias("__na"))
+    vb = d.select(F.col(id_col).alias("id_b"), F.col("v").alias("__vb"), F.col("n").alias("__nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(dot_cols(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 #: Hard cap on rows collected to train the coarse quantizer. FAISS-style IVF
 #: trains on ~(tens-to-hundreds)×nlist samples; the cap bounds driver memory
 #: at 100 TB regardless of sample_fraction.
@@ -736,6 +831,75 @@ def ivf_probe(
         F.broadcast(shortlist), id_col
     )
     return cosine_topk(raws, query_vec, k, vec_col, id_col)
+
+
+def ivf_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "__ivf_cluster",
+) -> None:
+    """Append new vectors to a persisted IVF index (:func:`ivf_write`
+    layout) WITHOUT rebuilding it — the index-growth half of the lifecycle
+    (build once, append batches, probe forever), matching the incremental
+    lexical/semantic index layers (llm/incremental.py). The batch is
+    assigned with the ORIGINAL coarse quantizer from the sidecar and
+    encoded with the ORIGINAL storage artifacts (sq8 arithmetic / pq
+    codebooks), then appended into the cluster-partitioned parquet layout —
+    new files land only in the directories the batch's clusters touch, and
+    every existing probe (:func:`ivf_probe`, :func:`ivf_probe_many`,
+    :func:`ivf_probe_join`) sees the union on its next plan build (the
+    file listing snapshots per plan — the same visibility contract the
+    incremental probes document).
+
+    FAISS-append semantics, honestly stated: centroids and PQ codebooks are
+    NEVER retrained here, so for raw and sq8 tiers an appended index is
+    BIT-IDENTICAL to one built whole with the same centroids
+    (per-row transforms, suite-asserted); for pq the codes are exactly
+    "the original codebooks applied to the new rows" — if the data
+    distribution drifts far from the training sample, recall decays and
+    the fix is a rebuild, not an append.
+
+    Fail-loud guards: batch vector dim must match the sidecar's centroid
+    dim (a wrong-dim batch would assign through null-padded dot products);
+    the batch must be able to produce every column the existing layout
+    carries (a raw-keeping index refuses a batch that cannot supply
+    ``vec_col``). The batch is computed exactly once (the write is the only
+    action — no pre-count; callers wanting append sizes count the batch
+    themselves or read the committed files).
+    """
+    sidecar = _read_ivf_sidecar(spark, path)
+    centroids, storage = sidecar["centroids"], sidecar["storage"]
+    dim = len(centroids[0])
+    first = df.select(F.size(F.col(vec_col).cast("array<double>")).alias("d")).filter(
+        F.col("d").isNotNull()
+    ).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"ivf_append: batch vector dim {first['d']} != index dim {dim} — "
+            f"wrong embedding column or model"
+        )
+    existing = spark.read.parquet(path.rstrip("/") + "/vectors")
+    out = ivf_assign(df, centroids, vec_col=vec_col)
+    if cluster_col != "__ivf_cluster":
+        out = out.withColumnRenamed("__ivf_cluster", cluster_col)
+    if storage == "sq8":
+        out = quantize_embeddings(out, vec_col=vec_col)
+    elif storage == "pq":
+        out = pq_encode(out, sidecar["pq_codebooks"], vec_col=vec_col)
+    if storage != "raw" and vec_col not in existing.columns:
+        out = out.drop(vec_col)
+    missing = [c for c in existing.columns if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"ivf_append: batch cannot supply index column(s) {missing} — the "
+            f"existing layout carries them (keep_raw index needs {vec_col!r})"
+        )
+    out = out.select(*existing.columns)  # align column order with the layout
+    out.write.mode("append").partitionBy(cluster_col).parquet(
+        path.rstrip("/") + "/vectors"
+    )
 
 
 def _read_ivf_sidecar(spark, path: str) -> dict:

@@ -3453,3 +3453,87 @@ def test_curate_epochs_source_survivor_report(spark):
     )
     assert report["epochs"]["source_rows"] == {"wiki": 4, "wub": 0}
     assert out.count() == 4  # web dropped (no entry), wub never present
+
+
+def test_ivf_append_matches_whole_build(spark, oracle_sf_dir, tmp_path):
+    """ivf_append (late r14): for the per-row storage tiers (raw, sq8) an
+    index grown by appends is BIT-IDENTICAL to one built whole with the
+    same centroids — probe results equal exactly. Appends use the ORIGINAL
+    sidecar artifacts; dim mismatches and missing layout columns raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    cent = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    init = emb.filter(F.col("vec_id") < 300)
+    rest1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    rest2 = emb.filter(F.col("vec_id") >= 400)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 150).first()["embedding"]]
+    for tier in ("raw", "sq8"):
+        grown = str(tmp_path / f"grown_{tier}")
+        whole = str(tmp_path / f"whole_{tier}")
+        S.ivf_write(S.ivf_assign(init, cent), cent, grown, quantize=tier)
+        S.ivf_append(spark, grown, rest1)
+        S.ivf_append(spark, grown, rest2)
+        S.ivf_write(S.ivf_assign(emb, cent), cent, whole, quantize=tier)
+        a = sorted(map(tuple, S.ivf_probe(spark, grown, qv, k=10, nprobe=3).collect()))
+        b = sorted(map(tuple, S.ivf_probe(spark, whole, qv, k=10, nprobe=3).collect()))
+        assert a == b, tier
+    # pq: codes from the ORIGINAL codebooks; an appended exact copy is found
+    pq = str(tmp_path / "grown_pq")
+    S.ivf_write(S.ivf_assign(init, cent), cent, pq, quantize="pq")
+    S.ivf_append(spark, pq, rest1.unionByName(rest2))
+    q450 = [float(x) for x in emb.filter(F.col("vec_id") == 450).first()["embedding"]]
+    top = S.ivf_probe(spark, pq, q450, k=5, nprobe=4).collect()
+    assert any(r["vec_id"] == 450 for r in top)
+    with pytest.raises(ValueError, match="batch vector dim"):
+        S.ivf_append(
+            spark, pq, emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+        )
+    # the layout carries `label`; a batch that cannot supply it fail-louds
+    # instead of appending schema-divergent files
+    with pytest.raises(ValueError, match="cannot supply"):
+        S.ivf_append(spark, pq, rest1.select("vec_id", "embedding"))
+
+
+def test_lsh_multi_table_superset_and_census(spark, oracle_sf_dir):
+    """lsh_multi_table_pairs (late r14): table 0 seeds identically to the
+    single-table operator, so the multi-table result is a SUPERSET with
+    byte-equal cosines on shared pairs (OR-amplification moves recall
+    only; precision stays 1 — every candidate is exact-verified). The
+    summed per-table census gate refuses quadratic bucket volumes."""
+    import pytest
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    single = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_bucketed_pairs(emb, 64, n_planes=6, threshold=0.4).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_multi_table_pairs(
+            emb, 64, n_planes=6, threshold=0.4, n_tables=3, pair_cap=10_000_000
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    assert all(multi[k] == v for k, v in single.items())
+    assert len(multi) > len(single)  # measured r14: 15 vs 5 of 59 true pairs
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs(emb, threshold=0.4, mode="exact").collect()
+    }
+    assert set(multi) <= set(exact)  # precision 1: every emitted pair is true
+    assert all(exact[k] == v for k, v in multi.items())
+    with pytest.raises(ValueError, match="pair_cap"):
+        S.lsh_multi_table_pairs(
+            emb, 64, n_planes=6, threshold=0.4, n_tables=3, pair_cap=10
+        )

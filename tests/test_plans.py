@@ -345,6 +345,15 @@ _EXCHANGE_CEILINGS = {
     # ranking exchanges of the per-query top-k (measured 2 + 1 broadcast;
     # a third exchange means a per-query funnel crept in)
     "ivf_probe_join_embeddings": 2,
+    # late-r14 append row probes the GROWN index through the same join-form
+    # plan — identical shape (measured 2 + 1 broadcast)
+    "ivf_append_probe_embeddings": 2,
+    # late-r14 multi-table LSH: all candidate joins ride size-gated
+    # broadcasts behind the one lazy-cut pass that computes every table's
+    # bucket; the single counted exchange is the distinct-pair dedup
+    # (measured 1 + 5 broadcasts; a second exchange means a labels join
+    # started shuffling)
+    "embedding_lsh_multiprobe": 2,
     # lexical exposure twin: the ONE corpus-scale exchange is the (doc,
     # item) hit-pair agg; the other four are benchmark-scale (item sizes,
     # id spine, per-item agg) with the gram mapping on the size-gated
