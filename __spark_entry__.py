@@ -3768,6 +3768,24 @@ def q_embedding_lsh_multiprobe(spark, sf):
     )
 
 
+def q_hybrid_rrf_docs(spark, sf):
+    """HYBRID retrieval fusion (llm/similarity.rrf_fuse — NEW late-r14):
+    reciprocal-rank fusion (Cormack & Clarke 2009) of a LEXICAL BM25
+    top-50 and a SEMANTIC cosine top-50 over the same corpus (vec_id is
+    the doc id in the testdata) — the standard way to combine rankings on
+    incomparable score scales. rrf(d) = Σ 1/(60 + rank); ranks derive per
+    list by (score DESC, id ASC); with two lists the double sum is
+    order-independent (one addition), so the rounded score reproduces
+    exactly in the DuckDB oracle, which replays both rankings, the rank
+    reciprocals, and the fused top-30."""
+    docs = load_table(spark, sf, "documents")
+    lex = L_text.bm25_topk(docs, ["spark", "query", "join", "stream"], k=50)
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    sem = L_sim.cosine_topk(emb, qvec, k=50).withColumnRenamed("vec_id", "doc_id")
+    return L_sim.rrf_fuse([(lex, "score"), (sem, "cosine")], k=60, topk=30)
+
+
 def q_ivf_append_probe_embeddings(spark, sf):
     """IVF index APPEND + join-form probe (llm/similarity.ivf_append — NEW
     late-r14): the index-growth half of the persisted-index lifecycle.
@@ -3911,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # NEW r14 (LSH-tier per-benchmark-item exposure past the literal caps -- r13 VERDICT #2; same CROSS JOIN oracle as the literal row)
         "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,  # NEW late-r14 (IVF index APPEND -> join-form probe; raw appends bit-identical to a whole build, full-table CTE oracle)
         "embedding_lsh_multiprobe": q_embedding_lsh_multiprobe,  # NEW late-r14 (multi-table LSH OR-amplification recall dial; 3 plane families inlined into the oracle)
+        "hybrid_rrf_docs": q_hybrid_rrf_docs,  # NEW late-r14 (reciprocal-rank fusion of BM25 + cosine rankings -- hybrid retrieval; both rankings replayed in the oracle)
         "epoch_mix_docs": q_epoch_mix_docs,  # impl changed r14 (per-source rates ride one flat map literal + strict option -- r13 VERDICT #6 / ADVICE; rate values identical, oracle unchanged)
         "curate_recipe_docs": q_curate_recipe_docs,  # impl-adjacent r14 (reserved 'epoch'/'shuffle_pos' guards + epoch_strict in the chain -- r13 ADVICE; hash oracle)
         "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # impl changed r14 (duplicate-benchmark-id fail-loud guard -- r13 ADVICE; hash oracle)
@@ -3956,9 +3975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority": q_shipmode_priority,  # next-stalest continuity (last driver row r10)
         "promo_revenue": q_promo_revenue,  # next-stalest continuity (last driver row r10)
         "large_volume_orders": q_large_volume_orders,  # next-stalest continuity (last driver row r10)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # next-stalest continuity (last driver row r10)
         # --- parked below the driver's 50-query verification window (all hold
         # --- green driver rows r10-r13; re-verified locally every pytest) ---
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
         "stratified_sample_customers": q_stratified_sample_customers,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
         "weighted_sample_docs": q_weighted_sample_docs,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
         "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,
@@ -4499,6 +4518,64 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_sum(list_transform(range(1, 65),
                  j -> CAST(va.embedding[j] AS DOUBLE) * CAST(vb.embedding[j] AS DOUBLE)))
               / (va.n * vb.n), 6) >= 0.4
+    """
+    # hybrid RRF (NEW late-r14): both rankings replayed (bm25 CTE = the
+    # bm25_topk_docs oracle; cosine top-50 vs the vec_id-0 embedding), then
+    # rank reciprocals summed per doc and the fused top-30 taken with the
+    # shared (score DESC, id ASC) tie-break
+    sqls["hybrid_rrf_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        hits AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+               WHERE t IN ('spark', 'query', 'join', 'stream') GROUP BY 1, 2),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * (tf.tf * (1.2 + 1))
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / st.avgdl))) AS s
+          FROM tf JOIN lens USING (doc_id) JOIN dft USING (t) CROSS JOIN st
+          GROUP BY 1),
+        lex AS (SELECT doc_id, round(s, 6) AS score
+                FROM sc ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50),
+        lexr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                 FROM lex),
+        base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (
+          SELECT v AS qv,
+                 CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+                      THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS qn
+          FROM base WHERE vec_id = 0),
+        cosd AS (
+          SELECT b.vec_id AS doc_id,
+                 round(list_sum(list_transform(range(1, len(b.v) + 1),
+                       i -> b.v[i] * q.qv[i]))
+                       / (sqrt(list_sum(list_transform(b.v, x -> x * x))) * q.qn),
+                       6) AS cosine
+          FROM base b CROSS JOIN q),
+        sem AS (SELECT doc_id, cosine FROM cosd
+                ORDER BY cosine DESC, doc_id ASC LIMIT 50),
+        semr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r
+                 FROM sem),
+        contrib AS (
+          SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lexr
+          UNION ALL
+          SELECT doc_id, 1.0 / (60.0 + r) AS c FROM semr),
+        fused AS (
+          SELECT doc_id, round(sum(c), 6) AS rrf_score,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM contrib GROUP BY doc_id)
+        SELECT doc_id, rrf_score, n_lists
+        FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 30
     """
     # IVF append + join probe (NEW late-r14): raw-tier appends are
     # bit-identical to a whole build with the same centroids, so the oracle

@@ -1295,6 +1295,59 @@ def ivf_probe_join(
     return _per_query_topk(rescored, query_id_col, id_col, k)
 
 
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    k: int = 60,
+    id_col: str = "doc_id",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) over N retrieval
+    result lists — the standard HYBRID-search combiner: a lexical BM25 list
+    and a semantic ANN list rank on incomparable score scales, but their
+    RANKS fuse cleanly as ``rrf(d) = Σ_lists 1 / (k + rank_list(d))``
+    (k=60, the paper's constant). Documents missing from a list simply
+    contribute nothing for it — no score imputation.
+
+    ``rankings`` is a list of ``(df, score_col)`` pairs; each frame carries
+    ``id_col`` + its score column, and ranks are derived per list by
+    (score DESC, id ASC) — the deterministic tie-break every ranking
+    operator here uses. Output: (id_col, rrf_score, n_lists) ordered by
+    (rrf_score DESC, id ASC), optionally truncated to ``topk``.
+
+    BOUNDED-INPUT CONTRACT (why the per-list window is safe): inputs are
+    top-k RESULT LISTS (bm25_topk, cosine_topk, ivf_probe output — hundreds
+    to thousands of rows by construction), not corpus-scale frames, so the
+    single-partition rank window is bounded by the caller's own k. Fusing
+    corpus-scale scores is a different operation (join the score columns);
+    this one exists for the retrieval path. rrf_score is rounded at 6 —
+    a sum of N exact reciprocals, cross-engine reproducible."""
+    from pyspark.sql import Window
+
+    parts = []
+    for df, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            df.select(F.col(id_col), F.col(score_col))
+            .withColumn("__rank", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("__rank"))).alias("__contrib"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    fused = (
+        out.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__contrib"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )
+    return fused.limit(int(topk)) if topk else fused
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,

@@ -3537,3 +3537,28 @@ def test_lsh_multi_table_superset_and_census(spark, oracle_sf_dir):
         S.lsh_multi_table_pairs(
             emb, 64, n_planes=6, threshold=0.4, n_tables=3, pair_cap=10
         )
+
+
+def test_rrf_fuse_semantics(spark):
+    """rrf_fuse (late r14): rank reciprocals with the (score DESC, id ASC)
+    tie-break, missing docs contribute nothing (no imputation), fused
+    order breaks ties on the ascending id, topk truncates."""
+    from analyst_toolkit_spark.llm import similarity as S
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], ["doc_id", "score"]
+    )  # ranks: 1->1, 2->2 (tie to smaller id), 3->3, 4->4
+    sem = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8)], ["doc_id", "cosine"]
+    )  # ranks: 3->1, 5->2
+    out = S.rrf_fuse([(lex, "score"), (sem, "cosine")], k=60).collect()
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in out}
+    assert got[3] == (round(1 / 63 + 1 / 61, 6), 2)  # both lists
+    assert got[1] == (round(1 / 61, 6), 1)
+    assert got[5] == (round(1 / 62, 6), 1)
+    assert got[2] == (round(1 / 62, 6), 1)
+    # deterministic fused order: equal scores (docs 2 and 5) tie on id asc
+    order = [r["doc_id"] for r in out]
+    assert order.index(3) == 0 and order.index(2) < order.index(5)
+    top2 = S.rrf_fuse([(lex, "score"), (sem, "cosine")], k=60, topk=2).collect()
+    assert [r["doc_id"] for r in top2] == order[:2]

@@ -354,6 +354,11 @@ _EXCHANGE_CEILINGS = {
     # (measured 1 + 5 broadcasts; a second exchange means a labels join
     # started shuffling)
     "embedding_lsh_multiprobe": 2,
+    # late-r14 hybrid fusion: the bm25 branch's own exchanges + the fused
+    # groupBy; the one SinglePartition window ranks a <= 2k-row top-k
+    # RESULT LIST (the rrf_fuse bounded-input contract), never the corpus
+    # (measured 5 incl. 1 SinglePartition)
+    "hybrid_rrf_docs": 6,
     # lexical exposure twin: the ONE corpus-scale exchange is the (doc,
     # item) hit-pair agg; the other four are benchmark-scale (item sizes,
     # id spine, per-item agg) with the gram mapping on the size-gated
