@@ -3562,3 +3562,57 @@ def test_rrf_fuse_semantics(spark):
     assert order.index(3) == 0 and order.index(2) < order.index(5)
     top2 = S.rrf_fuse([(lex, "score"), (sem, "cosine")], k=60, topk=2).collect()
     assert [r["doc_id"] for r in top2] == order[:2]
+
+
+def test_ivf_probe_join_randomized_ties(spark, tmp_path):
+    """Randomized adversarial equivalence (late r14): a corpus with planted
+    EXACT duplicates forces rounded-cosine ties at top-k boundaries, so
+    the two probe forms agree only if their tie-breaks are bit-identical
+    (cosine DESC, id ASC). 30 queries, raw + sq8, plain + refine. Also
+    pins that a zero-norm index vector fail-louds IDENTICALLY in both
+    forms under ANSI (DIVIDE_BY_ZERO from the shared cosine arithmetic) —
+    neither silently ranks garbage."""
+    import random
+
+    import pytest
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    rng = random.Random(1234)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(60)]
+    rows = []
+    for i in range(180):
+        rows.append((i, list(base[i % 60])))  # every vector appears 3x -> ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = [base[i] for i in range(6)]
+    queries = [(int(i), list(base[(i * 7) % 60])) for i in range(30)]
+    qdf = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+    for tier in ("raw", "sq8"):
+        idx = str(tmp_path / f"rnd_{tier}")
+        S.ivf_write(S.ivf_assign(df, cent), cent, idx, quantize=tier, keep_raw=True)
+        for rf in (0, 2):
+            union_rows = sorted(
+                map(tuple, S.ivf_probe_many(
+                    spark, idx, queries, k=7, nprobe=3, refine_factor=rf
+                ).collect())
+            )
+            join_rows = sorted(
+                map(tuple, S.ivf_probe_join(
+                    spark, idx, qdf, k=7, nprobe=3, refine_factor=rf
+                ).collect())
+            )
+            assert join_rows == union_rows, (tier, rf)
+    # zero-norm index vector: both forms raise the same ANSI division error
+    bad = df.unionByName(
+        spark.createDataFrame([(999, [0.0] * 8)], "vec_id long, embedding array<double>")
+    )
+    idx0 = str(tmp_path / "rnd_zero")
+    S.ivf_write(S.ivf_assign(bad, cent), cent, idx0)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|Division by zero"):
+        S.ivf_probe(spark, idx0, base[0], k=5, nprobe=6).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|Division by zero"):
+        S.ivf_probe_join(
+            spark, idx0,
+            spark.createDataFrame([(0, base[0])], "query_id long, query_vec array<double>"),
+            k=5, nprobe=6,
+        ).collect()
