@@ -78,6 +78,24 @@ def main() -> None:
         f"min={min(recalls):.2f} (nprobe={NPROBE}/{16}, refine={REFINE})",
         flush=True,
     )
+
+    # 5. HYBRID: fuse the semantic ANN list with a lexical BM25 list (RRF) —
+    # the rankings live on incomparable scales; rank reciprocals fuse them
+    from analyst_toolkit_spark.llm import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lex = T.bm25_topk(docs, ["spark", "query", "join", "stream"], k=50)
+    one_query = hits.filter(F.col("query_id") == 0).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    fused = S.rrf_fuse([(lex, "score"), (one_query, "cosine")], k=60, topk=10)
+    rows = fused.collect()
+    both = sum(1 for r in rows if r["n_lists"] == 2)
+    print(
+        f"hybrid RRF top-10 for query 0: {len(rows)} rows, {both} ranked by "
+        f"BOTH lists (lexical+semantic)",
+        flush=True,
+    )
     spark.stop()
 
 
