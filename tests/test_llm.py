@@ -3492,9 +3492,31 @@ def test_ivf_append_matches_whole_build(spark, oracle_sf_dir, tmp_path):
     q450 = [float(x) for x in emb.filter(F.col("vec_id") == 450).first()["embedding"]]
     top = S.ivf_probe(spark, pq, q450, k=5, nprobe=4).collect()
     assert any(r["vec_id"] == 450 for r in top)
-    with pytest.raises(ValueError, match="batch vector dim"):
+    # dim guard is IN-PLAN per row (r14 ADVICE): it fires at the write action
+    # as a Spark raise_error, and catches a MIXED-dim batch whose FIRST rows
+    # are fine (the old first()-only precheck let those half-land)
+    with pytest.raises(Exception, match="batch vector dim"):
         S.ivf_append(
-            spark, pq, emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+            spark, pq,
+            emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"), "label"),
+        )
+    mixed = rest1.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 399, F.slice("embedding", 1, 8))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    with pytest.raises(Exception, match="batch vector dim"):
+        S.ivf_append(spark, pq, mixed)
+    with pytest.raises(Exception, match="null batch vector"):
+        S.ivf_append(
+            spark, pq,
+            rest1.select(
+                "vec_id",
+                F.when(F.col("vec_id") == 399, F.lit(None)).otherwise(F.col("embedding")).alias("embedding"),
+                "label",
+            ),
         )
     # the layout carries `label`; a batch that cannot supply it fail-louds
     # instead of appending schema-divergent files
@@ -3562,6 +3584,66 @@ def test_rrf_fuse_semantics(spark):
     assert order.index(3) == 0 and order.index(2) < order.index(5)
     top2 = S.rrf_fuse([(lex, "score"), (sem, "cosine")], k=60, topk=2).collect()
     assert [r["doc_id"] for r in top2] == order[:2]
+
+
+def test_rrf_fuse_guards(spark):
+    """r14 VERDICT "What's wrong" #1 + ADVICE: the bounded-input contract is
+    ENFORCED (a corpus-scale list raises before the one-partition window),
+    topk=0 means zero rows (not "no truncation"), and an empty rankings
+    list raises a contract error instead of a bare IndexError."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    lex = spark.createDataFrame([(1, 9.0), (2, 5.0)], ["doc_id", "score"])
+    with pytest.raises(ValueError, match="empty rankings"):
+        S.rrf_fuse([])
+    assert S.rrf_fuse([(lex, "score")], topk=0).count() == 0
+    big = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    with pytest.raises(ValueError, match="max_list_rows"):
+        S.rrf_fuse([(lex, "score"), (big, "score")], max_list_rows=10)
+    # cap disabled or satisfied: fuses normally
+    assert S.rrf_fuse([(lex, "score"), (big, "score")], max_list_rows=None).count() == 50
+    assert S.rrf_fuse([(lex, "score")], max_list_rows=2).count() == 2
+
+
+def test_ivf_probe_join_nondeterministic_queries(spark, tmp_path):
+    """r14 ADVICE: the query frame is materialized ONCE (lazy localCheckpoint)
+    before BOTH the probed-set collect and the join-side plan, so a
+    nondeterministic caller frame (unordered limit over a shuffled source)
+    cannot evaluate differently in the two jobs and silently drop results —
+    every query that reaches the output carries its full k rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    rng = random.Random(77)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, base[i]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    cent = [base[i] for i in range(4)]
+    idx = str(tmp_path / "nd_idx")
+    S.ivf_write(S.ivf_assign(df, cent), cent, idx)
+    # unordered limit over a repartitioned frame: which 5 rows it yields is
+    # not deterministic across jobs — exactly the hazard the cut closes
+    qdf = (
+        df.repartition(8)
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = S.ivf_probe_join(spark, idx, qdf, k=3, nprobe=2).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert len(per_query) == 5
+    assert all(len(v) == 3 for v in per_query.values())
 
 
 def test_ivf_probe_join_randomized_ties(spark, tmp_path):
