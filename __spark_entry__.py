@@ -2842,17 +2842,22 @@ def q_semantic_decon_exposure_lsh_embeddings(spark, sf):
     """Per-BENCHMARK-item exposure over the bipartite LSH tier (llm/
     similarity.semantic_decon_exposure_lsh — NEW r14, r13 VERDICT #2): the
     large-eval-set twin of the r13 literal exposure row, for benchmarks
-    PAST the plan-literal caps. The benchmark here is 2500 items — five
-    positive scale-copies (x1.0..x3.0) of every corpus vector, genuinely
-    past DECON_BENCH_MAX=2048 (the literal tier raises on this input;
-    pinned in tests) — and scaling preserves direction, so every copy
-    shares its source's hyperplane bucket: candidate pruning loses nothing
-    and the LSH view hash-matches the SAME explicit CROSS JOIN per-pair
-    cosine oracle the literal row uses. Items derived from corpus-resident
-    vectors (vec_id >= 10) have exactly one hit at cosine 1.0; copies of
-    the ten excluded ids have zero (organic max ~0.51 << 0.999), which
-    exercises the zero-hit completion join. pair_cap arms the bipartite
-    census gate on the driver row itself."""
+    PAST the plan-literal caps. The benchmark is 5x|embeddings| items
+    (2500 at the driver's sf0.01) — five positive scale-copies
+    (x1.0..x3.0) of every corpus vector, genuinely past
+    DECON_BENCH_MAX=2048 (the literal tier raises on this input; pinned in
+    tests) — and scaling preserves direction, so every copy shares its
+    source's hyperplane bucket: candidate pruning loses nothing and the
+    LSH view hash-matches the SAME explicit CROSS JOIN per-pair cosine
+    oracle the literal row uses. Benchmark ids are vec_id + 100000*band
+    (r14 ADVICE: the band must be wider than ANY sf's vec_id range — the
+    old 1000 band collided at sf0.1 where vec_id reaches 1999, merging
+    distinct items' hit counts and violating the operator's unique-id
+    contract; 100000 clears every test sf by 50x). Items derived from
+    corpus-resident vectors (vec_id >= 10) have exactly one hit at cosine
+    1.0; copies of the ten excluded ids have zero (organic max ~0.51 <<
+    0.999), which exercises the zero-hit completion join. pair_cap arms
+    the bipartite census gate on the driver row itself."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2865,7 +2870,7 @@ def q_semantic_decon_exposure_lsh_embeddings(spark, sf):
     bench = None
     for si, s in ((1, 1.0), (2, 1.5), (3, 2.0), (4, 2.5), (5, 3.0)):
         part = emb.select(
-            (F.col("vec_id") + 1000 * si).alias("vec_id"),
+            (F.col("vec_id") + 100000 * si).alias("vec_id"),
             F.transform("embedding", _scaler(float(s))).alias("embedding"),
         )
         bench = part if bench is None else bench.unionByName(part)
@@ -6178,7 +6183,7 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings),
         sc AS (SELECT * FROM (VALUES (1, 1.0), (2, 1.5), (3, 2.0), (4, 2.5), (5, 3.0)) AS t(si, s)),
         bench AS (
-          SELECT b.vec_id + 1000 * t.si AS bid,
+          SELECT b.vec_id + 100000 * t.si AS bid,
                  list_transform(b.v, x -> x * CAST(t.s AS DOUBLE)) AS bv
           FROM base b CROSS JOIN sc t),
         bn AS (
