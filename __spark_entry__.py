@@ -3817,6 +3817,71 @@ def q_ivf_append_probe_embeddings(spark, sf):
     return L_sim.ivf_probe_join(spark, base, queries, k=6, nprobe=2)
 
 
+def q_bm25_join_docs(spark, sf):
+    """JOIN-form batched BM25 (llm/text.bm25_topk_join — NEW r15, r14
+    VERDICT #1): the lexical half of the production hybrid-retrieval
+    workload, completing what the r14 join-form IVF probe did for the
+    semantic half. FOUR queries ride ONE fixed-shape plan: the (query,
+    term) table derives behind a lineage cut, the corpus token explode is
+    semi-join-filtered map-side to the workload's distinct term set, the
+    per-(doc, term) partial scores build once (tf/df/idf are query-
+    independent), and one term equi-join + per-(query, doc) sum + the
+    two-bounded-phase grouped top-k yield every query's bm25_topk rows.
+    The workload exercises dedup-modulo-case terms (query 2) and a term
+    absent from the corpus (query 3, contributes nothing). The DuckDB
+    oracle replays the whole pipeline from a VALUES (query, term) table —
+    identical smooth-RSJ idf / tf-saturation arithmetic, round 6, ties to
+    smallest doc_id, top-10 per query."""
+    docs = load_table(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "query", "join", "stream"]),
+            (2, ["agg", "batch", "AGG"]),
+            (3, ["scan", "window", "zzzmissing"]),
+            (4, ["filter", "merge", "sort", "hash"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return L_text.bm25_topk_join(docs, qdf, k=10)
+
+
+def q_hybrid_rrf_join_docs(spark, sf):
+    """GROUPED hybrid retrieval (llm/similarity.rrf_fuse group_col — NEW
+    r15, r14 VERDICT #1): the complete batched hybrid path — THREE queries'
+    lexical BM25 top-20 lists (bm25_topk_join, one plan) and semantic IVF
+    top-20 lists (ivf_probe_join over the data-derived-centroid index, one
+    plan) fused per query by reciprocal-rank fusion in ONE grouped plan
+    (group-partitioned rank windows, per-group top-8) — no per-query
+    branch anywhere on either retrieval side or in the fusion. Query ids
+    are the probe vectors' vec_ids (100..102); vec_id doubles as doc_id in
+    the testdata. The DuckDB oracle composes the three CTE families the
+    bm25_join / ivf_probe_join / hybrid_rrf rows already proved out."""
+    docs = load_table(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        [
+            (100, ["spark", "query", "join", "stream"]),
+            (101, ["agg", "batch", "scan"]),
+            (102, ["filter", "window", "hash"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    lex = L_text.bm25_topk_join(docs, qdf, k=20)
+    emb = load_table(spark, sf, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    base = _stream_tmpdir("hybrid_join_")
+    L_sim.ivf_write(L_sim.ivf_assign(emb, centroids), centroids, base)
+    qvecs = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = L_sim.ivf_probe_join(spark, base, qvecs, k=20, nprobe=3).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return L_sim.rrf_fuse(
+        [(lex, "score"), (sem, "cosine")], k=60, topk=8, group_col="query_id"
+    )
+
+
 def q_url_dedup_docs(spark, sf):
     """URL-level dedup (llm/text.canonicalize_url + url_dup_groups): five
     deterministic surface variants of the same logical URL per doc-group
@@ -3930,6 +3995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since r2); every deterministic query also runs against the same
         # DuckDB oracle locally each pytest via tests/test_entry_contract.py,
         # so rotation never leaves a query unverified.
+        "bm25_join_docs": q_bm25_join_docs,  # NEW r15 (join-form batched BM25 -- r14 VERDICT #1; VALUES-table oracle replays the whole workload)
+        "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
         "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # NEW r14 (join-form batched IVF probe -- r13 VERDICT #1; data-derived centroids make the row hash-oracle-checkable)
         "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # NEW r14 (LSH-tier per-benchmark-item exposure past the literal caps -- r13 VERDICT #2; same CROSS JOIN oracle as the literal row)
         "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,  # NEW late-r14 (IVF index APPEND -> join-form probe; raw appends bit-identical to a whole build, full-table CTE oracle)
@@ -4581,6 +4648,145 @@ def oracle_sql() -> dict[str, str]:
           FROM contrib GROUP BY doc_id)
         SELECT doc_id, rrf_score, n_lists
         FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 30
+    """
+    # JOIN-form batched BM25 (NEW r15): the whole 4-query workload replayed
+    # from a VALUES (query, term) table — lowercase+distinct per query,
+    # identical idf/saturation arithmetic, round 6, top-10 per query with
+    # ties to the smallest doc_id
+    sqls["bm25_join_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        hits AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        qt(query_id, t0) AS (VALUES
+          (1, 'spark'), (1, 'query'), (1, 'join'), (1, 'stream'),
+          (2, 'agg'), (2, 'batch'), (2, 'AGG'),
+          (3, 'scan'), (3, 'window'), (3, 'zzzmissing'),
+          (4, 'filter'), (4, 'merge'), (4, 'sort'), (4, 'hash')),
+        qd AS (SELECT DISTINCT query_id, lower(t0) AS t FROM qt),
+        terms AS (SELECT DISTINCT t FROM qd),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+               WHERE t IN (SELECT t FROM terms) GROUP BY 1, 2),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        par AS (
+          SELECT tf.doc_id, tf.t,
+                 ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / st.avgdl)) AS s
+          FROM tf JOIN lens USING (doc_id) JOIN dft USING (t) CROSS JOIN st),
+        sc AS (
+          SELECT qd.query_id, par.doc_id, round(sum(par.s), 6) AS score
+          FROM par JOIN qd USING (t) GROUP BY 1, 2)
+        SELECT query_id, doc_id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rn
+          FROM sc)
+        WHERE rn <= 10
+    """
+    # grouped hybrid retrieval (NEW r15): batched BM25 + join-form IVF probe
+    # + grouped RRF, all three replayed in one composed CTE (the bm25_join /
+    # ivf_probe_join / hybrid_rrf constructions)
+    sqls["hybrid_rrf_join_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        hits AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        qt(query_id, t0) AS (VALUES
+          (100, 'spark'), (100, 'query'), (100, 'join'), (100, 'stream'),
+          (101, 'agg'), (101, 'batch'), (101, 'scan'),
+          (102, 'filter'), (102, 'window'), (102, 'hash')),
+        qd AS (SELECT DISTINCT query_id, lower(t0) AS t FROM qt),
+        terms AS (SELECT DISTINCT t FROM qd),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+               WHERE t IN (SELECT t FROM terms) GROUP BY 1, 2),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        par AS (
+          SELECT tf.doc_id, tf.t,
+                 ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / st.avgdl)) AS s
+          FROM tf JOIN lens USING (doc_id) JOIN dft USING (t) CROSS JOIN st),
+        sc AS (
+          SELECT qd.query_id, par.doc_id, round(sum(par.s), 6) AS score
+          FROM par JOIN qd USING (t) GROUP BY 1, 2),
+        lex AS (
+          SELECT query_id, doc_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS rn
+            FROM sc)
+          WHERE rn <= 20),
+        lexr AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS r
+          FROM lex),
+        base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT vec_id AS ci, v AS cv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS n,
+                 0.5 * list_sum(list_transform(v, x -> x * x)) AS half2
+          FROM base WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT b.vec_id, b.v, c.ci,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(b.v) + 1),
+                              i -> b.v[i] * c.cv[i])) - c.half2 DESC,
+                     c.ci ASC) AS rn
+            FROM base b CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+                      THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS qn
+          FROM base WHERE vec_id >= 100 AND vec_id < 103),
+        pr AS (
+          SELECT query_id, qv, qn, ci FROM (
+            SELECT q.query_id, q.qv, q.qn, c.ci,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_sum(list_transform(range(1, len(q.qv) + 1),
+                              i -> q.qv[i] * c.cv[i])) / (c.n * q.qn) DESC,
+                     c.ci ASC) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 3),
+        scd AS (
+          SELECT p.query_id, a.vec_id,
+                 round(list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * p.qv[i]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * p.qn),
+                       6) AS cosine
+          FROM pr p JOIN asg a ON a.ci = p.ci),
+        sem AS (
+          SELECT query_id, vec_id AS doc_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scd)
+          WHERE rn <= 20),
+        semr AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, doc_id ASC) AS r
+          FROM sem),
+        contrib AS (
+          SELECT query_id, doc_id, 1.0 / (60.0 + r) AS c FROM lexr
+          UNION ALL
+          SELECT query_id, doc_id, 1.0 / (60.0 + r) AS c FROM semr),
+        fused AS (
+          SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM contrib GROUP BY 1, 2)
+        SELECT query_id, doc_id, rrf_score, n_lists FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_score DESC, doc_id ASC) AS rn
+          FROM fused)
+        WHERE rn <= 8
     """
     # IVF append + join probe (NEW late-r14): raw-tier appends are
     # bit-identical to a whole build with the same centroids, so the oracle

@@ -1008,10 +1008,11 @@ def _per_query_topk(
     id_col: str,
     k: int,
     extra_cols: tuple[str, ...] = (),
+    score_col: str = "cosine",
 ) -> DataFrame:
-    """Top-``k`` rows per query by (cosine DESC, id ASC) — the single-probe
-    tie-break — without a per-query single-task window funnel (the
-    grouped_topk two-bounded-phase skew contract, llm/pack.py):
+    """Top-``k`` rows per query by (``score_col`` DESC, id ASC) — the
+    single-probe tie-break — without a per-query single-task window funnel
+    (the grouped_topk two-bounded-phase skew contract, llm/pack.py):
 
     1. per-(query, input-partition) top-k: each reduce-side sort_array list
        is bounded by ONE partition's share of that query's candidates;
@@ -1025,7 +1026,7 @@ def _per_query_topk(
     they never perturb the order (used to carry the cluster id into the
     refine re-rank join)."""
     key = F.struct(
-        (-F.col("cosine")).alias("nc"),
+        (-F.col(score_col)).alias("nc"),
         F.col(id_col).alias("i"),
         *[F.col(c).alias(c) for c in extra_cols],
     )
@@ -1040,7 +1041,7 @@ def _per_query_topk(
     return merged.select(F.col("__q").alias(qid), F.explode("__top").alias("__e")).select(
         qid,
         F.col("__e.i").alias(id_col),
-        (-F.col("__e.nc")).alias("cosine"),
+        (-F.col("__e.nc")).alias(score_col),
         *[F.col(f"__e.{c}").alias(c) for c in extra_cols],
     )
 
@@ -1328,6 +1329,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     topk: int | None = None,
     max_list_rows: int | None = 10_000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) over N retrieval
     result lists — the standard HYBRID-search combiner: a lexical BM25 list
@@ -1358,14 +1360,30 @@ def rrf_fuse(
 
     rrf_score is rounded at 6 — a sum of N exact reciprocals, cross-engine
     reproducible. ``topk=0`` truncates to zero rows (0 is a real bound, not
-    "no bound"); an empty ``rankings`` list raises."""
+    "no bound"); an empty ``rankings`` list raises.
+
+    GROUPED form (``group_col``, r15 — the fusion half of the batched
+    hybrid-retrieval workload): when set, every ranking frame carries a
+    query/group id column and holds ONE top-k list PER GROUP (the
+    :func:`~analyst_toolkit_spark.llm.text.bm25_topk_join` /
+    :func:`ivf_probe_join` output shape), and one plan fuses ALL groups'
+    lists: ranks derive per (group, list) through GROUP-PARTITIONED
+    windows (no single-partition funnel, so the ``max_list_rows`` gate
+    does not apply — each window partition is bounded by that group's own
+    list length), contributions aggregate per (group, id), and ``topk``
+    truncates PER GROUP through another group-partitioned window. A doc
+    missing from one group's list still contributes nothing for it;
+    groups never mix. Per-group results are exactly the ungrouped
+    operator's output for that group's lists (suite-asserted). Output:
+    (group_col, id_col, rrf_score, n_lists)."""
     from pyspark.sql import Window
 
     if not rankings:
         raise ValueError("rrf_fuse: empty rankings list — pass >= 1 (df, score_col)")
+    keys = [group_col, id_col] if group_col is not None else [id_col]
     parts = []
     for li, (df, score_col) in enumerate(rankings):
-        if max_list_rows is not None:
+        if group_col is None and max_list_rows is not None:
             df = df.localCheckpoint(eager=False)  # guard + window read one materialization
             n = df.limit(max_list_rows + 1).count()
             if n > max_list_rows:
@@ -1378,26 +1396,36 @@ def rrf_fuse(
             # the bound is now VERIFIED, so one partition is the honest shape
             # for the rank window (<= cap rows) — no SinglePartition exchange
             df = df.coalesce(1)
-        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        w = (
+            Window.partitionBy(group_col) if group_col is not None else Window
+        ).orderBy(F.desc(score_col), F.asc(id_col))
         parts.append(
-            df.select(F.col(id_col), F.col(score_col))
+            df.select(*[F.col(c) for c in keys], F.col(score_col))
             .withColumn("__rank", F.row_number().over(w))
             .select(
-                F.col(id_col),
+                *[F.col(c) for c in keys],
                 (F.lit(1.0) / (F.lit(float(k)) + F.col("__rank"))).alias("__contrib"),
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    fused = (
-        out.groupBy(id_col)
-        .agg(
-            F.round(F.sum("__contrib"), 6).alias("rrf_score"),
-            F.count(F.lit(1)).alias("n_lists"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    fused = out.groupBy(*keys).agg(
+        F.round(F.sum("__contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
     )
+    if group_col is not None:
+        if topk is not None:
+            wt = Window.partitionBy(group_col).orderBy(
+                F.desc("rrf_score"), F.asc(id_col)
+            )
+            fused = (
+                fused.withColumn("__r", F.row_number().over(wt))
+                .filter(F.col("__r") <= int(topk))
+                .drop("__r")
+            )
+        return fused.orderBy(group_col, F.desc("rrf_score"), F.asc(id_col))
+    fused = fused.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return fused.limit(int(topk)) if topk is not None else fused
 
 

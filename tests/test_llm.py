@@ -3611,6 +3611,154 @@ def test_rrf_fuse_guards(spark):
     assert S.rrf_fuse([(lex, "score")], max_list_rows=2).count() == 2
 
 
+def test_bm25_join_matches_per_query(spark, sf_dir):
+    """r14 VERDICT #1 (r15): the JOIN-form batched BM25 must return, per
+    query, EXACTLY the per-query bm25_topk rows (same doc ids, same rounded
+    scores, same smallest-id tie-break) on a 110-query workload — including
+    queries with DUPLICATE and UPPERCASE terms (deduplicated/lowercased
+    like the single-query isin literal) and empty term arrays (no rows)."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["token"]
+        for r in T.build_vocab(docs, key="text", size=40).orderBy("token").collect()
+    ]
+    m = len(vocab)  # the synthetic corpus vocabulary is ~31 tokens at sf0.001
+    workload = []
+    for i in range(110):
+        terms = [vocab[i % m], vocab[(3 * i + 1) % m], vocab[(7 * i + 2) % m]]
+        if i % 11 == 0:
+            terms.append(terms[0].upper())  # dup modulo case — must dedup
+        if i % 37 == 0:
+            terms = []  # empty workload entry — zero rows for this query
+        workload.append((i, terms))
+    qdf = spark.createDataFrame(workload, "query_id long, terms array<string>")
+    joined = {}
+    for r in T.bm25_topk_join(docs, qdf, k=8).collect():
+        joined.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    expected_total = 0
+    for qid, terms in workload:
+        single = [
+            (r["doc_id"], r["score"])
+            for r in T.bm25_topk(docs, terms, k=8).collect()
+        ]
+        assert sorted(joined.get(qid, [])) == sorted(single), qid
+        expected_total += len(single)
+    assert sum(len(v) for v in joined.values()) == expected_total
+
+
+def test_bm25_join_plan_shape_and_guards(spark, sf_dir):
+    """The plan gate behind the batched-BM25 equivalence: zero Unions, zero
+    Python row processing, and a workload-size-INVARIANT plan (5 vs 100
+    queries compile to identical scan/join/exchange counts — no per-query
+    branches). Null terms arrays raise in-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _plan(n_queries: int) -> str:
+        qdf = spark.createDataFrame(
+            [(i, ["alpha", "beta"]) for i in range(n_queries)],
+            "query_id long, terms array<string>",
+        )
+        df = T.bm25_topk_join(docs, qdf, k=5)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    shapes = []
+    for n in (5, 100):
+        plan = _plan(n)
+        assert "Union" not in plan, f"per-query branch leaked into the plan (n={n})"
+        assert "BatchEvalPython" not in plan, f"Python row processing (n={n})"
+        shapes.append(
+            (
+                plan.count("Scan parquet"),
+                plan.count("Exchange hashpartitioning"),
+                plan.count("Join"),
+            )
+        )
+    assert shapes[0] == shapes[1], f"plan shape varies with workload size: {shapes}"
+    null_q = spark.createDataFrame(
+        [(0, ["ok"]), (1, None)], "query_id long, terms array<string>"
+    )
+    with pytest.raises(Exception, match="null terms array"):
+        T.bm25_topk_join(docs, null_q).collect()
+
+
+def test_rrf_fuse_grouped_matches_ungrouped(spark, sf_dir):
+    """Grouped RRF (r15): one plan fusing N queries' lexical + semantic
+    lists must reproduce, per group, exactly the ungrouped rrf_fuse of
+    that group's lists — including per-group topk truncation and per-group
+    rank derivation (a doc's rank in group A must not see group B's
+    scores). Driven through the real batched operators (bm25_topk_join +
+    a per-query cosine list)."""
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import similarity as S
+    from analyst_toolkit_spark.llm import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["token"]
+        for r in T.build_vocab(docs, key="text", size=10).orderBy("token").collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(i, [vocab[i], vocab[(i + 3) % 10]]) for i in range(5)],
+        "query_id long, terms array<string>",
+    )
+    lex = T.bm25_topk_join(docs, qdf, k=20)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    sem_parts = [
+        S.cosine_topk(emb, qvecs[i], k=20)
+        .select(
+            F.lit(i).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "cosine",
+        )
+        for i in range(5)
+    ]
+    sem = sem_parts[0]
+    for p in sem_parts[1:]:
+        sem = sem.unionByName(p)
+    grouped = S.rrf_fuse(
+        [(lex, "score"), (sem, "cosine")], k=60, topk=7, group_col="query_id"
+    )
+    by_group = {}
+    for r in grouped.collect():
+        by_group.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rrf_score"], r["n_lists"])
+        )
+    assert set(by_group) == set(range(5))
+    for i in range(5):
+        single = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"])
+            for r in S.rrf_fuse(
+                [
+                    (lex.filter(F.col("query_id") == i).drop("query_id"), "score"),
+                    (sem.filter(F.col("query_id") == i).drop("query_id"), "cosine"),
+                ],
+                k=60,
+                topk=7,
+            ).collect()
+        ]
+        assert by_group[i] == single, i
+    # grouped plan: every rank window is group-partitioned, never global
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for j, line in enumerate(lines):
+        if "Window [" in line:
+            child = "\n".join(lines[j + 1 : j + 4])
+            assert "Exchange SinglePartition" not in child, "global window in grouped RRF"
+
+
 def test_ivf_probe_join_nondeterministic_queries(spark, tmp_path):
     """r14 ADVICE: the query frame is materialized ONCE (lazy localCheckpoint)
     before BOTH the probed-set collect and the join-side plan, so a

@@ -359,6 +359,19 @@ _EXCHANGE_CEILINGS = {
     # RESULT LIST (the rrf_fuse bounded-input contract), never the corpus
     # (measured 5 incl. 1 SinglePartition)
     "hybrid_rrf_docs": 6,
+    # r15 join-form batched BM25: tf/df/stats aggs + the tf-lens-idf joins
+    # + the per-(query, doc) sum + the two bounded ranking exchanges of the
+    # grouped top-k; the one SinglePartition is the 1-ROW corpus-stats agg
+    # (same as the per-query bm25 plan), never a funnel. Workload-size-
+    # INVARIANT (plan-asserted at 5 vs 100 queries in test_llm).
+    # (measured 9 incl. 1 SinglePartition + 3 broadcasts)
+    "bm25_join_docs": 9,
+    # r15 grouped hybrid: bm25_join's exchanges + the join-form IVF probe's
+    # two bounded ranking exchanges + the fused per-(query, doc) groupBy;
+    # rank windows are all GROUP-partitioned (asserted in test_llm); the
+    # single Union is the fixed 2-LIST rrf union, never per-query
+    # (measured 12 incl. 1 SinglePartition + 4 broadcasts)
+    "hybrid_rrf_join_docs": 12,
     # lexical exposure twin: the ONE corpus-scale exchange is the (doc,
     # item) hit-pair agg; the other four are benchmark-scale (item sizes,
     # id spine, per-item agg) with the gram mapping on the size-gated
