@@ -3817,6 +3817,61 @@ def q_ivf_append_probe_embeddings(spark, sf):
     return L_sim.ivf_probe_join(spark, base, queries, k=6, nprobe=2)
 
 
+def q_cdc_chunk_census_docs(spark, sf):
+    """Chunk-hash CENSUS through the REAL CDC chunker, hash-oracle-checked
+    (NEW r15, r14 VERDICT #5 — cdc_chunk_docs was the registry's only
+    rows-only row without a hash-green twin): with min_size == max_size the
+    rolling-hash boundary rule degenerates to fixed 64-char strides (the
+    size cap fires before the content rule can), so the mapInPandas
+    chunker's output becomes SQL-expressible — DuckDB replays it as
+    substr() strides — while the row still exercises the real per-doc scan,
+    the [min,max] bound logic, and the census shapes the chunk-dedup stage
+    uses. Identity is md5(chunk) (cross-engine; the operator's FNV display
+    hash is not SQL-replayable). Top-20 chunks by (n_docs DESC, n_chunks
+    DESC, md5 ASC) — the corpus's exact-duplicate docs give n_docs >= 2
+    rows."""
+    docs = load_table(spark, sf, "documents")
+    ch = L_text.cdc_chunks(docs, min_size=64, max_size=64)
+    return (
+        ch.select(F.md5("chunk").alias("chunk_md5"), "doc_id")
+        .groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_chunks"), F.asc("chunk_md5"))
+        .limit(20)
+    )
+
+
+def q_curate_chunk_dedup_docs(spark, sf):
+    """END-TO-END hash oracle for the r15 chunk-dedup curate stage
+    (CurationConfig.chunk_dedup_min_docs): a 128-char banner is prepended
+    to EVERY document (two full 64-char stride chunks, so the banner is
+    corpus-wide chunk boilerplate and the doc bodies keep their original
+    stride alignment behind it), then the chain runs chunk-dedup (cut
+    mode, fixed 64-char strides for SQL replay) followed by exact dedup
+    over the CLEANED text. Exact-duplicate documents share every chunk, so
+    at min_docs=2 they cut each other to empty and drop in the chunk stage
+    (the census-counts-distinct-docs semantics the config documents);
+    distinct docs lose exactly the banner. One composed DuckDB CTE
+    (stride chunks -> md5 census -> cut+reassemble -> normalized-
+    fingerprint dedup) reproduces the survivor set byte-for-byte."""
+    from analyst_toolkit_spark.llm import curate as L_cur
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    banner = F.rpad(
+        F.lit("COOKIE NOTICE this site uses cookies accept all terms to continue"),
+        128, "*",
+    )
+    bannered = docs.withColumn("text", F.concat(banner, F.col("text")))
+    out, _ = L_cur.curate_corpus(
+        bannered, exact_dedup=True, chunk_dedup_min_docs=2,
+        chunk_min_size=64, chunk_max_size=64,
+    )
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_ivf_health_embeddings(spark, sf):
     """IVF index HEALTH/DRIFT view (llm/similarity.ivf_health — NEW r15,
     r14 VERDICT #2): per-cluster count and mean/min/stddev cosine of the
@@ -4058,6 +4113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB oracle locally each pytest via tests/test_entry_contract.py,
         # so rotation never leaves a query unverified.
         "bm25_join_docs": q_bm25_join_docs,  # NEW r15 (join-form batched BM25 -- r14 VERDICT #1; VALUES-table oracle replays the whole workload)
+        "cdc_chunk_census_docs": q_cdc_chunk_census_docs,  # NEW r15 (hash twin for the CDC chunker -- r14 VERDICT #5; fixed-stride construction makes mapInPandas output SQL-replayable)
+        "curate_chunk_dedup_docs": q_curate_chunk_dedup_docs,  # NEW r15 (chunk-dedup curate stage composition -- r14 VERDICT #5; banner-cut + exact dedup in one CTE)
         "ivf_health_embeddings": q_ivf_health_embeddings,  # NEW r15 (index drift signal -- r14 VERDICT #2; assignment + per-cluster cosine aggregates replayed in SQL)
         "ivf_rebuild_probe_embeddings": q_ivf_rebuild_probe_embeddings,  # NEW r15 (rebuild/compaction -- r14 VERDICT #2; pinned-centroid rebuild == full-table build, CTE oracle)
         "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
@@ -4712,6 +4769,53 @@ def oracle_sql() -> dict[str, str]:
           FROM contrib GROUP BY doc_id)
         SELECT doc_id, rrf_score, n_lists
         FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 30
+    """
+    # CDC chunk census (NEW r15): min_size == max_size degenerates the
+    # rolling-hash chunker to fixed strides, so DuckDB replays it as
+    # substr() windows; census keyed on md5(chunk)
+    sqls["cdc_chunk_census_docs"] = """
+        WITH st AS (
+          SELECT doc_id, text, unnest(range(0, len(text), 64)) AS gs
+          FROM documents),
+        ch AS (SELECT doc_id, substr(text, gs + 1, 64) AS chunk FROM st),
+        cs AS (
+          SELECT md5(chunk) AS chunk_md5,
+                 count(DISTINCT doc_id) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_chunks
+          FROM ch GROUP BY 1)
+        SELECT chunk_md5, n_docs, n_chunks FROM cs
+        ORDER BY n_docs DESC, n_chunks DESC, chunk_md5 ASC LIMIT 20
+    """
+    # chunk-dedup curate stage (NEW r15): banner-injected corpus -> stride
+    # chunks -> md5 census -> cut+reassemble -> normalized-fingerprint
+    # exact dedup over the CLEANED text (the chain's stage order)
+    sqls["curate_chunk_dedup_docs"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 rpad('COOKIE NOTICE this site uses cookies accept all terms to continue',
+                      128, '*') || text AS text
+          FROM documents),
+        st AS (
+          SELECT doc_id, text, unnest(range(0, len(text), 64)) AS gs
+          FROM b),
+        ch AS (SELECT doc_id, gs AS start, substr(text, gs + 1, 64) AS chunk
+               FROM st),
+        census AS (
+          SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS nd
+          FROM ch GROUP BY 1),
+        boiler AS (SELECT h FROM census WHERE nd >= 2),
+        kept AS (
+          SELECT c.doc_id, c.start, c.chunk FROM ch c
+          WHERE md5(c.chunk) NOT IN (SELECT h FROM boiler)),
+        rs AS (
+          SELECT doc_id, string_agg(chunk, '' ORDER BY start) AS text
+          FROM kept GROUP BY 1),
+        nz AS (SELECT doc_id, text FROM rs WHERE len(text) > 0),
+        ex AS (
+          SELECT min(doc_id) AS doc_id
+          FROM nz GROUP BY md5({_NORM_SQL.format(col="text")}))
+        SELECT nz.doc_id, md5(nz.text) AS text_md5
+        FROM nz JOIN ex USING (doc_id)
     """
     # IVF health/drift view (NEW r15): assignment + per-cluster cosine
     # aggregates for the stored side AND a deterministically-shifted batch,

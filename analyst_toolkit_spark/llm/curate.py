@@ -63,6 +63,29 @@ class CurationConfig:
     #: was boilerplate are dropped.
     line_dedup_min_docs: int | None = None
     line_dedup_sep: str = "\n"
+    #: CHUNK-level boilerplate removal (text.cdc_chunk_dedup — r15, r14
+    #: VERDICT #5): content-defined chunks (rolling-hash boundaries, so
+    #: boilerplate that SHIFTS within the page still hashes identically)
+    #: found in >= chunk_dedup_min_docs distinct documents are treated as
+    #: boilerplate. Runs beside line_dedup in the pre-quality cleaning
+    #: block — the shift-resistant complement for boilerplate that is not
+    #: line-aligned. ``chunk_dedup_mode``: "cut" (default) removes the
+    #: boilerplate chunks and reassembles each doc (docs reduced to ''
+    #: drop); "drop" removes every doc that CONTAINS a boilerplate chunk
+    #: (the conservative policy when partial docs are unacceptable).
+    #: Chunk geometry knobs mirror text.cdc_chunks; min_size == max_size
+    #: degenerates to fixed-stride chunks (the SQL-replayable construction
+    #: the driver row uses). NB the census counts DISTINCT DOCS, and this
+    #: stage runs BEFORE exact_dedup (cleaning precedes fingerprinting):
+    #: full-copy duplicate documents therefore cut EACH OTHER's bodies at
+    #: min_docs=2 — set min_docs above the corpus duplication multiplicity
+    #: if whole-copy dedup should be left to the exact_dedup stage.
+    chunk_dedup_min_docs: int | None = None
+    chunk_dedup_mode: str = "cut"
+    chunk_window: int = 16
+    chunk_mask_bits: int = 6
+    chunk_min_size: int = 32
+    chunk_max_size: int = 512
     min_quality: float | None = None
     max_repetition: float | None = None
     languages: list[str] | None = None
@@ -347,6 +370,37 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
         # output) drop out of the corpus here, every other column survives
         out = out.join(cleaned, id_col).withColumn(key, F.col("clean_text")).drop("clean_text")
         _record("line_dedup", sep=cfg.line_dedup_sep, min_docs=cfg.line_dedup_min_docs)
+
+    if cfg.chunk_dedup_min_docs is not None:
+        if cfg.chunk_dedup_mode not in ("cut", "drop"):
+            raise ValueError(f"unknown chunk_dedup_mode: {cfg.chunk_dedup_mode!r}")
+        out = _cut(out)  # census + join-back reference the frame twice
+        chunked = T.cdc_chunk_dedup(
+            out, col=key, id_col=id_col, min_docs=cfg.chunk_dedup_min_docs,
+            window=cfg.chunk_window, mask_bits=cfg.chunk_mask_bits,
+            min_size=cfg.chunk_min_size, max_size=cfg.chunk_max_size,
+        )
+        if cfg.chunk_dedup_mode == "drop":
+            # conservative policy: any boilerplate chunk disqualifies the doc
+            keep_ids = chunked.filter(F.col("n_cut") == 0).select(id_col)
+            out = out.join(keep_ids, id_col, "left_semi")
+        else:
+            cleaned = chunked.filter(F.length("clean_text") > 0).select(
+                id_col, "clean_text"
+            )
+            # inner join: fully-boilerplate docs drop out here, every other
+            # column survives (the line_dedup stage shape)
+            out = (
+                out.join(cleaned, id_col)
+                .withColumn(key, F.col("clean_text"))
+                .drop("clean_text")
+            )
+        _record(
+            "chunk_dedup", mode=cfg.chunk_dedup_mode,
+            min_docs=cfg.chunk_dedup_min_docs,
+            chunk=[cfg.chunk_window, cfg.chunk_mask_bits,
+                   cfg.chunk_min_size, cfg.chunk_max_size],
+        )
 
     quality_preds = []
     if cfg.min_quality is not None:

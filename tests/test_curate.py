@@ -380,6 +380,42 @@ def test_curate_line_dedup_stage(spark):
     assert report["line_dedup"] == {"sep": "\n", "min_docs": 3}
 
 
+def test_curate_chunk_dedup_stage(spark):
+    """r15 (r14 VERDICT #5): the CDC chunk-level boilerplate stage. With
+    min_size == max_size the chunker degenerates to fixed 32-char strides,
+    so a 64-char banner prepended to half the docs is exactly chunks 0-1 of
+    those docs: "cut" removes the banner and keeps the doc bodies intact
+    (stride alignment preserved — the banner is a multiple of the chunk
+    size); "drop" removes every bannered doc; a banner-only doc drops in
+    both modes; other columns survive the rewrite; a bad mode raises."""
+    banner = ("COOKIE NOTICE accept all terms " + "!" * 64)[:64]
+    bodies = {
+        i: f"body text for document {i} " * 4
+        for i in range(1, 7)
+    }
+    rows = [
+        (i, (banner + bodies[i]) if i % 2 == 0 else bodies[i], "s")
+        for i in range(1, 7)
+    ] + [(7, banner, "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out, report = C.curate_corpus(
+        docs, chunk_dedup_min_docs=3, chunk_min_size=32, chunk_max_size=32,
+        exact_dedup=False, checkpoint=False,
+    )
+    got = {r["doc_id"]: (r["text"], r["source"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # banner-only doc 7 dropped
+    for i in range(1, 7):
+        assert got[i] == (bodies[i], "s"), i  # banner cut, body byte-intact
+    assert report["chunk_dedup"]["mode"] == "cut"
+    out2, _ = C.curate_corpus(
+        docs, chunk_dedup_min_docs=3, chunk_min_size=32, chunk_max_size=32,
+        chunk_dedup_mode="drop", exact_dedup=False, checkpoint=False,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {1, 3, 5}
+    with pytest.raises(ValueError, match="chunk_dedup_mode"):
+        C.curate_corpus(docs, chunk_dedup_min_docs=3, chunk_dedup_mode="zap")
+
+
 def test_curate_redact_pii_stage(spark):
     """redact_pii scrubs BEFORE dedup, so two docs equal up to a PII value
     become exact duplicates and collapse; the per-tag count columns never

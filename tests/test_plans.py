@@ -27,8 +27,17 @@ _SKIP_PLAN_SCAN = {"embedding_ivf_topk", "pipeline_orders", "minhash_pairs_docs"
 #   returned frame; the seam is sanctioned, so list it explicitly. It is
 #   allowed-but-not-required (whether the node survives into the returned
 #   frame's plan depends on where the CC fixpoint materializes).
-_REQUIRED_ARROW_UDF = {"bpe_token_stats_docs", "cdc_chunk_docs"}
+_REQUIRED_ARROW_UDF = {
+    "bpe_token_stats_docs",
+    "cdc_chunk_docs",
+    # r15: the chunk census rides the same sanctioned cdc mapInPandas seam
+    "cdc_chunk_census_docs",
+}
 _ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {
+    # r15: the chunk-dedup curate row runs the chunker behind the chain's
+    # lineage cut, so the node may or may not survive into the returned
+    # frame's plan (the image_near_dup precedent)
+    "curate_chunk_dedup_docs",
     "image_near_dup",
     "audio_near_dup",
     # r12: the multimodal data card's header-parse pass is the same
@@ -356,6 +365,13 @@ _EXCHANGE_CEILINGS = {
     # cluster-keyed agg per side + the <= nlist full-outer join
     # (measured 3, 0 broadcasts at this scale)
     "ivf_health_embeddings": 4,
+    # r15 chunk census: one Arrow chunker pass -> labels-only (md5, id)
+    # census agg -> TakeOrdered top-20 (measured 2)
+    "cdc_chunk_census_docs": 3,
+    # r15 chunk-dedup curate row: chunker + census hide behind the chain's
+    # lineage cut; visible = the doc-keyed reassembly agg + the fingerprint
+    # semi-join back over the cut (measured 1 + 1 broadcast)
+    "curate_chunk_dedup_docs": 2,
     # late-r14 multi-table LSH: all candidate joins ride size-gated
     # broadcasts behind the one lazy-cut pass that computes every table's
     # bucket; the single counted exchange is the distinct-pair dedup
