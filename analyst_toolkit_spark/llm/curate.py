@@ -152,6 +152,13 @@ class CurationConfig:
     #: correctness one.
     semantic_pca_dims: int | None = None
     semantic_n_planes: int = 8
+    #: Multi-table LSH recall dial for the semantic-dedup stage (r15, r14
+    #: VERDICT #6): > 1 ORs candidates across this many independent plane
+    #: families (similarity.lsh_multi_table_pairs — miss probability falls
+    #: from (1-p) to (1-p)^T; precision stays 1, the exact original-space
+    #: verify is unchanged). Costs ~T x the bucket-join volume — spend
+    #: tables when paraphrase-mirror recall matters, not by default.
+    semantic_n_tables: int = 1
     #: which member of a semantic cluster survives — "min_id" (default) or
     #: "best_quality" (highest text.quality_score, ties to smallest id):
     #: the same survivor-election contract as ``near_dedup_keep``, because
@@ -533,7 +540,7 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             out, int(first["__d"]), vec_col=cfg.embedding_col, id_col=id_col,
             n_planes=cfg.semantic_n_planes, threshold=cfg.semantic_dedup_threshold,
             checkpoint_dir=cc_dir, pca_dims=cfg.semantic_pca_dims,
-            pair_cap=cfg.semantic_pair_cap,
+            pair_cap=cfg.semantic_pair_cap, n_tables=cfg.semantic_n_tables,
         )
         if cfg.semantic_keep == "best_quality":
             # argmax(quality, -id) per component over the audit labels
@@ -559,6 +566,7 @@ def curate_corpus(df: DataFrame, cfg: CurationConfig | None = None, **overrides)
             "semantic_dedup", threshold=cfg.semantic_dedup_threshold,
             embedding_col=cfg.embedding_col, n_planes=cfg.semantic_n_planes,
             pca_dims=cfg.semantic_pca_dims, keep=cfg.semantic_keep,
+            n_tables=cfg.semantic_n_tables,
         )
 
     if cfg.containment_drop_threshold is not None:

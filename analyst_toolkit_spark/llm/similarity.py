@@ -209,6 +209,7 @@ def lsh_multi_table_pairs(
     n_tables: int = 4,
     seed: int = 42,
     pair_cap: int | None = None,
+    bucket_vec_col: str | None = None,
 ) -> DataFrame:
     """Multi-TABLE hyperplane LSH near-pair search — the recall dial the
     single-table :func:`lsh_bucketed_pairs` documents as its building
@@ -234,14 +235,20 @@ def lsh_multi_table_pairs(
     recall), not by default.
 
     Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded at 6 —
-    identical schema and arithmetic to the single-table operator."""
+    identical schema and arithmetic to the single-table operator.
+
+    ``bucket_vec_col`` (r15): bucket every table on a DIFFERENT vector
+    column (``dim`` = its dimensionality) while the cosine verify stays on
+    ``vec_col`` — the same PCA-front-end seam :func:`lsh_bucketed_pairs`
+    carries, so :func:`semantic_dedup` can combine ``pca_dims`` with the
+    multi-table recall dial."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     d = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
         *[
-            hyperplane_bucket(F.col(vec_col), p).alias(f"__b{t}")
+            hyperplane_bucket(F.col(bucket_vec_col or vec_col), p).alias(f"__b{t}")
             for t, p in enumerate(tables)
         ],
     )
@@ -1687,6 +1694,7 @@ def semantic_dedup(
     checkpoint_dir: str | None = None,
     pca_dims: int | None = None,
     pair_cap: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., *SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication*, 2023):
@@ -1715,7 +1723,17 @@ def semantic_dedup(
 
     ``pair_cap`` (r12): passes through to the bucket-join census gate
     (:func:`lsh_bucketed_pairs`) — refuse a quadratic bucket volume up
-    front rather than melting down inside a skewed bucket at scale."""
+    front rather than melting down inside a skewed bucket at scale.
+
+    ``n_tables`` (r15, r14 VERDICT #6 — the recall dial the chain could
+    not reach): > 1 generates candidates through
+    :func:`lsh_multi_table_pairs` — T independent plane families,
+    OR-amplified candidate union (miss probability (1-p)^T), exact
+    original-space verify unchanged, so ONLY recall moves (table 0 is the
+    single-table family: the pair set is a provable superset and the
+    found components can only merge further). Composes with ``pca_dims``
+    (bucketing in the reduced space, all tables). Cost ~T x the bucket-
+    join volume; the census gate sums over all tables."""
     from .dedup import connected_components
 
     bucket_col = None
@@ -1726,10 +1744,17 @@ def semantic_dedup(
             "__sd_red", F.array(*[F.col(f"__sdp{i}") for i in range(1, pca_dims + 1)])
         ).drop(*[f"__sdp{i}" for i in range(1, pca_dims + 1)])
         bucket_col, dim = "__sd_red", pca_dims
-    pairs = lsh_bucketed_pairs(
-        df, dim, vec_col, id_col, n_planes, threshold, seed,
-        bucket_vec_col=bucket_col, pair_cap=pair_cap,
-    )
+    if n_tables > 1:
+        pairs = lsh_multi_table_pairs(
+            df, dim, vec_col, id_col, n_planes, threshold,
+            n_tables=n_tables, seed=seed, pair_cap=pair_cap,
+            bucket_vec_col=bucket_col,
+        )
+    else:
+        pairs = lsh_bucketed_pairs(
+            df, dim, vec_col, id_col, n_planes, threshold, seed,
+            bucket_vec_col=bucket_col, pair_cap=pair_cap,
+        )
     comps = connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
         F.col("node").alias("__sd_node"), F.col("component").alias("__sd_comp")
     )

@@ -3759,7 +3759,56 @@ def test_lsh_multi_table_superset_and_census(spark, oracle_sf_dir):
         )
 
 
-def test_rrf_fuse_semantics(spark):
+def test_semantic_dedup_n_tables_recall_dial(spark, oracle_sf_dir):
+    """r14 VERDICT #6: the multi-table recall dial wired into SemDeDup and
+    the curate chain. On a paraphrase-mirror corpus (every 7th vector gets
+    a +1e-4-perturbed near-copy — cosine ~1 but not bit-equal, so bucket
+    signs CAN differ near hyperplanes) with deliberately coarse buckets,
+    n_tables=3 must catch >= every single-table pair (superset contract)
+    and strictly more mirrors, so the deduped corpus is strictly smaller;
+    the curate stage pass-through reports the dial and drops at least the
+    single-table count."""
+    import random
+
+    from analyst_toolkit_spark.ingest import load_table
+    from analyst_toolkit_spark.llm import curate as C
+    from analyst_toolkit_spark.llm import similarity as S
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rng = random.Random(99)
+    base = emb.filter(F.col("vec_id") % 7 == 0).collect()
+    mirrors = [
+        (int(r["vec_id"]) + 100000, [x + rng.gauss(0, 0.00625) for x in r["embedding"]])
+        for r in base
+    ]
+    corpus = emb.unionByName(
+        spark.createDataFrame(mirrors, "vec_id long, embedding array<double>")
+    )
+    kept = {}
+    for t in (1, 3):
+        sd = S.semantic_dedup(
+            corpus, 64, n_planes=10, threshold=0.997, n_tables=t,
+            pair_cap=50_000_000,
+        )
+        kept[t] = sd.filter(F.col("is_rep")).count()
+    total = corpus.count()
+    assert kept[1] < total  # single table already catches some mirrors
+    assert kept[3] < kept[1]  # OR-amplification strictly improves recall
+    # chain pass-through: the stage reports the dial and matches the
+    # operator's survivor count
+    docs = corpus.withColumn("text", F.concat(F.lit("doc "), F.col("vec_id")))
+    out, report = C.curate_corpus(
+        docs.withColumnRenamed("vec_id", "doc_id"),
+        exact_dedup=False,
+        semantic_dedup_threshold=0.997,
+        semantic_n_planes=10,
+        semantic_n_tables=3,
+        semantic_pair_cap=50_000_000,
+    )
+    assert report["semantic_dedup"]["n_tables"] == 3
+    assert out.count() == kept[3]
     """rrf_fuse (late r14): rank reciprocals with the (score DESC, id ASC)
     tie-break, missing docs contribute nothing (no imputation), fused
     order breaks ties on the ascending id, topk truncates."""
