@@ -4100,79 +4100,115 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering policy (transparent, semantics-neutral): the driver verifies
-        # only the first 50 dict entries per round. The r14 window leads with
-        # the two NEW queries (join-form IVF probe, LSH-tier exposure), then
-        # every query whose implementation changed this round (epoch_mix map
-        # literal + strict, curate reserved-column guards, exposure dup-id
-        # guard, token_budget bounded collect), then rotates the TWENTY-THREE
-        # stalest parked rows (last driver evidence r09-era) back in -- r13
-        # VERDICT #4 -- and fills the rest with the next-stalest continuity
-        # block (r10-era; 4 of 25 r10-era rows carry to r15). Union of
-        # driver-green rows r01-r13 covers EVERY registry query (zero failures
-        # since r2); every deterministic query also runs against the same
-        # DuckDB oracle locally each pytest via tests/test_entry_contract.py,
-        # so rotation never leaves a query unverified.
+        # only the first 50 dict entries per round. The r15 window leads with
+        # the SIX new rows (batched BM25, grouped hybrid RRF, IVF health,
+        # IVF rebuild, CDC chunk census, chunk-dedup curate stage), then
+        # every query whose implementation changed this round (exposure-id
+        # fix, probe-join/append guards, rrf_fuse gate, n_tables dial,
+        # chunk stage in the chain, k-means++ seeding), then the SEVEN
+        # stalest parked rows (last driver evidence r10 -- r14 VERDICT #4)
+        # and the first 29 of the 47 r11-era continuity rows. Union of
+        # driver-green rows r01-r14 covers EVERY registry query (zero
+        # failures since r2); every deterministic query also runs against
+        # the same DuckDB oracle locally each pytest via
+        # tests/test_entry_contract.py, so rotation never leaves a query
+        # unverified.
         "bm25_join_docs": q_bm25_join_docs,  # NEW r15 (join-form batched BM25 -- r14 VERDICT #1; VALUES-table oracle replays the whole workload)
-        "cdc_chunk_census_docs": q_cdc_chunk_census_docs,  # NEW r15 (hash twin for the CDC chunker -- r14 VERDICT #5; fixed-stride construction makes mapInPandas output SQL-replayable)
-        "curate_chunk_dedup_docs": q_curate_chunk_dedup_docs,  # NEW r15 (chunk-dedup curate stage composition -- r14 VERDICT #5; banner-cut + exact dedup in one CTE)
+        "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
         "ivf_health_embeddings": q_ivf_health_embeddings,  # NEW r15 (index drift signal -- r14 VERDICT #2; assignment + per-cluster cosine aggregates replayed in SQL)
         "ivf_rebuild_probe_embeddings": q_ivf_rebuild_probe_embeddings,  # NEW r15 (rebuild/compaction -- r14 VERDICT #2; pinned-centroid rebuild == full-table build, CTE oracle)
-        "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
-        "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # NEW r14 (join-form batched IVF probe -- r13 VERDICT #1; data-derived centroids make the row hash-oracle-checkable)
-        "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # NEW r14 (LSH-tier per-benchmark-item exposure past the literal caps -- r13 VERDICT #2; same CROSS JOIN oracle as the literal row)
-        "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,  # NEW late-r14 (IVF index APPEND -> join-form probe; raw appends bit-identical to a whole build, full-table CTE oracle)
-        "embedding_lsh_multiprobe": q_embedding_lsh_multiprobe,  # NEW late-r14 (multi-table LSH OR-amplification recall dial; 3 plane families inlined into the oracle)
-        "hybrid_rrf_docs": q_hybrid_rrf_docs,  # NEW late-r14 (reciprocal-rank fusion of BM25 + cosine rankings -- hybrid retrieval; both rankings replayed in the oracle)
-        "epoch_mix_docs": q_epoch_mix_docs,  # impl changed r14 (per-source rates ride one flat map literal + strict option -- r13 VERDICT #6 / ADVICE; rate values identical, oracle unchanged)
-        "curate_recipe_docs": q_curate_recipe_docs,  # impl-adjacent r14 (reserved 'epoch'/'shuffle_pos' guards + epoch_strict in the chain -- r13 ADVICE; hash oracle)
-        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # impl changed r14 (duplicate-benchmark-id fail-loud guard -- r13 ADVICE; hash oracle)
-        "token_budget_sample_docs": q_token_budget_sample_docs,  # impl changed r14 (bounded per-domain collect, max_domains fail-loud -- r13 VERDICT "What's wrong" #2; hash oracle)
-        "cdc_chunk_docs": q_cdc_chunk_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "curate_docs": q_curate_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "embedding_pq_topk": q_embedding_pq_topk,  # r09-era stale rotation (r13 VERDICT #4)
-        "bm25_topk_docs": q_bm25_topk_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "order_count_distribution": q_order_count_distribution,  # r09-era stale rotation (r13 VERDICT #4)
-        "top_supplier_revenue": q_top_supplier_revenue,  # r09-era stale rotation (r13 VERDICT #4)
-        "small_quantity_revenue": q_small_quantity_revenue,  # r09-era stale rotation (r13 VERDICT #4)
-        "bracketed_revenue": q_bracketed_revenue,  # r09-era stale rotation (r13 VERDICT #4)
-        "waiting_suppliers": q_waiting_suppliers,  # r09-era stale rotation (r13 VERDICT #4)
-        "min_cost_supplier": q_min_cost_supplier,  # r09-era stale rotation (r13 VERDICT #4)
-        "excess_share_suppliers": q_excess_share_suppliers,  # r09-era stale rotation (r13 VERDICT #4)
-        "embedding_pq_census": q_embedding_pq_census,  # r09-era stale rotation (r13 VERDICT #4)
-        "embedding_norm_outliers": q_embedding_norm_outliers,  # r09-era stale rotation (r13 VERDICT #4)
-        "vocab_coverage_docs": q_vocab_coverage_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "token_rarity_docs": q_token_rarity_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "curate_md5_docs": q_curate_md5_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "events_stream_sessions": q_events_stream_sessions,  # r09-era stale rotation (r13 VERDICT #4)
-        "docs_stream_index_probe": q_docs_stream_index_probe,  # r09-era stale rotation (r13 VERDICT #4)
-        "tfidf_topterms_docs": q_tfidf_topterms_docs,  # r09-era stale rotation (r13 VERDICT #4)
-        "events_trailing_avg": q_events_trailing_avg,  # r09-era stale rotation (r13 VERDICT #4)
-        "events_session_paths": q_events_session_paths,  # r09-era stale rotation (r13 VERDICT #4)
-        "kmv_distinct_docs": q_kmv_distinct_docs,  # next-stalest continuity (last driver row r10)
-        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,  # next-stalest continuity (last driver row r10)
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # next-stalest continuity (last driver row r10)
-        "events_stream_validate": q_events_stream_validate,  # next-stalest continuity (last driver row r10)
-        "dedup_index_probe": q_dedup_index_probe,  # next-stalest continuity (last driver row r10)
-        "pack_sequences_docs": q_pack_sequences_docs,  # next-stalest continuity (last driver row r10)
-        "strip_html_docs": q_strip_html_docs,  # next-stalest continuity (last driver row r10)
-        "repetition_docs": q_repetition_docs,  # next-stalest continuity (last driver row r10)
-        "decontaminate_docs": q_decontaminate_docs,  # next-stalest continuity (last driver row r10)
-        "embedding_cluster": q_embedding_cluster,  # next-stalest continuity (last driver row r10)
-        "decile_bands_orders": q_decile_bands_orders,  # next-stalest continuity (last driver row r10)
-        "market_share": q_market_share,  # next-stalest continuity (last driver row r10)
-        "local_supplier_volume": q_local_supplier_volume,  # next-stalest continuity (last driver row r10)
-        "volume_shipping": q_volume_shipping,  # next-stalest continuity (last driver row r10)
-        "sales_opportunity": q_sales_opportunity,  # next-stalest continuity (last driver row r10)
-        "shipmode_priority": q_shipmode_priority,  # next-stalest continuity (last driver row r10)
-        "promo_revenue": q_promo_revenue,  # next-stalest continuity (last driver row r10)
-        "large_volume_orders": q_large_volume_orders,  # next-stalest continuity (last driver row r10)
+        "cdc_chunk_census_docs": q_cdc_chunk_census_docs,  # NEW r15 (hash twin for the CDC chunker -- r14 VERDICT #5; fixed-stride construction makes mapInPandas output SQL-replayable)
+        "curate_chunk_dedup_docs": q_curate_chunk_dedup_docs,  # NEW r15 (chunk-dedup curate stage composition -- r14 VERDICT #5; banner-cut + exact dedup in one CTE)
+        "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # impl changed r15 (bench-id band widened to 100000 -- r14 ADVICE; unique ids at every sf)
+        "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # impl changed r15 (query frame materialized once -- r14 ADVICE nondeterminism fix)
+        "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,  # impl changed r15 (per-row in-plan dim/null guard -- r14 ADVICE)
+        "hybrid_rrf_docs": q_hybrid_rrf_docs,  # impl changed r15 (rrf_fuse bounded-input gate + topk/empty-contract fixes -- r14 VERDICT wrong #1 / ADVICE)
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # impl changed r15 (n_tables recall dial added -- r14 VERDICT #6; default path re-verified)
+        "curate_md5_docs": q_curate_md5_docs,  # impl-adjacent r15 (chunk-dedup stage added to the chain; unchanged path re-verified)
+        "embedding_ivf_topk": q_embedding_ivf_topk,  # impl changed r15 (k-means++ seeding in _kmeans_driver; quantizer-dependent row re-verified)
+        "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r15 (k-means++ seeding in _kmeans_driver; quantizer-dependent row re-verified)
+        "range_join_binned_bands": q_range_join_binned_bands,  # r10-era stale rotation (r14 VERDICT #4)
+        "mixture_sample_docs": q_mixture_sample_docs,  # r10-era stale rotation (r14 VERDICT #4)
+        "events_stream_windowed": q_events_stream_windowed,  # r10-era stale rotation (r14 VERDICT #4)
+        "asof_nearest_events": q_asof_nearest_events,  # r10-era stale rotation (r14 VERDICT #4)
+        "weighted_sample_docs": q_weighted_sample_docs,  # r10-era stale rotation (r14 VERDICT #4)
+        "stratified_sample_customers": q_stratified_sample_customers,  # r10-era stale rotation (r14 VERDICT #4)
+        "embedding_quantize_int8": q_embedding_quantize_int8,  # r10-era stale rotation (r14 VERDICT #4)
+        "audio_near_dup": q_audio_near_dup,  # r11-era continuity block (stalest after the r10 rows)
+        "bigram_pmi_docs": q_bigram_pmi_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "boxplot_lineitem": q_boxplot_lineitem,  # r11-era continuity block (stalest after the r10 rows)
+        "containment_pairs_docs": q_containment_pairs_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "containment_subset_docs": q_containment_subset_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "corpus_data_card_docs": q_corpus_data_card_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "curate_containment_docs": q_curate_containment_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "curate_redact_docs": q_curate_redact_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "decontaminate_spans_docs": q_decontaminate_spans_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "dedup_best_quality_docs": q_dedup_best_quality_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "dedup_lines_within_docs": q_dedup_lines_within_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "dedup_split_docs": q_dedup_split_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "dsir_weights_docs": q_dsir_weights_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "dup_count_lineitem": q_dup_count_lineitem,  # r11-era continuity block (stalest after the r10 rows)
+        "embedding_kmeans_refine": q_embedding_kmeans_refine,  # r11-era continuity block (stalest after the r10 rows)
+        "embedding_pca": q_embedding_pca,  # r11-era continuity block (stalest after the r10 rows)
+        "events_daily": q_events_daily,  # r11-era continuity block (stalest after the r10 rows)
+        "events_hopping": q_events_hopping,  # r11-era continuity block (stalest after the r10 rows)
+        "events_stream_dedup": q_events_stream_dedup,  # r11-era continuity block (stalest after the r10 rows)
+        "events_stream_stateful": q_events_stream_stateful,  # r11-era continuity block (stalest after the r10 rows)
+        "events_stream_stream_join": q_events_stream_stream_join,  # r11-era continuity block (stalest after the r10 rows)
+        "events_stream_stream_left": q_events_stream_stream_left,  # r11-era continuity block (stalest after the r10 rows)
+        "events_tumbling": q_events_tumbling,  # r11-era continuity block (stalest after the r10 rows)
+        "events_variant_props": q_events_variant_props,  # r11-era continuity block (stalest after the r10 rows)
+        "fingerprint_dup_docs": q_fingerprint_dup_docs,  # r11-era continuity block (stalest after the r10 rows)
+        "forecast_revenue_change": q_forecast_revenue_change,  # r11-era continuity block (stalest after the r10 rows)
+        "image_near_dup": q_image_near_dup,  # r11-era continuity block (stalest after the r10 rows)
         # --- parked below the driver's 50-query verification window (all hold
-        # --- green driver rows r10-r13; re-verified locally every pytest) ---
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
-        "stratified_sample_customers": q_stratified_sample_customers,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
-        "weighted_sample_docs": q_weighted_sample_docs,  # displaced to r15 rotation by the late-r14 rows (holds a green r10 driver row)
+        # --- green driver rows r10-r14; re-verified locally every pytest) ---
+        "embedding_lsh_multiprobe": q_embedding_lsh_multiprobe,
+        "epoch_mix_docs": q_epoch_mix_docs,
+        "curate_recipe_docs": q_curate_recipe_docs,
+        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,
+        "token_budget_sample_docs": q_token_budget_sample_docs,
+        "cdc_chunk_docs": q_cdc_chunk_docs,
+        "curate_docs": q_curate_docs,
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,
+        "embedding_pq_topk": q_embedding_pq_topk,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "order_count_distribution": q_order_count_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "bracketed_revenue": q_bracketed_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "excess_share_suppliers": q_excess_share_suppliers,
+        "embedding_pq_census": q_embedding_pq_census,
+        "embedding_norm_outliers": q_embedding_norm_outliers,
+        "vocab_coverage_docs": q_vocab_coverage_docs,
+        "token_rarity_docs": q_token_rarity_docs,
+        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,
+        "events_stream_sessions": q_events_stream_sessions,
+        "docs_stream_index_probe": q_docs_stream_index_probe,
+        "tfidf_topterms_docs": q_tfidf_topterms_docs,
+        "events_trailing_avg": q_events_trailing_avg,
+        "events_session_paths": q_events_session_paths,
+        "kmv_distinct_docs": q_kmv_distinct_docs,
+        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,
+        "events_stream_validate": q_events_stream_validate,
+        "dedup_index_probe": q_dedup_index_probe,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "strip_html_docs": q_strip_html_docs,
+        "repetition_docs": q_repetition_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "embedding_cluster": q_embedding_cluster,
+        "decile_bands_orders": q_decile_bands_orders,
+        "market_share": q_market_share,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "sales_opportunity": q_sales_opportunity,
+        "shipmode_priority": q_shipmode_priority,
+        "promo_revenue": q_promo_revenue,
+        "large_volume_orders": q_large_volume_orders,
         "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,
         "semantic_probe_stream": q_semantic_probe_stream,
         "global_shuffle_docs": q_global_shuffle_docs,
@@ -4182,8 +4218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon_lsh_embeddings": q_semantic_decon_lsh_embeddings,
         "curate_semantic_decon_docs": q_curate_semantic_decon_docs,
         "semantic_index_probe": q_semantic_index_probe,
-        "ivf_recall_grid": q_ivf_recall_grid,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "window_running_total": q_window_running_total,
@@ -4263,35 +4297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "row_diff_orders": q_row_diff_orders,
         "text_stats_documents": q_text_stats_documents,
-        "events_stream_stream_left": q_events_stream_stream_left,
         "semantic_dedup_pca_embeddings": q_semantic_dedup_pca_embeddings,
-        "curate_redact_docs": q_curate_redact_docs,
-        "audio_near_dup": q_audio_near_dup,
-        "events_variant_props": q_events_variant_props,
-        "curate_containment_docs": q_curate_containment_docs,
-        "containment_subset_docs": q_containment_subset_docs,
         "line_dedup_docs": q_line_dedup_docs,
-        "events_stream_stream_join": q_events_stream_stream_join,
-        "image_near_dup": q_image_near_dup,
-        "containment_pairs_docs": q_containment_pairs_docs,
-        "embedding_pca": q_embedding_pca,
         "zipf_fit_docs": q_zipf_fit_docs,
-        "embedding_kmeans_refine": q_embedding_kmeans_refine,
         "lexical_cosine_pairs_docs": q_lexical_cosine_pairs_docs,
-        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,
-        "dedup_lines_within_docs": q_dedup_lines_within_docs,
         "quality_decile_docs": q_quality_decile_docs,
-        "bigram_pmi_docs": q_bigram_pmi_docs,
         "token_entropy_docs": q_token_entropy_docs,
         "pipeline_orders": q_pipeline_orders,
         "infer_configs_customer": q_infer_configs_customer,
-        "boxplot_lineitem": q_boxplot_lineitem,
-        "dup_count_lineitem": q_dup_count_lineitem,
-        "events_daily": q_events_daily,
-        "events_hopping": q_events_hopping,
-        "events_tumbling": q_events_tumbling,
-        "fingerprint_dup_docs": q_fingerprint_dup_docs,
-        "forecast_revenue_change": q_forecast_revenue_change,
         "impute_mode_customer": q_impute_mode_customer,
         "join_region_revenue": q_join_region_revenue,
         "profile_by_segment": q_profile_by_segment,
@@ -4301,19 +4314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_violations_orders": q_validation_violations_orders,
         "length_buckets_docs": q_length_buckets_docs,
         "logreg_gradient_docs": q_logreg_gradient_docs,
-        "decontaminate_spans_docs": q_decontaminate_spans_docs,
-        "dedup_best_quality_docs": q_dedup_best_quality_docs,
-        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,
-        "dedup_split_docs": q_dedup_split_docs,
         "oov_rate_docs": q_oov_rate_docs,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_stateful": q_events_stream_stateful,
-        "corpus_data_card_docs": q_corpus_data_card_docs,
-        "dsir_weights_docs": q_dsir_weights_docs,
-        "mixture_sample_docs": q_mixture_sample_docs,
-        "events_stream_windowed": q_events_stream_windowed,
-        "asof_nearest_events": q_asof_nearest_events,
-        "range_join_binned_bands": q_range_join_binned_bands,
     }
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
