@@ -3817,6 +3817,35 @@ def q_ivf_append_probe_embeddings(spark, sf):
     return L_sim.ivf_probe_join(spark, base, queries, k=6, nprobe=2)
 
 
+def q_bm25_index_probe_docs(spark, sf):
+    """Persisted BM25 POSTING-index probe (llm/incremental.bm25_index_* —
+    NEW r15): the batched lexical workload WITHOUT the corpus scan. The
+    index is built from the even doc_ids and GROWN by appending the odd
+    ones — per-term df derives from the pruned postings at probe time and
+    the sidecar's (N, Σdl) scalars merge exactly, so the grown index
+    answers identically to one built whole (suite-asserted), which is why
+    the SAME full-corpus DuckDB CTE the bm25_join_docs row uses (same
+    4-query VALUES workload, k=10) is a valid oracle for the appended
+    layout. The probe reads ONLY the workload's term buckets
+    (PartitionFilters on the md5-derived bucket column, plan-asserted)."""
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    docs = load_table(spark, sf, "documents")
+    base = _stream_tmpdir("bm25_idx_")
+    L_inc.bm25_index_write(docs.filter(F.col("doc_id") % 2 == 0), base)
+    L_inc.bm25_index_append(spark, base, docs.filter(F.col("doc_id") % 2 == 1))
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "query", "join", "stream"]),
+            (2, ["agg", "batch", "AGG"]),
+            (3, ["scan", "window", "zzzmissing"]),
+            (4, ["filter", "merge", "sort", "hash"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return L_inc.bm25_index_probe(spark, base, qdf, k=10)
+
+
 def q_cdc_chunk_census_docs(spark, sf):
     """Chunk-hash CENSUS through the REAL CDC chunker, hash-oracle-checked
     (NEW r15, r14 VERDICT #5 — cdc_chunk_docs was the registry's only
@@ -4114,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_contract.py, so rotation never leaves a query
         # unverified.
         "bm25_join_docs": q_bm25_join_docs,  # NEW r15 (join-form batched BM25 -- r14 VERDICT #1; VALUES-table oracle replays the whole workload)
+        "bm25_index_probe_docs": q_bm25_index_probe_docs,  # NEW r15 (persisted posting index: build + append + pruned probe; full-corpus CTE oracle)
         "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
         "ivf_health_embeddings": q_ivf_health_embeddings,  # NEW r15 (index drift signal -- r14 VERDICT #2; assignment + per-cluster cosine aggregates replayed in SQL)
         "ivf_rebuild_probe_embeddings": q_ivf_rebuild_probe_embeddings,  # NEW r15 (rebuild/compaction -- r14 VERDICT #2; pinned-centroid rebuild == full-table build, CTE oracle)
@@ -4937,6 +4967,41 @@ def oracle_sql() -> dict[str, str]:
     # identical idf/saturation arithmetic, round 6, top-10 per query with
     # ties to the smallest doc_id
     sqls["bm25_join_docs"] = """
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+          FROM documents),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        hits AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        qt(query_id, t0) AS (VALUES
+          (1, 'spark'), (1, 'query'), (1, 'join'), (1, 'stream'),
+          (2, 'agg'), (2, 'batch'), (2, 'AGG'),
+          (3, 'scan'), (3, 'window'), (3, 'zzzmissing'),
+          (4, 'filter'), (4, 'merge'), (4, 'sort'), (4, 'hash')),
+        qd AS (SELECT DISTINCT query_id, lower(t0) AS t FROM qt),
+        terms AS (SELECT DISTINCT t FROM qd),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+               WHERE t IN (SELECT t FROM terms) GROUP BY 1, 2),
+        dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        par AS (
+          SELECT tf.doc_id, tf.t,
+                 ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / st.avgdl)) AS s
+          FROM tf JOIN lens USING (doc_id) JOIN dft USING (t) CROSS JOIN st),
+        sc AS (
+          SELECT qd.query_id, par.doc_id, round(sum(par.s), 6) AS score
+          FROM par JOIN qd USING (t) GROUP BY 1, 2)
+        SELECT query_id, doc_id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rn
+          FROM sc)
+        WHERE rn <= 10
+    """
+    # persisted BM25 posting-index probe (NEW r15): grown-index probe ==
+    # whole-corpus scores (df derives from postings; sidecar scalars merge
+    # exactly), so the full-corpus workload CTE oracles the appended layout
+    sqls["bm25_index_probe_docs"] = """
         WITH tk AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
           FROM documents),

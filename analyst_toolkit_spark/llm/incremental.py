@@ -609,3 +609,225 @@ def semantic_probe_stream(
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select(id_col, "matched_id", "cosine")
     )
+
+
+# -- persisted BM25 posting index (r15) ---------------------------------------
+
+#: Term-bucket fan-out for the BM25 posting layout (md5-derived, so the
+#: partition key replays in any engine). 64 directories is the default
+#: production fan-out; probes prune to the workload's buckets.
+BM25_TERM_BUCKETS = 64
+
+#: Distinct-term ceiling for a probe workload: the pruned scan inlines the
+#: term set as an isin predicate (directory pruning on the bucket column +
+#: row-group skipping on term min/max), so the set must stay plan-sized.
+BM25_PROBE_MAX_TERMS = int(os.environ.get("SPARK_GRAFT_BM25_PROBE_MAX_TERMS", "4096"))
+
+
+def _bm25_bucket(term, n_buckets: int):
+    """md5-derived term bucket — the hash_split arithmetic (first 8 hex
+    chars as an integer), reproducible in SQL and in driver Python."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    ).cast("int")
+
+
+def _bm25_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _bm25_postings(df: DataFrame, key: str, id_col: str, n_buckets: int):
+    """(postings, lens): postings = (term, id, tf, dl, term_bucket); lens is
+    the per-doc token-length frame the corpus stats derive from. One lazy
+    lineage cut on lens so the stats agg and the postings join read one
+    tokenization."""
+    from analyst_toolkit_spark.llm.text import _VOCAB_TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+    lens = df.select(F.col(id_col), F.size(toks).alias("dl")).localCheckpoint(eager=False)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = tf.join(lens, id_col).withColumn(
+        "term_bucket", _bm25_bucket(F.col("term"), n_buckets)
+    )
+    return postings, lens
+
+
+def bm25_index_write(
+    df: DataFrame,
+    path: str,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_TERM_BUCKETS,
+) -> None:
+    """Persist a BM25 POSTING index: (term, doc, tf, dl) parquet partitioned
+    by an md5-derived term bucket, plus a meta sidecar with the corpus
+    stats (N, Σdl) — the lexical retrieval counterpart of the dedup /
+    semantic index layers above, and the persisted complement of
+    :func:`~analyst_toolkit_spark.llm.text.bm25_topk_join` (which
+    re-tokenizes the corpus per workload; at 100 TB the corpus scan IS the
+    cost, and a retrieval service cannot pay it per query batch).
+
+    THE design decision that keeps appends honest: per-term document
+    frequency is NOT stored — a term's postings all live in its bucket, so
+    the probe derives df by counting the pruned postings (always correct,
+    even after appends), while the sidecar carries only the two exactly-
+    mergeable corpus scalars (doc count, Σdl). There is nothing in the
+    layout that goes stale on :func:`bm25_index_append` — compare the pq
+    append caveat (:func:`~analyst_toolkit_spark.llm.similarity.
+    ivf_append`), which this layout deliberately avoids.
+
+    The postings write repartitions on the bucket column first (the
+    dedup-layer small-files rule: without it every task emits a file per
+    bucket). Tokenization is the shared ``_VOCAB_TOKEN_RE``; terms store
+    lowercase."""
+    base = path.rstrip("/")
+    postings, lens = _bm25_postings(df, key, id_col, n_buckets)
+    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(base + "/postings")
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    _write_meta(
+        df.sparkSession,
+        base,
+        {
+            "kind": "bm25",
+            "n_buckets": int(n_buckets),
+            "n_docs": int(stats["n"]),
+            "sum_dl": int(stats["s"] or 0),
+            "key": key,
+            "id_col": id_col,
+        },
+    )
+
+
+def bm25_index_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key: str | None = None,
+    id_col: str | None = None,
+) -> None:
+    """Append NEW documents' postings and fold their (doc count, Σdl) into
+    the sidecar scalars. Probe-visible correctness needs no rebuild:
+    df derives from the postings at probe time and the two scalars merge
+    exactly, so a probe of (base + append) equals a probe of an index
+    built whole (suite-asserted). Contract: batch ids must be NEW — an id
+    already indexed would double its postings (the caller dedups against
+    the corpus first; that is what the exact/near probe layers above are
+    for). Tokenizer/layout parameters come from the sidecar, never from
+    arguments (the meta-wins rule)."""
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"bm25_index_append: {path!r} is not a bm25 index")
+    key = key or meta["key"]
+    id_col = id_col or meta["id_col"]
+    postings, lens = _bm25_postings(batch, key, id_col, int(meta["n_buckets"]))
+    postings.repartition("term_bucket").write.mode("append").partitionBy(
+        "term_bucket"
+    ).parquet(base + "/postings")
+    stats = lens.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["s"] or 0)
+    _write_meta(spark, base, meta)
+
+
+def bm25_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 50,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_terms: int = BM25_PROBE_MAX_TERMS,
+) -> DataFrame:
+    """Batched BM25 top-k WITHOUT touching the corpus: score a whole query
+    workload against the persisted posting index, reading ONLY the term
+    buckets the workload's terms hash into (PartitionFilters, plan-
+    asserted) with the term set pushed as a row-group predicate. Per-query
+    results are EXACTLY :func:`~analyst_toolkit_spark.llm.text.
+    bm25_topk_join` over the indexed corpus (same idf/saturation
+    arithmetic — df counted from the pruned postings, N/avgdl from the
+    sidecar scalars; round 6; ties to smallest id; suite-asserted,
+    including across appends).
+
+    The workload's distinct term set collects driver-side (bounded:
+    ``max_terms`` fail-loud — it must inline as the pruning predicate);
+    the (query, term) table then rides one lineage cut into the scoring
+    join (the one-materialization rule). Cost shape at 100 TB: the scan
+    reads Σ_t |postings(t)| rows — the actual hit volume — never the
+    corpus; everything after is workload-scale."""
+    from analyst_toolkit_spark.functions.stats import maybe_broadcast
+    from analyst_toolkit_spark.llm.similarity import _per_query_topk
+
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"bm25_index_probe: {path!r} is not a bm25 index")
+    n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    n_buckets = int(meta["n_buckets"])
+    idx_id = meta["id_col"]
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    guarded_terms = (
+        F.when(
+            F.col(terms_col).isNull(),
+            F.raise_error(
+                F.lit(f"bm25_index_probe: null terms array (column {terms_col!r})")
+            ).cast("array<string>"),
+        )
+        .otherwise(F.col(terms_col).cast("array<string>"))
+    )
+    qt = (
+        queries.select(F.col(query_id_col), F.explode(guarded_terms).alias("term"))
+        .withColumn("term", F.lower(F.col("term")))
+        .dropDuplicates([query_id_col, "term"])
+        .localCheckpoint(eager=False)  # term-set collect + scoring join read one materialization
+    )
+    term_rows = qt.select("term").distinct().limit(max_terms + 1).collect()
+    if len(term_rows) > max_terms:
+        raise ValueError(
+            f"bm25_index_probe: workload has > max_terms={max_terms} distinct "
+            f"terms — the set must inline as the pruning predicate; split the "
+            f"workload or raise the cap"
+        )
+    terms = sorted(r["term"] for r in term_rows)
+    buckets = sorted({_bm25_bucket_py(t, n_buckets) for t in terms})
+    pruned = (
+        spark.read.parquet(base + "/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    # df derives from the pruned scan — correct by construction after appends
+    df_t = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    scored = (
+        pruned.join(df_t, "term")
+        .join(maybe_broadcast(qt), "term")
+        .select(
+            F.col(query_id_col),
+            F.col(idx_id),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+            ).alias("__s"),
+        )
+        .groupBy(query_id_col, idx_id)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return _per_query_topk(scored, query_id_col, idx_id, int(k), score_col="score")

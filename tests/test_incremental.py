@@ -390,3 +390,71 @@ def test_semantic_probe_stream_matches_batch(spark, sem_corpus_and_batch, sem_in
     assert want <= got and len(got) > 0
     assert {v for v, _ in got} == {v for v, _ in want}
     shutil.rmtree(src, ignore_errors=True)
+
+
+# -- BM25 posting index (r15) -------------------------------------------------
+
+
+def test_bm25_index_probe_matches_live_operator(spark, sf_dir, tmp_path):
+    """The persisted posting index must answer a query workload EXACTLY like
+    the live bm25_topk_join over the same corpus — same rounded scores,
+    same smallest-id tie-break — including when the index was grown by an
+    append (df derives from the pruned postings and the sidecar scalars
+    merge exactly, so nothing goes stale). Probing a non-bm25 layout and an
+    oversized term workload fail loud."""
+    from analyst_toolkit_spark.llm import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["token"]
+        for r in T.build_vocab(docs, key="text", size=40).orderBy("token").collect()
+    ]
+    m = len(vocab)
+    workload = [
+        (i, [vocab[i % m], vocab[(3 * i + 1) % m], vocab[(5 * i + 2) % m]])
+        for i in range(30)
+    ]
+    qdf = spark.createDataFrame(workload, "query_id long, terms array<string>")
+    live = sorted(map(tuple, T.bm25_topk_join(docs, qdf, k=8).collect()))
+
+    whole = str(tmp_path / "bm25_whole")
+    I.bm25_index_write(docs, whole)
+    got = sorted(map(tuple, I.bm25_index_probe(spark, whole, qdf, k=8).collect()))
+    assert got == live
+
+    grown = str(tmp_path / "bm25_grown")
+    I.bm25_index_write(docs.filter(F.col("doc_id") % 2 == 0), grown)
+    I.bm25_index_append(spark, grown, docs.filter(F.col("doc_id") % 2 == 1))
+    got2 = sorted(map(tuple, I.bm25_index_probe(spark, grown, qdf, k=8).collect()))
+    assert got2 == live
+
+    with pytest.raises(ValueError, match="max_terms"):
+        I.bm25_index_probe(spark, whole, qdf, max_terms=2)
+    with pytest.raises(ValueError, match="not a bm25 index"):
+        I.bm25_index_append(spark, str(tmp_path / "bm25_missing"), docs)
+
+
+def test_bm25_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe's scan must prune to the workload's term buckets at the
+    DIRECTORY level (PartitionFilters on term_bucket) with the term set
+    pushed as a data filter — the corpus is never scanned; null terms raise
+    in-plan."""
+    import re
+
+    from analyst_toolkit_spark.llm import text as T  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = str(tmp_path / "bm25_prune")
+    I.bm25_index_write(docs, base)
+    qdf = spark.createDataFrame(
+        [(0, ["spark", "query"])], "query_id long, terms array<string>"
+    )
+    df = I.bm25_index_probe(spark, base, qdf, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*term_bucket[^\]]* IN ", plan)
+    assert "Union" not in plan and "BatchEvalPython" not in plan
+    null_q = spark.createDataFrame(
+        [(0, ["ok"]), (1, None)], "query_id long, terms array<string>"
+    )
+    with pytest.raises(Exception, match="null terms array"):
+        I.bm25_index_probe(spark, base, null_q).collect()

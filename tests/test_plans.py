@@ -368,6 +368,11 @@ _EXCHANGE_CEILINGS = {
     # r15 chunk census: one Arrow chunker pass -> labels-only (md5, id)
     # census agg -> TakeOrdered top-20 (measured 2)
     "cdc_chunk_census_docs": 3,
+    # r15 persisted BM25 posting-index probe: the pruned-bucket scan is read
+    # twice (df derivation + scoring join — both partition-pruned, never the
+    # corpus); exchanges = df agg + per-(query, doc) sum + the two bounded
+    # ranking exchanges (measured 4 + 2 broadcasts)
+    "bm25_index_probe_docs": 5,
     # r15 chunk-dedup curate row: chunker + census hide behind the chain's
     # lineage cut; visible = the doc-keyed reassembly agg + the fingerprint
     # semi-join back over the cut (measured 1 + 1 broadcast)
