@@ -638,9 +638,16 @@ def knn_join(
     join's corpus is the 100 TB side (every executor scans its own corpus
     partitions against the small in-memory query set), so the corpus must
     never be the broadcast/build relation — that is an executor OOM at scale.
-    The per-query top-k is a window over (query_id); its shuffle carries
-    |Q|x|C| scored rows, which is inherent to the exact algorithm — for large
-    corpora use ivf_topk / lsh_bucketed_pairs, the bounded-candidate paths.
+
+    The per-query top-k is the two-bounded-phase :func:`_per_query_topk`
+    shape (r15; previously a per-query window whose shuffle carried the
+    full |Q|x|C| scored stream): phase 1 takes each partition's local
+    top-k map-side, so the ranking exchange carries k rows per (query,
+    input partition) instead of every scored row — the SCORING work |Q|x|C|
+    stays inherent to exact brute force (use ivf_* / lsh_* for bounded
+    candidates), but the shuffle no longer is. The final ``rank`` column
+    derives from a window over <= k rows per query — bounded by
+    construction.
     """
     from pyspark.sql import Window
 
@@ -649,14 +656,15 @@ def knn_join(
     dot = dot_cols(F.col("qv"), F.col("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
-        .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
     )
+    top = _per_query_topk(scored, "query_id", "corpus_id", int(k))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def ivf_write(
