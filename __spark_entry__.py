@@ -1674,7 +1674,14 @@ def q_pipeline_orders(spark, sf):  # NON-SQL (multi-module orchestration)
 def q_histogram_price(spark, sf):
     from analyst_toolkit_spark.operators import visuals as M_vis
 
-    out = M_vis.histogram(load_table(spark, sf, "lineitem"), "l_extendedprice", bins=30)
+    # r15 optimization: the outlier family's shared quartile/min/max pass
+    # (_shared_qstats) already holds the EXACT min/max of l_extendedprice —
+    # reuse it so the histogram runs one scan instead of two. Same bin edges
+    # to the bit (both sides compute exact min/max of the immutable table).
+    q = _shared_qstats(spark, sf, "lineitem", _LINEITEM_QCOLS)["l_extendedprice"]
+    out = M_vis.histogram(
+        load_table(spark, sf, "lineitem"), "l_extendedprice", bins=30, minmax=(q["min"], q["max"])
+    )
     return out.withColumn("lo", F.round("lo", 6)).withColumn("hi", F.round("hi", 6))
 
 

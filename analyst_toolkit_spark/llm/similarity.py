@@ -37,6 +37,22 @@ def lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(x) for x in vals])
 
 
+def lit_mat(vecs: list[list[float]]) -> Column:
+    """Literal array<array<double>> built as ONE parsed SQL expression — the
+    2-D extension of :func:`lit_vec` (same rationale: one RPC + one JVM parse
+    instead of one per row/element; only finite float literals are ever
+    interpolated). Falls back to the per-element builder on non-finite
+    values."""
+    import math
+
+    rows = [[float(x) for x in v] for v in vecs]
+    if all(math.isfinite(x) for v in rows for x in v):
+        return F.expr(
+            "array(" + ",".join("array(" + ",".join(repr(x) + "D" for x in v) + ")" for v in rows) + ")"
+        )
+    return F.array(*[F.array(*[F.lit(x) for x in v]) for v in rows])
+
+
 def dot_lit(col: Column, vec: list[float]) -> Column:
     """Dot product between an array column and a literal query vector.
     Elements cast to double BEFORE multiply: float32 math would diverge from
@@ -353,12 +369,26 @@ def _kmeans_driver(vecs, nlist: int, max_iter: int, seed: int) -> list[list[floa
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """Map-only nearest-centroid assignment as a pure JVM expression:
     argmin ||x-c||^2 == argmax (x.c - ||c||^2/2), computed as an array of
-    per-centroid scores + array_position(array_max). No UDF, no shuffle."""
-    scores = F.array(
-        *[
-            dot_lit(F.col(vec_col), c) - F.lit(0.5 * sum(x * x for x in c))
-            for c in centroids
-        ]
+    per-centroid scores + array_position(array_max). No UDF, no shuffle.
+
+    r15 optimization round: the scores array is ONE zip_with over a single
+    parsed centroid-matrix literal (:func:`lit_mat`) + a half-norm vector
+    literal, instead of ``nlist`` independently parsed dot-product subtrees —
+    one SQL parse and one Catalyst aggregate subtree instead of ``nlist``
+    of each (analysis/codegen cost is per-subtree; the arithmetic per row —
+    same multiplies, same accumulation order, same subtraction — is
+    unchanged, so assignments are bit-identical; suite-asserted)."""
+    cents = lit_mat(centroids)
+    half_norms = lit_vec([0.5 * sum(x * x for x in c) for c in centroids])
+    scores = F.zip_with(
+        cents,
+        half_norms,
+        lambda c, h: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        - h,
     )
     cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return df.withColumn("__ivf_cluster", cluster)

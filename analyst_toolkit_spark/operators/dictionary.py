@@ -50,12 +50,57 @@ def semantic_type(name: str, dtype: str, n_nonnull: int, n_unique: int) -> str:
     return dtype
 
 
+def _column_stats_driver(df: DataFrame, cols: list[str]) -> list[dict] | None:
+    """column_stats' small-input execution shape (r15 optimization round —
+    the same tier :func:`operators.profile._profile_driver` rides): when the
+    optimizer knows the input is tiny, ONE bounded Arrow collect replaces the
+    null-count aggregation plus the count_distinct aggregation (whose EXPAND
+    rewrite multiplies every input row per distinct column). Identical values:
+    pandas ``isna``/``nunique`` match ``count(isNull)``/``count_distinct``
+    under the engine's driver-tier convention (NaN≡null, same as profile's).
+    Returns None (caller falls back to the distributed aggs) when the input
+    is not known-small, a column type is non-atomic, or the row cap trips."""
+    from pyspark.sql import types as T
+
+    from analyst_toolkit_spark.functions.stats import collect_driver_bounded, quantile_strategy
+
+    if quantile_strategy(df) != "driver":
+        return None
+    atomic = {f.name for f in df.schema.fields if isinstance(f.dataType, T.AtomicType)}
+    if any(c not in atomic for c in cols):
+        return None
+    pdf = collect_driver_bounded(df, cols)
+    if pdf is None:
+        return None
+    n = len(pdf)
+    dtypes = dict(df.dtypes)
+    out = []
+    for c in cols:
+        nulls = int(pdf[c].isna().sum())
+        out.append(
+            {
+                "column": c,
+                "dtype": dtypes[c],
+                "count": n,
+                "null_count": nulls,
+                "null_pct": round(nulls * 100.0 / n, 2) if n else 0.0,
+                "n_unique": int(pdf[c].nunique()),
+                "n_nonnull": n - nulls,
+            }
+        )
+    return out
+
+
 def column_stats(df: DataFrame, columns: list[str] | None = None) -> list[dict]:
-    """Per-column count / nulls / distinct. Null counts in one agg; distinct
-    counts in a second (keeping count_distinct separate avoids Catalyst's
-    EXPAND row-multiplication hitting the other aggregates — see
-    operators/profile.py)."""
+    """Per-column count / nulls / distinct. Tiny known inputs take the
+    one-collect driver tier (see :func:`_column_stats_driver`); above the
+    size gate, null counts in one agg; distinct counts in a second (keeping
+    count_distinct separate avoids Catalyst's EXPAND row-multiplication
+    hitting the other aggregates — see operators/profile.py)."""
     cols = columns or [c for c in df.columns if c != ROW_ID]
+    driver = _column_stats_driver(df, cols)
+    if driver is not None:
+        return driver
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls::{c}"))

@@ -29,14 +29,29 @@ from analyst_toolkit_spark.functions.stats import (
 from analyst_toolkit_spark.operators.profile import numeric_columns
 
 
-def histogram(df: DataFrame, column: str, bins: int = 30) -> DataFrame:
+def histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 30,
+    minmax: tuple[float, float] | None = None,
+) -> DataFrame:
     """Equal-width histogram (pandas ``plot(kind='hist', bins=30)`` semantics:
     bins span [min, max], the last bin is closed on both sides).
 
     Output: bin (0-based), lo, hi, count — exactly ``bins`` rows, zero-count
     bins included. Two passes: min/max agg, then one scan binning via
-    width_bucket (codegen'd; no shuffle beyond the tiny bin groupBy)."""
-    mm = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+    width_bucket (codegen'd; no shuffle beyond the tiny bin groupBy).
+
+    ``minmax`` (r15 optimization round): callers that already hold the exact
+    (min, max) of ``column`` — e.g. from the shared quartile/min/max pass the
+    outlier family runs on the same table — pass it here and the min/max agg
+    pass is skipped entirely: one scan instead of two (guide §1.2: don't
+    recompute what another operator on the same immutable input already
+    produced). Values must be the exact min/max or bin edges shift."""
+    if minmax is not None:
+        mm = {"lo": minmax[0], "hi": minmax[1]}
+    else:
+        mm = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
     if mm["lo"] is None:
         return df.sparkSession.createDataFrame([], "bin int, lo double, hi double, count long")
     lo, hi = float(mm["lo"]), float(mm["hi"])
