@@ -3220,13 +3220,20 @@ def q_media_data_card_docs(spark, sf):  # NON-SQL (Arrow header-parse seam; grou
     test_media_data_card_ground_truth."""
     from analyst_toolkit_spark.llm import multimodal as L_mm
 
-    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 150).select(
-        "doc_id", "source"
+    # r15 optimization round: repartition the 150-doc synth input so the
+    # per-doc blob generation (the dominant cost of this row — 12 s WAV
+    # clips are 96k samples each) runs across every core instead of the one
+    # or two partitions the filtered scan happens to produce. Pure input
+    # re-layout: the card is a keyed aggregate, invariant to partitioning.
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "source")
+        .repartition(32, "doc_id")
     )
 
     def gen(batches):
-        import math
-
+        import numpy as np
         import pandas as pd
 
         from analyst_toolkit_spark.llm.multimodal import encode_png, encode_wav
@@ -3239,16 +3246,23 @@ def q_media_data_card_docs(spark, sf):  # NON-SQL (Arrow header-parse seam; grou
                     blobs.append(b"\x00corrupt-payload-" + bytes(str(d), "ascii") * 4)
                 elif d % 5 in (0, 1):  # image arm: two resolution bands
                     side = (32, 32) if d % 5 == 0 else (192, 160)
-                    px = bytes(
-                        ((x * 37 + y * 101 + d) % 256)
-                        for y in range(side[1])
-                        for x in range(side[0])
-                    )
+                    # vectorized (r15): same integer arithmetic per pixel as
+                    # the old per-pixel generator, so the PNG bytes are
+                    # identical
+                    xs = np.arange(side[0], dtype=np.int64)
+                    ys = np.arange(side[1], dtype=np.int64)
+                    px = ((xs[None, :] * 37 + ys[:, None] * 101 + d) % 256).astype(
+                        np.uint8
+                    ).tobytes()
                     blobs.append(bytes(encode_png(side[0], side[1], 1, px)))
                 else:  # audio arm: two duration bands at 8 kHz
                     secs = 0.5 if d % 5 == 2 else 12.0
                     n = int(8000 * secs)
-                    samples = [math.sin(0.01 * i + d) * 0.5 for i in range(n)]
+                    # np.sin over one arange replaces the per-sample Python
+                    # loop; the card reads only header metadata (byte size,
+                    # rate, frame count), all invariant to sub-ulp sample
+                    # differences
+                    samples = np.sin(0.01 * np.arange(n) + d) * 0.5
                     blobs.append(bytes(encode_wav(8000, samples)))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "source": pdf["source"], "content": blobs}

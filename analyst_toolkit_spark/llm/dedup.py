@@ -153,6 +153,20 @@ def _band_stream(
 #: docs all sharing the sentinel signature) contribute no pairs in either.
 MAX_BUCKET = 1000
 
+#: r15 optimization round — size gate for the positioned-gram-stream lineage
+#: cut in :func:`repeated_spans`: inputs whose optimizer size estimate is at
+#: or below this materialize the (id, pos, hash) stream once
+#: (localCheckpoint) instead of re-deriving it for the census AND the hit
+#: join; above it (or unknown, which is NOT small) the recompute form stands
+#: — the stream is a multiple of the text bytes and would become
+#: hundreds-of-TB executor spill at corpus scale. Override via env for
+#: clusters with generous local disk.
+import os as _os
+
+SPAN_GRAM_CUT_MAX_INPUT_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SPAN_CUT_MAX_BYTES", str(4 << 30))
+)
+
 
 def minhash_candidates(
     df: DataFrame,
@@ -659,6 +673,13 @@ def connected_components(
             pass
 
     def _cut(frame: DataFrame, tag: str) -> DataFrame:
+        # r15 optimization round: the non-durable cut is a LAZY
+        # localCheckpoint — the convergence-sum agg that immediately follows
+        # every labels cut is the action that materializes it, so each
+        # iteration runs ONE job (materialize + sum fused) instead of two
+        # (eager materialize, then a second sum job over the checkpoint).
+        # The durable path keeps its write-then-read shape: the write IS the
+        # materialization and the sum is a cheap parquet scan.
         if checkpoint_dir:
             cut_seq[0] += 1
             path = f"{checkpoint_dir.rstrip('/')}/{cut_seq[0]:02d}_{tag}"
@@ -668,7 +689,7 @@ def connected_components(
                 if len(label_paths) > 2:
                     _rm(label_paths.pop(0))
             return frame.sparkSession.read.parquet(path)
-        return frame.localCheckpoint(eager=True)
+        return frame.localCheckpoint(eager=False)
 
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -687,13 +708,25 @@ def connected_components(
         # (the O(docs x bands) side on the bucket path) saved per
         # iteration once labels outgrow broadcast. One extra build-time
         # shuffle buys that; lineage stays short (edges are built once).
+        # (r15: no eager count() — the seeded-labels sum below is the first
+        # action and populates this cache in the same job.)
         edges = sym.repartition(F.col("dst")).cache()
-        edges.count()
         edges_cache = edges
+    # r15 optimization round — SEEDED initial labels: starting from the
+    # identity labeling, iteration 1's three-way union (identity ∪ neighbor
+    # propagation ∪ identity pointer-jump) reduces algebraically to
+    # min(node, min(dst over its edges)) — one groupBy on the same key the
+    # old distinct-nodes build shuffled on. Seeding with that value skips
+    # the whole first loop iteration (two joins + a 3-subtree union-agg +
+    # a cut + a sum action) while producing bit-identical labels: the loop
+    # now starts from the state the old iteration 1 ended in.
     labels = _cut(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node")),
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mindst"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mindst")).alias("comp"),
+        ),
         "labels",
     )
     # decimal(38,0) sum: node ids are caller-defined and may be full-range
@@ -800,13 +833,23 @@ def bucket_components(
     # buckets self-edge (member == min) and are filtered — the old explicit
     # ">= 2 members" semi-join falls out for free. Duplicate edges across
     # bands are collapsed by connected_components' own edge distinct.
+    #
+    # r15 optimization round: the per-bucket min rides a WINDOW over the
+    # bucket key instead of the old groupBy + join-back. The join form
+    # evaluated `tagged` — and with it the MinHash signature fold, the
+    # dominant map-side cost of this operator — in TWO independent subtrees
+    # (the mins aggregate and the join probe side); the window form computes
+    # the banding ONCE and needs ONE exchange on __bkt where the join form
+    # paid the aggregate exchange plus the probe-side exchange. Identical
+    # edges: min-per-bucket attached to every member either way.
+    from pyspark.sql.window import Window
+
     bucket_key = F.xxhash64(F.col("band").cast("string"), F.col("band_hash").cast("string"))
     tagged = banded.select(
         F.col(id_col).cast("long").alias("__id"), bucket_key.alias("__bkt")
     )
-    mins = tagged.groupBy("__bkt").agg(F.min("__id").alias("__rep"))
     edges = (
-        tagged.join(mins, "__bkt")
+        tagged.withColumn("__rep", F.min("__id").over(Window.partitionBy("__bkt")))
         .filter(F.col("__id") != F.col("__rep"))
         .select(F.col("__id").alias("id_a"), F.col("__rep").alias("id_b"))
     )
@@ -920,10 +963,25 @@ def repeated_spans(
     Returns one row per maximal span: (id, start_tok, end_tok, span_tokens),
     token indices 0-based inclusive.
     """
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
     grams = positioned_ngrams(text_col, n)
     gdf = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "__gram")).select(
         id_col, "pos", F.xxhash64("__gram").alias("__gh")
     )
+    # r15 optimization round: the census and the hit semi-join both consume
+    # the positioned gram stream — without a cut each re-derives it from the
+    # raw text (tokenize + n shifted slices + zip-concat + hash, the
+    # dominant map cost; measured 4.3 s -> 2.8 s at sf0.1 with the cut,
+    # identical spans). The cut is SIZE-GATED: the stream is ~20 bytes per
+    # gram OCCURRENCE (several times the text bytes), so materializing it
+    # for a 100 TB corpus would trade one CPU pass for hundreds of TB of
+    # executor-local spill — above the gate (or when the optimizer has no
+    # size estimate) the recompute form stands. Data-size adaptive, not a
+    # local[32] tune.
+    size = plan_size_bytes(df)
+    if 0 <= size <= SPAN_GRAM_CUT_MAX_INPUT_BYTES:
+        gdf = gdf.localCheckpoint(eager=False)
     dup = (
         gdf.groupBy("__gh")
         .agg(F.countDistinct(F.col(id_col)).alias("__nd"))

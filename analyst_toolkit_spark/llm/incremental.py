@@ -110,7 +110,13 @@ def _banded_sigs(
     sh = ensure_parallelism(df).select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
     raw = sh.select(F.col(id_col), minhash_signature(F.col("sh"), k).alias("sig"))
     if materialize:
-        raw = raw.localCheckpoint(eager=True)
+        # r15 optimization round: LAZY cut — the consumer's first action
+        # (the sigs write in dedup_index_write, the first probe join in
+        # near_probe) is what materializes the checkpoint, fusing the fold
+        # and that action into one job instead of running a dedicated
+        # materialization job first. Every later reference still reads the
+        # one persisted copy — the fold runs exactly once either way.
+        raw = raw.localCheckpoint(eager=False)
     sentinel = "array(" + ",".join([f"{(1 << 63) - 1}L"] * k) + ")"
     sigs = raw.filter(F.expr(f"sig != {sentinel}"))
     banded = sigs.select(

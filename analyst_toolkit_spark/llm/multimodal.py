@@ -723,8 +723,27 @@ def encode_wav(rate: int, samples: list[float], bits: int = 16) -> bytes:
 
     if bits != 16:
         raise DecoderUnavailable("encode_wav: only 16-bit PCM")
-    q = [max(-32768, min(32767, int(round(x * 32767.0)))) for x in samples]
-    data = struct.pack("<" + "h" * len(q), *q)
+    # r15 optimization round: vectorized quantization fast path. np.round is
+    # round-half-even exactly like Python round(), so the int16 stream is
+    # byte-identical (suite-asserted against the list path); non-finite
+    # samples fall back to the list path so error behavior (ValueError /
+    # OverflowError from round()) is unchanged.
+    data = None
+    try:
+        import numpy as np
+
+        arr = np.asarray(samples, dtype=np.float64)
+        if arr.ndim == 1 and np.isfinite(arr).all():
+            data = (
+                np.clip(np.round(arr * 32767.0), -32768, 32767)
+                .astype("<i2")
+                .tobytes()
+            )
+    except Exception:
+        data = None
+    if data is None:
+        q = [max(-32768, min(32767, int(round(x * 32767.0)))) for x in samples]
+        data = struct.pack("<" + "h" * len(q), *q)
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data

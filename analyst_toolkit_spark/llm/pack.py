@@ -41,6 +41,7 @@ def with_global_cumsum(
     out_col: str = _CUM,
     num_partitions: int | None = None,
     group_col: str | None = None,
+    return_total: bool = False,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order_col`` order,
     WITHOUT a single-partition global window.
@@ -62,7 +63,16 @@ def with_global_cumsum(
     totals job and the final windowed job could see *different* partition
     boundaries, silently misaligning the driver offsets. With the pin, both
     jobs read one materialization.
+
+    ``return_total`` (r15 optimization round): return ``(df, total)`` where
+    ``total`` is the exact global sum of ``value_col`` — the per-partition
+    totals this function already collects for the prefix offsets sum to it
+    (long arithmetic, order-free), so a caller that also needs the total
+    (``shard_assign``) skips a whole extra scan-and-aggregate action over
+    the un-materialized input. Ungrouped mode only.
     """
+    if return_total and group_col:
+        raise ValueError("return_total is only supported without group_col")
     spark = df.sparkSession
     if num_partitions is None:
         try:
@@ -113,11 +123,14 @@ def with_global_cumsum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         ranged.join(F.broadcast(off_df), join_keys)
         .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col(_OFF))
         .drop(_PID, _OFF)
     )
+    if return_total:
+        return out, sum((t or 0) for t in totals.values())
+    return out
 
 
 
@@ -505,8 +518,13 @@ def shard_assign(
         return wt.withColumn("shard", (bucket % F.lit(int(n_shards))).cast("int"))
     if mode != "balanced":
         raise ValueError(f"unknown shard mode: {mode!r} (balanced | hash)")
-    total = wt.agg(F.sum("n_tokens")).first()[0] or 0
-    cum = with_global_cumsum(wt, "n_tokens", id_col)
+    # r15 optimization round: the global token total is the sum of the
+    # per-partition totals the prefix-sum pass collects anyway — asking
+    # with_global_cumsum for it removes what used to be a separate full
+    # tokenize-and-aggregate action over the un-materialized input (the
+    # token_count regexp is the dominant map cost of this operator; it now
+    # runs once, in the range-shuffle map pass, instead of twice).
+    cum, total = with_global_cumsum(wt, "n_tokens", id_col, return_total=True)
     if total <= 0:
         return cum.withColumn("shard", F.lit(0)).drop(_CUM)
     shard = F.least(

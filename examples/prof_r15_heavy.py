@@ -23,15 +23,25 @@ def noop(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def _job_count(spark) -> int:
+    """Total Spark jobs submitted so far — weather-independent structural
+    metric (a removed action shows as a lower per-operator job delta no
+    matter how loaded the host is)."""
+    ids = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    return len(ids)
+
+
 def timed(spark, name, fn, n=2):
     samples = []
+    jobs0 = _job_count(spark)
     for _ in range(n):
         spark.sparkContext.setJobDescription(name)
         t0 = time.perf_counter()
         fn()
         samples.append(round(time.perf_counter() - t0, 3))
     spark.sparkContext.setJobDescription(None)
-    print(f"{name:55s} {min(samples):7.3f}s  {samples}", flush=True)
+    jobs = (_job_count(spark) - jobs0) / n
+    print(f"{name:55s} {min(samples):7.3f}s  jobs/run={jobs:.1f}  {samples}", flush=True)
     return min(samples)
 
 
@@ -53,10 +63,6 @@ def main():
     timed(spark, "md5comp/3 band stream (4 bands)", lambda: noop(banded))
     sent = D.sentinel_band_hash(spark, 8, 4, "md5")
     bf = banded.filter(F.col("band_hash") != F.lit(sent))
-
-    def cc_only():
-        comps = D.bucket_components(docs, key="text", id_col="doc_id", k=8, bands=4, method="md5", banded=bf.localCheckpoint(eager=False))
-        noop(comps)
 
     timed(spark, "md5comp/4 full bucket_components (band+CC)", lambda: noop(
         D.bucket_components(docs, key="text", id_col="doc_id", k=8, bands=4, method="md5")
@@ -123,6 +129,30 @@ def main():
         min_quality=0.2, max_repetition=0.5, exact_dedup=True, near_dedup_threshold=0.8,
         containment_drop_threshold=0.5, benchmark=bench50,
         splits={"train": 0.9, "val": 0.05, "test": 0.05}, pack_budget=512), n=2)
+
+    # ---- span-op decomposition ------------------------------------------
+    grams = D.positioned_ngrams("text", 8)
+    gdf = docs.select(F.col("doc_id"), F.posexplode(grams).alias("pos", "__gram")).select(
+        "doc_id", "pos", F.xxhash64("__gram").alias("__gh")
+    )
+    timed(spark, "spans/1 positioned gram stream only", lambda: noop(gdf))
+    dup = (
+        gdf.groupBy("__gh").agg(F.countDistinct(F.col("doc_id")).alias("__nd"))
+        .filter(F.col("__nd") >= 2).select("__gh")
+    )
+    timed(spark, "spans/2 census only", lambda: noop(dup))
+    timed(spark, "spans/3 full repeated_spans", lambda: noop(
+        D.repeated_spans(docs, n=8, min_docs=2)
+    ))
+
+    # ---- index write ----------------------------------------------------
+    import tempfile
+
+    from analyst_toolkit_spark.llm import incremental as L_inc
+
+    timed(spark, "index/dedup_index_write exact+near", lambda: L_inc.dedup_index_write(
+        docs, tempfile.mkdtemp(prefix="prof_idx_"), layers=("exact", "near")
+    ))
 
     # ---- training_shards / spans / media card ---------------------------
     import __spark_entry__ as entry

@@ -4093,3 +4093,41 @@ def test_ivf_probe_join_randomized_ties(spark, tmp_path):
             spark.createDataFrame([(0, base[0])], "query_id long, query_vec array<double>"),
             k=5, nprobe=6,
         ).collect()
+
+
+def test_encode_wav_numpy_fast_path_byte_identical():
+    """r15 optimization: the vectorized int16 quantization in encode_wav must
+    be byte-identical to the pure-Python list path (np.round and Python
+    round() are both round-half-even), and non-finite samples must keep the
+    list path's raise behavior."""
+    import math
+    import struct
+
+    import pytest
+
+    from analyst_toolkit_spark.llm import multimodal as MM
+
+    def list_path(rate, samples):
+        q = [max(-32768, min(32767, int(round(x * 32767.0)))) for x in samples]
+        data = struct.pack("<" + "h" * len(q), *q)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    cases = [
+        [math.sin(0.01 * i + 3) * 0.5 for i in range(4000)],   # media-card shape
+        [0.1] * 1000,                                           # constant
+        [1.0, -1.0, 2.0, -2.0],                                 # clipping
+        [i / 65534.0 - 0.5 for i in range(65535)],              # every half-step
+        [0.5 / 32767.0 * k for k in (-3, -1, 1, 3)],            # .5 rounding ties
+        [],                                                     # empty
+    ]
+    for samples in cases:
+        assert bytes(MM.encode_wav(8000, samples)) == list_path(8000, samples)
+    # non-finite keeps the list path's raise (round(nan) -> ValueError,
+    # round(inf) -> OverflowError)
+    with pytest.raises((ValueError, OverflowError)):
+        MM.encode_wav(8000, [0.1, float("nan")])
+    with pytest.raises((ValueError, OverflowError)):
+        MM.encode_wav(8000, [float("inf")])
