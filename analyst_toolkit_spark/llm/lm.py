@@ -55,19 +55,25 @@ def char_ngrams(col: str | Column, n: int = 3) -> Column:
 def train_char_lm(df: DataFrame, key: str = "text", n: int = 3) -> DataFrame:
     """MLE conditional model over a training corpus: one row per distinct
     gram with ``prob`` = P(last char | first n-1 chars) = count(gram) /
-    count(prefix). Two aggregations, both over the gram table (corpus-sized
-    input, vocabulary-sized output) — at 100 TB the gram counts are the only
-    fact-scale shuffle and they combine map-side."""
+    count(prefix). One corpus-scale aggregation (the gram counts — the only
+    fact-scale shuffle, map-side combined) followed by a prefix-partitioned
+    window SUM over the vocabulary-sized gram table. The former
+    groupBy-prefix + join-back shape evaluated the whole corpus-scale gram
+    aggregation in TWO independent subtrees (no lineage cut — two parquet
+    scans + two explode/agg passes in the plan); the window computes the
+    identical prefix totals (exact long sums, order-free) over the counts it
+    already has, in one linear plan. Identical ``prob`` values."""
+    from pyspark.sql.window import Window
+
     nrm = df.select(normalize_text(F.col(key)).alias("__nt"))
     tri = (
         nrm.select(F.explode(_ngrams_of(F.col("__nt"), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn("__prefix", F.substring("gram", 1, n - 1))
     )
-    pre = tri.groupBy("__prefix").agg(F.sum("__c").alias("__pc"))
-    return tri.join(pre, "__prefix").select(
-        "gram", (F.col("__c") / F.col("__pc")).alias("prob")
+    w = Window.partitionBy(F.substring("gram", 1, n - 1))
+    return tri.select(
+        "gram", (F.col("__c") / F.sum("__c").over(w)).alias("prob")
     )
 
 
