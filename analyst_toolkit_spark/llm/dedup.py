@@ -691,9 +691,23 @@ def connected_components(
             return frame.sparkSession.read.parquet(path)
         return frame.localCheckpoint(eager=False)
 
+    # r15 optimization round: both edge directions come from ONE evaluation
+    # of the pairs subtree (explode of a 2-struct array) instead of the old
+    # two-arm union, which evaluated the caller's — possibly expensive, still
+    # lazy — pair plan once per arm (bucket_components' star-edge window and
+    # lsh_bucketed_pairs' cosine verify both ran twice; exchange reuse only
+    # dedups up to the last exchange inside the subtree). Identical row set,
+    # so identical components.
     sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
     )
     edges_cache = None
