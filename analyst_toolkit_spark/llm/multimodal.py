@@ -573,8 +573,44 @@ def media_data_card(
     one scan at 100 TB. Histogram bands are closed under the bucket lists —
     schema is stable regardless of corpus content."""
     group = [by] if by else []
-    parsed = image_header_meta(df, blob_col=blob_col)
-    parsed = audio_header_meta(parsed, blob_col=blob_col)
+    # r15 optimization round (guide §4.1): ONE fused header pass over a
+    # blob+group projection instead of stacking image_header_meta +
+    # audio_header_meta. The stacked form shipped the full row INCLUDING THE
+    # BLOB through Arrow twice more (JVM->Python->JVM per pass — 4 extra
+    # blob crossings); here the blob enters Python once and only the
+    # header-sized metadata comes back. Same _parse_image_header /
+    # _parse_wav_header calls, so every classification below is unchanged.
+    src = df.select(*group, F.col(blob_col))
+    meta_schema = T.StructType(
+        [f for f in src.schema.fields if f.name != blob_col]
+        + [
+            T.StructField("__bytes", T.LongType(), True),
+            T.StructField("img_format", T.StringType(), True),
+            T.StructField("img_width", T.IntegerType(), True),
+            T.StructField("img_height", T.IntegerType(), True),
+            T.StructField("audio_sample_rate", T.IntegerType(), True),
+            T.StructField("audio_seconds", T.DoubleType(), True),
+        ]
+    )
+
+    def _meta_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = [_parse_image_header(b) for b in pdf[blob_col]]
+            wav = [_parse_wav_header(b) for b in pdf[blob_col]]
+            out = pdf.drop(columns=[blob_col])
+            # match F.length semantics: NULL blob -> NULL length
+            out["__bytes"] = pd.array(
+                [len(bytes(b)) if b is not None else None for b in pdf[blob_col]],
+                dtype="Int64",
+            )
+            out["img_format"] = [m[0] for m in img]
+            out["img_width"] = pd.array([m[1] for m in img], dtype="Int32")
+            out["img_height"] = pd.array([m[2] for m in img], dtype="Int32")
+            out["audio_sample_rate"] = pd.array([m[0] for m in wav], dtype="Int32")
+            out["audio_seconds"] = pd.array([m[3] for m in wav], dtype="Float64")
+            yield out
+
+    parsed = src.mapInPandas(_meta_mapper, schema=meta_schema)
     img_side = F.greatest(F.col("img_width"), F.col("img_height"))
     img_bucket = F.lit(f">{image_buckets[-1]}")
     for cap in reversed(image_buckets):
@@ -586,7 +622,7 @@ def media_data_card(
         ).otherwise(aud_bucket)
     classified = parsed.select(
         *group,
-        F.length(F.col(blob_col)).alias("__bytes"),
+        F.col("__bytes"),
         F.when(F.col("img_format").isNotNull(), F.lit("image"))
         .when(F.col("audio_sample_rate").isNotNull(), F.lit("audio"))
         .otherwise(F.lit("undecoded"))
@@ -605,7 +641,14 @@ def media_data_card(
     # per-group share via aggregate + join (never a partitionless window):
     # without `by` the totals frame is a 1-row groupless aggregate
     # (broadcast-safe by construction); with `by` its cardinality is the
-    # group count — AQE decides the join strategy
+    # group count — AQE decides the join strategy.
+    # r15 optimization round: cut the histogram first — `card` feeds BOTH
+    # join sides, and without the cut each side re-evaluates the whole
+    # upstream pipeline including every MapInPandas blob pass (the plan
+    # showed two full synthesis+header-parse chains: blobs crossed the
+    # Arrow boundary twice per pass). The cut is histogram-sized
+    # (groups x modality x fmt x bucket), free at any corpus scale.
+    card = card.localCheckpoint(eager=False)
     tot = card.groupBy(*group).agg(F.sum("n_blobs").alias("__tot"))
     joined = card.join(tot, group) if group else card.crossJoin(tot)
     return joined.withColumn(
