@@ -2028,7 +2028,13 @@ def semantic_decon_exposure(
             f"eval sets, or raise max_cells deliberately"
         )
     vec = F.col(vec_col).cast("array<double>")
-    # (index, cosine) per benchmark vector, filtered to hits BEFORE explode
+    # (index, cosine) per benchmark vector, filtered to hits BEFORE explode.
+    # r15 optimization round: the corpus-row norm is PROJECTED ONCE per row
+    # (``__nv`` below) instead of sitting as a compound expression inside
+    # the per-bench-vector lambda, where Catalyst re-evaluated the whole
+    # norm fold once per benchmark vector (the _ngrams_of
+    # expression-duplication lesson; |bench| norm folds per row -> 1).
+    # Same expression over the same row, so identical cosines.
     pairs = F.transform(
         blit,
         lambda b, i: F.struct(
@@ -2039,7 +2045,7 @@ def semantic_decon_exposure(
                     F.lit(0.0),
                     lambda a, x: a + x,
                 )
-                / (b["n"] * norm(F.col(vec_col))),
+                / (b["n"] * F.col("__nv")),
                 6,
             ).alias("cos"),
         ),
@@ -2060,7 +2066,8 @@ def semantic_decon_exposure(
         .otherwise(hits.cast("array<struct<i:int,cos:double>>"))
     )
     exposed = (
-        corpus.select(F.explode(guarded).alias("__h"))
+        corpus.select(F.col(vec_col), norm(F.col(vec_col)).alias("__nv"))
+        .select(F.explode(guarded).alias("__h"))
         .groupBy(F.col("__h.i").alias("__i"))
         .agg(
             F.count(F.lit(1)).alias("n_contaminated"),
