@@ -169,6 +169,8 @@ def dedup_index_write(
     an index is always probed with the parameters it was built with.
     """
     base = path.rstrip("/")
+    exact_future = None
+    pool = None
     if "exact" in layers:
         # shuffle by the partition column first: without it every write task
         # holds rows for ~all prefixes and emits a file per (task, prefix) —
@@ -183,11 +185,37 @@ def dedup_index_write(
             .repartition(F.col(FP_PREFIX))
             .sortWithinPartitions("fp")
         )
-        fps.write.mode(mode).partitionBy(FP_PREFIX).parquet(base + "/fingerprints")
-    if "near" in layers:
-        sigs, banded = _banded_sigs(df, key, id_col, n_shingle, k, bands)
-        sigs.write.mode(mode).parquet(base + "/sigs")
-        banded.write.mode(mode).partitionBy("band").parquet(base + "/bands")
+
+        def _write_exact():
+            fps.write.mode(mode).partitionBy(FP_PREFIX).parquet(base + "/fingerprints")
+
+        if "near" in layers:
+            # r15 optimization round (guide §2.6 — overlap independent jobs):
+            # the fingerprint write shares nothing with the near-layer writes
+            # (different derivation, different output dirs), and the near
+            # layer's signature fold is the long pole — run the exact write
+            # on a driver thread so its tasks back-fill executor capacity the
+            # fold's stage tail leaves idle, instead of serializing the two
+            # layers. One extra thread only; the near writes stay sequential
+            # (the bands write reads the sig checkpoint the sigs write
+            # materializes — overlapping THOSE would race the lazy cut).
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            exact_future = pool.submit(_write_exact)
+        else:
+            _write_exact()
+    try:
+        if "near" in layers:
+            sigs, banded = _banded_sigs(df, key, id_col, n_shingle, k, bands)
+            sigs.write.mode(mode).parquet(base + "/sigs")
+            banded.write.mode(mode).partitionBy("band").parquet(base + "/bands")
+    finally:
+        if pool is not None:
+            try:
+                exact_future.result()  # propagate exact-layer failures
+            finally:
+                pool.shutdown()
     if mode != "append":
         # id_col is recorded because the index persists the id COLUMN NAME
         # verbatim — probes resolve it from here rather than assuming doc_id
@@ -246,7 +274,17 @@ def exact_probe(
     # the index persists the id under the WRITER's id column name — resolve
     # it from meta (falling back to the probe's id_col for pre-meta indexes)
     idx_id = meta.get("id_col", id_col)
-    fps = _fingerprints(batch, key, id_col, width)
+    # r15 optimization round: ONE evaluation of the batch subtree. The tier
+    # collect below plus the final join (and, on the large tier, the prefix
+    # collect) each referenced `fps` as an independent job — the caller's
+    # batch plan (possibly an expensive upstream chain) ran up to three
+    # times, and a nondeterministic batch (sample()/limit()) could hand the
+    # two collects different fingerprint sets than the join (the
+    # ivf_probe_join one-materialization rule). The cut is lazy: the tier
+    # collect is the materializing action; the row is 2 short hex strings +
+    # an id — smaller than the near layer's unconditional k-long signature
+    # cut, so the same discipline applies at any batch size.
+    fps = _fingerprints(batch, key, id_col, width).localCheckpoint(eager=False)
 
     # one bounded collect decides the tier: <= cap+1 (fp, prefix) rows
     probe_rows = fps.select("fp", FP_PREFIX).distinct().limit(PROBE_ISIN_MAX + 1).collect()
@@ -371,6 +409,12 @@ def near_probe(
         )
         .select("batch_id", "index_id")
         .distinct()
+        # r15 optimization round: the candidate frame feeds TWO subtrees —
+        # the index-sig semi-join key set and the final verify join — so
+        # without a cut the bands scan + candidate equi-join (the probe's
+        # only index-scale work) ran once per reference. Lazy: the first
+        # probe action materializes it; candidate pairs are id-pair-sized.
+        .localCheckpoint(eager=False)
     )
     idx_sigs = (
         spark.read.parquet(base + "/sigs")
