@@ -240,7 +240,17 @@ def jaccard_verify(
             .distinct()
         )
         sub = df.join(F.broadcast(ids), id_col, "left_semi")
-        sh = sub.select(F.col(id_col), shingles(key, n_shingle).alias("sh"))
+        # r15 optimization round: the verify join below references sh for
+        # BOTH pair sides, and each side otherwise re-evaluates the corpus
+        # scan + candidate semi-join + shingle tokenization as its own
+        # subtree (plan-visible as two independent scans). One lazy cut
+        # halves that. This is NOT corpus-wide shingle materialization (the
+        # rule in minhash_dedup_pairs stands): sh is bounded by the
+        # candidate-doc set — at scale a sliver of the corpus by the LSH
+        # design, and exactly the frame both joins need.
+        sh = sub.select(F.col(id_col), shingles(key, n_shingle).alias("sh")).localCheckpoint(
+            eager=False
+        )
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -910,7 +920,13 @@ def verify_components(
         .distinct()
     )
     sub = df.join(ids, id_col, "left_semi")
-    sh = sub.select(F.col(id_col), shingles(key, n_shingle).alias("__sh"))
+    # r15 optimization round: sh feeds the member join AND the representative
+    # join — without a cut each evaluates the scan + semi-join + shingle
+    # tokenization independently (the jaccard_verify two-sides shape). The
+    # cut is cluster-sized (members ∪ representatives), never corpus-wide.
+    sh = sub.select(F.col(id_col), shingles(key, n_shingle).alias("__sh")).localCheckpoint(
+        eager=False
+    )
     member = components.join(sh, components["node"] == sh[id_col]).select(
         "node", "component", F.col("__sh").alias("__m_sh")
     )

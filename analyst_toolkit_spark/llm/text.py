@@ -1204,12 +1204,23 @@ def bm25_scores(
     df side is <= |terms| rows by construction."""
     qt = [t.lower() for t in terms]
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
-    lens = df.select(F.col(id_col), F.size(toks).alias("__dl"))
+    # r15 optimization round: lens feeds the corpus stats AND the scored
+    # join, tf feeds the per-term df AND the scored join — without cuts each
+    # reference re-ran its tokenize(+explode) pass over the corpus, four
+    # scans for one logical pass (plan-verified). Both cuts are the exact
+    # frames the r15 posting index (_bm25_postings) already materializes:
+    # lens is (id, int) — narrow at any corpus size — and tf is bounded by
+    # the query's hit volume. Identical rows read everywhere.
+    lens = df.select(F.col(id_col), F.size(toks).alias("__dl")).localCheckpoint(
+        eager=False
+    )
     hits = (
         df.select(F.col(id_col), F.explode(toks).alias("__t"))
         .filter(F.col("__t").isin(qt))
     )
-    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf")).localCheckpoint(
+        eager=False
+    )
     df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
