@@ -1195,31 +1195,36 @@ def bm25_scores(
     Returns (id_col, score) with score rounded at 6 — integer tf/df/dl plus
     a <= |terms|-term double sum, cross-engine reproducible.
 
-    Plan at 100 TB: the token explode is filtered to the |terms| query
-    terms with a literal ``isin`` BEFORE any shuffle (map-side), so the only
-    corpus-scale exchange is the (doc, term, tf) stream of actual hits; the
-    per-doc length pre-aggregates once on the doc key; per-term df
-    (<= |terms| rows) and the corpus stats (exactly 1 row: N, avgdl) ride
-    broadcast joins — the 1-row hard broadcast is provably bounded, the
-    df side is <= |terms| rows by construction."""
+    Plan at 100 TB: ONE tokenize pass — a single projection computes the
+    doc length AND the hit tokens (array ``filter`` against the |terms|
+    literal, so hits are cut map-side BEFORE any shuffle) behind one lazy
+    lineage cut shared by every consumer; the only corpus-scale exchange
+    is the (doc, term, tf) stream of actual hits; per-term df (<= |terms|
+    rows) and the corpus stats (exactly 1 row: N, avgdl) ride broadcast
+    joins — the 1-row hard broadcast is provably bounded, the df side is
+    <= |terms| rows by construction."""
     qt = [t.lower() for t in terms]
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
-    # r15 optimization round: lens feeds the corpus stats AND the scored
-    # join, tf feeds the per-term df AND the scored join — without cuts each
-    # reference re-ran its tokenize(+explode) pass over the corpus, four
-    # scans for one logical pass (plan-verified). Both cuts are the exact
-    # frames the r15 posting index (_bm25_postings) already materializes:
-    # lens is (id, int) — narrow at any corpus size — and tf is bounded by
-    # the query's hit volume. Identical rows read everywhere.
-    lens = df.select(F.col(id_col), F.size(toks).alias("__dl")).localCheckpoint(
-        eager=False
-    )
-    hits = (
-        df.select(F.col(id_col), F.explode(toks).alias("__t"))
-        .filter(F.col("__t").isin(qt))
-    )
-    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf")).localCheckpoint(
-        eager=False
+    # r15 optimization round: ONE tokenize pass for the whole query. The
+    # doc length and the query-term hits are both functions of the same
+    # token array, so one projection computes size(toks) AND the
+    # isin-filtered hit tokens behind one lazy cut; lens/stats and the
+    # tf/df branches then read that materialization instead of each
+    # re-running regexp_extract_all over the corpus (the original shape
+    # paid FOUR tokenize passes: lens twice, hits' explode twice). The cut
+    # is (id, int, array<string>) with the array literal-filtered to query
+    # terms — narrow at any corpus size, never a token-payload copy.
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.filter(toks, lambda t: t.isin(qt)).alias("__ht"),
+    ).localCheckpoint(eager=False)
+    lens = base.select(id_col, "__dl")
+    tf = (
+        base.select(F.col(id_col), F.explode("__ht").alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     stats = lens.agg(
@@ -1341,7 +1346,17 @@ def bm25_scores_join(
     qt = qt.localCheckpoint(eager=False)
     terms = qt.select("__t").distinct()
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
-    lens = df.select(F.col(id_col), F.size(toks).alias("__dl"))
+    # r15 optimization round: lens feeds the corpus stats AND the partial-
+    # score join, tf feeds the per-term df AND the partial-score join —
+    # without cuts each reference re-ran its tokenize(+explode) pass over
+    # the corpus, four passes for one logical read (the bm25_scores shape;
+    # a single-pass base cut is not available here because the hit filter
+    # is a workload-derived semi-join, not an in-projection literal). lens
+    # is (id, int) — narrow at any corpus size — and tf is bounded by the
+    # workload's hit volume.
+    lens = df.select(F.col(id_col), F.size(toks).alias("__dl")).localCheckpoint(
+        eager=False
+    )
     hits = (
         df.select(F.col(id_col), F.explode(toks).alias("__t"))
         # map-side hit filter: the distinct term set is Σ|terms| rows by
@@ -1349,7 +1364,11 @@ def bm25_scores_join(
         # size-gated broadcast generalizes the single query's isin literal
         .join(maybe_broadcast(terms), "__t", "left_semi")
     )
-    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    tf = (
+        hits.groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
