@@ -67,9 +67,29 @@ def kmv_sketch(
     sh = df.select(
         F.col(group_col).alias("grp"), F.explode(shingles(key, shingle_n)).alias("sh")
     )
-    h = sh.select("grp", F.md5("sh").alias("h")).distinct()
+    # r15 optimization round: dedup on the RAW GRAM before hashing — the
+    # distinct exchange ships ~18-char grams instead of 32-char hex, and
+    # md5 runs once per distinct (group, gram) instead of once per
+    # occurrence (common grams dominate occurrences at corpus scale). A
+    # crafted md5 collision would now surface as two equal h values inside
+    # one slice, so the slice stage ranks with dense_rank (ranks distinct
+    # VALUES) and drops adjacent duplicates via lag over the same window
+    # spec (no extra sort) — output identical to the old
+    # distinct-on-(grp,hex) construction on every input, collisions
+    # included. Measured (examples/prof_r15_kmv.py): the distinct stage
+    # 1.50 -> 1.22 s at sf0.1; the rejected one-shuffle dense_rank-only
+    # form (no gram distinct) shuffled the full occurrence stream and
+    # measured no win (2.16 vs 2.03 s).
+    h = sh.distinct().select("grp", F.md5("sh").alias("h"))
     w1 = Window.partitionBy("grp", F.substring("h", 1, 1)).orderBy("h")
-    s1 = h.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= kk).drop("rn")
+    s1 = (
+        h.withColumn("dr", F.dense_rank().over(w1))
+        .withColumn("lg", F.lag("h").over(w1))
+        .filter(
+            (F.col("dr") <= kk) & (F.col("lg").isNull() | (F.col("lg") != F.col("h")))
+        )
+        .drop("dr", "lg")
+    )
     w2 = Window.partitionBy("grp").orderBy("h")
     return (
         s1.withColumn("rank", F.row_number().over(w2))
