@@ -762,10 +762,15 @@ def q_waiting_suppliers(spark, sf):
     # 100 TB); after the pre-agg the order-level stats are plain count/sum
     # over the already-distinct keys, and the wait counts reuse the same
     # pre-aggregate (late_lines) instead of re-scanning the fact
+    # r15 optimization round: per_supp feeds the order-level stats AND the
+    # wait counts — without a cut each subtree re-ran the fact⋈orders join
+    # plus the pre-aggregate (10 scans in the unexecuted plan, no
+    # ReusedExchange guaranteed). The cut is (order, supplier, 2 ints) —
+    # narrow at any scale, and exactly the frame both consumers need.
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("__late").cast("int")).alias("__any_late"),
         F.sum(F.col("__late").cast("long")).alias("__late_lines"),
-    )
+    ).localCheckpoint(eager=False)
     order_stats = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("__n_supp"),
         F.sum("__any_late").alias("__n_late"),
@@ -814,11 +819,20 @@ def q_min_cost_supplier(spark, sf):
         .join(_bc(p), cost.l_partkey == p.p_partkey)
         .select("l_partkey", "__cost", "s_acctbal", "s_name", "n_name")
     )
-    mn = regional.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("__cost").alias("__mc"))
+    # r15 optimization round: the old groupBy + join-back referenced
+    # `regional` from TWO plan subtrees, so the derived-catalog aggregate
+    # and its dimension joins ran twice per action (exchange reuse dedups
+    # only up to the last shuffle). rank()==1 over a per-part cost window
+    # keeps exactly the rows tied at the per-part min — identical row set —
+    # evaluates `regional` ONCE, and compiles to WindowGroupLimit (partial
+    # group-limit BEFORE the exchange), so the window shuffle carries only
+    # per-partition min candidates.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("__cost"))
     return (
-        regional.join(
-            _bc(mn), (F.col("l_partkey") == F.col("__pk")) & (F.col("__cost") == F.col("__mc"))
-        )
+        regional.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
         .select(
             F.col("s_acctbal").alias("acctbal"),
             F.col("s_name").alias("supplier"),
@@ -3605,10 +3619,18 @@ def q_ivf_recall_grid(spark, sf):  # NON-SQL (seeded driver k-means + on-disk IV
     qrows = emb.orderBy("vec_id").limit(5).collect()
     queries = [(int(qr["vec_id"]), [float(x) for x in qr["embedding"]]) for qr in qrows]
     assigned, centroids = L_sim.ivf_build(emb, nlist=8)
+    # r15 optimization round: EAGER cut of the assignment — each of the
+    # three tier writes (plus pq_train's sample collect) otherwise
+    # re-evaluated the scan + centroid-literal assignment fold as its own
+    # job; one materialization feeds all of them. Eager (not lazy) because
+    # the writes then run CONCURRENTLY (guide §2.6 — independent jobs with
+    # disjoint output dirs back-fill each other's stage tails), and
+    # overlapped first-materialization of a lazy cut would race.
+    assigned = assigned.localCheckpoint(eager=True)
     base = _stream_tmpdir("ivf_recall_")
     tiers = ("raw", "sq8", "pq")
-    for t in tiers:
-        L_sim.ivf_write(assigned, centroids, f"{base}/{t}", quantize=t, keep_raw=True)
+    from concurrent.futures import ThreadPoolExecutor
+
     # r13 (r12 VERDICT #7): batch every per-query collect — the exact
     # ground truth is one union-of-TakeOrdered job, and each (tier, mode)
     # arm is ONE ivf_probe_many action instead of five sequential probes
@@ -3619,16 +3641,37 @@ def q_ivf_recall_grid(spark, sf):  # NON-SQL (seeded driver k-means + on-disk IV
             F.lit(qid).alias("query_id"), "vec_id"
         )
         exact_df = b if exact_df is None else exact_df.unionByName(b)
-    exact: dict[int, set] = {qid: set() for qid, _ in queries}
-    for r in exact_df.collect():
-        exact[r["query_id"]].add(r["vec_id"])
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                L_sim.ivf_write, assigned, centroids, f"{base}/{t}", quantize=t,
+                keep_raw=True,
+            )
+            for t in tiers
+        ]
+        # the exact ground-truth collect shares nothing with the writes —
+        # run it on the main thread while they fill the executors
+        exact: dict[int, set] = {qid: set() for qid, _ in queries}
+        for r in exact_df.collect():
+            exact[r["query_id"]].add(r["vec_id"])
+        for f in futs:
+            f.result()  # propagate write failures
     rows = []
-    for t in tiers:
-        for mode, rf in (("plain", 0), ("refine2", 2)):
+    arms = [(t, mode, rf) for t in tiers for mode, rf in (("plain", 0), ("refine2", 2))]
+
+    def _probe_arm(arm):
+        t, mode, rf = arm
+        return L_sim.ivf_probe_many(
+            spark, f"{base}/{t}", queries, k=10, nprobe=4, refine_factor=rf
+        ).collect()
+
+    # the six (tier, mode) probe arms read six independent on-disk indexes —
+    # overlap them too; pool.map preserves submission order so `rows` stays
+    # deterministic
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for (t, mode, _rf), collected in zip(arms, pool.map(_probe_arm, arms)):
             got: dict[int, set] = {qid: set() for qid, _ in queries}
-            for r in L_sim.ivf_probe_many(
-                spark, f"{base}/{t}", queries, k=10, nprobe=4, refine_factor=rf
-            ).collect():
+            for r in collected:
                 got[r["query_id"]].add(r["vec_id"])
             for qid, _ in queries:
                 rows.append((t, mode, qid, len(got[qid] & exact[qid]) / 10.0))
