@@ -156,11 +156,6 @@ def corpus_data_card(
     (xxhash64(line), id, group) — the line_dedup census discipline — and
     joins its group-cardinality result onto the card AFTER the main agg."""
     h = F.md5(F.col(key))
-    mult = (
-        df.select(h.alias("__dc_h"))
-        .groupBy("__dc_h")
-        .agg(F.count(F.lit(1)).alias("__dc_mult"))
-    )
     cols = [
         F.col(by),
         h.alias("__dc_h"),
@@ -173,7 +168,14 @@ def corpus_data_card(
         )
     if components is not None:
         cols.append(F.col(id_col).alias("__dc_id"))
-    scored = df.select(*cols).join(mult, "__dc_h", "left")
+    # r15 optimization round: the multiplicity census and the per-doc
+    # metric projection both read the corpus — one narrow lazy cut (group,
+    # md5, a few numerics — never the text bodies) feeds both, so the scan
+    # + per-row md5 run once instead of twice. The boilerplate arm below
+    # still reads the raw text separately (it needs the line split).
+    base = df.select(*cols).localCheckpoint(eager=False)
+    mult = base.groupBy("__dc_h").agg(F.count(F.lit(1)).alias("__dc_mult"))
+    scored = base.join(mult, "__dc_h", "left")
     if components is not None:
         sized = (
             components.groupBy("component")
