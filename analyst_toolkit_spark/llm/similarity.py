@@ -191,8 +191,13 @@ def lsh_bucketed_pairs(
         norm(F.col(vec_col)).alias("n"),
         hyperplane_bucket(F.col(bucket_vec_col or vec_col), planes).alias("bucket"),
     )
+    # r15 optimization round (guide §1.2): the cut is UNCONDITIONAL — the
+    # self-join's two sides otherwise each re-evaluate the caller's subtree
+    # (scan + any PCA projection + n_planes·dim bucket dots per row, twice);
+    # one materialization feeds both sides (and the census when gated). The
+    # multi-table operator already cuts unconditionally for the same reason.
+    d = d.localCheckpoint(eager=False)
     if pair_cap is not None:
-        d = d.localCheckpoint(eager=False)  # census + join read one materialization
         est = (
             d.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -2318,22 +2323,6 @@ def pca_fit(
             f"pca_fit: dim {d} > max_dim {max_dim} — the O(d^2) moment "
             "triangle is not the right plan; sample or pre-reduce first"
         )
-    # r10 ADVICE: d was inferred from the FIRST row only — a ragged vector or
-    # a null element would silently skew the covariance (F.sum skips null
-    # products while n counts every row). Fail loudly instead: one early-out
-    # scan (limit(1) stops at the first offender).
-    bad = (
-        df.filter(
-            (F.size(vec_col) != d) | F.exists(vec_col, lambda x: x.isNull())
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            f"pca_fit: found vectors with size != {d} or null elements — "
-            "clean/pad the embedding column first"
-        )
     idx = list(range(d))
     # flattened upper triangle of x xᵀ per row, then ONE groupBy(slot) sum —
     # n·d(d+1)/2 values reduced map-side to d(d+1)/2 per partition
@@ -2347,25 +2336,47 @@ def pca_fit(
             ),
         )
     )
-    moments = (
-        df.select(F.posexplode(tri).alias("slot", "v"))
-        .groupBy("slot")
-        .agg(F.sum("v").alias("s"))
-        .collect()
+    # r15 optimization round (guide §1.2): ONE corpus pass instead of three.
+    # The first-moment slots ride in front of the triangle slots in the SAME
+    # posexplode -> groupBy(slot) sum (per-slot arithmetic unchanged: the
+    # float->double cast happens before summation on both forms, and Sum
+    # accumulates doubles either way), n is the per-slot row count, and the
+    # r10 ragged/null-element guard moves IN-PLAN (raise_error per row — the
+    # ivf_append shape), so the separate limit(1) guard scan — a FULL pass
+    # whenever the input is clean — and the separate mean/count job are gone.
+    guard_msg = (
+        f"pca_fit: found vectors with size != {d} or null elements — "
+        "clean/pad the embedding column first"
     )
-    sums = (
-        df.select(F.posexplode(vec_col).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
+    payload = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.element_at(vec_col, i + 1).cast("double"),
+        ),
+        tri,
     )
-    n = sums[0]["n"]
+    guarded = F.when(
+        (F.size(vec_col) != d) | F.exists(vec_col, lambda x: x.isNull()),
+        F.raise_error(F.lit(guard_msg)).cast("array<double>"),
+    ).otherwise(payload)
+    try:
+        rows = (
+            df.select(F.posexplode(guarded).alias("slot", "v"))
+            .groupBy("slot")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    except Exception as e:  # unwrap the in-plan guard to the documented error
+        if "pca_fit:" in str(e):
+            raise ValueError(guard_msg) from None
+        raise
+    n = rows[0]["n"]
+    flat = {r["slot"]: r["s"] for r in rows}
     mean = np.zeros(d)
-    for r in sums:
-        mean[r["i"]] = r["s"] / n
+    for i in idx:
+        mean[i] = flat[i] / n
     S = np.zeros((d, d))
-    flat = {r["slot"]: r["s"] for r in moments}
-    slot = 0
+    slot = d
     for i in idx:
         for j in range(i, d):
             S[i, j] = S[j, i] = flat[slot]
