@@ -689,17 +689,44 @@ def _bm25_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
+#: r15 optimization round — size gate for the token-array lineage cut in
+#: :func:`_bm25_postings`: at or below this optimizer size estimate the
+#: (id, tokens) projection materializes once (localCheckpoint) and both the
+#: dl frame and the tf explode read it — ONE regex tokenization pass per
+#: index write/append instead of two. Above the gate (or unknown size,
+#: which is NOT small) the recompute form stands: the token arrays are
+#: roughly the text bytes again, and materializing them for a 100 TB corpus
+#: trades one CPU pass for ~100 TB of executor-local spill. Same
+#: data-size-adaptive stance as the span-gram cut (llm/dedup.py).
+BM25_TOKEN_CUT_MAX_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BM25_TOKEN_CUT_MAX_BYTES", str(4 << 30))
+)
+
+
 def _bm25_postings(df: DataFrame, key: str, id_col: str, n_buckets: int):
     """(postings, lens): postings = (term, id, tf, dl, term_bucket); lens is
     the per-doc token-length frame the corpus stats derive from. One lazy
     lineage cut on lens so the stats agg and the postings join read one
-    tokenization."""
+    materialization; below the size gate a token-array cut additionally
+    collapses the dl and tf tokenizations into ONE regex pass (dl stays
+    ``size(toks)`` over the same arrays, so null-text semantics are
+    bit-identical to the recompute form)."""
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
     from analyst_toolkit_spark.llm.text import _VOCAB_TOKEN_RE
 
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
-    lens = df.select(F.col(id_col), F.size(toks).alias("dl")).localCheckpoint(eager=False)
+    base, toks_col = df, toks
+    size = plan_size_bytes(df)
+    if 0 <= size <= BM25_TOKEN_CUT_MAX_INPUT_BYTES:
+        base = df.select(F.col(id_col), toks.alias("__toks")).localCheckpoint(
+            eager=False
+        )
+        toks_col = F.col("__toks")
+    lens = base.select(F.col(id_col), F.size(toks_col).alias("dl")).localCheckpoint(
+        eager=False
+    )
     tf = (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        base.select(F.col(id_col), F.explode(toks_col).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
