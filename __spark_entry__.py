@@ -4007,18 +4007,18 @@ def q_ivf_rebuild_probe_embeddings(spark, sf):
     centroid ranking + rounded-cosine top-k). Queries: vec_id 200..219,
     k=5, nprobe=3."""
     emb = load_table(spark, sf, "embeddings")
-    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    # ONE collect feeds both quantizers (r15 optimization round): rows split
+    # driver-side into the original (vec_id < 8) and replacement (8..15)
+    # centroid sets — same values the two separate collects produced.
+    cent_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows if r["vec_id"] < 8]
     base = _stream_tmpdir("ivf_rebuild_")
     init = emb.filter(F.col("vec_id") < 300)
     L_sim.ivf_write(L_sim.ivf_assign(init, centroids), centroids, base)
     L_sim.ivf_append(spark, base, emb.filter(F.col("vec_id") >= 300))
-    new_rows = (
-        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
-        .orderBy("vec_id")
-        .collect()
-    )
-    new_cents = [[float(x) for x in r["embedding"]] for r in new_rows]
+    new_cents = [
+        [float(x) for x in r["embedding"]] for r in cent_rows if r["vec_id"] >= 8
+    ]
     rebuilt = _stream_tmpdir("ivf_rebuilt_")
     L_sim.ivf_rebuild(spark, base, rebuilt, centroids=new_cents)
     queries = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220)).select(

@@ -37,6 +37,15 @@ def get_spark(app_name: str = "analyst_toolkit_spark", master: str | None = None
         # read as long; ingest.load_table converts them to µs timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Shuffle/spill/broadcast codec (guide §2.3): lz4 default keeps the
+        # bench comparable across rounds; at cluster scale zstd usually
+        # trades a little CPU for markedly fewer shuffle bytes — flip via
+        # env and MEASURE (sf0.1 shuffles are KBs, so only a quiet-host A/B
+        # at real scale can justify changing the default).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
