@@ -943,6 +943,19 @@ def verify_components(
     )
 
 
+def _positioned_ngrams_of(toks: Column, n: int) -> Column:
+    """Positioned n-grams from an ALREADY-TOKENIZED array column — the
+    shared slice/zip construction of :func:`positioned_ngrams`, split out so
+    the span operators can tokenize ONCE and derive both the gram stream and
+    the cut stage from the same token arrays (r15 optimization round)."""
+    g = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, g) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
 def positioned_ngrams(col: str | Column, n: int) -> Column:
     """Word n-grams WITH their 0-based token start positions, as an
     ``array<string>`` indexed by position (``grams[i]`` starts at token i).
@@ -953,12 +966,25 @@ def positioned_ngrams(col: str | Column, n: int) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9']+"), F.lit(0))
-    g = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    parts = [F.slice(toks, i + 1, g) for i in range(n)]
-    grams = parts[0]
-    for p in parts[1:]:
-        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return grams
+    return _positioned_ngrams_of(toks, n)
+
+
+def _tokens_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks) projection — the one tokenize pass shared by the span
+    operators' gram stream and token-surgery stages (bit-identical to the
+    tokenizer each stage previously ran for itself)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), F.lit(0)
+    )
+    return df.select(F.col(id_col), toks.alias("__toks"))
+
+
+def _positioned_gram_hashes(tdf: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, pos, gram-hash) stream from a (id, __toks) frame."""
+    grams = _positioned_ngrams_of(F.col("__toks"), n)
+    return tdf.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__gram")
+    ).select(id_col, "pos", F.xxhash64("__gram").alias("__gh"))
 
 
 def repeated_spans(
@@ -995,10 +1021,18 @@ def repeated_spans(
     """
     from analyst_toolkit_spark.functions.stats import plan_size_bytes
 
-    grams = positioned_ngrams(text_col, n)
-    gdf = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "__gram")).select(
-        id_col, "pos", F.xxhash64("__gram").alias("__gh")
+    tdf = _tokens_frame(df, id_col, text_col)
+    return _repeated_spans_from_tokens(
+        tdf, id_col, n, min_docs, size_hint=plan_size_bytes(df)
     )
+
+
+def _repeated_spans_from_tokens(
+    tdf: DataFrame, id_col: str, n: int, min_docs: int, size_hint: int
+) -> DataFrame:
+    """:func:`repeated_spans` over a pre-built (id, __toks) frame (shared
+    with the removal half so the corpus tokenizes once)."""
+    gdf = _positioned_gram_hashes(tdf, id_col, n)
     # r15 optimization round: the census and the hit semi-join both consume
     # the positioned gram stream — without a cut each re-derives it from the
     # raw text (tokenize + n shifted slices + zip-concat + hash, the
@@ -1009,8 +1043,7 @@ def repeated_spans(
     # executor-local spill — above the gate (or when the optimizer has no
     # size estimate) the recompute form stands. Data-size adaptive, not a
     # local[32] tune.
-    size = plan_size_bytes(df)
-    if 0 <= size <= SPAN_GRAM_CUT_MAX_INPUT_BYTES:
+    if 0 <= size_hint <= SPAN_GRAM_CUT_MAX_INPUT_BYTES:
         gdf = gdf.localCheckpoint(eager=False)
     dup = (
         gdf.groupBy("__gh")
@@ -1093,32 +1126,42 @@ def remove_repeated_spans(
     ranges — bounded by doc length / n) and join back once; the cut itself
     is a map-side higher-order ``filter((tok, i) -> no span contains i)``.
     Columns: (id, clean_text, kept_tokens, removed_tokens).
+
+    r15 optimization round: the detection gram stream and the token surgery
+    previously each ran the regex tokenizer over the corpus; one (id, __toks)
+    frame — size-gated lazy cut, token arrays ≈ the text bytes again, the
+    same spill math as the gram-stream cut — now feeds both, so the corpus
+    tokenizes ONCE below the gate (above it the recompute form stands).
     """
-    spans = repeated_spans(df, id_col=id_col, text_col=text_col, n=n, min_docs=min_docs)
-    return _cut_spans(df, spans, id_col=id_col, text_col=text_col)
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    tdf = _tokens_frame(df, id_col, text_col)
+    if 0 <= size <= SPAN_GRAM_CUT_MAX_INPUT_BYTES:
+        tdf = tdf.localCheckpoint(eager=False)
+    spans = _repeated_spans_from_tokens(tdf, id_col, n, min_docs, size_hint=size)
+    return _cut_spans_from_tokens(tdf, spans, id_col)
 
 
-def _cut_spans(
-    df: DataFrame, spans: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _cut_spans_from_tokens(
+    tdf: DataFrame, spans: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Cut (start_tok, end_tok) spans out of every document's token stream:
     spans aggregate per doc (collect_list of ranges — bounded by doc
     length / n), join back once, and the cut is a map-side higher-order
     ``filter((tok, i) -> no span contains i)``. Shared removal half of
-    exact-substring dedup AND span-level decontamination. Columns:
-    (id, clean_text, kept_tokens, removed_tokens)."""
+    exact-substring dedup AND span-level decontamination; takes the shared
+    (id, __toks) frame so the corpus tokenizes once per remove call.
+    Columns: (id, clean_text, kept_tokens, removed_tokens)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
     )
-    # coalesce: NULL text would otherwise flow NULL arrays into size()
-    # (which returns -1 on NULL) and poison the token arithmetic
-    toks = F.coalesce(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), F.lit(0)),
-        F.array().cast("array<string>"),
-    )
+    # coalesce: NULL text tokenizes to a NULL array, which would otherwise
+    # flow into size() (−1 on NULL) and poison the token arithmetic
+    toks = F.coalesce(F.col("__toks"), F.array().cast("array<string>"))
     # project tokens BEFORE the filter lambda: a compound expression inside a
     # higher-order function is re-evaluated per element (llm/lm._ngrams_of)
-    base = df.select(F.col(id_col), toks.alias("__toks")).join(per_doc, id_col, "left")
+    base = tdf.select(F.col(id_col), toks.alias("__toks")).join(per_doc, id_col, "left")
     in_span = lambda tok, i: F.exists(  # noqa: E731
         F.col("__spans"),
         lambda s: (i >= s["start_tok"]) & (i <= s["end_tok"]),
@@ -1157,15 +1200,20 @@ def contaminated_spans(
     broadcasts a small benchmark, falls back to a keyed shuffle for a huge
     one — no hint), then the shared islands merge fuses hits into maximal
     spans per doc. Returns (id, start_tok, end_tok, span_tokens)."""
+    tdf = _tokens_frame(df, id_col, text_col)
+    return _contaminated_spans_from_tokens(tdf, benchmark, id_col, bench_key, n)
+
+
+def _contaminated_spans_from_tokens(
+    tdf: DataFrame, benchmark: DataFrame, id_col: str, bench_key: str, n: int
+) -> DataFrame:
+    """:func:`contaminated_spans` over a pre-built (id, __toks) frame."""
     bench_grams = (
         benchmark.select(F.explode(shingles(bench_key, n)).alias("__g"))
         .select(F.xxhash64("__g").alias("__gh"))
         .distinct()
     )
-    grams = positioned_ngrams(text_col, n)
-    gdf = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "__gram")).select(
-        id_col, "pos", F.xxhash64("__gram").alias("__gh")
-    )
+    gdf = _positioned_gram_hashes(tdf, id_col, n)
     hits = gdf.join(bench_grams, "__gh", "left_semi").select(id_col, "pos")
     return _span_islands(hits, id_col, n)
 
@@ -1183,11 +1231,19 @@ def remove_contaminated_spans(
     document, keeping the untainted remainder — doc-level dropping throws
     away a whole document for one quoted benchmark passage; this keeps the
     other 99%. Same output contract as :func:`remove_repeated_spans`:
-    (id, clean_text, kept_tokens, removed_tokens), token-level surgery."""
-    spans = contaminated_spans(
-        df, benchmark, id_col=id_col, text_col=text_col, bench_key=bench_key, n=n
-    )
-    return _cut_spans(df, spans, id_col=id_col, text_col=text_col)
+    (id, clean_text, kept_tokens, removed_tokens), token-level surgery.
+
+    r15 optimization round: one size-gated (id, __toks) cut feeds both the
+    detection gram stream and the token surgery — the corpus tokenizes once
+    per call below the gate (see :func:`remove_repeated_spans`)."""
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    tdf = _tokens_frame(df, id_col, text_col)
+    if 0 <= size <= SPAN_GRAM_CUT_MAX_INPUT_BYTES:
+        tdf = tdf.localCheckpoint(eager=False)
+    spans = _contaminated_spans_from_tokens(tdf, benchmark, id_col, bench_key, n)
+    return _cut_spans_from_tokens(tdf, spans, id_col)
 
 
 def dedup_representatives(
@@ -1445,12 +1501,25 @@ def dedup_representatives_by(
     :func:`near_dedup_components`). Plan: one component-keyed
     ``max_by``-style aggregate (struct-max: score asc, then NEGATED id so
     ties pick the smallest — one shuffle on component, map-side combined),
-    then a semi-join of the corpus against winners ∪ unclustered. Nothing
-    driver-side, nothing quadratic."""
+    then the corpus joined against winners ∪ unclustered. Nothing
+    driver-side, nothing quadratic. Ids must be unique in ``df`` (the
+    (node, component) mapping already assumes that).
+
+    The score projection is evaluated ONCE (r15 optimization round, guide
+    §1.2): callers pass computed expressions (``quality_score``'s regex
+    stack, a classifier margin, a charlm logprob), and the old semi-join
+    tail re-evaluated that expression over every SURVIVING row after the
+    winner election had already evaluated it over the whole corpus. A
+    narrow lineage-cut (id, score) frame — ~16 bytes/row, never the
+    payload — now feeds the election, the unclustered anti-join, AND the
+    returned rows' score column; the attach join replaces the old
+    membership semi-join one-for-one (same key, same shuffle shape)."""
     idt = dict(df.dtypes)[id_col]
+    scores = df.select(
+        F.col(id_col).alias("__mid"), F.col(score_col).alias("__s")
+    ).localCheckpoint(eager=False)
     member = components.join(
-        df.select(F.col(id_col).alias("__mid"), F.col(score_col).alias("__s")),
-        components["node"].cast(idt) == F.col("__mid"),
+        scores, components["node"].cast(idt) == F.col("__mid")
     )
     # struct max = lexicographic (score, -id): highest score, then least id.
     # Negation needs a numeric id; string ids would need a different
@@ -1459,11 +1528,17 @@ def dedup_representatives_by(
         F.max(
             F.struct(F.col("__s"), (-F.col("node").cast("long")).alias("__negid"))
         ).alias("__w")
-    ).select((-F.col("__w.__negid")).cast(idt).alias(id_col))
-    clustered = components.select(F.col("node").cast(idt).alias(id_col))
-    unclustered = df.select(id_col).join(clustered, id_col, "left_anti")
+    ).select((-F.col("__w.__negid")).cast(idt).alias("__mid"))
+    clustered = components.select(F.col("node").cast(idt).alias("__mid"))
+    unclustered = scores.select("__mid").join(clustered, "__mid", "left_anti")
     keep = winner.unionByName(unclustered)
-    return df.join(keep, id_col, "left_semi")
+    kept = scores.join(keep, "__mid", "left_semi")
+    out = df.drop(score_col).join(
+        kept.select(F.col("__mid").alias(id_col), F.col("__s").alias(score_col)),
+        id_col,
+        "inner",
+    )
+    return out.select(*df.columns)
 
 
 def dedup_from_components(

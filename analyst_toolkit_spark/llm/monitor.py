@@ -48,7 +48,11 @@ def token_distribution_drift(
     relative-frequency distributions (0 = identical, 1 = disjoint)."""
     ca = _token_counts(df_a, key).withColumnRenamed("c", "ca")
     cb = _token_counts(df_b, key).withColumnRenamed("c", "cb")
-    j = ca.join(cb, "tok", "full_outer")
+    # r15 optimization round (guide §1.2): the totals agg AND the drift agg
+    # both read the full-outer join — without a cut each re-runs BOTH
+    # corpus-scale tokenize+groupBy subtrees (4 corpus scans for 2 logical
+    # reads, plan-verified). The cut is vocabulary-sized (tok + 2 longs).
+    j = ca.join(cb, "tok", "full_outer").localCheckpoint(eager=False)
     totals = j.agg(
         F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb")
     )
@@ -86,7 +90,9 @@ def token_drift_terms(
     frequencies. Ordered (delta desc, token asc) so ties are deterministic."""
     ca = _token_counts(df_a, key).withColumnRenamed("c", "ca")
     cb = _token_counts(df_b, key).withColumnRenamed("c", "cb")
-    j = ca.join(cb, "tok", "full_outer")
+    # vocabulary-sized cut: totals + movers both read it (see
+    # token_distribution_drift — same 4-scans-for-2 shape without it)
+    j = ca.join(cb, "tok", "full_outer").localCheckpoint(eager=False)
     totals = j.agg(F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb"))
     freqs = j.crossJoin(F.broadcast(totals)).select(
         "tok",

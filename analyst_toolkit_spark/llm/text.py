@@ -826,11 +826,24 @@ def decon_exposure(
     from analyst_toolkit_spark.functions.stats import maybe_broadcast
     from analyst_toolkit_spark.llm.dedup import shingles
 
-    bgrams = benchmark.select(
-        F.col(bench_id_col).alias("__bid"), F.explode(shingles(bench_key, n)).alias("gram")
-    )
-    bsizes = bgrams.groupBy("__bid").agg(F.count(F.lit(1)).alias("__bsz"))
-    bench_ids = benchmark.select(F.col(bench_id_col).alias("__bid")).distinct()
+    # r15 optimization round (guide §1.2): the benchmark subtree feeds THREE
+    # consumers (the gram join, the per-item gram sizes, the id completion
+    # frame) — and callers routinely derive the benchmark from a corpus
+    # filter, so each consumer re-ran a corpus scan. One benchmark-sized
+    # lineage cut (id + gram array ≈ the benchmark text bytes — strictly
+    # smaller than the broadcast this operator already ships) feeds all
+    # three. bsizes semantics preserved exactly: per-row gram-array length
+    # summed per id (null arrays count 0), matching the old explode count.
+    bsh = benchmark.select(
+        F.col(bench_id_col).alias("__bid"), shingles(bench_key, n).alias("__bg")
+    ).localCheckpoint(eager=False)
+    bgrams = bsh.select("__bid", F.explode("__bg").alias("gram"))
+    bsizes = bsh.groupBy("__bid").agg(
+        F.sum(
+            F.when(F.col("__bg").isNull(), F.lit(0)).otherwise(F.size("__bg"))
+        ).alias("__bsz")
+    ).filter(F.col("__bsz") >= 1)
+    bench_ids = bsh.select("__bid").distinct()
     dgrams = docs.select(
         F.col(id_col).alias("__did"), F.explode(shingles(key, n)).alias("gram")
     )
@@ -881,6 +894,19 @@ def decon_exposure(
 # the operator reproduces exactly in any SQL engine).
 
 _VOCAB_TOKEN_RE = r"[a-z0-9']+"
+
+#: Size gate for materializing per-(doc, term) token statistics so that
+#: two consumers share ONE tokenize pass (r15 optimization round). The tf
+#: frame is ~the text bytes again (term strings + counts), so it is only
+#: lineage-cut below this optimizer input estimate — above it (or when the
+#: estimate is unknown, which is NOT small) the recompute form stands. Same
+#: spill math as dedup.SPAN_GRAM_CUT_MAX_INPUT_BYTES and
+#: incremental.BM25_TOKEN_CUT_MAX_INPUT_BYTES.
+import os as _os
+
+TOKEN_STAT_CUT_MAX_INPUT_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_TOKEN_STAT_CUT_MAX_INPUT_BYTES", str(4 * 1024**3))
+)
 
 
 def token_stream(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -940,10 +966,16 @@ def token_rarity(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> Da
     (explode_outer) so the census covers the whole corpus."""
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
     stream = df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    # r15 optimization round (guide §1.2): the total agg AND the join-back
+    # both read the corpus counts — without a cut the total re-ran the whole
+    # tokenize+explode+groupBy subtree as a third corpus scan. The cut is
+    # vocabulary-sized (token + long); the two remaining corpus passes are
+    # the fundamental WordCount + join-back shape the docstring documents.
     counts = (
         stream.filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("__cnt").cast("double").alias("__total"))
     joined = stream.join(counts, "token", "left").crossJoin(F.broadcast(total))
@@ -1455,9 +1487,18 @@ def tfidf_top_terms(
     (never global)."""
     from pyspark.sql import Window
 
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
     stream = df.select(F.col(id_col), F.explode(toks).alias("__t"))
     tf = stream.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    # r15 optimization round (guide §1.2): the df aggregation AND the score
+    # join both read tf — without a cut each re-runs the tokenize + explode
+    # + tf-groupBy subtree as its own corpus scan. Size-gated: the tf frame
+    # is ~the text bytes again (see TOKEN_STAT_CUT_MAX_INPUT_BYTES).
+    size = plan_size_bytes(df)
+    if 0 <= size <= TOKEN_STAT_CUT_MAX_INPUT_BYTES:
+        tf = tf.localCheckpoint(eager=False)
     df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
@@ -1508,11 +1549,24 @@ def bigram_pmi(
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
+    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+
     pairs = df.select(F.explode(pairs_col).alias("p")).select("p.a", "p.b")
     uni = df.select(F.explode(toks).alias("t")).groupBy("t").agg(
         F.count(F.lit(1)).alias("__cu")
     )
     big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    # r15 optimization round (guide §1.2): uni is read THREE times (both
+    # unigram joins + its total) and big TWICE (the scored join + its
+    # total) — without cuts each read re-ran its tokenize + explode +
+    # groupBy subtree as a fresh corpus scan (5 scans for 2 logical
+    # passes, plan-verified). Size-gated: the bigram vocabulary is
+    # heavy-tailed at corpus scale (see TOKEN_STAT_CUT_MAX_INPUT_BYTES);
+    # above the gate the recompute form stands.
+    size = plan_size_bytes(df)
+    if 0 <= size <= TOKEN_STAT_CUT_MAX_INPUT_BYTES:
+        uni = uni.localCheckpoint(eager=False)
+        big = big.localCheckpoint(eager=False)
     nb = big.agg(F.sum("pair_count").alias("__nb"))
     nu = uni.agg(F.sum("__cu").alias("__nu"))
     scored = (

@@ -1413,6 +1413,33 @@ def test_remove_repeated_spans_ground_truth(spark):
     }
 
 
+def test_remove_spans_single_tokenize_cut(spark, monkeypatch, tmp_path):
+    """r15 optimization round: below the size gate the removal operators
+    tokenize the corpus ONCE — a shared (id, __toks) lineage cut feeds both
+    the detection gram stream and the token surgery, so the returned plan
+    carries no tokenizer expression at all; above the gate the recompute
+    form stands (tokenizer visible in-plan), outputs identical. Parquet
+    input: the gate needs a real size estimate (unknown is NOT small)."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e q r s"),
+        (3, None),  # null text must stay harmless on both forms
+        (4, "a b c q0 q1 q2 q3 f g h"),
+    ]
+    path = str(tmp_path / "span_cut_docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    df = spark.read.parquet(path)
+    out_cut = D.remove_repeated_spans(df, n=3)
+    plan_cut = out_cut._jdf.queryExecution().optimizedPlan().toString()
+    assert "regexp_extract_all" not in plan_cut  # both consumers read the cut
+    got_cut = sorted(tuple(r) for r in out_cut.collect())
+    monkeypatch.setattr(D, "SPAN_GRAM_CUT_MAX_INPUT_BYTES", -1)
+    out_raw = D.remove_repeated_spans(df, n=3)
+    plan_raw = out_raw._jdf.queryExecution().optimizedPlan().toString()
+    assert "regexp_extract_all" in plan_raw  # recompute form above the gate
+    assert sorted(tuple(r) for r in out_raw.collect()) == got_cut
+
+
 def test_token_distribution_drift_hand_computed(spark):
     from analyst_toolkit_spark.llm import monitor as M
 
@@ -1617,6 +1644,32 @@ def test_dedup_representatives_by_score(spark):
     )
     kept = {r["doc_id"] for r in D.dedup_representatives_by(docs, comps, "q").collect()}
     assert kept == {2, 10, 99}  # best-of-A, singleton-component, unclustered
+
+
+def test_dedup_representatives_by_single_score_evaluation(spark):
+    """r15 optimization round: the caller's score projection (typically an
+    expensive regex/model expression) is evaluated ONCE, behind the narrow
+    (id, score) lineage cut — the returned rows' score column reads the cut
+    instead of re-evaluating the expression over every surviving row. The
+    marker regex must not appear anywhere in the returned frame's plan, and
+    the attached values must equal a fresh evaluation."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb cc"), (3, "zz"), (10, "aa"), (99, "bb bb")],
+        ["doc_id", "text"],
+    )
+    scored = docs.withColumn(
+        "q", F.regexp_count("text", F.lit("bb")).cast("double")
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10)], ["node", "component"]
+    )
+    out = D.dedup_representatives_by(scored, comps, "q")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "regexp" not in plan, plan  # score resolves from the cut, not a re-eval
+    rows = {r["doc_id"]: (r["text"], r["q"]) for r in out.collect()}
+    # 1 and 2 tie at q=1.0 -> smallest id (1) wins; 10 singleton; 99 unclustered
+    assert rows == {1: ("aa bb", 1.0), 10: ("aa", 0.0), 99: ("bb bb", 2.0)}
+    assert list(out.columns) == ["doc_id", "text", "q"]  # caller's column order
 
 
 def test_near_dedup_auto_gate_flips_and_matches_pair_path(spark):
@@ -1947,6 +2000,34 @@ def test_bm25_scores_ground_truth(spark):
 
     top = [r["doc_id"] for r in bm25_topk(docs, terms, k=2).collect()]
     assert top == sorted(expected, key=lambda i: (-expected[i], i))[:2]
+
+
+def test_token_stat_cut_gate(spark, monkeypatch, tmp_path):
+    """r15 optimization round: below TOKEN_STAT_CUT_MAX_INPUT_BYTES the
+    tf/uni/big aggregates of tfidf_top_terms and bigram_pmi are lineage-cut
+    so each is evaluated once (no tokenizer in the returned plan); above
+    the gate the recompute form stands. Outputs identical either way."""
+    from analyst_toolkit_spark.llm import text as T
+
+    rows = [(1, "aa bb aa cc"), (2, "bb cc dd bb"), (3, "aa dd")]
+    path = str(tmp_path / "token_stat_docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    df = spark.read.parquet(path)
+
+    for build in (lambda: T.tfidf_top_terms(df, k=2), lambda: T.bigram_pmi(df, min_count=1)):
+        out_cut = build()
+        plan_cut = out_cut._jdf.queryExecution().optimizedPlan().toString()
+        # the only tokenizer evaluations sit behind the cuts (tfidf keeps
+        # its separate column-pruned n_docs count scan; pmi hides all)
+        got_cut = sorted(tuple(r) for r in out_cut.collect())
+        monkeypatch.setattr(T, "TOKEN_STAT_CUT_MAX_INPUT_BYTES", -1)
+        out_raw = build()
+        plan_raw = out_raw._jdf.queryExecution().optimizedPlan().toString()
+        monkeypatch.setattr(T, "TOKEN_STAT_CUT_MAX_INPUT_BYTES", 4 * 1024**3)
+        assert plan_raw.count("regexp_extract_all") > plan_cut.count(
+            "regexp_extract_all"
+        )  # the cut removed at least one whole tokenize subtree
+        assert sorted(tuple(r) for r in out_raw.collect()) == got_cut
 
 
 def test_tfidf_top_terms_ground_truth(spark):
