@@ -858,22 +858,33 @@ def bucket_components(
     # ">= 2 members" semi-join falls out for free. Duplicate edges across
     # bands are collapsed by connected_components' own edge distinct.
     #
-    # r15 optimization round: the per-bucket min rides a WINDOW over the
-    # bucket key instead of the old groupBy + join-back. The join form
-    # evaluated `tagged` — and with it the MinHash signature fold, the
-    # dominant map-side cost of this operator — in TWO independent subtrees
-    # (the mins aggregate and the join probe side); the window form computes
-    # the banding ONCE and needs ONE exchange on __bkt where the join form
-    # paid the aggregate exchange plus the probe-side exchange. Identical
-    # edges: min-per-bucket attached to every member either way.
-    from pyspark.sql.window import Window
-
+    # r15 evaluated the banding (the MinHash signature fold, the dominant
+    # map-side cost) ONCE by riding the per-bucket min on a window over
+    # __bkt — but a window ships EVERY member of a bucket to one task with
+    # no partial aggregation, and this operator is specifically the path
+    # for extremely duplicated corpora, where a crawl-scale boilerplate
+    # bucket with millions of members becomes a straggler/spill task (AQE
+    # skew handling splits joins, not windows — r15 VERDICT #1). r16: keep
+    # the single banding evaluation via a NARROW lineage cut on (id, bucket)
+    # — 16 bytes/row, the same bytes the window's exchange already shipped,
+    # never the text — and restore the map-side-combined groupBy min +
+    # join-back over the cut: hot buckets partial-aggregate in the map
+    # stage, and the attach join is splittable by AQE's skew handler. With
+    # ``checkpoint_dir`` the cut is a durable parquet round-trip so the
+    # executor-loss resume story of the downstream fixpoint is preserved.
     bucket_key = F.xxhash64(F.col("band").cast("string"), F.col("band_hash").cast("string"))
     tagged = banded.select(
         F.col(id_col).cast("long").alias("__id"), bucket_key.alias("__bkt")
     )
+    if checkpoint_dir:
+        tag_path = f"{checkpoint_dir.rstrip('/')}/00_bucket_tagged"
+        tagged.write.mode("overwrite").parquet(tag_path)
+        tagged = df.sparkSession.read.parquet(tag_path)
+    else:
+        tagged = tagged.localCheckpoint(eager=False)
+    mins = tagged.groupBy("__bkt").agg(F.min("__id").alias("__rep"))
     edges = (
-        tagged.withColumn("__rep", F.min("__id").over(Window.partitionBy("__bkt")))
+        tagged.join(mins, "__bkt")
         .filter(F.col("__id") != F.col("__rep"))
         .select(F.col("__id").alias("id_a"), F.col("__rep").alias("id_b"))
     )
@@ -1137,7 +1148,12 @@ def remove_repeated_spans(
 
     size = plan_size_bytes(df)
     tdf = _tokens_frame(df, id_col, text_col)
-    if 0 <= size <= SPAN_GRAM_CUT_MAX_INPUT_BYTES:
+    # r15 ADVICE: below the gate this call persists TWO executor-local cuts
+    # concurrently (these token arrays ≈ the text bytes, plus the gram-hash
+    # stream _repeated_spans_from_tokens cuts at the full constant), so the
+    # token cut gates at HALF the constant — total persisted state stays
+    # bounded by ~the constant instead of silently doubling near its ceiling.
+    if 0 <= size <= SPAN_GRAM_CUT_MAX_INPUT_BYTES // 2:
         tdf = tdf.localCheckpoint(eager=False)
     spans = _repeated_spans_from_tokens(tdf, id_col, n, min_docs, size_hint=size)
     return _cut_spans_from_tokens(tdf, spans, id_col)
@@ -1553,7 +1569,11 @@ def dedup_from_components(
     one anti-join, no aggregate), or the best-``score_col`` member via
     :func:`dedup_representatives_by`. The shared tail of
     :func:`dedup_representatives_auto` and ``curate_corpus``'s
-    deterministic ``near_dedup_engine="md5_buckets"`` path."""
+    deterministic ``near_dedup_engine="md5_buckets"`` path.
+
+    Ids must be UNIQUE in ``df`` (r15 ADVICE): the score path's attach join
+    would multiply duplicate ids instead of preserving them one-for-one —
+    the (node, component) mapping already assumes id-keyed rows."""
     if score_col is not None:
         return dedup_representatives_by(df, components, score_col, id_col=id_col)
     drop = components.filter(F.col("node") != F.col("component")).select(

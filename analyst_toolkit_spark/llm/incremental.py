@@ -689,51 +689,70 @@ def _bm25_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
-#: r15 optimization round — size gate for the token-array lineage cut in
-#: :func:`_bm25_postings`: at or below this optimizer size estimate the
-#: (id, tokens) projection materializes once (localCheckpoint) and both the
-#: dl frame and the tf explode read it — ONE regex tokenization pass per
-#: index write/append instead of two. Above the gate (or unknown size,
-#: which is NOT small) the recompute form stands: the token arrays are
-#: roughly the text bytes again, and materializing them for a 100 TB corpus
-#: trades one CPU pass for ~100 TB of executor-local spill. Same
-#: data-size-adaptive stance as the span-gram cut (llm/dedup.py).
-BM25_TOKEN_CUT_MAX_INPUT_BYTES = int(
-    os.environ.get("SPARK_GRAFT_BM25_TOKEN_CUT_MAX_BYTES", str(4 << 30))
-)
+#: Per-doc marker row for :func:`_bm25_postings`'s single-pass stream: a
+#: value the tokenizer can never produce (``_VOCAB_TOKEN_RE`` is
+#: ``[a-z0-9']+`` over LOWERCASED text — uppercase and ``_`` are outside
+#: the alphabet), so filtering it out of the postings can never drop a
+#: real term.
+_BM25_DL_SENTINEL = "__DL__"
 
 
 def _bm25_postings(df: DataFrame, key: str, id_col: str, n_buckets: int):
-    """(postings, lens): postings = (term, id, tf, dl, term_bucket); lens is
-    the per-doc token-length frame the corpus stats derive from. One lazy
-    lineage cut on lens so the stats agg and the postings join read one
-    materialization; below the size gate a token-array cut additionally
-    collapses the dl and tf tokenizations into ONE regex pass (dl stays
-    ``size(toks)`` over the same arrays, so null-text semantics are
-    bit-identical to the recompute form)."""
-    from analyst_toolkit_spark.functions.stats import plan_size_bytes
+    """(postings, stats_observation): postings = (id, term, tf, dl,
+    term_bucket); the corpus scalars (doc count, Σdl) ride an ``observe()``
+    on the same stream, collected for free by whatever action materializes
+    the postings (the index write) — no separate lens frame, cut, or job.
+
+    ONE tokenize pass at ANY corpus size (r15 VERDICT #8 — the r15 form
+    paid two passes above its token-cut size gate, and a 4 GiB
+    localCheckpoint gate below it): the token array is projected once and
+    prefixed with a sentinel element, so EVERY document — including null-
+    and empty-text ones — emits exactly one sentinel row carrying its dl.
+    dl = size(tokens) stays NULL for null text (the N/avgdl contract: a
+    null-text doc counts toward N but contributes nothing to Σdl) via a
+    cheap null test on the RAW column, never a second tokenize. The
+    sentinel rows feed the observation (count → n_docs, sum(dl) → Σdl;
+    Catalyst does not push the postings filter through CollectMetrics —
+    pinned by test) and are filtered before the write. dl rides the
+    groupBy key (constant per doc), which also deletes the old
+    postings⋈lens join and its doc-keyed exchange."""
+    from pyspark.sql import Observation
+
     from analyst_toolkit_spark.llm.text import _VOCAB_TOKEN_RE
 
     toks = F.regexp_extract_all(F.lower(F.col(key)), F.lit(_VOCAB_TOKEN_RE), F.lit(0))
-    base, toks_col = df, toks
-    size = plan_size_bytes(df)
-    if 0 <= size <= BM25_TOKEN_CUT_MAX_INPUT_BYTES:
-        base = df.select(F.col(id_col), toks.alias("__toks")).localCheckpoint(
-            eager=False
-        )
-        toks_col = F.col("__toks")
-    lens = base.select(F.col(id_col), F.size(toks_col).alias("dl")).localCheckpoint(
-        eager=False
+    # two-step projection: __mtoks is an expensive alias referenced twice
+    # below (size + explode input) — CollapseProject keeps it a single
+    # evaluation (plan-pinned: exactly one regexp_extract_all).
+    marked = df.select(
+        F.col(id_col),
+        F.col(key).isNull().alias("__knull"),
+        F.concat(F.array(F.lit(_BM25_DL_SENTINEL)), F.coalesce(toks, F.array())).alias(
+            "__mtoks"
+        ),
     )
-    tf = (
-        base.select(F.col(id_col), F.explode(toks_col).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # explode_OUTER although the array is never empty (the sentinel prefix
+    # guarantees >= 1 element): inner explode makes InferFiltersFromGenerate
+    # synthesize a size(..) > 0 pre-filter that re-evaluates the regex per
+    # row — the second tokenize this rewrite exists to remove.
+    stream = marked.select(
+        F.col(id_col),
+        F.when(F.col("__knull"), F.lit(None).cast("int"))
+        .otherwise(F.size("__mtoks") - F.lit(1))
+        .alias("dl"),
+        F.explode_outer("__mtoks").alias("term"),
     )
-    postings = tf.join(lens, id_col).withColumn(
-        "term_bucket", _bm25_bucket(F.col("term"), n_buckets)
+    grouped = stream.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    obs = Observation()
+    observed = grouped.observe(
+        obs,
+        F.count(F.when(F.col("term") == _BM25_DL_SENTINEL, 1)).alias("n_docs"),
+        F.sum(F.when(F.col("term") == _BM25_DL_SENTINEL, F.col("dl"))).alias("sum_dl"),
     )
-    return postings, lens
+    postings = observed.filter(F.col("term") != _BM25_DL_SENTINEL).select(
+        F.col(id_col), F.col("term"), F.col("tf"), F.col("dl")
+    ).withColumn("term_bucket", _bm25_bucket(F.col("term"), n_buckets))
+    return postings, obs
 
 
 def bm25_index_write(
@@ -765,21 +784,20 @@ def bm25_index_write(
     bucket). Tokenization is the shared ``_VOCAB_TOKEN_RE``; terms store
     lowercase."""
     base = path.rstrip("/")
-    postings, lens = _bm25_postings(df, key, id_col, n_buckets)
+    postings, obs = _bm25_postings(df, key, id_col, n_buckets)
     postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
         "term_bucket"
     ).parquet(base + "/postings")
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).first()
+    # corpus scalars observed during the write itself — one job total
+    stats = obs.get
     _write_meta(
         df.sparkSession,
         base,
         {
             "kind": "bm25",
             "n_buckets": int(n_buckets),
-            "n_docs": int(stats["n"]),
-            "sum_dl": int(stats["s"] or 0),
+            "n_docs": int(stats["n_docs"]),
+            "sum_dl": int(stats["sum_dl"] or 0),
             "key": key,
             "id_col": id_col,
         },
@@ -808,13 +826,13 @@ def bm25_index_append(
         raise ValueError(f"bm25_index_append: {path!r} is not a bm25 index")
     key = key or meta["key"]
     id_col = id_col or meta["id_col"]
-    postings, lens = _bm25_postings(batch, key, id_col, int(meta["n_buckets"]))
+    postings, obs = _bm25_postings(batch, key, id_col, int(meta["n_buckets"]))
     postings.repartition("term_bucket").write.mode("append").partitionBy(
         "term_bucket"
     ).parquet(base + "/postings")
-    stats = lens.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
-    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"])
-    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["s"] or 0)
+    stats = obs.get  # observed during the append write — one job total
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n_docs"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["sum_dl"] or 0)
     _write_meta(spark, base, meta)
 
 

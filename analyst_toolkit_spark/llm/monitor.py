@@ -51,7 +51,11 @@ def token_distribution_drift(
     # r15 optimization round (guide §1.2): the totals agg AND the drift agg
     # both read the full-outer join — without a cut each re-runs BOTH
     # corpus-scale tokenize+groupBy subtrees (4 corpus scans for 2 logical
-    # reads, plan-verified). The cut is vocabulary-sized (tok + 2 longs).
+    # reads, plan-verified). The cut is vocabulary-sized (tok + 2 longs) —
+    # sublinear in the corpus at any scale, hence unconditional; the trade
+    # (r15 ADVICE, the dedup._materialize_nocodegen stance) is that
+    # localCheckpoint truncates lineage, so an executor loss mid-job rewinds
+    # to this cut's materialization rather than replaying upstream lineage.
     j = ca.join(cb, "tok", "full_outer").localCheckpoint(eager=False)
     totals = j.agg(
         F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb")
@@ -91,7 +95,8 @@ def token_drift_terms(
     ca = _token_counts(df_a, key).withColumnRenamed("c", "ca")
     cb = _token_counts(df_b, key).withColumnRenamed("c", "cb")
     # vocabulary-sized cut: totals + movers both read it (see
-    # token_distribution_drift — same 4-scans-for-2 shape without it)
+    # token_distribution_drift — same 4-scans-for-2 shape, and the same
+    # executor-loss/lineage trade note, r15 ADVICE)
     j = ca.join(cb, "tok", "full_outer").localCheckpoint(eager=False)
     totals = j.agg(F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb"))
     freqs = j.crossJoin(F.broadcast(totals)).select(

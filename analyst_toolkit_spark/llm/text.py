@@ -12,8 +12,21 @@ n-gram heuristic).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Size gate for materializing per-(doc, term) token statistics so that
+#: two consumers share ONE tokenize pass (r15 optimization round). The tf
+#: frame is ~the text bytes again (term strings + counts), so it is only
+#: lineage-cut below this optimizer input estimate — above it (or when the
+#: estimate is unknown, which is NOT small) the recompute form stands. Same
+#: spill math as dedup.SPAN_GRAM_CUT_MAX_INPUT_BYTES. (r16: hoisted here
+#: from the vocabulary section, r15 ADVICE.)
+TOKEN_STAT_CUT_MAX_INPUT_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_TOKEN_STAT_CUT_MAX_INPUT_BYTES", str(4 * 1024**3))
+)
 
 
 def token_count(col: str | Column) -> Column:
@@ -894,19 +907,6 @@ def decon_exposure(
 # the operator reproduces exactly in any SQL engine).
 
 _VOCAB_TOKEN_RE = r"[a-z0-9']+"
-
-#: Size gate for materializing per-(doc, term) token statistics so that
-#: two consumers share ONE tokenize pass (r15 optimization round). The tf
-#: frame is ~the text bytes again (term strings + counts), so it is only
-#: lineage-cut below this optimizer input estimate — above it (or when the
-#: estimate is unknown, which is NOT small) the recompute form stands. Same
-#: spill math as dedup.SPAN_GRAM_CUT_MAX_INPUT_BYTES and
-#: incremental.BM25_TOKEN_CUT_MAX_INPUT_BYTES.
-import os as _os
-
-TOKEN_STAT_CUT_MAX_INPUT_BYTES = int(
-    _os.environ.get("SPARK_GRAFT_TOKEN_STAT_CUT_MAX_INPUT_BYTES", str(4 * 1024**3))
-)
 
 
 def token_stream(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -458,3 +458,44 @@ def test_bm25_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="null terms array"):
         I.bm25_index_probe(spark, base, null_q).collect()
+
+
+def test_bm25_postings_single_tokenize_and_null_text_stats(spark, tmp_path):
+    """r16: the postings stream tokenizes ONCE at any size (no size gate —
+    the sentinel row carries dl and the sidecar scalars ride an observe()
+    on the write), with the r15 null-text contract intact: a null-text doc
+    counts toward n_docs, contributes NULL (nothing) to sum_dl, and emits
+    no postings; empty/token-less docs count with dl=0. The postings filter
+    must NOT push through CollectMetrics (the observation sees every
+    sentinel row)."""
+
+    rows = [
+        (1, "the quick brown fox the fox"),
+        (2, None),
+        (3, ""),
+        (4, "!!! ???"),  # non-empty but token-less
+        (5, "THE Quick"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    postings, obs = I._bm25_postings(df, "text", "doc_id", 8)
+    plan = postings._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"]) for r in postings.collect()
+    )
+    assert got == [
+        (1, "brown", 1, 6), (1, "fox", 2, 6), (1, "quick", 1, 6),
+        (1, "the", 2, 6), (5, "quick", 1, 2), (5, "the", 1, 2),
+    ]
+    stats = obs.get
+    assert stats["n_docs"] == 5  # null/empty/token-less docs all count
+    assert stats["sum_dl"] == 8  # 6 + 0 + 0 + 2; null-text dl skipped
+
+    # end to end: meta sidecar written from the observation during the write
+    base = str(tmp_path / "bm25_null")
+    I.bm25_index_write(df, base)
+    meta = I._read_meta(spark, base)
+    assert meta["n_docs"] == 5 and meta["sum_dl"] == 8
+    qdf = spark.createDataFrame([(0, ["fox"])], "query_id long, terms array<string>")
+    out = I.bm25_index_probe(spark, base, qdf, k=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
