@@ -4217,3 +4217,37 @@ def test_encode_wav_numpy_fast_path_byte_identical():
         MM.encode_wav(8000, [0.1, float("nan")])
     with pytest.raises((ValueError, OverflowError)):
         MM.encode_wav(8000, [float("inf")])
+
+
+def test_connected_components_driver_tier_matches_distributed(spark, monkeypatch):
+    """r16 CC driver tier: a bounded edge graph resolves via driver-side
+    union-find (one collect of the already-populated cache) with labels
+    IDENTICAL to the distributed hash-to-min fixpoint — int and string ids,
+    including a long path (pointer-jumping's worst case) and a clique."""
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]          # path: 0..40 -> comp 0
+        + [(100, 103), (103, 101), (101, 100)]       # clique cycle
+        + [(500, 200)]                               # reversed pair
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = sorted((r["node"], r["component"]) for r in D.connected_components(pairs).collect())
+    monkeypatch.setattr(D, "CC_DRIVER_TIER_MAX_EDGES", 0)
+    slow = sorted((r["node"], r["component"]) for r in D.connected_components(pairs).collect())
+    assert fast == slow
+    assert ((500, 200) in fast) and ((40, 0) in fast) and ((103, 100) in fast)
+
+    monkeypatch.setattr(D, "CC_DRIVER_TIER_MAX_EDGES", 200000)
+    spairs = spark.createDataFrame([("b", "a"), ("c", "b"), ("z", "q")], ["id_a", "id_b"])
+    f = sorted((r["node"], r["component"]) for r in D.connected_components(spairs).collect())
+    monkeypatch.setattr(D, "CC_DRIVER_TIER_MAX_EDGES", 0)
+    s = sorted((r["node"], r["component"]) for r in D.connected_components(spairs).collect())
+    assert f == s == [("a", "a"), ("b", "a"), ("c", "a"), ("q", "q"), ("z", "q")]
+
+    # over-cap graphs must run the distributed loop (tier respects the gate)
+    monkeypatch.setattr(D, "CC_DRIVER_TIER_MAX_EDGES", 3)
+    over = sorted((r["node"], r["component"]) for r in D.connected_components(pairs).collect())
+    assert over == slow
+
+    # empty graph: no labels, either tier
+    monkeypatch.setattr(D, "CC_DRIVER_TIER_MAX_EDGES", 200000)
+    assert D.connected_components(spark.createDataFrame([], "id_a long, id_b long")).collect() == []
