@@ -1678,21 +1678,39 @@ def rrf_fuse(
     if not rankings:
         raise ValueError("rrf_fuse: empty rankings list — pass >= 1 (df, score_col)")
     keys = [group_col, id_col] if group_col is not None else [id_col]
-    parts = []
-    for li, (df, score_col) in enumerate(rankings):
-        if group_col is None and max_list_rows is not None:
-            df = df.localCheckpoint(eager=False)  # guard + window read one materialization
-            n = df.limit(max_list_rows + 1).count()
-            if n > max_list_rows:
+    if group_col is None and max_list_rows is not None:
+        # r16 (r15 VERDICT #6): ONE guard job for ALL lists instead of one
+        # limit(cap+1) count per list — the per-list probes are unioned into
+        # a single bounded action (each arm still stops at cap+1 rows), which
+        # also materializes every list's lazy cut in the same job. Fail-loud
+        # BEFORE the single-partition rank window is preserved exactly: the
+        # guard still runs eagerly at call time, and the windows read the
+        # same materializations the guard counted.
+        cuts = [df.localCheckpoint(eager=False) for df, _ in rankings]
+        probes = None
+        for li, df in enumerate(cuts):
+            p = df.limit(max_list_rows + 1).select(F.lit(li).alias("__li"))
+            probes = p if probes is None else probes.unionAll(p)
+        counts = {
+            r["__li"]: r["__n"]
+            for r in probes.groupBy("__li").agg(F.count(F.lit(1)).alias("__n")).collect()
+        }
+        for li in range(len(rankings)):
+            if counts.get(li, 0) > max_list_rows:
                 raise ValueError(
                     f"rrf_fuse: ranking list {li} has > max_list_rows="
                     f"{max_list_rows} rows — inputs must be bounded top-k "
                     f"result lists; to fuse corpus-scale scores, join the "
                     f"score columns instead (or raise max_list_rows)"
                 )
-            # the bound is now VERIFIED, so one partition is the honest shape
-            # for the rank window (<= cap rows) — no SinglePartition exchange
-            df = df.coalesce(1)
+        # the bound is now VERIFIED, so one partition is the honest shape
+        # for the rank windows (<= cap rows) — no SinglePartition exchange
+        rankings = [
+            (df.coalesce(1), score_col)
+            for df, (_, score_col) in zip(cuts, rankings)
+        ]
+    parts = []
+    for li, (df, score_col) in enumerate(rankings):
         w = (
             Window.partitionBy(group_col) if group_col is not None else Window
         ).orderBy(F.desc(score_col), F.asc(id_col))
