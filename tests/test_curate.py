@@ -115,6 +115,7 @@ def test_curate_pack_never_mixes_splits(spark, sf_dir):
     assert mixed == 0
 
 
+@pytest.mark.slow  # r16 tier split (default tier: test_curate_full_chain + per-gate operator tests)
 def test_curate_new_gates_classifier_span_charlm(spark):
     """The three late-r6 stages compose in one chain: the pinned-weight
     classifier gate drops digit spam, span removal cuts shared boilerplate,

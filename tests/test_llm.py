@@ -405,6 +405,7 @@ def test_dedup_representatives(spark):
     assert kept == [0, 3, 4]  # 0 reps {0,1,2}; 3 untouched; 4 reps {4,5}
 
 
+@pytest.mark.slow  # r16 tier split (default tier: test_connected_components_matches_union_find + dedup cluster oracle rows)
 def test_cluster_docs_oracle(spark, oracle_sf_dir):
     """End-to-end: minhash pairs -> components, vs DuckDB recursive CTE over
     the exact quadratic-Jaccard pair list."""
@@ -1472,6 +1473,7 @@ def test_embedding_centroid_drift_hand_computed(spark):
     assert abs(r.mean_norm_a - 2.0) < 1e-12 and abs(r.mean_norm_b - 4.0) < 1e-12
 
 
+@pytest.mark.slow  # r16 tier split (default tier: classifier margin/feature tests in test_llm)
 def test_logreg_trains_to_separate_synthetic_quality(spark):
     from analyst_toolkit_spark.llm import classify as C
 
@@ -2617,6 +2619,7 @@ def test_ivf_probe_refine_dial(spark, oracle_sf_dir, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow  # r16 tier split (default tier: refine_dial + recall-floor tests)
 def test_ivf_probe_many_matches_sequential(spark, oracle_sf_dir, tmp_path):
     """r12 VERDICT #7: the batched probe must return, per query, EXACTLY the
     single ivf_probe rows (same ids, same rounded cosines) for every
@@ -3272,6 +3275,7 @@ def test_decon_exposure_lexical(spark):
     assert out2["n_contaminated"] == 2  # both pages hold 1/2 >= 0.4
 
 
+@pytest.mark.slow  # r16 tier split (default tier: randomized_ties' sibling checks + refine_dial/recall floors + the ivf_probe_join_embeddings oracle row)
 def test_ivf_probe_join_matches_union(spark, oracle_sf_dir, tmp_path):
     """r13 VERDICT #1: the JOIN-form batched probe must return, per query,
     EXACTLY the union-form ivf_probe_many rows (same ids, same rounded
@@ -3547,6 +3551,7 @@ def test_curate_epochs_source_survivor_report(spark):
     assert out.count() == 4  # web dropped (no entry), wub never present
 
 
+@pytest.mark.slow  # r16 tier split (default tier: the ivf_append_probe_embeddings oracle row)
 def test_ivf_append_matches_whole_build(spark, oracle_sf_dir, tmp_path):
     """ivf_append (late r14): for the per-row storage tiers (raw, sq8) an
     index grown by appends is BIT-IDENTICAL to one built whole with the
@@ -3705,6 +3710,7 @@ def test_ivf_health_detects_append_drift(spark, tmp_path):
         assert all(r["index_mean_cos"] is not None for r in side)
 
 
+@pytest.mark.slow  # r16 tier split (default tier: ivf_health tests + the ivf_rebuild_probe_embeddings oracle row)
 def test_ivf_rebuild_recovers_drift_and_compacts(spark, tmp_path):
     """The rebuild half: after appends from a DRIFTED blob, probe recall on
     the rebuilt index (retrained centroids over the full current layout)
@@ -3845,6 +3851,7 @@ def test_lsh_multi_table_superset_and_census(spark, oracle_sf_dir):
         )
 
 
+@pytest.mark.slow  # r16 tier split (default tier: test_lsh_multi_table_superset_and_census + semantic_dedup oracle row)
 def test_semantic_dedup_n_tables_recall_dial(spark, oracle_sf_dir):
     """r14 VERDICT #6: the multi-table recall dial wired into SemDeDup and
     the curate chain. On a paraphrase-mirror corpus (every 7th vector gets
@@ -3944,6 +3951,7 @@ def test_rrf_fuse_guards(spark):
     assert S.rrf_fuse([(lex, "score")], max_list_rows=2).count() == 2
 
 
+@pytest.mark.slow  # r16 tier split (default tier: test_bm25_matches_bruteforce + bm25_join plan/guard test + bm25 oracle rows)
 def test_bm25_join_matches_per_query(spark, sf_dir):
     """r14 VERDICT #1 (r15): the JOIN-form batched BM25 must return, per
     query, EXACTLY the per-query bm25_topk rows (same doc ids, same rounded
@@ -4127,6 +4135,7 @@ def test_ivf_probe_join_nondeterministic_queries(spark, tmp_path):
     assert all(len(v) == 3 for v in per_query.values())
 
 
+@pytest.mark.slow  # r16 tier split (default tier: refine_dial/tier floors + the ivf_probe_join_embeddings oracle row)
 def test_ivf_probe_join_randomized_ties(spark, tmp_path):
     """Randomized adversarial equivalence (late r14): a corpus with planted
     EXACT duplicates forces rounded-cosine ties at top-k boundaries, so

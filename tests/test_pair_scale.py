@@ -37,6 +37,7 @@ def test_cosine_pairs_auto_routes_to_lsh(embs, monkeypatch):
         assert v == exact[k]  # verified with the exact cosine
 
 
+@pytest.mark.slow  # r16 tier split (default tier: the remaining pair_scale routing tests + ngram_jaccard slow oracle row)
 def test_ngram_jaccard_auto_routes_to_minhash(docs, monkeypatch):
     exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
     monkeypatch.setattr(S, "ALLPAIRS_THRESHOLD_BYTES", 0)

@@ -46,11 +46,21 @@ _ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {
 }
 
 
+def _plan_params():
+    # r16 tier split: building ivf_recall_grid's frame EXECUTES its eager
+    # assignment cut + tier writes (~7 s per gate); its plan gates run in
+    # the slow tier, its oracle row in test_entry_contract's slow tier.
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n == "ivf_recall_grid" else n
+        for n in sorted(set(QUERIES) - _SKIP_PLAN_SCAN)
+    ]
+
+
 def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SKIP_PLAN_SCAN))
+@pytest.mark.parametrize("name", _plan_params())
 def test_no_python_in_query_plans(name, spark, sf_dir):
     plan = _plan(QUERIES[name](spark, sf_dir))
     # BatchEvalPython = row-at-a-time Python UDF; ArrowEvalPython = pandas UDF.
@@ -104,7 +114,7 @@ def test_tpch_shapes_broadcast_dims_single_shuffle(spark, sf_dir):
         assert plan.count("Exchange hashpartitioning") == 1, name
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SKIP_PLAN_SCAN))
+@pytest.mark.parametrize("name", _plan_params())
 def test_no_global_order_window(name, spark, sf_dir):
     """No registry plan may contain a partitionBy-less window: at 100x the
     whole table funnels through ONE task (the collapse llm/pack.py's
@@ -199,7 +209,7 @@ def _collect_bad_hints(node, acc):
         _collect_bad_hints(cs.apply(i), acc)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SKIP_PLAN_SCAN))
+@pytest.mark.parametrize("name", _plan_params())
 def test_no_hard_broadcast_over_corpus_tables(name, spark, sf_dir, monkeypatch):
     """Registry-wide broadcast-gate scan (r6 VERDICT directive #1): with the
     optimizer size estimate forced to UNKNOWN, `_bc()` and every other

@@ -194,6 +194,7 @@ def test_asof_join_matches_merge_asof(spark, left, right, direction, allow_exact
     ),
 )
 @SET
+@pytest.mark.slow  # r16 tier split (default tier: test_joins range suite + both range-join oracle rows)
 def test_range_join_matches_bruteforce(spark, vals, bounds):
     from analyst_toolkit_spark.operators.joins import range_join
 
@@ -317,6 +318,7 @@ def test_pack_prefix_sum_matches_single_node(spark, sizes, budget, parts):
     n=st.integers(min_value=1, max_value=12),
 )
 @SET
+@pytest.mark.slow  # r16 tier split (default tier: test_pack global-ntile window-parity test)
 def test_global_ntile_band_invariants(spark, vals, n):
     """NTILE invariants under arbitrary data/bucket counts: bands are
     1..min(n, N), sizes differ by at most 1, larger bands come first, and
@@ -344,6 +346,7 @@ _span_doc = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size
 
 @given(docs=st.lists(_span_doc, min_size=2, max_size=8), n=st.integers(min_value=2, max_value=4))
 @SET
+@pytest.mark.slow  # r16 tier split (default tier: direct span tests in test_llm incl. the single-tokenize pin)
 def test_repeated_spans_invariants(spark, docs, n):
     """Exact parity with a Python ground-truth reimplementation under
     arbitrary corpora: duplicated-gram hits -> islands merge -> maximal
@@ -508,6 +511,7 @@ def test_leakage_safe_split_invariants(spark, n, edges):
     v=st.integers(min_value=1, max_value=5),
 )
 @SET
+@pytest.mark.slow  # r16 tier split (default tier: oov_rate oracle row + vocab tests)
 def test_oov_rate_invariants(spark, texts, v):
     """0 <= n_oov <= n_tokens for every doc; total OOV mass equals total
     tokens minus the top-v vocab's occurrence mass; a vocab budget covering
@@ -585,6 +589,7 @@ _doc = st.lists(_words, min_size=1, max_size=8).map(" ".join)
     threshold=st.sampled_from([0.3, 0.6, 0.9]),
 )
 @SET
+@pytest.mark.slow  # r16 tier split (default tier: lexical_cosine_pairs oracle row + tfidf tests)
 def test_tfidf_cosine_prefix_filter_lossless(spark, docs, threshold):
     import itertools
 

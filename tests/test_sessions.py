@@ -97,6 +97,7 @@ def test_stateful_running_stats(spark, events):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow  # r16 tier split (default tier: the other watermark/sessionize stream tests)
 def test_watermark_drops_late_rows(spark):
     """Late-data semantics: a row older than the watermark horizon arriving in
     a later batch is dropped from the windowed aggregate (documented
