@@ -4193,116 +4193,117 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering policy (transparent, semantics-neutral): the driver verifies
-        # only the first 50 dict entries per round. The r15 window leads with
-        # the SIX new rows (batched BM25, grouped hybrid RRF, IVF health,
-        # IVF rebuild, CDC chunk census, chunk-dedup curate stage), then
-        # every query whose implementation changed this round (exposure-id
-        # fix, probe-join/append guards, rrf_fuse gate, n_tables dial,
-        # chunk stage in the chain, k-means++ seeding), then the SEVEN
-        # stalest parked rows (last driver evidence r10 -- r14 VERDICT #4)
-        # and the first 29 of the 47 r11-era continuity rows. Union of
-        # driver-green rows r01-r14 covers EVERY registry query (zero
-        # failures since r2); every deterministic query also runs against
-        # the same DuckDB oracle locally each pytest via
-        # tests/test_entry_contract.py, so rotation never leaves a query
+        # only the first 50 dict entries per round. The r16 window leads with
+        # the SIX rows whose implementation this optimization round touched
+        # (skew-safe bucket min + CC driver tier, single-tokenize BM25 index
+        # writes, rrf guard fold, span-cut gate halving), then returns ALL 44
+        # rows the r15 window rotated out (r15 VERDICT #5 -- their last
+        # driver evidence is r14 or older). Union of driver-green rows
+        # r01-r15 covers EVERY registry query (zero failures since r2); every
+        # deterministic query also runs against the same DuckDB oracle
+        # locally each pytest via tests/test_entry_contract.py (fast tier +
+        # slow tier, see pytest.ini), so rotation never leaves a query
         # unverified.
-        "bm25_join_docs": q_bm25_join_docs,  # NEW r15 (join-form batched BM25 -- r14 VERDICT #1; VALUES-table oracle replays the whole workload)
-        "bm25_index_probe_docs": q_bm25_index_probe_docs,  # NEW r15 (persisted posting index: build + append + pruned probe; full-corpus CTE oracle)
-        "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,  # NEW r15 (grouped RRF over batched BM25 + join-form IVF probe -- the complete hybrid path)
-        "ivf_health_embeddings": q_ivf_health_embeddings,  # NEW r15 (index drift signal -- r14 VERDICT #2; assignment + per-cluster cosine aggregates replayed in SQL)
-        "ivf_rebuild_probe_embeddings": q_ivf_rebuild_probe_embeddings,  # NEW r15 (rebuild/compaction -- r14 VERDICT #2; pinned-centroid rebuild == full-table build, CTE oracle)
-        "cdc_chunk_census_docs": q_cdc_chunk_census_docs,  # NEW r15 (hash twin for the CDC chunker -- r14 VERDICT #5; fixed-stride construction makes mapInPandas output SQL-replayable)
-        "curate_chunk_dedup_docs": q_curate_chunk_dedup_docs,  # NEW r15 (chunk-dedup curate stage composition -- r14 VERDICT #5; banner-cut + exact dedup in one CTE)
-        "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,  # impl changed r15 (bench-id band widened to 100000 -- r14 ADVICE; unique ids at every sf)
-        "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,  # impl changed r15 (query frame materialized once -- r14 ADVICE nondeterminism fix)
-        "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,  # impl changed r15 (per-row in-plan dim/null guard -- r14 ADVICE)
-        "hybrid_rrf_docs": q_hybrid_rrf_docs,  # impl changed r15 (rrf_fuse bounded-input gate + topk/empty-contract fixes -- r14 VERDICT wrong #1 / ADVICE)
-        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # impl changed r15 (n_tables recall dial added -- r14 VERDICT #6; default path re-verified)
-        "curate_md5_docs": q_curate_md5_docs,  # impl-adjacent r15 (chunk-dedup stage added to the chain; unchanged path re-verified)
-        "embedding_ivf_topk": q_embedding_ivf_topk,  # impl changed r15 (k-means++ seeding in _kmeans_driver; quantizer-dependent row re-verified)
-        "ivf_recall_grid": q_ivf_recall_grid,  # impl changed r15 (k-means++ seeding in _kmeans_driver; quantizer-dependent row re-verified)
-        "range_join_binned_bands": q_range_join_binned_bands,  # r10-era stale rotation (r14 VERDICT #4)
-        "mixture_sample_docs": q_mixture_sample_docs,  # r10-era stale rotation (r14 VERDICT #4)
-        "events_stream_windowed": q_events_stream_windowed,  # r10-era stale rotation (r14 VERDICT #4)
-        "asof_nearest_events": q_asof_nearest_events,  # r10-era stale rotation (r14 VERDICT #4)
-        "weighted_sample_docs": q_weighted_sample_docs,  # r10-era stale rotation (r14 VERDICT #4)
-        "stratified_sample_customers": q_stratified_sample_customers,  # r10-era stale rotation (r14 VERDICT #4)
-        "embedding_quantize_int8": q_embedding_quantize_int8,  # r10-era stale rotation (r14 VERDICT #4)
-        "audio_near_dup": q_audio_near_dup,  # r11-era continuity block (stalest after the r10 rows)
-        "bigram_pmi_docs": q_bigram_pmi_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "boxplot_lineitem": q_boxplot_lineitem,  # r11-era continuity block (stalest after the r10 rows)
-        "containment_pairs_docs": q_containment_pairs_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "containment_subset_docs": q_containment_subset_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "corpus_data_card_docs": q_corpus_data_card_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "curate_containment_docs": q_curate_containment_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "curate_redact_docs": q_curate_redact_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "decontaminate_spans_docs": q_decontaminate_spans_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "dedup_best_quality_docs": q_dedup_best_quality_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "dedup_lines_within_docs": q_dedup_lines_within_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "dedup_split_docs": q_dedup_split_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "dsir_weights_docs": q_dsir_weights_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "dup_count_lineitem": q_dup_count_lineitem,  # r11-era continuity block (stalest after the r10 rows)
-        "embedding_kmeans_refine": q_embedding_kmeans_refine,  # r11-era continuity block (stalest after the r10 rows)
-        "embedding_pca": q_embedding_pca,  # r11-era continuity block (stalest after the r10 rows)
-        "events_daily": q_events_daily,  # r11-era continuity block (stalest after the r10 rows)
-        "events_hopping": q_events_hopping,  # r11-era continuity block (stalest after the r10 rows)
-        "events_stream_dedup": q_events_stream_dedup,  # r11-era continuity block (stalest after the r10 rows)
-        "events_stream_stateful": q_events_stream_stateful,  # r11-era continuity block (stalest after the r10 rows)
-        "events_stream_stream_join": q_events_stream_stream_join,  # r11-era continuity block (stalest after the r10 rows)
-        "events_stream_stream_left": q_events_stream_stream_left,  # r11-era continuity block (stalest after the r10 rows)
-        "events_tumbling": q_events_tumbling,  # r11-era continuity block (stalest after the r10 rows)
-        "events_variant_props": q_events_variant_props,  # r11-era continuity block (stalest after the r10 rows)
-        "fingerprint_dup_docs": q_fingerprint_dup_docs,  # r11-era continuity block (stalest after the r10 rows)
-        "forecast_revenue_change": q_forecast_revenue_change,  # r11-era continuity block (stalest after the r10 rows)
-        "image_near_dup": q_image_near_dup,  # r11-era continuity block (stalest after the r10 rows)
+        "minhash_md5_components_docs": q_minhash_md5_components_docs,  # impl changed r16 (skew-safe bucket min over one banding cut; CC driver tier)
+        "dedup_cluster_docs": q_dedup_cluster_docs,  # impl changed r16 (CC driver union-find tier -- labels identical, distributed loop above the cap)
+        "bm25_index_probe_docs": q_bm25_index_probe_docs,  # impl changed r16 (single-tokenize sentinel postings write + observe()d sidecar scalars)
+        "hybrid_rrf_docs": q_hybrid_rrf_docs,  # impl changed r16 (rrf_fuse one-guard-job fold; same fail-loud gate)
+        "curate_md5_docs": q_curate_md5_docs,  # impl changed r16 (bucket path cut + CC driver tier in both clustering stages)
+        "remove_spans_docs": q_remove_spans_docs,  # impl changed r16 (token-cut gate halved -- r15 ADVICE; outputs identical)
+        "bm25_topk_docs": q_bm25_topk_docs,  # r15 rotation return (r15 VERDICT #5)
+        "bracketed_revenue": q_bracketed_revenue,  # r15 rotation return (r15 VERDICT #5)
+        "cdc_chunk_docs": q_cdc_chunk_docs,  # r15 rotation return (r15 VERDICT #5)
+        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,  # r15 rotation return (r15 VERDICT #5)
+        "curate_docs": q_curate_docs,  # r15 rotation return (r15 VERDICT #5)
+        "curate_recipe_docs": q_curate_recipe_docs,  # r15 rotation return (r15 VERDICT #5)
+        "decile_bands_orders": q_decile_bands_orders,  # r15 rotation return (r15 VERDICT #5)
+        "decontaminate_docs": q_decontaminate_docs,  # r15 rotation return (r15 VERDICT #5)
+        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,  # r15 rotation return (r15 VERDICT #5)
+        "dedup_index_probe": q_dedup_index_probe,  # r15 rotation return (r15 VERDICT #5)
+        "docs_stream_index_probe": q_docs_stream_index_probe,  # r15 rotation return (r15 VERDICT #5)
+        "embedding_cluster": q_embedding_cluster,  # r15 rotation return (r15 VERDICT #5)
+        "embedding_lsh_multiprobe": q_embedding_lsh_multiprobe,  # r15 rotation return (r15 VERDICT #5)
+        "embedding_norm_outliers": q_embedding_norm_outliers,  # r15 rotation return (r15 VERDICT #5)
+        "embedding_pq_census": q_embedding_pq_census,  # r15 rotation return (r15 VERDICT #5)
+        "embedding_pq_topk": q_embedding_pq_topk,  # r15 rotation return (r15 VERDICT #5)
+        "epoch_mix_docs": q_epoch_mix_docs,  # r15 rotation return (r15 VERDICT #5)
+        "events_session_paths": q_events_session_paths,  # r15 rotation return (r15 VERDICT #5)
+        "events_stream_sessions": q_events_stream_sessions,  # r15 rotation return (r15 VERDICT #5)
+        "events_stream_validate": q_events_stream_validate,  # r15 rotation return (r15 VERDICT #5)
+        "events_trailing_avg": q_events_trailing_avg,  # r15 rotation return (r15 VERDICT #5)
+        "excess_share_suppliers": q_excess_share_suppliers,  # r15 rotation return (r15 VERDICT #5)
+        "kmv_distinct_docs": q_kmv_distinct_docs,  # r15 rotation return (r15 VERDICT #5)
+        "large_volume_orders": q_large_volume_orders,  # r15 rotation return (r15 VERDICT #5)
+        "local_supplier_volume": q_local_supplier_volume,  # r15 rotation return (r15 VERDICT #5)
+        "market_share": q_market_share,  # r15 rotation return (r15 VERDICT #5)
+        "min_cost_supplier": q_min_cost_supplier,  # r15 rotation return (r15 VERDICT #5)
+        "order_count_distribution": q_order_count_distribution,  # r15 rotation return (r15 VERDICT #5)
+        "pack_sequences_docs": q_pack_sequences_docs,  # r15 rotation return (r15 VERDICT #5)
+        "promo_revenue": q_promo_revenue,  # r15 rotation return (r15 VERDICT #5)
+        "repetition_docs": q_repetition_docs,  # r15 rotation return (r15 VERDICT #5)
+        "sales_opportunity": q_sales_opportunity,  # r15 rotation return (r15 VERDICT #5)
+        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,  # r15 rotation return (r15 VERDICT #5)
+        "shipmode_priority": q_shipmode_priority,  # r15 rotation return (r15 VERDICT #5)
+        "small_quantity_revenue": q_small_quantity_revenue,  # r15 rotation return (r15 VERDICT #5)
+        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,  # r15 rotation return (r15 VERDICT #5)
+        "strip_html_docs": q_strip_html_docs,  # r15 rotation return (r15 VERDICT #5)
+        "tfidf_topterms_docs": q_tfidf_topterms_docs,  # r15 rotation return (r15 VERDICT #5)
+        "token_budget_sample_docs": q_token_budget_sample_docs,  # r15 rotation return (r15 VERDICT #5)
+        "token_rarity_docs": q_token_rarity_docs,  # r15 rotation return (r15 VERDICT #5)
+        "top_supplier_revenue": q_top_supplier_revenue,  # r15 rotation return (r15 VERDICT #5)
+        "vocab_coverage_docs": q_vocab_coverage_docs,  # r15 rotation return (r15 VERDICT #5)
+        "volume_shipping": q_volume_shipping,  # r15 rotation return (r15 VERDICT #5)
+        "waiting_suppliers": q_waiting_suppliers,  # r15 rotation return (r15 VERDICT #5)
         # --- parked below the driver's 50-query verification window (all hold
-        # --- green driver rows r10-r14; re-verified locally every pytest) ---
-        "embedding_lsh_multiprobe": q_embedding_lsh_multiprobe,
-        "epoch_mix_docs": q_epoch_mix_docs,
-        "curate_recipe_docs": q_curate_recipe_docs,
-        "semantic_decon_exposure_embeddings": q_semantic_decon_exposure_embeddings,
-        "token_budget_sample_docs": q_token_budget_sample_docs,
-        "cdc_chunk_docs": q_cdc_chunk_docs,
-        "curate_docs": q_curate_docs,
-        "dedup_bucket_components_docs": q_dedup_bucket_components_docs,
-        "embedding_pq_topk": q_embedding_pq_topk,
-        "bm25_topk_docs": q_bm25_topk_docs,
-        "order_count_distribution": q_order_count_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "bracketed_revenue": q_bracketed_revenue,
-        "waiting_suppliers": q_waiting_suppliers,
-        "min_cost_supplier": q_min_cost_supplier,
-        "excess_share_suppliers": q_excess_share_suppliers,
-        "embedding_pq_census": q_embedding_pq_census,
-        "embedding_norm_outliers": q_embedding_norm_outliers,
-        "vocab_coverage_docs": q_vocab_coverage_docs,
-        "token_rarity_docs": q_token_rarity_docs,
-        "corpus_data_card_neardup_docs": q_corpus_data_card_neardup_docs,
-        "events_stream_sessions": q_events_stream_sessions,
-        "docs_stream_index_probe": q_docs_stream_index_probe,
-        "tfidf_topterms_docs": q_tfidf_topterms_docs,
-        "events_trailing_avg": q_events_trailing_avg,
-        "events_session_paths": q_events_session_paths,
-        "kmv_distinct_docs": q_kmv_distinct_docs,
-        "source_overlap_kmv_docs": q_source_overlap_kmv_docs,
-        "events_stream_validate": q_events_stream_validate,
-        "dedup_index_probe": q_dedup_index_probe,
-        "pack_sequences_docs": q_pack_sequences_docs,
-        "strip_html_docs": q_strip_html_docs,
-        "repetition_docs": q_repetition_docs,
-        "decontaminate_docs": q_decontaminate_docs,
-        "embedding_cluster": q_embedding_cluster,
-        "decile_bands_orders": q_decile_bands_orders,
-        "market_share": q_market_share,
-        "local_supplier_volume": q_local_supplier_volume,
-        "volume_shipping": q_volume_shipping,
-        "sales_opportunity": q_sales_opportunity,
-        "shipmode_priority": q_shipmode_priority,
-        "promo_revenue": q_promo_revenue,
-        "large_volume_orders": q_large_volume_orders,
+        # --- green driver rows r10-r15; re-verified locally every pytest) ---
+        "bm25_join_docs": q_bm25_join_docs,
+        "hybrid_rrf_join_docs": q_hybrid_rrf_join_docs,
+        "ivf_health_embeddings": q_ivf_health_embeddings,
+        "ivf_rebuild_probe_embeddings": q_ivf_rebuild_probe_embeddings,
+        "cdc_chunk_census_docs": q_cdc_chunk_census_docs,
+        "curate_chunk_dedup_docs": q_curate_chunk_dedup_docs,
+        "semantic_decon_exposure_lsh_embeddings": q_semantic_decon_exposure_lsh_embeddings,
+        "ivf_probe_join_embeddings": q_ivf_probe_join_embeddings,
+        "ivf_append_probe_embeddings": q_ivf_append_probe_embeddings,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "ivf_recall_grid": q_ivf_recall_grid,
+        "range_join_binned_bands": q_range_join_binned_bands,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "events_stream_windowed": q_events_stream_windowed,
+        "asof_nearest_events": q_asof_nearest_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "stratified_sample_customers": q_stratified_sample_customers,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
+        "audio_near_dup": q_audio_near_dup,
+        "bigram_pmi_docs": q_bigram_pmi_docs,
+        "boxplot_lineitem": q_boxplot_lineitem,
+        "containment_pairs_docs": q_containment_pairs_docs,
+        "containment_subset_docs": q_containment_subset_docs,
+        "corpus_data_card_boilerplate_docs": q_corpus_data_card_boilerplate_docs,
+        "corpus_data_card_docs": q_corpus_data_card_docs,
+        "curate_containment_docs": q_curate_containment_docs,
+        "curate_redact_docs": q_curate_redact_docs,
+        "decontaminate_spans_docs": q_decontaminate_spans_docs,
+        "dedup_best_quality_docs": q_dedup_best_quality_docs,
+        "dedup_cluster_sizes_docs": q_dedup_cluster_sizes_docs,
+        "dedup_lines_within_docs": q_dedup_lines_within_docs,
+        "dedup_split_docs": q_dedup_split_docs,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "dup_count_lineitem": q_dup_count_lineitem,
+        "embedding_kmeans_refine": q_embedding_kmeans_refine,
+        "embedding_pca": q_embedding_pca,
+        "events_daily": q_events_daily,
+        "events_hopping": q_events_hopping,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
+        "events_stream_stream_join": q_events_stream_stream_join,
+        "events_stream_stream_left": q_events_stream_stream_left,
+        "events_tumbling": q_events_tumbling,
+        "events_variant_props": q_events_variant_props,
+        "fingerprint_dup_docs": q_fingerprint_dup_docs,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "image_near_dup": q_image_near_dup,
         "curate_semantic_decon_lsh_docs": q_curate_semantic_decon_lsh_docs,
         "semantic_probe_stream": q_semantic_probe_stream,
         "global_shuffle_docs": q_global_shuffle_docs,
@@ -4341,11 +4342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality_docs": q_charlm_quality_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "url_dedup_docs": q_url_dedup_docs,
-        "minhash_md5_components_docs": q_minhash_md5_components_docs,
         "corpus_drift_docs": q_corpus_drift_docs,
         "token_drift_terms_docs": q_token_drift_terms_docs,
         "embedding_drift": q_embedding_drift,
-        "remove_spans_docs": q_remove_spans_docs,
         "repeated_spans_docs": q_repeated_spans_docs,
         "bpe_token_stats_docs": q_bpe_token_stats_docs,
         "curate_semantic_docs": q_curate_semantic_docs,
@@ -4378,7 +4377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_audit_orders": q_null_audit_orders,
         "data_dictionary_customer": q_data_dictionary_customer,
         "exact_dup_docs": q_exact_dup_docs,
-        "dedup_cluster_docs": q_dedup_cluster_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "lang_detect_docs": q_lang_detect_docs,
         "quality_docs": q_quality_docs,
