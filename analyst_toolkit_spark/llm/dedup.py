@@ -854,8 +854,16 @@ def connected_components(
                     StructField("component", node_t, True),
                 ]
             )
-            return pairs.sparkSession.createDataFrame(
-                _union_find_labels(rows), schema
+            # broadcast hint (guide §3): a LogicalRDD carries no size stats,
+            # so without it Spark plans downstream label joins as SMJ and
+            # shuffles BOTH sides — including the caller's corpus-scale
+            # frame. The tier just PROVED the relation is bounded (<= 2x
+            # CC_DRIVER_TIER_MAX_EDGES rows, a few MB), so the hint is
+            # data-size-gated by construction, never a blind constant.
+            return F.broadcast(
+                pairs.sparkSession.createDataFrame(
+                    _union_find_labels(rows), schema
+                )
             )
     converged = False
     for _ in range(max_iter):
