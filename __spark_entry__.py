@@ -690,6 +690,13 @@ def q_top_supplier_revenue(spark, sf):
         l.groupBy(F.col("l_suppkey"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
     )
+    # r16: lazy lineage cut so the fact subtree (quarter scan + suppkey
+    # aggregate) evaluates ONCE — the scalar-max cross join read it twice.
+    # A cut, not a window: a global max window has no partition key and
+    # would funnel every per-supplier row through one task at scale,
+    # while the cut keeps both aggregates map-side partial and costs one
+    # supplier-sized materialization.
+    rev = rev.localCheckpoint(eager=False)
     max_row = rev.agg(F.max("total_rev").alias("__max_rev"))
     s = load_table(spark, sf, "supplier")
     return (
@@ -703,19 +710,29 @@ def q_top_supplier_revenue(spark, sf):
 def q_small_quantity_revenue(spark, sf):
     """Q17-shape: revenue lost to small orders — lineitems of one brand's
     parts whose quantity is under 20% of that part's average quantity.
-    The correlated per-part average becomes a pre-aggregate on the FILTERED
-    part set, size-gated back into the fact scan (a brand is a fixed ~1/25
-    fraction of part, so it SCALES with the corpus — _bc, never a hard
-    hint) — the fact shuffles once for the per-part average and never for
-    the final scalar."""
+    The correlated per-part average becomes a window over the brand's
+    lineitems partitioned by part (r16 — the earlier pre-aggregate +
+    join-back form evaluated the fact subtree twice); the brand filter is
+    a broadcast-gated part join (_bc — a brand is a fixed ~1/25 fraction
+    of part, so it SCALES with the corpus, never a hard hint), and the
+    fact shuffles once for the window and never for the final scalar."""
     p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
     l = load_table(spark, sf, "lineitem")
     brand_lines = l.join(_bc(p), l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    avg_qty = brand_lines.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("__thr"))
+    # r16: the correlated per-part threshold via a window instead of a
+    # groupBy + broadcast join-back — the join-back form evaluated
+    # brand_lines (fact scan + part join) twice. Per-part row count is
+    # bounded by construction in this catalog (lineitem/part fan-out is a
+    # constant at every SF), so the partition-by-part window has no hot
+    # task; avg over integer-valued quantities is an exact sum / exact
+    # count, and the threshold keeps the identical (avg * 0.2) expression.
+    from pyspark.sql import Window
+
+    thr_w = Window.partitionBy("l_partkey")
     return (
-        brand_lines.join(_bc(avg_qty.withColumnRenamed("l_partkey", "__pk")), F.col("l_partkey") == F.col("__pk"))
+        brand_lines.withColumn("__thr", F.avg("l_quantity").over(thr_w) * 0.2)
         .filter(F.col("l_quantity") < F.col("__thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -851,11 +868,12 @@ def q_excess_share_suppliers(spark, sf):
     correlated subquery, adapted to the derived catalog (no partsupp in
     testdata): a supplier qualifies if, for some Brand#1 part, it shipped
     MORE THAN HALF of that part's 1995 total. Spark-first: the correlated
-    pair becomes per-(part, supplier) and per-part pre-aggregates (the
-    second derived FROM the first — no second fact scan) joined back; the
-    qualifying supplier set is distinct-projected and joined to
-    supplier x nation (Q20's semi-join essence). Shuffles: one fact groupBy
-    + one bounded catalog join — nothing correlated, nothing quadratic."""
+    pair becomes a per-(part, supplier) pre-aggregate, and the per-part
+    total rides a window over that pre-aggregate (one evaluation of the
+    fact subtree — r16); the qualifying supplier set is distinct-projected
+    and joined to supplier x nation (Q20's semi-join essence). Shuffles:
+    one fact groupBy + one part-keyed window over the reduced frame +
+    one bounded catalog join — nothing correlated, nothing quadratic."""
     l = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") < F.lit("1996-01-01"))
     )
@@ -867,9 +885,18 @@ def q_excess_share_suppliers(spark, sf):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("__qty"))
     )
-    totals = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(F.sum("__qty").alias("__tot"))
+    # r16: per-part totals via a window over the (part, supplier)
+    # PRE-AGGREGATE instead of a groupBy + join-back — the join-back form
+    # evaluated the whole fact subtree (scan + part join + groupBy) twice.
+    # The window partitions on l_partkey over rows already reduced to one
+    # per (part, supplier) — bounded per part by the supplier fan-out, so
+    # no hot-partition hazard — and sums integer-valued quantities, so the
+    # total is bit-identical to the groupBy form.
+    from pyspark.sql import Window
+
+    totals_w = Window.partitionBy("l_partkey")
     excess = (
-        shipped.join(_bc(totals), F.col("l_partkey") == F.col("__pk"))
+        shipped.withColumn("__tot", F.sum("__qty").over(totals_w))
         .filter(F.col("__qty") > 0.5 * F.col("__tot"))
         .select("l_suppkey")
         .distinct()
