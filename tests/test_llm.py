@@ -3022,6 +3022,45 @@ def test_semantic_decontaminate_cell_cap(spark):
         S.semantic_decontaminate(corpus, bench, max_cells=256)
 
 
+def test_semantic_decon_vectorized_matches_jvm_fold(spark, monkeypatch):
+    """r16 optimization round: the Arrow batch kernel (DECON_VECTORIZED,
+    guide §4.2) must produce EXACTLY the doubles of the per-element JVM
+    fold it replaces — the kernel accumulates dim-sequentially to replicate
+    the fold's left-to-right IEEE add order, so equality is exact, not
+    approximate. Pins both literal tiers (forward + exposure) over an
+    awkward fixture: negative values, magnitude spread, a null vector."""
+    import random as _r
+
+    from analyst_toolkit_spark.llm import similarity as S
+
+    rng = _r.Random(1316)
+    dim = 9
+    corpus_rows = [
+        (i, [rng.uniform(-3.0, 3.0) * (10.0 ** rng.randint(-4, 3)) for _ in range(dim)])
+        for i in range(80)
+    ] + [(900, None)]
+    bench_rows = [
+        (j, [rng.uniform(-1.0, 1.0) * (10.0 ** rng.randint(-2, 2)) for _ in range(dim)])
+        for j in range(17)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id int, embedding array<double>")
+    bench = spark.createDataFrame(bench_rows, "vec_id int, embedding array<double>")
+
+    def run_both(fn):
+        monkeypatch.setattr(S, "DECON_VECTORIZED", True)
+        new = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(S, "DECON_VECTORIZED", False)
+        old = sorted(map(tuple, fn().collect()))
+        return new, old
+
+    new, old = run_both(lambda: S.semantic_decontaminate(corpus, bench, threshold=0.5))
+    assert new == old  # exact, including every max_bench_cosine double
+    new, old = run_both(
+        lambda: S.semantic_decon_exposure(corpus, bench, threshold=0.5)
+    )
+    assert new == old
+
+
 def test_semantic_decontaminate_lsh_tier(spark):
     """The large-benchmark tier: exact eval copies are ALWAYS caught
     (identical vectors share every hyperplane sign — the same recall floor

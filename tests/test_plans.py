@@ -32,6 +32,14 @@ _REQUIRED_ARROW_UDF = {
     "cdc_chunk_docs",
     # r15: the chunk census rides the same sanctioned cdc mapInPandas seam
     "cdc_chunk_census_docs",
+    # r16: the literal-decontamination tiers evaluate their |bench|×dim
+    # dot products in ONE Arrow batch kernel (similarity.DECON_VECTORIZED,
+    # guide §4.2 — measured 6x on the curate row; bit-identical doubles,
+    # pinned by test_semantic_decon_vectorized_matches_jvm_fold). The JVM
+    # fold remains behind the env seam.
+    "semantic_decontaminate_embeddings",
+    "semantic_decon_exposure_embeddings",
+    "curate_semantic_decon_docs",
 }
 _ALLOWED_ARROW_UDF = _REQUIRED_ARROW_UDF | {
     # r15: the chunk-dedup curate row runs the chunker behind the chain's
