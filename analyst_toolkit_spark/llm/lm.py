@@ -42,13 +42,37 @@ def _ngrams_of(t: Column, n: int) -> Column:
     return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
 
 
+def _ngrams_of_chars(ch: Column, n: int) -> Column:
+    """Char n-grams over an ALREADY-PROJECTED ``split(text, '')`` array —
+    the O(len) fast form of :func:`_ngrams_of` (r16 optimization round).
+    ``substr(i, n)`` on a UTF8String walks from byte 0 to locate the i-th
+    codepoint, so the substr form is O(len²) per row — measured 1.8 s of
+    charlm_score's 2.4 s at sf0.1 (~300-char docs). Splitting once into a
+    char array and building each gram from ``n`` O(1) ``element_at`` lookups
+    produced the identical gram multiset (verified incl. astral codepoints:
+    Java regex zero-width matches never land inside a surrogate pair, so
+    ``split('')`` is codepoint-correct) at 1.09 s vs 1.93 s. ``ch`` MUST be
+    a bound attribute — a compound expression here is re-evaluated once per
+    gram position AND per element_at (the _ngrams_of lesson, ~30x measured
+    when violated). Null/short inputs yield the empty array, exactly like
+    :func:`_ngrams_of`; element_at stays in bounds by construction (max
+    index = size(ch))."""
+    m = F.size(ch) - F.lit(n - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat(*[F.element_at(ch, i + off) for off in range(n)])
+    )
+
+
 def char_ngrams(col: str | Column, n: int = 3) -> Column:
     """Character n-grams (every position, in order) over the canonical text
     form, as ``array<string>``. One ``transform(sequence(...))`` — O(len)
     JVM work per row, no shuffle, no UDF. NOTE: for hot paths prefer
-    projecting ``normalize_text`` first and gramming the projected column
-    (see :func:`_ngrams_of`); this convenience form inlines the
-    normalization into the per-element lambda."""
+    projecting ``split(normalize_text(col), '')`` first and gramming the
+    projected column (see :func:`_ngrams_of_chars`); this convenience form
+    inlines the normalization into the per-element lambda."""
     return _ngrams_of(normalize_text(col), n)
 
 
@@ -65,9 +89,9 @@ def train_char_lm(df: DataFrame, key: str = "text", n: int = 3) -> DataFrame:
     already has, in one linear plan. Identical ``prob`` values."""
     from pyspark.sql.window import Window
 
-    nrm = df.select(normalize_text(F.col(key)).alias("__nt"))
+    nrm = df.select(F.split(normalize_text(F.col(key)), "").alias("__ch"))
     tri = (
-        nrm.select(F.explode(_ngrams_of(F.col("__nt"), n)).alias("gram"))
+        nrm.select(F.explode(_ngrams_of_chars(F.col("__ch"), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -98,10 +122,12 @@ def charlm_score(
     model is small (same trust-nothing rule as llm/scale.pair_strategy)."""
     keep = keep_cols or []
     nrm = df.select(
-        F.col(id_col), *[F.col(c) for c in keep], normalize_text(F.col(key)).alias("__nt")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.split(normalize_text(F.col(key)), "").alias("__ch"),
     )
     gdf = nrm.select(
-        F.col(id_col), *[F.col(c) for c in keep], F.explode(_ngrams_of(F.col("__nt"), n)).alias("gram")
+        F.col(id_col), *[F.col(c) for c in keep], F.explode(_ngrams_of_chars(F.col("__ch"), n)).alias("gram")
     )
     m = F.broadcast(model) if broadcast_model else model
     joined = gdf.join(m, "gram", "left")
