@@ -11,6 +11,7 @@ At 100 TB the corpus side stays partitioned by bucket; queries broadcast.
 
 from __future__ import annotations
 
+import os as _os
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -1857,8 +1858,6 @@ DECON_BENCH_MAX_CELLS = 262144
 #: see :func:`_bench_dots_fn`). The env seam (0 disables) keeps the pure-JVM
 #: fold available for deployments that must not run Python workers in this
 #: path; results are identical either way.
-import os as _os
-
 DECON_VECTORIZED = _os.environ.get("SPARK_GRAFT_DECON_VECTORIZED", "1") != "0"
 
 
